@@ -1,0 +1,77 @@
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("veloci_spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.default.parallelism", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="veloci_spark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# The reference's jmdict-like corpus style, shrunk: mixed-case tokens,
+# repeated tokens, separator-heavy code lines, >64-byte long texts, an
+# empty-ish doc. (tests/all/tests.rs:47-245, test_code_search.rs:32-41)
+TINY_CORPUS = [
+    (0, "function myfun(param1: Type1)", "cool.ts", "all/the/path", "ts"),
+    (1, "function otherfun(param1: Type2)", "other.ts", "all/other/path", "ts"),
+    (2, "let x = myfun(1) + myfun(2)", "use.ts", "all/the/use", "ts"),
+    (3, "die erbin", "title.md", "docs/title", "md"),
+    (4, "erbin die", "title2.md", "docs/title2", "md"),
+    (5, "greg tagebuch 05", "greg.md", "docs/greg", "md"),
+    (6, "tagebuch eines weichen greg", "greg2.md", "docs/greg2", "md"),
+    (
+        7,
+        "this is a very long line of source code that exceeds the sixty four byte whole text limit easily",
+        "long.py",
+        "src/long",
+        "py",
+    ),
+    (8, "Weich", "w.md", "docs/w", "md"),
+    (9, "myfun", "m.ts", "src/m", "ts"),
+]
+
+TINY_SCHEMA = "doc_id long, line string, filename string, filepath string, lang string"
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus(spark):
+    return spark.createDataFrame(TINY_CORPUS, TINY_SCHEMA)
+
+
+@pytest.fixture(scope="session")
+def tiny_index(spark, tiny_corpus, tmp_root):
+    from veloci_spark import FieldConfig, IndexConfig, build_index
+
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("line", phrase_pairs=True),
+            FieldConfig("filename"),
+            FieldConfig("filepath", tokenize_on_chars=("/", "\\")),
+            FieldConfig("lang"),
+        ),
+        block_docs=4,  # tiny blocks to exercise multi-block paths
+    )
+    out = os.path.join(tmp_root, "tiny_index")
+    return build_index(spark, tiny_corpus, cfg, out, resume=False)

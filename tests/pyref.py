@@ -1,0 +1,172 @@
+"""Pure-Python mini reference implementation of the engine semantics.
+
+Used as the golden oracle for end-to-end tests: it implements exactly the
+normative formulas of SURVEY.md §7.1 (tokenize → dictionary → postings →
+term match → set ops → boosts → top-k) in plain Python, so the Spark
+engine's output can be asserted against it on small fixtures — the same
+strategy as the reference's golden tests (/root/reference/tests/all).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+from typing import Optional
+
+from veloci_spark.config import DEFAULT_SEPARATORS
+from veloci_spark.scoring import py_term_score, py_token_score
+from veloci_spark.tokenize import py_has_tokens, py_tokenize
+
+
+def levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class PyField:
+    def __init__(self, separators=DEFAULT_SEPARATORS, max_text_bytes=64):
+        self.separators = separators
+        self.max_text_bytes = max_text_bytes
+        self.dictionary: dict[str, int] = {}
+        self.num_occurences: Counter = Counter()
+        self.postings: dict[int, dict[int, int]] = defaultdict(dict)  # term_id -> doc -> score
+        self.phrase: dict[tuple[int, int], set[int]] = defaultdict(set)
+
+    def build(self, docs: dict[int, str]):
+        # pass 1: term counting (create_fulltext.rs:99-115)
+        for _doc, text in docs.items():
+            if text is None:
+                continue
+            if len(text.encode()) <= self.max_text_bytes:
+                self.num_occurences[text] += 1
+            if py_has_tokens(text, self.separators):
+                for tok, _ in py_tokenize(text, self.separators):
+                    self.num_occurences[tok] += 1
+        for i, term in enumerate(sorted(self.num_occurences)):
+            self.dictionary[term] = i
+        # pass 2: postings
+        entries: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for doc, text in docs.items():
+            if text is None:
+                continue
+            if len(text.encode()) <= self.max_text_bytes:
+                tid = self.dictionary[text]
+                entries[(tid, doc)].append(
+                    py_token_score(0, self.num_occurences[text], 1, is_exact=True)
+                )
+            if py_has_tokens(text, self.separators):
+                runs = list(py_tokenize(text, self.separators))
+                ntok = len(runs)
+                best_pos: dict[str, int] = {}
+                prev_tok = None
+                for pos, (tok, is_sep) in enumerate(runs):
+                    if tok not in best_pos:
+                        best_pos[tok] = pos
+                    if not is_sep:
+                        tid = self.dictionary[tok]
+                        if prev_tok is not None:
+                            self.phrase[(prev_tok, tid)].add(doc)
+                        prev_tok = tid
+                for tok, pos in best_pos.items():
+                    tid = self.dictionary[tok]
+                    entries[(tid, doc)].append(
+                        py_token_score(pos, self.num_occurences[tok], ntok)
+                    )
+        for (tid, doc), scores in entries.items():
+            if len(scores) > 1:
+                s = max(scores) + min(len(scores), 5)
+            else:
+                s = scores[0]
+            self.postings[tid][doc] = s
+
+    # ---- query side
+    def match_terms(self, term, levenshtein_d=0, starts_with=False, is_regex=False,
+                    ignore_case=True, boost=None):
+        lq = term.lower()
+        out = {}
+        for t, tid in self.dictionary.items():
+            lt = t.lower()
+            if is_regex:
+                flags = re.IGNORECASE if ignore_case else 0
+                if starts_with:
+                    if not re.match("(?:" + term + ")", t, flags):
+                        continue
+                elif not re.fullmatch("(?:" + term + ")", t, flags):
+                    continue
+                d = levenshtein(lt, lq)
+                prefix = False
+            elif starts_with:
+                if ignore_case:
+                    if not lt.startswith(lq):
+                        continue
+                elif not t.startswith(term):
+                    continue
+                d = levenshtein(lt, lq)
+                prefix = lt.startswith(lq)
+            elif levenshtein_d == 0:
+                if ignore_case:
+                    if lt != lq:
+                        continue
+                elif t != term:
+                    continue
+                d = levenshtein(lt, lq)
+                prefix = False
+            else:
+                d = levenshtein(lt, lq)
+                if d > levenshtein_d:
+                    continue
+                prefix = lt.startswith(lq)
+            s = py_term_score(d, prefix)
+            if boost is not None:
+                s *= boost
+            out[tid] = s
+        return out
+
+    def leaf_hits(self, **kw) -> dict[int, float]:
+        terms = self.match_terms(**kw)
+        hits: dict[int, float] = {}
+        for tid, tscore in terms.items():
+            for doc, stored in self.postings.get(tid, {}).items():
+                s = tscore * (stored / 100.0)
+                if doc not in hits or s > hits[doc]:
+                    hits[doc] = s
+        return hits
+
+
+def or_combine(branches: list[tuple[str, dict[int, float]]]) -> dict[int, float]:
+    """branches: (term_string, hits). set_op.rs:87-220."""
+    slots = sorted({t for t, _ in branches})
+    slot_of = {t: i for i, t in enumerate(slots)}
+    per_doc: dict[int, dict[int, float]] = defaultdict(dict)
+    for t, hits in branches:
+        s = slot_of[t]
+        for doc, sc in hits.items():
+            cur = per_doc[doc].get(s, 0.0)
+            if sc > cur:
+                per_doc[doc][s] = sc
+    out = {}
+    for doc, slot_max in per_doc.items():
+        n = sum(1 for v in slot_max.values() if v >= 1e-5)
+        out[doc] = sum(slot_max.values()) * n * n
+    return out
+
+
+def and_combine(branches: list[dict[int, float]]) -> dict[int, float]:
+    docs = set(branches[0])
+    for b in branches[1:]:
+        docs &= set(b)
+    return {d: sum(b[d] for b in branches) for d in docs}
+
+
+def topk(hits: dict[int, float], top: int, skip: int = 0) -> list[tuple[int, float]]:
+    ordered = sorted(hits.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return ordered[skip : skip + top]

@@ -1,0 +1,60 @@
+"""Posting-block codec roundtrip (mirrors the reference's vint tests,
+token_to_anchor_score_vint.rs:206-248)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from veloci_spark.codec import decode_block, encode_block, varint_decode, varint_encode
+
+
+def test_varint_roundtrip_simple():
+    vals = np.array([0, 1, 127, 128, 300, 2**21, 2**32 - 1], dtype=np.uint64)
+    assert list(varint_decode(varint_encode(vals))) == list(vals)
+
+
+def test_varint_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert varint_decode(b"").size == 0
+
+
+def test_block_roundtrip():
+    docs = np.array([3, 7, 8, 100, 65536], dtype=np.uint64)
+    scores = np.array([400, 10, 2047, 1, 0], dtype=np.uint64)
+    data = encode_block(docs, scores)
+    d2, s2 = decode_block(data)
+    assert list(d2) == list(docs)
+    assert list(s2) == list(scores)
+
+
+def test_block_single():
+    d2, s2 = decode_block(encode_block(np.array([42]), np.array([7])))
+    assert list(d2) == [42] and list(s2) == [7]
+
+
+def test_delta_compression_is_small():
+    # dense ascending ids with small scores should be ~2 bytes/pair
+    docs = np.arange(1000, dtype=np.uint64) + 10
+    scores = np.full(1000, 55, dtype=np.uint64)
+    data = encode_block(docs, scores)
+    assert len(data) < 1000 * 3
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_block_roundtrip_property(pairs):
+    docs = np.array(sorted({d for d, _ in pairs}), dtype=np.uint64)
+    scores = np.array([s for _, s in pairs[: len(docs)]], dtype=np.uint64)
+    docs = docs[: len(scores)]
+    data = encode_block(docs, scores)
+    d2, s2 = decode_block(data)
+    assert list(d2) == list(docs)
+    assert list(s2) == list(scores)

@@ -1,0 +1,272 @@
+"""End-to-end: Spark engine vs the pure-Python reference implementation
+on the tiny mixed-case / code-search corpus (strategy of
+/root/reference/tests/all/tests.rs and test_code_search.rs)."""
+
+import pytest
+
+from tests.conftest import TINY_CORPUS
+from tests.pyref import PyField, and_combine, or_combine, topk
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+)
+from veloci_spark.executor import search
+
+
+@pytest.fixture(scope="module")
+def pyref_line():
+    f = PyField()
+    f.build({row[0]: row[1] for row in TINY_CORPUS})
+    return f
+
+
+@pytest.fixture(scope="module")
+def pyref_filepath():
+    f = PyField(separators=("/", "\\"))
+    f.build({row[0]: row[3] for row in TINY_CORPUS})
+    return f
+
+
+def engine_hits(tiny_index, request):
+    res = search(tiny_index, request)
+    return [(r["doc_id"], r["score"]) for r in res.hits.collect()]
+
+
+def assert_hits_equal(got, want):
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9), (gd, gs, ws)
+
+
+def test_exact_token(tiny_index, pyref_line):
+    got = engine_hits(
+        tiny_index, Request(search=SearchPart(field="line", term="myfun"), top=10)
+    )
+    want = topk(pyref_line.leaf_hits(term="myfun"), 10)
+    assert_hits_equal(got, want)
+
+
+def test_exact_is_case_insensitive(tiny_index, pyref_line):
+    got = engine_hits(
+        tiny_index, Request(search=SearchPart(field="line", term="WEICH"), top=10)
+    )
+    want = topk(pyref_line.leaf_hits(term="WEICH"), 10)
+    assert [d for d, _ in got] == [8]
+    assert_hits_equal(got, want)
+
+
+def test_fuzzy(tiny_index, pyref_line):
+    got = engine_hits(
+        tiny_index,
+        Request(search=SearchPart(field="line", term="weich", levenshtein=1), top=10),
+    )
+    want = topk(pyref_line.leaf_hits(term="weich", levenshtein_d=1), 10)
+    assert_hits_equal(got, want)
+    assert {d for d, _ in got} == {8}  # "weichen" is d=2, out of range
+
+    got2 = engine_hits(
+        tiny_index,
+        Request(search=SearchPart(field="line", term="weich", levenshtein=2), top=10),
+    )
+    want2 = topk(pyref_line.leaf_hits(term="weich", levenshtein_d=2), 10)
+    assert_hits_equal(got2, want2)
+    assert {d for d, _ in got2} == {6, 8}  # weichen d=2 (prefix-boosted)
+
+
+def test_prefix(tiny_index, pyref_line):
+    got = engine_hits(
+        tiny_index,
+        Request(search=SearchPart(field="line", term="tage", starts_with=True), top=10),
+    )
+    want = topk(pyref_line.leaf_hits(term="tage", starts_with=True), 10)
+    assert_hits_equal(got, want)
+    assert {d for d, _ in got} == {5, 6}
+
+
+def test_regex(tiny_index, pyref_line):
+    got = engine_hits(
+        tiny_index,
+        Request(search=SearchPart(field="line", term=".*yfu.*", is_regex=True), top=10),
+    )
+    want = topk(pyref_line.leaf_hits(term=".*yfu.*", is_regex=True), 10)
+    assert_hits_equal(got, want)
+    assert {d for d, _ in got} == {0, 2, 9}
+
+
+def test_or(tiny_index, pyref_line):
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="line", term="myfun"),
+                SearchPart(field="line", term="erbin"),
+            )
+        ),
+        top=10,
+    )
+    got = engine_hits(tiny_index, req)
+    want = topk(
+        or_combine(
+            [
+                ("myfun", pyref_line.leaf_hits(term="myfun")),
+                ("erbin", pyref_line.leaf_hits(term="erbin")),
+            ]
+        ),
+        10,
+    )
+    assert_hits_equal(got, want)
+
+
+def test_and(tiny_index, pyref_line):
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart(field="line", term="die"),
+                SearchPart(field="line", term="erbin"),
+            )
+        ),
+        top=10,
+    )
+    got = engine_hits(tiny_index, req)
+    want = topk(
+        and_combine(
+            [
+                pyref_line.leaf_hits(term="die"),
+                pyref_line.leaf_hits(term="erbin"),
+            ]
+        ),
+        10,
+    )
+    assert_hits_equal(got, want)
+    assert {d for d, _ in got} == {3, 4}
+
+
+def test_filter_does_not_affect_score(tiny_index, pyref_line):
+    # search myfun filtered to lang:ts — filter must not change scores
+    # (request/mod.rs:43-45)
+    unfiltered = engine_hits(
+        tiny_index, Request(search=SearchPart(field="line", term="myfun"), top=10)
+    )
+    filtered = engine_hits(
+        tiny_index,
+        Request(
+            search=SearchPart(field="line", term="myfun"),
+            filter=SearchPart(field="lang", term="ts"),
+            top=10,
+        ),
+    )
+    assert filtered == [h for h in unfiltered if h[0] in {0, 1, 2, 9}]
+
+
+def test_multifield_or(tiny_index, pyref_line, pyref_filepath):
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="line", term="myfun"),
+                SearchPart(field="filepath", term="path"),
+            )
+        ),
+        top=10,
+    )
+    got = engine_hits(tiny_index, req)
+    want = topk(
+        or_combine(
+            [
+                ("myfun", pyref_line.leaf_hits(term="myfun")),
+                ("path", pyref_filepath.leaf_hits(term="path")),
+            ]
+        ),
+        10,
+    )
+    assert_hits_equal(got, want)
+
+
+def test_phrase_boost(tiny_index, pyref_line):
+    # "die erbin" adjacent in doc 3, reversed in doc 4 → doc 3 first
+    base = or_combine(
+        [
+            ("die", pyref_line.leaf_hits(term="die")),
+            ("erbin", pyref_line.leaf_hits(term="erbin")),
+        ]
+    )
+    want = dict(base)
+    pair_docs = pyref_line.phrase.get(
+        (pyref_line.dictionary["die"], pyref_line.dictionary["erbin"]), set()
+    )
+    for d in pair_docs:
+        if d in want:
+            want[d] *= 5.0
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="line", term="die"),
+                SearchPart(field="line", term="erbin"),
+            )
+        ),
+        phrase_boosts=(PhraseBoost(field="line", term1="die", term2="erbin"),),
+        top=10,
+    )
+    got = engine_hits(tiny_index, req)
+    assert_hits_equal(got, topk(want, 10))
+    assert got[0][0] == 3
+
+
+def test_boost_column_replace_orders_by_field(tiny_index):
+    # Replace boost = ORDER BY field (test_scores.rs:262-279)
+    req = Request(
+        search=SearchPart(field="line", term="myfun"),
+        boost=(BoostPart(path="doc_id", boost_fun="Replace"),),
+        top=10,
+    )
+    got = engine_hits(tiny_index, req)
+    assert [d for d, _ in got] == sorted([d for d, _ in got], reverse=True)
+    for d, s in got:
+        assert s == float(d)
+
+
+def test_skip_pagination(tiny_index, pyref_line):
+    all_got = engine_hits(
+        tiny_index, Request(search=SearchPart(field="line", term="myfun"), top=10)
+    )
+    skipped = engine_hits(
+        tiny_index,
+        Request(search=SearchPart(field="line", term="myfun"), top=2, skip=1),
+    )
+    assert skipped == all_got[1:3]
+
+
+def test_facets(tiny_index):
+    res = search(
+        tiny_index,
+        Request(
+            search=SearchPart(field="line", term="myfun"),
+            facets=(
+                __import__(
+                    "veloci_spark.request", fromlist=["FacetRequest"]
+                ).FacetRequest(field="lang", top=5),
+            ),
+            top=10,
+        ),
+    )
+    rows = {r["value"]: r["count"] for r in res.facets["lang"].collect()}
+    assert rows == {"ts": 3}
+
+
+def test_filepath_custom_separators(tiny_index, pyref_filepath):
+    got = engine_hits(
+        tiny_index, Request(search=SearchPart(field="filepath", term="the"), top=10)
+    )
+    want = topk(pyref_filepath.leaf_hits(term="the"), 10)
+    assert_hits_equal(got, want)
+    assert {d for d, _ in got} == {0, 2}
+
+
+def test_suggest(tiny_index, pyref_line):
+    from veloci_spark.suggest import suggest
+
+    rows = suggest(tiny_index, "tage", fields=["line"], top=5).collect()
+    texts = [r["text"] for r in rows]
+    assert "tagebuch" in texts

@@ -1,0 +1,83 @@
+"""Score-formula vectors (hand-computed from
+/root/reference/src/create/calculate_score.rs:34-49 and
+/root/reference/src/search/search_field.rs:27-33)."""
+
+import math
+
+import pytest
+
+from veloci_spark.scoring import (
+    py_occurrence_modifier,
+    py_length_modifier,
+    py_score_e4,
+    py_term_score,
+    py_token_score,
+)
+
+
+def ref_token_score(pos, occ, ntok, is_exact=False):
+    # straight transcription of the formula (f64)
+    score = 400.0 if is_exact else 2000.0 / (math.log2(pos + 10.0) + 10.0)
+    occ_m = math.log10(occ + 1000.0) - 2.0
+    occ_m -= (occ_m - 1.0) * 0.7
+    score /= occ_m
+    len_m = math.log10((1 if is_exact else ntok) + 10.0)
+    len_m -= (len_m - 1.0) * 0.7
+    score /= len_m
+    return int(score)
+
+
+@pytest.mark.parametrize(
+    "pos,occ,ntok",
+    [(0, 1, 1), (0, 1, 10), (5, 100, 50), (1000, 1, 3), (0, 10**6, 2), (3, 7, 9)],
+)
+def test_token_score_matches_transcription(pos, occ, ntok):
+    assert py_token_score(pos, occ, ntok) == ref_token_score(pos, occ, ntok)
+
+
+def test_exact_score():
+    # exact entries use num_tokens=1 (create.rs:216-221)
+    assert py_token_score(0, 1, 999, is_exact=True) == ref_token_score(
+        0, 1, 1, is_exact=True
+    )
+    # occ=1: ~400/1.0001/1.0124 ≈ 394
+    assert py_token_score(0, 1, 1, is_exact=True) in (394, 395)
+
+
+def test_modifiers_monotone():
+    assert py_occurrence_modifier(1) < py_occurrence_modifier(10**6)
+    assert py_length_modifier(1) < py_length_modifier(1000)
+
+
+def test_term_score():
+    assert py_term_score(0, False) == pytest.approx(10.0)
+    assert py_term_score(1, False) == pytest.approx(2.0 / 1.2)
+    assert py_term_score(0, True) == pytest.approx(10.0)  # log2(1)=0
+    assert py_term_score(1, True) == pytest.approx(2.0 / 1.2)
+    assert py_term_score(3, True) == pytest.approx(2.0 / (2.0 + 0.2))
+
+
+def test_score_e4():
+    assert py_score_e4(10.0) == 100000
+    assert py_score_e4(13.7) == 137000
+    assert py_score_e4(0.0) == 0
+
+
+def test_spark_exprs_match_python(spark):
+    from pyspark.sql import functions as F
+    from veloci_spark.scoring import token_score_expr, term_score_expr, score_e4
+
+    rows = [(0, 1, 1), (5, 100, 50), (1000, 1, 3), (3, 7, 9)]
+    df = spark.createDataFrame(rows, "pos long, occ long, ntok long")
+    got = df.select(
+        token_score_expr(F.col("pos"), F.col("occ"), F.col("ntok")).alias("s")
+    ).collect()
+    for (pos, occ, ntok), row in zip(rows, got):
+        assert row["s"] == py_token_score(pos, occ, ntok)
+
+    df2 = spark.createDataFrame([(0, False), (1, True), (4, False)], "d long, p boolean")
+    got2 = df2.select(
+        score_e4(term_score_expr(F.col("d"), F.col("p"))).alias("s")
+    ).collect()
+    for (d, p), row in zip([(0, False), (1, True), (4, False)], got2):
+        assert row["s"] == py_score_e4(py_term_score(d, p))

@@ -1,0 +1,95 @@
+"""Tokenizer vectors from the reference
+(/root/reference/src/tokenizer/mod.rs:39-77)."""
+
+import pytest
+
+from veloci_spark.tokenize import (
+    py_has_tokens,
+    py_tokenize,
+    run_pattern,
+    tokenize_expr,
+)
+
+
+def toks(text, seps=None):
+    if seps is None:
+        return [t for t, _ in py_tokenize(text)]
+    return [t for t, _ in py_tokenize(text, seps)]
+
+
+def test_grouped_separators():
+    assert toks("das \n ist ein txt, test") == [
+        "das", " \n ", "ist", " ", "ein", " ", "txt", ", ", "test",
+    ]
+
+
+def test_leading_separator():
+    assert toks(" Taschenbuch (kartoniert)") == [
+        " ", "Taschenbuch", " (", "kartoniert", ")",
+    ]
+
+
+def test_single_char_token():
+    assert toks("T oll") == ["T", " ", "oll"]
+
+
+def test_grouped_consecutive():
+    assert toks("ok---nice") == ["ok", "---", "nice"]
+
+
+def test_separator_flags():
+    flags = list(py_tokenize("das \n ist"))
+    assert flags == [("das", False), (" \n ", True), ("ist", False)]
+
+
+def test_has_tokens():
+    assert py_has_tokens("a b")
+    assert py_has_tokens(" a")
+    assert not py_has_tokens("test")
+    assert not py_has_tokens("")
+    assert not py_has_tokens("   ")  # one separator run only
+
+
+def test_custom_separators():
+    # filepath tokenization (test_code_search.rs:14-26)
+    assert toks("all/the/path", ("/", "\\")) == ["all", "/", "the", "/", "path"]
+
+
+def test_python_regex_equivalence():
+    import re
+
+    pat = re.compile(run_pattern())
+    for text in [
+        "das \n ist ein txt, test",
+        " Taschenbuch (kartoniert)",
+        "ok---nice",
+        "function myfun(param1: Type1)",
+        "a",
+        "",
+    ]:
+        assert pat.findall(text) == toks(text)
+
+
+def test_jvm_tokenizer_matches_python(spark):
+    texts = [
+        ("das \n ist ein txt, test",),
+        (" Taschenbuch (kartoniert)",),
+        ("function myfun(param1: Type1)",),
+        ("ok---nice",),
+        ("…unicode—seps・here™",),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    rows = df.select(tokenize_expr("text")).collect()
+    for (text,), row in zip(texts, rows):
+        assert row[0] == toks(text), text
+
+
+def test_pandas_tokenizer_matches_python(spark):
+    from veloci_spark.tokenize import tokenize_pandas_udf
+
+    texts = [("das ist ein test",), ("function myfun(param1: Type1)",)]
+    df = spark.createDataFrame(texts, "text string")
+    udf = tokenize_pandas_udf()
+    rows = df.select(udf("text")).collect()
+    for (text,), row in zip(texts, rows):
+        assert row[0] == toks(text)

@@ -1,0 +1,48 @@
+"""veloci_spark — a PySpark-native full-text index build + top-k query engine.
+
+A from-scratch rebuild of the query/data-processing capabilities of
+PSeitz/veloci (reference at /root/reference, Rust) on idiomatic Spark:
+DataFrame transforms for the index-build dataflow, vectorized
+pandas/Arrow UDFs for the tokenizer and the posting-block codec, and
+Catalyst-optimized joins/aggregations for query execution.
+
+Nothing in here is a translation of the reference's execution engine;
+only its *semantics* (tokenization, score formulas, set-op scoring,
+boost functions) are reproduced, with citations to reference file:line
+in docstrings.
+"""
+
+from veloci_spark.config import FieldConfig, IndexConfig, DEFAULT_SEPARATORS
+from veloci_spark.build import build_index
+from veloci_spark.index import Index
+from veloci_spark.request import (
+    SearchPart,
+    AndNode,
+    OrNode,
+    BoostPart,
+    FacetRequest,
+    Request,
+)
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.suggest import suggest
+
+__all__ = [
+    "FieldConfig",
+    "IndexConfig",
+    "DEFAULT_SEPARATORS",
+    "build_index",
+    "Index",
+    "SearchPart",
+    "AndNode",
+    "OrNode",
+    "BoostPart",
+    "FacetRequest",
+    "Request",
+    "search",
+    "suggest",
+    "QueryGeneratorParameters",
+    "generate_request",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,379 @@
+"""Distributed inverted-index build.
+
+The reference builds per-field index column families in three passes over
+ndjson (/root/reference/src/create.rs:929-965): term counting → sorted
+term-id assignment (FST) → tuple emission with buffered external sort +
+k-merge (/root/reference/buffered_index_writer). In Spark the external
+sort/merge IS the shuffle, so the build is a handful of declarative
+transforms per field:
+
+  tokenize (JVM regexp or Arrow UDF)
+    → explode (doc_id, tok, pos)
+    → term counts  → dictionary (scalable rank ids, no global window)
+    → join dictionary → per-(term,doc) score aggregation  [map-side combine]
+    → doc-aligned posting blocks, delta+varint encoded, with block-max
+      metadata  [skew-safe: a block never exceeds `block_docs` docs, so a
+      stop-word term becomes many bounded rows instead of one giant one]
+
+Every stage checkpoints to Parquet under the index directory with a
+_SUCCESS marker, a lineage/metrics record, and is skipped on resume —
+the reference has no incremental build (README non-goal), but resumable
+builds are required at 10^12-file scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.codec import encode_block
+from veloci_spark.config import FieldConfig, IndexConfig
+from veloci_spark.ids import assign_rank_ids
+from veloci_spark.index import Index
+from veloci_spark.scoring import (
+    exact_text_score_expr,
+    merge_posting_scores,
+    token_score_expr,
+)
+from veloci_spark.tokenize import (
+    has_tokens_expr,
+    is_separator_expr,
+    tokenize_expr,
+    tokenize_pandas_udf,
+)
+
+POSTINGS_SCHEMA = (
+    "term_id long, block_no long, n_docs long, max_score long, "
+    "min_doc_id long, max_doc_id long, data binary"
+)
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+class _Lineage:
+    """Per-stage lineage + metrics (jsonl next to the index)."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, "_lineage.jsonl")
+
+    def record(self, stage: str, **kv) -> None:
+        rec = {"stage": stage, "ts": time.time(), **kv}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _tokenized(corpus: DataFrame, fc: FieldConfig, tokenizer: str) -> DataFrame:
+    """(doc_id, tok, pos, num_tokens, is_sep) — one row per run.
+
+    Positions count every run, separator groups included, and separator
+    runs are themselves indexed (/root/reference/src/create.rs:240-283).
+    Only texts with >= 2 runs produce token rows (`has_tokens`,
+    /root/reference/src/create.rs:225-227).
+    """
+    seps = fc.separators()
+    if tokenizer == "pandas":
+        runs = tokenize_pandas_udf(seps)(F.col("__text"))
+    else:
+        runs = tokenize_expr("__text", seps)
+    df = (
+        corpus.select("doc_id", F.col(fc.name).alias("__text"))
+        .where(F.col("__text").isNotNull())
+        .withColumn("__runs", runs)
+        .where(has_tokens_expr(F.col("__runs")))
+        .select(
+            "doc_id",
+            F.size("__runs").alias("num_tokens"),
+            F.posexplode("__runs").alias("pos", "tok"),
+        )
+    )
+    return df.withColumn("is_sep", is_separator_expr(F.col("tok"), seps))
+
+
+def _whole_texts(corpus: DataFrame, fc: FieldConfig) -> DataFrame:
+    """Texts short enough to become whole-text dictionary terms
+    (byte length <= max_text_bytes, /root/reference/src/metadata.rs:66-68;
+    counted once per row, /root/reference/src/create/create_fulltext.rs:99-115).
+    """
+    return (
+        corpus.select("doc_id", F.col(fc.name).alias("text"))
+        .where(F.col("text").isNotNull())
+        .where(F.octet_length("text") <= F.lit(fc.max_text_bytes))
+    )
+
+
+def _build_dictionary(
+    toks: Optional[DataFrame], whole: DataFrame, cfg: IndexConfig
+) -> DataFrame:
+    """(term, term_id, num_occurences); term_id = rank in byte-sorted order
+    (/root/reference/src/create/create_fulltext.rs:71-80)."""
+    sources = [whole.select(F.col("text").alias("term"))]
+    if toks is not None:
+        sources.append(toks.select(F.col("tok").alias("term")))
+    counts = sources[0]
+    for s in sources[1:]:
+        counts = counts.unionAll(s)
+    counts = counts.groupBy("term").agg(F.count("*").alias("num_occurences"))
+    return assign_rank_ids(counts, ["term"], "term_id", cfg.dict_partitions)
+
+
+def _build_flat_postings(
+    toks: Optional[DataFrame], whole: DataFrame, dictionary: DataFrame
+) -> DataFrame:
+    """(term_id, doc_id, score) — the logical posting list.
+
+    Token entries: per (term, doc) keep the best (lowest) position
+    (/root/reference/src/create/calculate_score.rs:6-31). Whole-text
+    entries: exact score (/root/reference/src/create.rs:216-221). Merge:
+    max + capped multi-hit bonus only for multi-entry groups
+    (/root/reference/src/create.rs:389-448).
+    """
+    text_entries = (
+        whole.join(dictionary, whole["text"] == dictionary["term"])
+        .select(
+            "term_id",
+            "doc_id",
+            exact_text_score_expr(F.col("num_occurences")).alias("score"),
+        )
+    )
+    entries = text_entries
+    if toks is not None:
+        token_entries = (
+            toks.join(dictionary, toks["tok"] == dictionary["term"])
+            .groupBy("term_id", "doc_id")
+            .agg(
+                F.min("pos").alias("best_pos"),
+                F.first("num_occurences").alias("num_occurences"),
+                F.first("num_tokens").alias("num_tokens"),
+            )
+            .select(
+                "term_id",
+                "doc_id",
+                token_score_expr(
+                    F.col("best_pos"), F.col("num_occurences"), F.col("num_tokens")
+                ).alias("score"),
+            )
+        )
+        entries = token_entries.unionAll(text_entries)
+    merged = (
+        entries
+        .groupBy("term_id", "doc_id")
+        .agg(F.max("score").alias("score_max"), F.count("*").alias("n_entries"))
+        .select(
+            "term_id",
+            "doc_id",
+            merge_posting_scores(F.col("score_max"), F.col("n_entries")).alias(
+                "score"
+            ),
+        )
+    )
+    return merged
+
+
+def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
+    """Doc-aligned, delta+varint-compressed posting blocks with block-max
+    metadata; numpy-vectorized inside mapInPandas (Arrow batches)."""
+    with_block = flat.withColumn(
+        "block_no", (F.col("doc_id") / F.lit(block_docs)).cast("long")
+    )
+    # hash-shuffle on term_id, then a within-partition sort groups each
+    # (term_id, block_no) contiguously; a group never exceeds block_docs
+    # entries, so skewed (stop-word-like) terms split into bounded rows.
+    arranged = with_block.repartition("term_id").sortWithinPartitions(
+        "term_id", "block_no", "doc_id"
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: Optional[pd.DataFrame] = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing (possibly incomplete) group — rows are
+            # sorted, so the last group is a contiguous suffix
+            term = pdf["term_id"].to_numpy()
+            block = pdf["block_no"].to_numpy()
+            in_last = (term == term[-1]) & (block == block[-1])
+            cut = int(len(pdf) - in_last.sum())
+            pending = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                yield _encode_groups(head)
+        if pending is not None and len(pending):
+            yield _encode_groups(pending)
+
+    def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term_id"].to_numpy()
+        block = pdf["block_no"].to_numpy()
+        docs = pdf["doc_id"].to_numpy()
+        scores = pdf["score"].to_numpy()
+        change = np.flatnonzero((np.diff(term) != 0) | (np.diff(block) != 0))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(pdf)]))
+        rows = []
+        for s, e in zip(starts, ends):
+            rows.append(
+                (
+                    int(term[s]),
+                    int(block[s]),
+                    int(e - s),
+                    int(scores[s:e].max()),
+                    int(docs[s]),
+                    int(docs[e - 1]),
+                    encode_block(docs[s:e], scores[s:e]),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term_id",
+                "block_no",
+                "n_docs",
+                "max_score",
+                "min_doc_id",
+                "max_doc_id",
+                "data",
+            ],
+        )
+
+    return arranged.mapInPandas(_encode, schema=POSTINGS_SCHEMA)
+
+
+def _build_phrase_pairs(toks: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """(term_id_1, term_id_2, doc_id) for adjacent non-separator tokens
+    (separator runs are skipped in the pair chain,
+    /root/reference/src/create.rs:251-263); sorted-dedup like the
+    reference's sort_and_dedup merge (/root/reference/src/create.rs:349-363).
+    """
+    from pyspark.sql.window import Window
+
+    nonsep = toks.where(~F.col("is_sep")).join(
+        dictionary, toks["tok"] == dictionary["term"]
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        nonsep.select("doc_id", "pos", "term_id")
+        .withColumn("term_id_2", F.lead("term_id").over(w))
+        .where(F.col("term_id_2").isNotNull())
+        .select(
+            F.col("term_id").alias("term_id_1"),
+            F.col("term_id_2"),
+            "doc_id",
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    config: IndexConfig,
+    out_dir: str,
+    resume: bool = True,
+    tokenizer: str = "jvm",
+) -> Index:
+    """Build (or resume building) the full index under ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = _Lineage(out_dir)
+
+    # ---- stage: doc store (the corpus itself IS the doc store;
+    # /root/reference/doc_store compresses raw JSON — Parquet already does)
+    docstore_path = os.path.join(out_dir, "docstore")
+    if config.doc_id_col and config.doc_id_col in corpus.columns:
+        corpus_ids = corpus.withColumnRenamed(config.doc_id_col, "doc_id")
+    else:
+        corpus_ids = assign_rank_ids(corpus, list(config.key_cols), "doc_id")
+    if not (resume and _done(docstore_path)):
+        t0 = time.time()
+        corpus_ids.write.mode("overwrite").parquet(docstore_path)
+        lineage.record("docstore", wall_s=time.time() - t0)
+    corpus_ids = spark.read.parquet(docstore_path)
+
+    for fc in config.indexed_fields():
+        fdir = os.path.join(out_dir, "fields", fc.name)
+        dict_path = os.path.join(fdir, "dictionary")
+        post_path = os.path.join(fdir, "postings")
+        phrase_path = os.path.join(fdir, "phrase")
+
+        need_dict = not (resume and _done(dict_path))
+        need_post = not (resume and _done(post_path))
+        need_phrase = fc.phrase_pairs and not (resume and _done(phrase_path))
+        if not (need_dict or need_post or need_phrase):
+            continue
+
+        toks = _tokenized(corpus_ids, fc, tokenizer) if fc.tokenize else None
+        whole = _whole_texts(corpus_ids, fc)
+        if toks is not None and (need_post or need_phrase):
+            toks.persist()
+
+        if need_dict:
+            t0 = time.time()
+            dictionary = _build_dictionary(toks, whole, config)
+            (
+                dictionary.repartitionByRange(
+                    config.dict_partitions
+                    or int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    "term",
+                )
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(dict_path)
+            )
+            lineage.record("dictionary", field=fc.name, wall_s=time.time() - t0)
+        dictionary = spark.read.parquet(dict_path)
+
+        if need_post:
+            t0 = time.time()
+            flat = _build_flat_postings(toks, whole, dictionary)
+            blocks = _encode_blocks(flat, config.block_docs)
+            (
+                blocks.repartitionByRange("term_id", "block_no")
+                .sortWithinPartitions("term_id", "block_no")
+                .write.mode("overwrite")
+                .parquet(post_path)
+            )
+            lineage.record("postings", field=fc.name, wall_s=time.time() - t0)
+
+        if need_phrase:
+            t0 = time.time()
+            pairs = _build_phrase_pairs(toks, dictionary)
+            (
+                pairs.repartitionByRange("term_id_1", "term_id_2")
+                .sortWithinPartitions("term_id_1", "term_id_2", "doc_id")
+                .write.mode("overwrite")
+                .parquet(phrase_path)
+            )
+            lineage.record("phrase", field=fc.name, wall_s=time.time() - t0)
+
+        if toks is not None:
+            toks.unpersist()
+
+    manifest = {
+        "version": 1,
+        "block_docs": config.block_docs,
+        "fields": [
+            {
+                "name": fc.name,
+                "tokenize": fc.tokenize,
+                "tokenize_on_chars": list(fc.tokenize_on_chars or ()),
+                "max_text_bytes": fc.max_text_bytes,
+                "phrase_pairs": fc.phrase_pairs,
+                "boost": fc.boost,
+            }
+            for fc in config.fields
+        ],
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    return Index(spark, out_dir)

@@ -1,0 +1,97 @@
+"""Delta + varint posting-block codec (numpy-vectorized, no Python loops).
+
+Mirrors the reference's posting compression concept
+(/root/reference/src/indices/persistence_score/token_to_anchor_score_vint.rs:37-48
+`delta_compress_data_block`): per (term, block), doc ids are
+delta-encoded, then the interleaved stream
+``(doc_delta_0, score_0, doc_delta_1, score_1, ...)`` is
+varint-compressed. The reference uses a "most-common-prefix" vint
+variant; we use standard LEB128 (7-bit groups, continuation high bit) —
+the block layout, delta encoding and interleaving are the same.
+
+Scores are stored as the u32-truncated index scores (integers < 2048 for
+the reference formulas, so the reference's f16 decode at
+token_to_anchor_score_vint.rs:155 is lossless — integers up to 2048 are
+exactly representable in f16; our integer storage is therefore
+value-identical).
+
+Both directions are pure numpy (O(bytes) vector ops), suitable for use
+inside Arrow-batched pandas UDFs / mapInPandas at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (values must be < 2**35 here; posting
+    doc deltas and scores are u32)."""
+    vals = np.asarray(values, dtype=np.uint64)
+    if vals.size == 0:
+        return b""
+    # number of 7-bit groups per value (>=1)
+    nbits = np.zeros(vals.shape, dtype=np.int64)
+    tmp = vals.copy()
+    nz = tmp > 0
+    # bit length via log-free loop over at most 5 groups (u32 + slack)
+    nbytes = np.ones(vals.shape, dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits, nz
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    maxb = int(nbytes.max())
+    for i in range(maxb):
+        mask = nbytes > i
+        pos = starts[mask] + i
+        chunk = (vals[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > i).astype(np.uint8) << 7
+        out[pos] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # index of the value each byte belongs to
+    starts_mask = np.empty(b.shape, dtype=bool)
+    starts_mask[0] = True
+    starts_mask[1:] = is_last[:-1]
+    starts = np.flatnonzero(starts_mask)
+    within = np.arange(b.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, b.size))
+    )
+    payload = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    return np.add.reduceat(payload, starts)
+
+
+def encode_block(doc_ids: np.ndarray, scores: np.ndarray) -> bytes:
+    """Encode one posting block. ``doc_ids`` must be sorted ascending."""
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    scores = np.asarray(scores, dtype=np.uint64)
+    deltas = np.empty_like(doc_ids)
+    if doc_ids.size:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    interleaved = np.empty(doc_ids.size * 2, dtype=np.uint64)
+    interleaved[0::2] = deltas
+    interleaved[1::2] = scores
+    return varint_encode(interleaved)
+
+
+def decode_block(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a posting block to (doc_ids, scores), both uint64."""
+    flat = varint_decode(data)
+    deltas = flat[0::2]
+    scores = flat[1::2]
+    return np.cumsum(deltas, dtype=np.uint64), scores

@@ -1,0 +1,80 @@
+"""Index configuration (fields, tokenizer separators, storage knobs).
+
+Mirrors the *semantics* of the reference's per-field config
+(`/root/reference/src/create/fields_config.rs:16-110`,
+`/root/reference/src/metadata.rs:45-106`): per field `tokenize`,
+`tokenize_on_chars`, `do_not_store_text_longer_than`, stopwords, boost
+columns, and the feature flags that decide which index structures are
+materialized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+# Reference: /root/reference/src/tokenizer/mod.rs:21-24 DEFAULT_SEPERATORS.
+DEFAULT_SEPARATORS: tuple[str, ...] = (
+    " ", "\t", "\n", "\r", ":", "(", ")", ",", ".", "…", ";", "・", "’",
+    "—", "-", "\\", "[", "]", "{", "}", "<", ">", "'", '"', "“", "™",
+)
+
+# Reference default: texts longer than this many *bytes* are excluded from
+# the term dictionary (/root/reference/src/metadata.rs:66-68).
+DEFAULT_MAX_TEXT_BYTES = 64
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """Configuration of one indexed column ("path" in the reference)."""
+
+    name: str
+    tokenize: bool = True
+    #: custom separator chars (e.g. ['/', '\\'] for file paths, as in the
+    #: reference's code-search test
+    #: /root/reference/tests/all/test_code_search.rs:14-26).
+    tokenize_on_chars: Optional[tuple[str, ...]] = None
+    #: texts longer than this (bytes) don't become whole-text dictionary
+    #: terms (/root/reference/src/metadata.rs:66-68).
+    max_text_bytes: int = DEFAULT_MAX_TEXT_BYTES
+    #: build the phrase-pair index for this field
+    #: (/root/reference/src/create.rs:251-263).
+    phrase_pairs: bool = False
+    #: this column is a numeric boost column ("fast field"); it is NOT
+    #: fulltext-indexed (/root/reference/src/create.rs:207-215). In the
+    #: Spark design boost columns stay as plain numeric columns of the
+    #: doc store, so this only controls exclusion from indexing.
+    boost: bool = False
+
+    def separators(self) -> tuple[str, ...]:
+        return self.tokenize_on_chars if self.tokenize_on_chars else DEFAULT_SEPARATORS
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Whole-index configuration."""
+
+    fields: tuple[FieldConfig, ...]
+    #: column(s) that uniquely identify a document; doc_id is assigned as
+    #: the dense rank over these (stable & reproducible — the reference's
+    #: anchor_id is the ingest line number, /root/reference/src/create.rs:46).
+    #: If `doc_id_col` is set and present in the corpus, it is used directly.
+    key_cols: tuple[str, ...] = ()
+    doc_id_col: Optional[str] = "doc_id"
+    #: posting blocks are doc-aligned: block_no = doc_id // block_docs.
+    #: Doc-aligned blocks make block-max pruning (WAND) a join on block_no
+    #: and bound the size of any single (term, block) row — the skew story
+    #: for stop-word-like hot terms at 100 TB scale.
+    block_docs: int = 65536
+    #: number of range partitions for the dictionary sort at build time;
+    #: None = use spark.sql.shuffle.partitions.
+    dict_partitions: Optional[int] = None
+
+    def field(self, name: str) -> FieldConfig:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(f"field {name!r} not in index config")
+
+    def indexed_fields(self) -> tuple[FieldConfig, ...]:
+        return tuple(f for f in self.fields if not f.boost)

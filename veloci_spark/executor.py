@@ -1,0 +1,380 @@
+"""Query execution: compile a Request tree to DataFrame transforms.
+
+The reference builds a channel-connected step DAG executed by rayon
+(/root/reference/src/plan_creator/execution_plan.rs:132-200); here each
+step is a DataFrame and lineage replaces channels. The planner-level
+optimizations the reference does by hand are reproduced where Catalyst
+doesn't do them automatically:
+
+- common-subexpression elimination of identical leaf field searches
+  (FieldRequestCache, execution_plan.rs:87-130): one leaf → one resolved
+  DataFrame, reused by search / filter / phrase branches;
+- the filter subtree is computed once and applied as a left-semi join to
+  every consumer (FilterChannel, execution_plan.rs:137-173) — and pushed
+  *below* the per-branch aggregation like the reference's should_filter
+  pushdown into posting resolution (search_field.rs:423, 539-548);
+- top-k is orderBy+limit (TakeOrderedAndProject — exactly the
+  reference's top_n_sort streaming top-k, search/sort.rs:5-34).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from veloci_spark.expression import score_expression_column
+from veloci_spark.index import Index
+from veloci_spark.match_terms import match_terms
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    Node,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+    first_term,
+    simplify,
+)
+
+MIN_SCORE = 1e-5  # OR distinct-term threshold, set_op.rs:180
+
+
+@dataclass
+class SearchResult:
+    hits: DataFrame  # (doc_id, score) — top-k after skip, sorted
+    all_hits: DataFrame  # (doc_id, score) — every match, pre-top/skip
+    facets: dict[str, DataFrame] = dc_field(default_factory=dict)
+
+
+class _Executor:
+    def __init__(self, index: Index, request: Request):
+        self.index = index
+        self.request = request
+        self._leaf_cache: dict[SearchPart, DataFrame] = {}
+        self._filter_ids: Optional[DataFrame] = None
+
+    # -------------------------------------------------------------- leaves
+    def leaf_hits(self, part: SearchPart) -> DataFrame:
+        """Resolve one leaf: dictionary scan → posting decode → per-doc
+        max(term_score * stored/100)
+        (resolve_token_to_anchor, search_field.rs:400-504)."""
+        key = part
+        if key in self._leaf_cache:
+            return self._leaf_cache[key]
+        terms = match_terms(self.index, part)
+        postings = self.index.postings_for(part.field, terms)
+        if self._filter_ids is not None:
+            # filter pushdown below the aggregation (search_field.rs:423);
+            # plain semi-join — AQE decides broadcast vs shuffle, like the
+            # reference's Set-vs-Vec fallback for >100k filter ids
+            # (filter_result.rs:10-18)
+            postings = postings.join(self._filter_ids, "doc_id", "left_semi")
+        joined = postings.join(F.broadcast(terms), "term_id")
+        hits = joined.groupBy("doc_id").agg(
+            F.max(
+                F.col("term_score") * (F.col("score").cast("double") / F.lit(100.0))
+            ).alias("score")
+        )
+        hits = hits.persist()
+        self._leaf_cache[key] = hits
+        return hits
+
+    def leaf_ids(self, part: SearchPart) -> DataFrame:
+        """Ids-only resolution for filter subtrees (docs containing any
+        matched term; scores dropped — set_op.rs:222-258 filter mode)."""
+        return self.leaf_hits(part).select("doc_id")
+
+    # ------------------------------------------------------------- set ops
+    def node_hits(self, node: Node) -> DataFrame:
+        node = simplify(node)
+        if isinstance(node, SearchPart):
+            return self.leaf_hits(node)
+        if isinstance(node, AndNode):
+            return self._and_hits(node)
+        return self._or_hits(node)
+
+    def _or_hits(self, node: OrNode) -> DataFrame:
+        """OR: per doc, max score per distinct *term string* slot, then
+        sum(max per slot) × n_distinct² where a slot counts if its max
+        >= 1e-5 (union_hits_score, set_op.rs:87-220)."""
+        slots = sorted({first_term(p) for p in node.parts})
+        slot_of = {t: i for i, t in enumerate(slots)}
+        branches = []
+        for p in node.parts:
+            b = self.node_hits(p).withColumn(
+                "slot", F.lit(slot_of[first_term(p)])
+            )
+            branches.append(b)
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionAll(b)
+        per_slot = unioned.groupBy("doc_id", "slot").agg(
+            F.max("score").alias("slot_max")
+        )
+        return per_slot.groupBy("doc_id").agg(
+            (
+                F.sum("slot_max")
+                * F.pow(
+                    F.sum(
+                        F.when(F.col("slot_max") >= F.lit(MIN_SCORE), 1).otherwise(0)
+                    ).cast("double"),
+                    F.lit(2.0),
+                )
+            ).alias("score")
+        )
+
+    def _and_hits(self, node: AndNode) -> DataFrame:
+        """AND: doc qualifies if present in every branch; score = sum of
+        branch scores (intersect_hits_score, set_op.rs:368-446)."""
+        branches = [
+            self.node_hits(p).withColumn("__b", F.lit(i))
+            for i, p in enumerate(node.parts)
+        ]
+        unioned = branches[0]
+        for b in branches[1:]:
+            unioned = unioned.unionAll(b)
+        n = len(branches)
+        return (
+            unioned.groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("score"),
+                F.count_distinct("__b").alias("__nb"),
+            )
+            .where(F.col("__nb") == F.lit(n))
+            .drop("__nb")
+        )
+
+    def node_ids(self, node: Node) -> DataFrame:
+        node = simplify(node)
+        if isinstance(node, SearchPart):
+            return self.leaf_ids(node)
+        if isinstance(node, OrNode):
+            out = self.node_ids(node.parts[0])
+            for p in node.parts[1:]:
+                out = out.unionAll(self.node_ids(p))
+            return out.distinct()
+        out = self.node_ids(node.parts[0])
+        for p in node.parts[1:]:
+            out = out.join(self.node_ids(p), "doc_id", "left_semi")
+        return out
+
+    # -------------------------------------------------------------- boosts
+    def apply_column_boost(self, hits: DataFrame, bp: BoostPart) -> DataFrame:
+        """Anchor boost by a numeric doc column (boost.rs:283-377,
+        470-504). Docs lacking the value keep their score."""
+        vals = self.index.docstore().select(
+            "doc_id", F.col(bp.path).cast("double").alias("__bv")
+        )
+        joined = hits.join(vals, "doc_id", "left")
+        score = F.col("score")
+        bv = F.col("__bv") + F.lit(float(bp.param))
+        fun = (bp.boost_fun or "").lower() if bp.boost_fun else None
+        if fun == "log10":
+            boosted = score * F.log10(bv)
+        elif fun == "log2":
+            boosted = score * F.log2(bv)
+        elif fun == "multiply":
+            boosted = score * bv
+        elif fun == "add":
+            boosted = score + bv
+        elif fun == "replace":
+            boosted = bv
+        else:
+            boosted = score
+        if bp.expression:
+            boosted = boosted + score_expression_column(
+                bp.expression, F.col("__bv")
+            )
+        new_score = F.when(F.col("__bv").isNotNull(), boosted).otherwise(score)
+        if bp.skip_when_score:
+            skip = F.lit(False)
+            for v in bp.skip_when_score:
+                skip = skip | (
+                    F.abs(score - F.lit(float(v))) < F.lit(1e-5)
+                )  # boost.rs:478-489
+            new_score = F.when(skip, score).otherwise(new_score)
+        return joined.select("doc_id", new_score.alias("score"))
+
+    def apply_multiplicative_ids_boost(
+        self, hits: DataFrame, ids_and_factors: list[tuple[DataFrame, float]]
+    ) -> DataFrame:
+        """score *= factor once per boost-list entry containing the doc
+        (boost_hits_ids_vec_multi semantics incl. the multiply-per-entry
+        behavior shown by boost.rs:404-430's test)."""
+        out = hits
+        for ids, factor in ids_and_factors:
+            out = (
+                out.join(
+                    F.broadcast(ids.select("doc_id").distinct().withColumn(
+                        "__f", F.lit(float(factor))
+                    )),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("__f").isNotNull(), F.col("score") * F.col("__f")
+                    )
+                    .otherwise(F.col("score"))
+                    .alias("score"),
+                )
+            )
+        return out
+
+    def phrase_pair_docs(self, pb: PhraseBoost) -> DataFrame:
+        """Docs containing the adjacent pair: (terms of t1 × terms of t2)
+        ⋈ phrase index (search_field.rs:247-275)."""
+        t1 = match_terms(
+            self.index, SearchPart(field=pb.field, term=pb.term1)
+        ).select(F.col("term_id").alias("term_id_1"))
+        t2 = match_terms(
+            self.index, SearchPart(field=pb.field, term=pb.term2)
+        ).select(F.col("term_id").alias("term_id_2"))
+        pairs = self.index.phrase_pairs(pb.field)
+        return (
+            pairs.join(F.broadcast(t1), "term_id_1")
+            .join(F.broadcast(t2), "term_id_2")
+            .select("doc_id")
+            .distinct()
+        )
+
+    def text_locality_boost_ids(self) -> list[tuple[DataFrame, float]]:
+        """2·n² boost for docs where n>=2 distinct query terms hit the same
+        text value (boost.rs:11-87; flat corpus: text value == the field
+        value of the doc, so n = distinct term slots hitting the doc in
+        one field; max across fields)."""
+        assert self.request.search is not None
+        node = simplify(self.request.search)
+        from veloci_spark.request import leaves
+
+        parts = leaves(node)
+        per_field: dict[str, list[SearchPart]] = {}
+        for p in parts:
+            per_field.setdefault(p.field, []).append(p)
+        boosts = []
+        for fld, ps in per_field.items():
+            terms = sorted({p.term for p in ps})
+            if len(terms) <= 1:
+                continue
+            slot_frames = []
+            for i, t in enumerate(terms):
+                matching = [p for p in ps if p.term == t]
+                ids = self.leaf_ids(matching[0]).withColumn("__slot", F.lit(i))
+                slot_frames.append(ids)
+            u = slot_frames[0]
+            for s in slot_frames[1:]:
+                u = u.unionAll(s)
+            n_per_doc = u.distinct().groupBy("doc_id").agg(
+                F.count("*").alias("__n")
+            ).where(F.col("__n") >= 2)
+            boosts.append(
+                n_per_doc.select(
+                    "doc_id",
+                    (
+                        F.lit(2.0)
+                        * F.col("__n").cast("double")
+                        * F.col("__n").cast("double")
+                    ).alias("__factor"),
+                )
+            )
+        if not boosts:
+            return []
+        # max across fields (boost_text_locality_all keeps the best score
+        # per doc, boost.rs:23-30)
+        u = boosts[0]
+        for b in boosts[1:]:
+            u = u.unionAll(b)
+        best = u.groupBy("doc_id").agg(F.max("__factor").alias("__factor"))
+        return [("__per_doc_factor", best)]  # type: ignore[list-item]
+
+
+def search(index: Index, request: Request) -> SearchResult:
+    ex = _Executor(index, request)
+
+    if request.filter is not None:
+        ex._filter_ids = ex.node_ids(request.filter).distinct().persist()
+
+    assert request.search is not None, "search tree required"
+    hits = ex.node_hits(request.search)
+
+    # filter application is a left-semi join of scored hits on filter ids
+    # (set_op.rs:311-326). Leaf pushdown usually already guarantees it,
+    # but a leaf shared between the filter subtree and the search tree is
+    # resolved once *without* the filter (FieldRequestCache reuse,
+    # tests.rs:802 `or_connect_hits_with_filter_reuse_query`), so the
+    # final semi-join is still required.
+    if ex._filter_ids is not None:
+        hits = hits.join(ex._filter_ids, "doc_id", "left_semi")
+
+    # boost_term (boost.rs:89-195): multiply by part.boost or 2.0
+    if request.boost_term:
+        ib = [
+            (ex.leaf_ids(p), float(p.boost) if p.boost is not None else 2.0)
+            for p in request.boost_term
+        ]
+        hits = ex.apply_multiplicative_ids_boost(hits, ib)
+
+    # phrase boosts ×5.0 per unique pair (plan_steps.rs:235-278)
+    if request.phrase_boosts:
+        seen: dict[tuple[str, str, str], DataFrame] = {}
+        for pb in request.phrase_boosts:
+            k = (pb.field, pb.term1, pb.term2)
+            if k not in seen:
+                seen[k] = ex.phrase_pair_docs(pb)
+        hits = ex.apply_multiplicative_ids_boost(
+            hits, [(df, 5.0) for df in seen.values()]
+        )
+
+    # text locality 2n² (boost.rs:11-87), applied as per-doc factor
+    if request.text_locality:
+        tl = ex.text_locality_boost_ids()
+        for _tag, best in tl:
+            hits = (
+                hits.join(F.broadcast(best), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("__factor").isNotNull(),
+                        F.col("score") * F.col("__factor"),
+                    )
+                    .otherwise(F.col("score"))
+                    .alias("score"),
+                )
+            )
+
+    # column boosts (anchor boost, execution_plan.rs:174-189)
+    for bp in request.boost:
+        hits = ex.apply_column_boost(hits, bp)
+
+    all_hits = hits
+
+    # facets run over ALL hits, not top-k (search.rs:188-206)
+    facets: dict[str, DataFrame] = {}
+    for freq in request.facets:
+        facets[freq.field] = (
+            all_hits.select("doc_id")
+            .join(index.docstore(), "doc_id")
+            .groupBy(F.col(freq.field).alias("value"))
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(freq.top)
+        )
+
+    # top-k: score desc, doc_id desc tie-break (search.rs:123-130), skip
+    # via offset (search.rs:230-239)
+    topk = all_hits.orderBy(F.desc("score"), F.desc("doc_id")).limit(
+        request.top + request.skip
+    )
+    if request.skip:
+        topk = topk.offset(request.skip)
+
+    if request.select:
+        topk = topk.join(index.docstore(), "doc_id").select(
+            "doc_id", "score", *request.select
+        )
+
+    return SearchResult(hits=topk, all_hits=all_hits, facets=facets)

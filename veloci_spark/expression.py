@@ -1,0 +1,44 @@
+"""Mini score-expression DSL: ``"x op y"`` with ``$SCORE`` and constants.
+
+Reference: /root/reference/src/expression.rs:25-101 — x and y are either
+the literal ``$SCORE`` (substituted with the boost value at evaluation
+time, boost.rs:358-366) or an f64 constant; op is one of ``+ - * /``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+_OPS = ("+", "-", "*", "/")
+
+
+def parse_expression(text: str) -> tuple[str, str, str]:
+    parts = text.split()
+    if len(parts) != 3 or parts[1] not in _OPS:
+        raise ValueError(f"invalid score expression {text!r}; want 'x op y'")
+    return parts[0], parts[1], parts[2]
+
+
+def _operand(token: str, score_val: Column) -> Column:
+    if token == "$SCORE":
+        return score_val
+    return F.lit(float(token))
+
+
+def score_expression_column(text: str, score_val: Column) -> Column:
+    x, op, y = parse_expression(text)
+    a, b = _operand(x, score_val), _operand(y, score_val)
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    return a / b
+
+
+def py_score_expression(text: str, score_val: float) -> float:
+    x, op, y = parse_expression(text)
+    a = score_val if x == "$SCORE" else float(x)
+    b = score_val if y == "$SCORE" else float(y)
+    return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]

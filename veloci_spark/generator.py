@@ -1,0 +1,183 @@
+"""Query generator: query-string parameters → Request.
+
+Reference: /root/reference/src/query_generator.rs:47-246 and
+query_parser_to_veloci_request.rs — parse the DSL, prune stopwords,
+expand unattributed leaves over all searchable fields as OR, resolve
+wildcards (one trailing ``*`` → starts_with; any other ``*`` → regex
+with escaped segments joined by ``.*``), auto-pick levenshtein distance
+by term length (0..=2→0, 3..=5→1, else 2, clamped by
+levenshtein_auto_limit — query_generator.rs:85-99), assemble facets,
+filter, phrase boosts and boost_term.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from veloci_spark.index import Index
+from veloci_spark.parser import UserBinary, UserLeaf, parse_query
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    FacetRequest,
+    Node,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+    simplify,
+)
+from veloci_spark.stopwords import is_stopword
+
+
+@dataclass
+class QueryGeneratorParameters:
+    """Mirror of SearchQueryGeneratorParameters (query_generator.rs:47-83)."""
+
+    search_term: str
+    fields: Optional[list[str]] = None
+    boost_fields: dict[str, float] = dc_field(default_factory=dict)
+    #: "term->field->factor" boosts: {(term, field): factor}; field None → all
+    boost_terms: dict[str, float] = dc_field(default_factory=dict)
+    levenshtein: Optional[int] = None
+    levenshtein_auto_limit: int = 1
+    ignore_case: bool = True
+    phrase_pairs: bool = False
+    facets: Optional[list[str]] = None
+    facetlimit: int = 10
+    filter: Optional[str] = None
+    select: Optional[list[str]] = None
+    why_found: bool = False
+    text_locality: bool = False
+    top: int = 10
+    skip: int = 0
+    stopword_lists: tuple[str, ...] = ()
+    #: disable the DSL parser: the whole search_term is one literal token
+    #: (tests/all/test_code_search.rs parser-disabled literal queries)
+    parser_disabled: bool = False
+
+
+def auto_levenshtein(term: str, auto_limit: int, wildcard: bool) -> int:
+    n = len(term)
+    if wildcard:
+        if n <= 3:
+            return 0
+        if n <= 5:
+            return min(1, auto_limit)
+        return min(2, auto_limit)
+    if n <= 2:
+        return 0
+    if n <= 5:
+        return min(1, auto_limit)
+    return min(2, auto_limit)
+
+
+def leaf_to_part(
+    leaf: UserLeaf, field: str, params: QueryGeneratorParameters
+) -> SearchPart:
+    term = leaf.term
+    lev: Optional[int] = None
+    starts_with = False
+    is_regex = False
+    if not leaf.quoted and "*" in term:
+        if term.endswith("*") and term.count("*") == 1:
+            starts_with = True
+            term = term[:-1]
+        else:
+            is_regex = True
+            term = ".*".join(re.escape(seg) for seg in term.split("*"))
+    if not is_regex:
+        if leaf.levenshtein is not None:
+            lev = leaf.levenshtein
+        elif params.levenshtein is not None:
+            lev = params.levenshtein
+        else:
+            lev = auto_levenshtein(term, params.levenshtein_auto_limit, starts_with)
+    boost = params.boost_fields.get(field)
+    return SearchPart(
+        field=field,
+        term=term,
+        levenshtein=lev,
+        starts_with=starts_with,
+        is_regex=is_regex,
+        ignore_case=params.ignore_case,
+        boost=boost,
+    )
+
+
+def _expand(ast, fields: list[str], params: QueryGeneratorParameters) -> Optional[Node]:
+    if isinstance(ast, UserLeaf):
+        if params.stopword_lists and is_stopword(ast.term, params.stopword_lists):
+            return None
+        targets = [ast.attr] if ast.attr else fields
+        parts = tuple(leaf_to_part(ast, f, params) for f in targets)
+        if len(parts) == 1:
+            return parts[0]
+        return OrNode(parts)
+    assert isinstance(ast, UserBinary)
+    left = _expand(ast.left, fields, params)
+    right = _expand(ast.right, fields, params)
+    if left is None:
+        return right
+    if right is None:
+        return left
+    node = OrNode((left, right)) if ast.op == "OR" else AndNode((left, right))
+    return node
+
+
+def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
+    fields = params.fields or index.field_names()
+
+    if params.parser_disabled:
+        ast: object = UserLeaf(term=params.search_term)
+    else:
+        ast = parse_query(params.search_term)
+
+    search = _expand(ast, fields, params)
+    if search is None:
+        raise ValueError("query reduced to nothing (all stopwords?)")
+    search = simplify(search)
+
+    filter_node: Optional[Node] = None
+    if params.filter:
+        fast = parse_query(params.filter)
+        filter_node = _expand(fast, fields, params)
+        if filter_node is not None:
+            filter_node = simplify(filter_node)
+
+    facets = tuple(
+        FacetRequest(field=f, top=params.facetlimit) for f in (params.facets or [])
+    )
+
+    phrase_boosts: tuple[PhraseBoost, ...] = ()
+    if params.phrase_pairs and not params.parser_disabled:
+        words = [
+            t for t in params.search_term.split() if t not in ("AND", "OR")
+            and "*" not in t and ":" not in t and not t.startswith('"')
+        ]
+        pairs = []
+        for a, b in zip(words, words[1:]):
+            for f in fields:
+                pairs.append(PhraseBoost(field=f, term1=a, term2=b))
+        phrase_boosts = tuple(pairs)
+
+    boost_term = tuple(
+        SearchPart(field=f, term=t, boost=v)
+        for (t, v) in params.boost_terms.items()
+        for f in fields
+    )
+
+    return Request(
+        search=search,
+        filter=filter_node,
+        facets=facets,
+        phrase_boosts=phrase_boosts,
+        boost_term=boost_term,
+        top=params.top,
+        skip=params.skip,
+        text_locality=params.text_locality,
+        why_found=params.why_found,
+        select=tuple(params.select) if params.select else None,
+    )

@@ -1,0 +1,96 @@
+"""why_found / snippet highlighting on top-k rows.
+
+Reference: /root/reference/src/highlight_field.rs:19-120 — tokenize the
+stored text, mark tokens that are in the matched-token set, emit windows
+of ±N tokens around hits joined with ``...`` connectors, wrapping hits
+in <b></b>. Runs on the top-k rows only (search.rs:220-224), so a plain
+Python pass over k rows is appropriate (the reference also does this
+single-threaded per hit).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+from veloci_spark.config import DEFAULT_SEPARATORS
+from veloci_spark.tokenize import py_tokenize
+
+
+def highlight_text(
+    text: str,
+    matched_tokens: set[str],
+    separators: Sequence[str] = DEFAULT_SEPARATORS,
+    window_tokens: int = 5,
+    max_snippets: int = 3,
+    pre: str = "<b>",
+    post: str = "</b>",
+    connector: str = "...",
+    ignore_case: bool = True,
+) -> str | None:
+    """Return the snippet string, or None if nothing matched."""
+    runs = list(py_tokenize(text, separators))
+    if not runs:
+        return None
+    low = {t.lower() for t in matched_tokens} if ignore_case else set(matched_tokens)
+
+    def _is_hit(tok: str, is_sep: bool) -> bool:
+        if is_sep:
+            return False
+        t = tok.lower() if ignore_case else tok
+        return t in low
+
+    hits = [i for i, (tok, is_sep) in enumerate(runs) if _is_hit(tok, is_sep)]
+    if not hits:
+        return None
+
+    # merge ±window ranges
+    ranges: list[list[int]] = []
+    for h in hits:
+        lo, hi = max(0, h - window_tokens), min(len(runs), h + window_tokens + 1)
+        if ranges and lo <= ranges[-1][1]:
+            ranges[-1][1] = max(ranges[-1][1], hi)
+        else:
+            ranges.append([lo, hi])
+    ranges = ranges[:max_snippets]
+
+    parts: list[str] = []
+    hit_set = set(hits)
+    for idx, (lo, hi) in enumerate(ranges):
+        if lo > 0 and idx == 0:
+            parts.append(connector)
+        chunk = []
+        for i in range(lo, hi):
+            tok, _ = runs[i]
+            if i in hit_set:
+                chunk.append(pre + tok + post)
+            else:
+                chunk.append(tok)
+        parts.append("".join(chunk))
+        if hi < len(runs):
+            parts.append(connector)
+        if idx + 1 < len(ranges):
+            pass
+    return "".join(parts)
+
+
+def why_found_column(
+    df: DataFrame,
+    text_col: str,
+    matched_tokens: Iterable[str],
+    separators: Sequence[str] = DEFAULT_SEPARATORS,
+    out_col: str = "why_found",
+    **kw,
+) -> DataFrame:
+    """Add a snippet column to a (small, top-k) DataFrame."""
+    toks = set(matched_tokens)
+
+    @F.udf(StringType())
+    def _hl(text):
+        if text is None:
+            return None
+        return highlight_text(text, toks, separators, **kw)
+
+    return df.withColumn(out_col, _hl(F.col(text_col)))

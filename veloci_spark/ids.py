@@ -1,0 +1,71 @@
+"""Scalable dense-rank id assignment.
+
+The reference assigns term_id = rank in the lexicographically sorted
+term list (/root/reference/src/create/create_fulltext.rs:71-80) and
+anchor_id = ingest order (/root/reference/src/create.rs:46-47). A naive
+Spark translation is ``row_number() over (order by term)`` — a
+single-partition window that cannot work at 10^12 scale. Instead:
+
+1. range-repartition by the order column and sort within partitions
+   (a normal shuffle; every partition holds a contiguous sorted range);
+2. count rows per physical partition (one cheap job);
+3. assign ``offset[pid] + local_index`` inside mapInPandas (Arrow).
+
+The result is exactly the global rank, independent of where the range
+boundaries fall. Rows must be unique on the order columns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def assign_rank_ids(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Add ``id_col`` = 0-based global rank ordered by ``order_cols``.
+
+    Scales linearly: one range shuffle + one count job + one Arrow pass.
+    """
+    cols = list(order_cols)
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = int(n)
+    ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # Spark guarantees the same range boundaries for the same immutable
+    # input + seed, so recomputing `with_pid` in the second job below
+    # reproduces identical partition assignment. To be safe against
+    # recomputation entirely, persist for the two passes.
+    with_pid.persist()
+    counts = {r["__pid"]: r["cnt"] for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = with_pid.drop("__pid").schema.add(id_col, "long", False)
+
+    def _assign(iterator):
+        # mapInPandas streams multiple Arrow batches per partition, in
+        # order — track the running local position across batches.
+        local = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                yield pdf.drop(columns=["__pid"]).assign(**{id_col: pd.Series([], dtype="int64")})
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            base = offsets.get(pid, 0) + local
+            local += len(pdf)
+            out = pdf.drop(columns=["__pid"]).copy()
+            out[id_col] = range(base, base + len(pdf))
+            yield out
+
+    result = with_pid.mapInPandas(_assign, schema=out_schema)
+    return result

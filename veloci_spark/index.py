@@ -1,0 +1,101 @@
+"""Index handle: lazy access to the per-field index tables.
+
+The Spark analogue of the reference's `Persistence`
+(/root/reference/src/persistence.rs:205-291): where the reference mmaps
+integer-keyed stores per path, we read Parquet tables per field. Parquet
+min/max stats on the range-partitioned sort keys give the same
+lazy/point-lookup behavior (predicate pushdown prunes row groups).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.codec import decode_block
+
+FLAT_SCHEMA = "term_id long, doc_id long, score long"
+
+
+class Index:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.block_docs: int = self.manifest["block_docs"]
+        self._cache: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------- tables
+    def field_names(self) -> list[str]:
+        return [f["name"] for f in self.manifest["fields"] if not f["boost"]]
+
+    def field_conf(self, field: str) -> dict:
+        for f in self.manifest["fields"]:
+            if f["name"] == field:
+                return f
+        raise KeyError(field)
+
+    def docstore(self) -> DataFrame:
+        return self._read("docstore")
+
+    def dictionary(self, field: str) -> DataFrame:
+        return self._read(f"fields/{field}/dictionary")
+
+    def postings_blocks(self, field: str) -> DataFrame:
+        return self._read(f"fields/{field}/postings")
+
+    def phrase_pairs(self, field: str) -> DataFrame:
+        return self._read(f"fields/{field}/phrase")
+
+    def _read(self, rel: str) -> DataFrame:
+        if rel not in self._cache:
+            self._cache[rel] = self.spark.read.parquet(os.path.join(self.path, rel))
+        return self._cache[rel]
+
+    # ------------------------------------------------------------- decode
+    def postings_for(self, field: str, matched_terms: DataFrame) -> DataFrame:
+        """Decode posting blocks for the given term set.
+
+        ``matched_terms`` must have a ``term_id`` column (it is typically
+        tiny — the dictionary-scan result — so Catalyst broadcast-joins it
+        against the block table, and Parquet row-group pruning on the
+        sorted term_id limits the scan). Returns (term_id, doc_id, score).
+        """
+        blocks = self.postings_blocks(field).join(
+            F.broadcast(matched_terms.select("term_id").distinct()), "term_id"
+        )
+        return decode_blocks_df(blocks)
+
+
+def decode_blocks_df(blocks: DataFrame) -> DataFrame:
+    """(term_id, ..., data) blocks → flat (term_id, doc_id, score) rows via
+    a numpy-vectorized Arrow pass."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            term_out = []
+            doc_out = []
+            score_out = []
+            for term_id, data in zip(pdf["term_id"].to_numpy(), pdf["data"]):
+                docs, scores = decode_block(data)
+                term_out.append(np.full(docs.size, term_id, dtype=np.int64))
+                doc_out.append(docs.astype(np.int64))
+                score_out.append(scores.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "term_id": np.concatenate(term_out),
+                    "doc_id": np.concatenate(doc_out),
+                    "score": np.concatenate(score_out),
+                }
+            )
+
+    return blocks.select("term_id", "data").mapInPandas(_decode, schema=FLAT_SCHEMA)

@@ -1,0 +1,95 @@
+"""Dictionary scan: query term → matching (term_id, term_score).
+
+Reference `get_term_ids_in_field`
+(/root/reference/src/search/search_field.rs:277-398): candidates come
+from a Levenshtein automaton / prefix DFA / regex DFA over the FST; each
+candidate's score is 2/(d+0.2) (or the prefix variant) where d is the
+full Levenshtein distance between the lowercased candidate and the
+lowercased query string (search_field.rs:691-701 distance fallback).
+
+Spark mapping: the dictionary is a term-sorted Parquet table, so
+- exact lookups push an equality predicate to the scan,
+- prefix lookups push a startsWith (row-group range pruning on the
+  sorted `term` column),
+- fuzzy uses the built-in `levenshtein(l, r, threshold)` (JVM, codegen)
+  with a cheap length-difference prefilter,
+- regex uses `rlike` (anchored; case-insensitive via (?i)).
+No Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from veloci_spark.index import Index
+from veloci_spark.request import SearchPart
+from veloci_spark.scoring import term_score_expr
+
+
+def match_terms(index: Index, part: SearchPart) -> DataFrame:
+    """→ (term_id, term, term_score) for dictionary terms matching `part`."""
+    d = index.dictionary(part.field)
+    term = F.col("term")
+    lterm = F.lower(term)
+    q = part.term
+    lq = q.lower()
+
+    if part.is_regex:
+        pat = ("(?i)" if part.ignore_case else "") + "(?:" + q + ")"
+        if part.starts_with:
+            # a *prefix* of the term matches the pattern
+            # (search_field.rs:79-95 `.starts_with()` automaton)
+            cand = d.where(term.rlike("^" + pat))
+        else:
+            cand = d.where(term.rlike("^" + pat + "$"))
+        distance = F.levenshtein(lterm, F.lit(lq))
+        prefix_matches = F.lit(False)
+    elif part.starts_with:
+        if part.ignore_case:
+            cand = d.where(lterm.startswith(F.lit(lq)))
+        else:
+            cand = d.where(term.startswith(F.lit(q)))
+        distance = F.levenshtein(lterm, F.lit(lq))
+        prefix_matches = lterm.startswith(F.lit(lq))
+    else:
+        lev = part.effective_levenshtein()
+        if lev == 0:
+            if part.ignore_case:
+                cand = d.where(lterm == F.lit(lq))
+            else:
+                cand = d.where(term == F.lit(q))
+            distance = F.levenshtein(lterm, F.lit(lq))
+            prefix_matches = F.lit(False)
+        else:
+            # length prefilter costs nothing and prunes most of the
+            # dictionary before the DP distance runs
+            lenq = len(lq)
+            cand = d.where(
+                (F.length(term) >= F.lit(lenq - lev))
+                & (F.length(term) <= F.lit(lenq + lev))
+            )
+            thresh = F.levenshtein(lterm, F.lit(lq), lev)
+            cand = cand.where(thresh >= 0)
+            distance = F.levenshtein(lterm, F.lit(lq))
+            # lev != 0 → prefix matches get the boosted formula
+            # (search_field.rs:314-318 should_check_prefix_match)
+            prefix_matches = lterm.startswith(F.lit(lq))
+
+    score = term_score_expr(distance, prefix_matches)
+    if part.boost is not None:
+        score = score * F.lit(float(part.boost))
+    out = cand.select("term_id", "term", score.alias("term_score"))
+
+    if part.top is not None:
+        # per-part candidate truncation to top+skip, ordered by
+        # (score desc, term_id desc) — search_field.rs:292-331 with the
+        # sort_by_score_and_id comparator (search.rs:123-130)
+        n = part.top + (part.skip or 0)
+        w = Window.orderBy(F.desc("term_score"), F.desc("term_id"))
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.lit(n))
+            .drop("__rn")
+        )
+    return out

@@ -1,0 +1,174 @@
+"""Query-string DSL parser.
+
+Grammar re-expressed from the reference's handwritten recursive-descent
+parser (/root/reference/query_parser/src/parser.rs, AST at
+/root/reference/query_parser/src/ast.rs:9-166):
+
+- whitespace-separated terms combine with OR by default;
+- explicit ``AND`` / ``OR`` binary operators (AND binds tighter);
+- ``attr:term`` and ``attr:(sub query)`` attribute scoping;
+- parentheses;
+- ``term~N`` per-term levenshtein distance;
+- ``"quoted string"`` → one literal token (phrase-as-token);
+- wildcards: ``foo*`` → starts_with, ``foo*bar`` → regex
+  (/root/reference/src/query_generator/query_parser_to_veloci_request.rs:44-64).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class UserLeaf:
+    term: str
+    levenshtein: Optional[int] = None
+    quoted: bool = False
+    attr: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class UserBinary:
+    op: str  # "AND" | "OR"
+    left: "UserAst"
+    right: "UserAst"
+
+
+UserAst = object  # UserLeaf | UserBinary
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        \(            |
+        \)            |
+        "[^"]*"       |
+        [^\s()]+
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(q: str) -> list[str]:
+    out = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            break
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Optional[str]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    # or_expr := and_expr (OR? and_expr)*      (bare adjacency = OR)
+    def parse_or(self, stop_at_paren: bool = False) -> UserAst:
+        left = self.parse_and()
+        while True:
+            t = self.peek()
+            if t is None or (stop_at_paren and t == ")"):
+                return left
+            if t == "OR":
+                self.next()
+                right = self.parse_and()
+            elif t == "AND":
+                # handled by parse_and of the left side; shouldn't appear
+                right = self.parse_and()
+            else:
+                right = self.parse_and()
+            left = UserBinary("OR", left, right)
+
+    # and_expr := primary (AND primary)*
+    def parse_and(self) -> UserAst:
+        left = self.parse_primary()
+        while self.peek() == "AND":
+            self.next()
+            right = self.parse_primary()
+            left = UserBinary("AND", left, right)
+        return left
+
+    def parse_primary(self) -> UserAst:
+        t = self.peek()
+        if t == "(":
+            self.next()
+            inner = self.parse_or(stop_at_paren=True)
+            if self.peek() == ")":
+                self.next()
+            return inner
+        return self.parse_leaf()
+
+    def parse_leaf(self) -> UserAst:
+        tok = self.next()
+        attr = None
+        # attr:term / attr:(...)
+        m = re.match(r"^([\w.\[\]]+):(.*)$", tok)
+        if m and m.group(2) != "":
+            attr = m.group(1)
+            rest = m.group(2)
+            if rest == "(" or rest.startswith("("):
+                # attr:(...) — re-lex the remainder plus following tokens
+                sub_tokens = []
+                if rest != "(":
+                    sub_tokens.append(rest[1:])
+                depth = 1
+                while depth > 0 and self.peek() is not None:
+                    t2 = self.next()
+                    if t2 == "(":
+                        depth += 1
+                    elif t2 == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    if depth > 0:
+                        sub_tokens.append(t2)
+                sub = _Parser(sub_tokens).parse_or()
+                return _attach_attr(sub, attr)
+            tok = rest
+        elif m and m.group(2) == "" and self.peek() == "(":
+            attr = m.group(1)
+            self.next()
+            inner = self.parse_or(stop_at_paren=True)
+            if self.peek() == ")":
+                self.next()
+            return _attach_attr(inner, attr)
+
+        quoted = False
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            quoted = True
+            tok = tok[1:-1]
+
+        lev = None
+        m2 = re.match(r"^(.*)~(\d+)$", tok)
+        if m2 and not quoted:
+            tok, lev = m2.group(1), int(m2.group(2))
+        return UserLeaf(term=tok, levenshtein=lev, quoted=quoted, attr=attr)
+
+
+def _attach_attr(node: UserAst, attr: str) -> UserAst:
+    if isinstance(node, UserLeaf):
+        return UserLeaf(node.term, node.levenshtein, node.quoted, attr)
+    assert isinstance(node, UserBinary)
+    return UserBinary(node.op, _attach_attr(node.left, attr), _attach_attr(node.right, attr))
+
+
+def parse_query(q: str) -> UserAst:
+    tokens = _lex(q)
+    if not tokens:
+        raise ValueError("empty query")
+    return _Parser(tokens).parse_or()

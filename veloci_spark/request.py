@@ -1,0 +1,142 @@
+"""Query request model.
+
+Mirrors the reference's JSON request tree
+(/root/reference/src/search/request/mod.rs:14-88,
+/root/reference/src/search/request/search_request.rs:6-202): a
+search tree of Or/And/Search leaves, plus filter (ids-only subtree),
+boosts, boost_term, phrase_boosts, facets, top/skip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field, replace
+from typing import Optional, Union
+
+
+@dataclass(frozen=True)
+class SearchPart:
+    """One leaf term search against one field
+    (reference `RequestSearchPart`)."""
+
+    field: str
+    term: str
+    #: None/0 → exact; clamped to min(len-1, 4) like
+    #: /root/reference/src/search/search_field.rs:285-287 and
+    #: get_text_lines_from_fst's `.min(4)`.
+    levenshtein: Optional[int] = None
+    starts_with: bool = False
+    is_regex: bool = False
+    #: candidate enumeration case-insensitivity; the *scoring* distance is
+    #: always computed on lowercased strings (search_field.rs:310-318).
+    ignore_case: bool = True
+    #: per-part term-score multiplier (search_field.rs:359-364).
+    boost: Optional[float] = None
+    #: per-part term-candidate truncation (top+skip terms kept, by
+    #: score desc / term_id desc — search_field.rs:292-331, 374-377).
+    top: Optional[int] = None
+    skip: Optional[int] = None
+
+    def effective_levenshtein(self) -> int:
+        d = self.levenshtein or 0
+        if d:
+            d = min(d, 4, max(len(self.term) - 1, 0))
+        return d
+
+
+@dataclass(frozen=True)
+class AndNode:
+    parts: tuple["Node", ...]
+
+
+@dataclass(frozen=True)
+class OrNode:
+    parts: tuple["Node", ...]
+
+
+Node = Union[SearchPart, AndNode, OrNode]
+
+
+@dataclass(frozen=True)
+class BoostPart:
+    """Boost by a numeric document column (reference `RequestBoostPart`,
+    /root/reference/src/search/request/boost_request.rs:1-33). Formulas
+    at /root/reference/src/search/boost.rs:283-377:
+    Log10/Log2: score *= log(val+param); Multiply: score *= val+param;
+    Add: score += val+param; Replace: score = val+param."""
+
+    path: str
+    boost_fun: Optional[str] = "Log10"
+    param: float = 0.0
+    #: skip the boost when the current score is (within 1e-5 of) one of
+    #: these values (/root/reference/src/search/boost.rs:478-489).
+    skip_when_score: tuple[float, ...] = ()
+    #: mini score DSL "x op y" with $SCORE (reference expression.rs:25-101);
+    #: applied as score += expr(val) after boost_fun.
+    expression: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class FacetRequest:
+    field: str
+    top: int = 10
+
+
+@dataclass(frozen=True)
+class PhraseBoost:
+    """Docs containing the adjacent token pair (search1, search2) in
+    `field` get score *= 5.0 (/root/reference/src/plan_creator/plan_steps.rs:271)."""
+
+    field: str
+    term1: str
+    term2: str
+
+
+@dataclass(frozen=True)
+class Request:
+    search: Optional[Node] = None
+    filter: Optional[Node] = None
+    boost: tuple[BoostPart, ...] = ()
+    #: secondary term searches whose hits multiply the score by
+    #: part.boost (default 2.0) (/root/reference/src/search/boost.rs:89-195).
+    boost_term: tuple[SearchPart, ...] = ()
+    phrase_boosts: tuple[PhraseBoost, ...] = ()
+    facets: tuple[FacetRequest, ...] = ()
+    top: int = 10
+    skip: int = 0
+    text_locality: bool = False
+    why_found: bool = False
+    #: columns to project from the doc store for the result rows
+    select: Optional[tuple[str, ...]] = None
+
+
+def simplify(node: Node) -> Node:
+    """Flatten nested And/And and Or/Or
+    (/root/reference/src/search/request/search_request.rs:26-72)."""
+    if isinstance(node, SearchPart):
+        return node
+    parts = tuple(simplify(p) for p in node.parts)
+    flat: list[Node] = []
+    for p in parts:
+        if type(p) is type(node):
+            flat.extend(p.parts)  # type: ignore[union-attr]
+        else:
+            flat.append(p)
+    if len(flat) == 1:
+        return flat[0]
+    return type(node)(tuple(flat))  # type: ignore[call-arg]
+
+
+def leaves(node: Node) -> list[SearchPart]:
+    if isinstance(node, SearchPart):
+        return [node]
+    out: list[SearchPart] = []
+    for p in node.parts:
+        out.extend(leaves(p))
+    return out
+
+
+def first_term(node: Node) -> str:
+    """The representative term string of a branch, used for OR term-slot
+    grouping (the reference tags each union input with
+    `res.request.terms[0]`, /root/reference/src/search/set_op.rs:121-146)."""
+    return leaves(node)[0].term

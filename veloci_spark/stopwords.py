@@ -1,0 +1,37 @@
+"""Stopword lists (EN/DE), checked lowercase.
+
+Reference: /root/reference/src/search/stopwords.rs:1-34 compiles in
+EN/DE lists and prunes stopword leaves from the query AST. These lists
+are standard public stopword sets (short variants), not copies of the
+reference files.
+"""
+
+from __future__ import annotations
+
+ENGLISH = frozenset(
+    """a about above after again against all am an and any are as at be because
+    been before being below between both but by could did do does doing down
+    during each few for from further had has have having he her here hers
+    herself him himself his how i if in into is it its itself just me more
+    most my myself no nor not now of off on once only or other our ours
+    ourselves out over own same she should so some such than that the their
+    theirs them themselves then there these they this those through to too
+    under until up very was we were what when where which while who whom why
+    will with you your yours yourself yourselves""".split()
+)
+
+GERMAN = frozenset(
+    """aber alle als also am an auch auf aus bei bin bis bist da damit dann der
+    den des dem die das dass dein deine dich dir du er es für hatte haben hat
+    hier ich ihr ihre im in ist ja kann kein können mein meine mit muss nach
+    nicht noch nun nur ob oder sehr sein seine sich sie sind so über um und
+    uns unser vom von vor war was weiter wenn wer werden wie wieder wir wird
+    zu zum zur""".split()
+)
+
+LISTS = {"en": ENGLISH, "de": GERMAN}
+
+
+def is_stopword(term: str, lists: tuple[str, ...]) -> bool:
+    low = term.lower()
+    return any(low in LISTS.get(name, frozenset()) for name in lists)

@@ -1,0 +1,52 @@
+"""Suggest / autocomplete.
+
+Reference `suggest_multi` (/root/reference/src/search/search_field.rs:194-230):
+per field, a prefix+fuzzy dictionary scan with return_term=true (no
+posting resolution at all), then merge across fields, dedup same text
+keeping max score, sort desc (search_field.rs:160-192).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from veloci_spark.index import Index
+from veloci_spark.match_terms import match_terms
+from veloci_spark.request import SearchPart
+
+
+def suggest(
+    index: Index,
+    term: str,
+    fields: Optional[Sequence[str]] = None,
+    levenshtein: Optional[int] = None,
+    top: int = 10,
+    skip: int = 0,
+) -> DataFrame:
+    """→ (text, score) suggestions, best first."""
+    fields = list(fields or index.field_names())
+    frames = []
+    for f in fields:
+        part = SearchPart(
+            field=f,
+            term=term,
+            levenshtein=levenshtein,
+            starts_with=True,
+            top=top,
+            skip=skip,
+        )
+        frames.append(match_terms(index, part).select("term", "term_score"))
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionAll(fr)
+    merged = (
+        u.groupBy("term")
+        .agg(F.max("term_score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top + skip)
+    )
+    if skip:
+        merged = merged.offset(skip)
+    return merged.select(F.col("term").alias("text"), "score")

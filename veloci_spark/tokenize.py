@@ -1,0 +1,125 @@
+"""Tokenizer with the reference's run-partition semantics.
+
+Reference: `SimpleTokenizerCharsIterateGroupTokens`
+(/root/reference/src/tokenizer/simple_tokenizer_group.rs:1-83): a text is
+partitioned into maximal runs of separator chars / non-separator chars,
+in order; both kinds are emitted as tokens (separator runs carry an
+is-separator flag). `"das \n ist ein txt, test"` →
+`["das", " \n ", "ist", " ", "ein", " ", "txt", ", ", "test"]`.
+
+That partition is exactly the regex alternation `[^S]+|[S]+` over the
+separator class `S`, which lets us tokenize JVM-side with
+`regexp_extract_all` (whole-stage codegen, zero Python) — the default —
+or in an Arrow-vectorized pandas UDF (`tokenize_pandas_udf`) when a
+Python-side path is preferred. No per-row Python anywhere.
+
+Positions: the reference counts *every* run (separator runs included)
+when assigning token positions and the text-length norm
+(/root/reference/src/create.rs:240-283: `current_token_pos += 1` per
+emitted token, `num_tokens_in_text` = total run count). Separator-run
+tokens also receive posting entries. We reproduce both.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+from veloci_spark.config import DEFAULT_SEPARATORS
+
+# Chars that need escaping inside a character class, portably across
+# Python `re`, Java regex (Spark) and RE2 (DuckDB).
+_CLASS_ESCAPE = set("\\]^-[&")
+_CTRL = {"\t": "\\t", "\n": "\\n", "\r": "\\r"}
+
+
+def _class_body(separators: Sequence[str]) -> str:
+    out = []
+    for ch in separators:
+        if ch in _CTRL:
+            out.append(_CTRL[ch])
+        elif ch in _CLASS_ESCAPE:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def run_pattern(separators: Sequence[str] = DEFAULT_SEPARATORS) -> str:
+    """Regex matching one run (token or separator group); portable
+    across Python / Java regex / RE2."""
+    body = _class_body(separators)
+    return f"[^{body}]+|[{body}]+"
+
+
+def sep_class(separators: Sequence[str] = DEFAULT_SEPARATORS) -> str:
+    """Just the separator character class `[S]` (for is-separator tests)."""
+    return f"[{_class_body(separators)}]"
+
+
+# ---------------------------------------------------------------------------
+# JVM-side tokenization (default hot path: whole-stage codegen, no Python)
+# ---------------------------------------------------------------------------
+
+def tokenize_expr(col: Column | str, separators: Sequence[str] = DEFAULT_SEPARATORS) -> Column:
+    """array<string> of runs, in order (tokens and separator groups)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(run_pattern(separators)), 0)
+
+
+def is_separator_expr(tok: Column, separators: Sequence[str] = DEFAULT_SEPARATORS) -> Column:
+    """True when a run is a separator group (its first char is a separator)."""
+    return F.substring(tok, 1, 1).rlike("^" + sep_class(separators) + "$")
+
+
+def has_tokens_expr(runs: Column) -> Column:
+    """Reference `has_tokens`: the iterator yields >= 2 items
+    (/root/reference/src/tokenizer/simple_tokenizer_group.rs:10-15)."""
+    return F.size(runs) >= F.lit(2)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized pandas UDF variant (same semantics)
+# ---------------------------------------------------------------------------
+
+def tokenize_pandas_udf(separators: Sequence[str] = DEFAULT_SEPARATORS):
+    """Returns a pandas UDF string -> array<string> with identical output
+    to :func:`tokenize_expr` (Arrow batch transfer; vectorized
+    `Series.str.findall`, no per-row Python loops)."""
+    from pyspark.sql.types import ArrayType, StringType
+    pat = re.compile(run_pattern(separators))
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.findall(pat)
+
+    return _tok
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (tests / query-side single strings)
+# ---------------------------------------------------------------------------
+
+def py_tokenize(text: str, separators: Iterable[str] = DEFAULT_SEPARATORS) -> Iterator[tuple[str, bool]]:
+    """Yield (run, is_separator) exactly like the reference iterator."""
+    seps = set(separators)
+    if not text:
+        return
+    start = 0
+    cur_is_sep = text[0] in seps
+    for i, ch in enumerate(text):
+        is_sep = ch in seps
+        if is_sep != cur_is_sep:
+            yield text[start:i], cur_is_sep
+            start = i
+            cur_is_sep = is_sep
+    yield text[start:], cur_is_sep
+
+
+def py_has_tokens(text: str, separators: Iterable[str] = DEFAULT_SEPARATORS) -> bool:
+    it = py_tokenize(text, separators)
+    next(it, None)
+    return next(it, None) is not None

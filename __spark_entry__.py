@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query on sf0.001 (smoke check).
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL for the driver's side-by-side
+                 correctness comparison at sf0.01.
+
+All float scores are quantized to integer `*_e4` columns in BOTH
+engines, and every top-k has a deterministic (score_e4 desc, id desc)
+tie-break, so the order-insensitive value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the full inverted index over sf0.001 documents and
+    run a boolean OR query with a lang filter and facet — exercising
+    tokenizer, dictionary, posting codec, set ops and top-k."""
+    from veloci_spark.entry_queries import documents_index, _run_request
+    from veloci_spark.request import OrNode, Request, SearchPart
+
+    sf_dir = "/root/testdata/sf0.001"
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        ),
+        filter=SearchPart(field="lang", term="en"),
+    )
+    return _run_request(spark, sf_dir, req, top=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from veloci_spark.entry_queries import fulltext_queries
+    from veloci_spark.pipeline.entry import pipeline_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    out.update(fulltext_queries())
+    out.update(pipeline_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from veloci_spark.entry_queries import fulltext_oracles
+    from veloci_spark.pipeline.entry import pipeline_oracles
+
+    out = {}
+    out.update(fulltext_oracles())
+    out.update(pipeline_oracles())
+    return out

@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate: every queries() entry
+vs its oracle_sql() via DuckDB on sf0.001, compared order-insensitively."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = os.environ.get("VELOCI_SPARK_PARITY_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rows(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+def all_query_names():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries().keys())
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_query_matches_oracle(spark, ddb, name):
+    import __spark_entry__ as entry
+
+    q = entry.queries()[name]
+    oracles = entry.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if name not in oracles:
+        # rows-only contract
+        assert len(spark_rows) >= 0
+        return
+
+    res = ddb.execute(oracles[name])
+    ora_cols = [d[0] for d in res.description]
+    ora_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ora_cols), (spark_cols, ora_cols)
+    # driver sorts columns by name before hashing
+    sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
+    oidx = [ora_cols.index(c) for c in sorted(ora_cols)]
+    s = _rows([tuple(r[i] for i in sidx) for r in spark_rows])
+    o = _rows([tuple(r[i] for i in oidx) for r in ora_rows])
+    assert len(s) == len(o), f"{name}: {len(s)} vs {len(o)} rows"
+    mismatches = [(a, b) for a, b in zip(s, o) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"

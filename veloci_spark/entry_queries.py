@@ -1,0 +1,436 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each query here exists twice: a Spark DataFrame implementation running
+on the real engine (index built from the corpus parquet, cached across
+queries), and an equivalent DuckDB SQL string (oracle.py) recomputing
+the same result from the raw table. The driver runs both at sf=0.01 and
+compares row-count + schema + order-insensitive value hash — so every
+float score is quantized to ``score_e4`` integers and every result has a
+deterministic tie-break, in BOTH engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.build import build_index
+from veloci_spark.config import FieldConfig, IndexConfig
+from veloci_spark.executor import _Executor, search
+from veloci_spark.index import Index
+from veloci_spark.oracle import (
+    and_hits_cte,
+    fulltext_cte,
+    leaf_hits_cte,
+    or_hits_cte,
+    topk_select,
+)
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    FacetRequest,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+)
+from veloci_spark.scoring import score_e4, sql_score_e4
+
+INDEX_CACHE_ROOT = os.environ.get(
+    "VELOCI_SPARK_INDEX_CACHE", "/tmp/veloci_spark_index_cache"
+)
+
+DOC_CONFIG = IndexConfig(
+    fields=(FieldConfig("text", phrase_pairs=True), FieldConfig("lang")),
+    block_docs=1024,
+)
+
+
+def documents_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Build (once; resumable cache) the index over sf_dir/documents.parquet."""
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(INDEX_CACHE_ROOT, f"documents_{tag}")
+    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return build_index(spark, corpus, DOC_CONFIG, out, resume=True)
+
+
+def _quantized_topk(all_hits: DataFrame, top: int, skip: int = 0) -> DataFrame:
+    out = (
+        all_hits.select("doc_id", score_e4(F.col("score")).alias("score_e4"))
+        .orderBy(F.desc("score_e4"), F.desc("doc_id"))
+        .limit(top + skip)
+    )
+    if skip:
+        out = out.offset(skip)
+    return out
+
+
+def _run_request(
+    spark: SparkSession, sf_dir: str, request: Request, top: int, skip: int = 0
+) -> DataFrame:
+    idx = documents_index(spark, sf_dir)
+    res = search(idx, request)
+    return _quantized_topk(res.all_hits, top, skip)
+
+
+# ---------------------------------------------------------------------------
+# Query definitions: one (spark_fn, oracle_sql) pair per name
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name, spark_fn, oracle: str | None):
+    _QUERIES[name] = spark_fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def _with_cte(*ctes: str) -> str:
+    return "WITH " + ",\n".join([fulltext_cte()] + [c for c in ctes if c])
+
+
+# ---- dictionary (validates tokenize + count + rank-id assignment) ----------
+
+def _q_dictionary(spark, sf_dir):
+    idx = documents_index(spark, sf_dir)
+    return idx.dictionary("text").select("term", "term_id", "num_occurences")
+
+
+_register(
+    "ft_dictionary",
+    _q_dictionary,
+    _with_cte() + "\nSELECT term, term_id, num_occurences FROM dict",
+)
+
+
+# ---- posting lists for one term (validates scores + the binary codec) ------
+
+def _q_postings(spark, sf_dir):
+    idx = documents_index(spark, sf_dir)
+    terms = idx.dictionary("text").where(F.col("term") == "spark")
+    return idx.postings_for("text", terms).select("term_id", "doc_id", "score")
+
+
+_register(
+    "ft_postings_spark_term",
+    _q_postings,
+    _with_cte()
+    + "\nSELECT p.term_id, p.doc_id, p.score FROM postings p "
+    "JOIN dict d USING (term_id) WHERE d.term = 'spark'",
+)
+
+
+# ---- single exact token ----------------------------------------------------
+
+def _mk_exact(term: str, top: int = 20):
+    def fn(spark, sf_dir, term=term, top=top):
+        return _run_request(
+            spark, sf_dir, Request(search=SearchPart(field="text", term=term)), top
+        )
+
+    sql = (
+        _with_cte(leaf_hits_cte(SearchPart(field="text", term=term), "m0", "h0"))
+        + "\n"
+        + topk_select("h0", top)
+    )
+    return fn, sql
+
+
+fn, sql = _mk_exact("spark")
+_register("ft_exact_token", fn, sql)
+fn, sql = _mk_exact("filter")
+_register("ft_exact_token_2", fn, sql)
+
+
+# ---- fuzzy ------------------------------------------------------------------
+
+def _q_fuzzy(spark, sf_dir):
+    part = SearchPart(field="text", term="qery", levenshtein=1)
+    return _run_request(spark, sf_dir, Request(search=part), 20)
+
+
+_register(
+    "ft_fuzzy_d1",
+    _q_fuzzy,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="qery", levenshtein=1), "m0", "h0")
+    )
+    + "\n"
+    + topk_select("h0", 20),
+)
+
+
+# ---- prefix -----------------------------------------------------------------
+
+def _q_prefix(spark, sf_dir):
+    part = SearchPart(field="text", term="sca", starts_with=True)
+    return _run_request(spark, sf_dir, Request(search=part), 20)
+
+
+_register(
+    "ft_prefix",
+    _q_prefix,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="sca", starts_with=True), "m0", "h0")
+    )
+    + "\n"
+    + topk_select("h0", 20),
+)
+
+
+# ---- regex ------------------------------------------------------------------
+
+def _q_regex(spark, sf_dir):
+    part = SearchPart(field="text", term=".*oin.*", is_regex=True)
+    return _run_request(spark, sf_dir, Request(search=part), 20)
+
+
+_register(
+    "ft_regex",
+    _q_regex,
+    _with_cte(
+        leaf_hits_cte(
+            SearchPart(field="text", term=".*oin.*", is_regex=True), "m0", "h0"
+        )
+    )
+    + "\n"
+    + topk_select("h0", 20),
+)
+
+
+# ---- two-term OR (distinct-terms² boost) -------------------------------------
+
+def _q_or(spark, sf_dir):
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        )
+    )
+    return _run_request(spark, sf_dir, req, 20)
+
+
+_register(
+    "ft_or_two_terms",
+    _q_or,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+        or_hits_cte([("h0", 1), ("h1", 0)], "hits"),
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
+# ---- two-term AND -----------------------------------------------------------
+
+def _q_and(spark, sf_dir):
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        )
+    )
+    return _run_request(spark, sf_dir, req, 20)
+
+
+_register(
+    "ft_and_two_terms",
+    _q_and,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+        and_hits_cte(["h0", "h1"], "hits"),
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
+# ---- AND with lang filter (filter must not affect scores) ---------------------
+
+def _q_and_filter(spark, sf_dir):
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        ),
+        filter=SearchPart(field="lang", term="en"),
+    )
+    return _run_request(spark, sf_dir, req, 20)
+
+
+_register(
+    "ft_and_with_filter",
+    _q_and_filter,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+        and_hits_cte(["h0", "h1"], "hits0"),
+        "hits AS (SELECT h.* FROM hits0 h JOIN documents c ON h.doc_id = c.doc_id "
+        "WHERE lower(c.lang) = 'en')",
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
+# ---- column boost (Log10 by n_chars) ------------------------------------------
+
+def _q_boost(spark, sf_dir):
+    req = Request(
+        search=SearchPart(field="text", term="spark"),
+        boost=(BoostPart(path="n_chars", boost_fun="Log10", param=1.0),),
+    )
+    return _run_request(spark, sf_dir, req, 20)
+
+
+_register(
+    "ft_boost_log10",
+    _q_boost,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        "hits AS (SELECT h.doc_id, h.score * log10(CAST(c.n_chars AS DOUBLE) + 1.0) AS score "
+        "FROM h0 h JOIN documents c ON h.doc_id = c.doc_id)",
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
+# ---- top-k with skip -----------------------------------------------------------
+
+def _q_skip(spark, sf_dir):
+    return _run_request(
+        spark, sf_dir, Request(search=SearchPart(field="text", term="spark")), 10, 5
+    )
+
+
+_register(
+    "ft_topk_skip",
+    _q_skip,
+    _with_cte(leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"))
+    + "\n"
+    + topk_select("h0", 10, skip=5),
+)
+
+
+# ---- phrase boost ----------------------------------------------------------------
+
+def _q_phrase(spark, sf_dir):
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        ),
+        phrase_boosts=(PhraseBoost(field="text", term1="spark", term2="join"),),
+    )
+    return _run_request(spark, sf_dir, req, 20)
+
+
+_PHRASE_SQL = (
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+        or_hits_cte([("h0", 1), ("h1", 0)], "hits0"),
+        # adjacent non-separator token pairs (separator runs skipped in the
+        # chain — create.rs:251-263): filter separator runs, re-rank by pos
+        """nonsep AS (
+  SELECT doc_id, tok, pos,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM toks WHERE NOT regexp_matches(substr(tok, 1, 1), {SEPPAT})
+),
+pair_docs AS (
+  SELECT DISTINCT a.doc_id FROM nonsep a JOIN nonsep b
+  ON a.doc_id = b.doc_id AND b.np = a.np + 1
+  JOIN dict d1 ON a.tok = d1.term JOIN dict d2 ON b.tok = d2.term
+  WHERE lower(d1.term) = 'spark' AND lower(d2.term) = 'join'
+),
+hits AS (
+  SELECT h.doc_id,
+         CASE WHEN p.doc_id IS NOT NULL THEN h.score * 5.0 ELSE h.score END AS score
+  FROM hits0 h LEFT JOIN pair_docs p ON h.doc_id = p.doc_id
+)""",
+    )
+    + "\n"
+    + topk_select("hits", 20)
+)
+
+_register("ft_phrase_boost", _q_phrase, _PHRASE_SQL)
+
+
+# ---- facets ------------------------------------------------------------------------
+
+def _q_facet(spark, sf_dir):
+    idx = documents_index(spark, sf_dir)
+    res = search(
+        idx,
+        Request(
+            search=SearchPart(field="text", term="spark"),
+            facets=(FacetRequest(field="lang", top=10),),
+        ),
+    )
+    return res.facets["lang"].select(
+        F.col("value").alias("lang"), F.col("count").alias("cnt")
+    )
+
+
+_register(
+    "ft_facet_lang",
+    _q_facet,
+    _with_cte(leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"))
+    + "\nSELECT c.lang AS lang, count(*) AS cnt FROM h0 h "
+    "JOIN documents c ON h.doc_id = c.doc_id GROUP BY c.lang "
+    "ORDER BY cnt DESC, lang ASC LIMIT 10",
+)
+
+
+# ---- suggest -----------------------------------------------------------------------
+
+def _q_suggest(spark, sf_dir):
+    from veloci_spark.suggest import suggest
+
+    idx = documents_index(spark, sf_dir)
+    out = suggest(idx, "s", fields=["text"], top=10)
+    return out.select("text", score_e4(F.col("score")).alias("score_e4"))
+
+
+_register(
+    "ft_suggest",
+    _q_suggest,
+    _with_cte(
+        "m0 AS (SELECT term, 2.0 / (log2(CAST(levenshtein(lower(term), 's') AS DOUBLE) + 1.0) + 0.2) AS term_score "
+        "FROM dict WHERE substr(lower(term), 1, 1) = 's')"
+    )
+    + "\nSELECT term AS text, "
+    + sql_score_e4("max(term_score)")
+    + " AS score_e4 FROM m0 GROUP BY term ORDER BY max(term_score) DESC, term ASC LIMIT 10",
+)
+
+
+# ---------------------------------------------------------------------------
+
+def fulltext_queries():
+    return dict(_QUERIES)
+
+
+def fulltext_oracles():
+    from veloci_spark.oracle import _q
+    from veloci_spark.tokenize import sep_class
+
+    seppat = _q("^" + sep_class() + "$")
+    return {k: v.replace("{SEPPAT}", seppat) for k, v in _ORACLES.items()}

@@ -1,0 +1,180 @@
+"""DuckDB oracle SQL generator.
+
+Produces ANSI-SQL (DuckDB-dialect) that recomputes the engine's
+index-build + query pipeline from the raw corpus table, for the driver's
+side-by-side correctness check. Every numeric expression is written
+op-for-op identical to the Spark Column expressions in
+:mod:`veloci_spark.scoring` so both engines produce bit-identical
+float64 values; all float scores are quantized with ``score_e4`` before
+comparison (log2/log10 differ by 1 ulp between the JVM and DuckDB's
+libm — see scoring.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+from veloci_spark.config import DEFAULT_SEPARATORS
+from veloci_spark.request import SearchPart
+from veloci_spark.scoring import (
+    sql_exact_text_score,
+    sql_score_e4,
+    sql_token_score,
+)
+from veloci_spark.tokenize import run_pattern, sep_class
+
+
+def _q(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def fulltext_cte(
+    table: str = "documents",
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    separators: Sequence[str] = DEFAULT_SEPARATORS,
+    max_text_bytes: int = 64,
+) -> str:
+    """Shared CTE prefix: runs → toks → dict → postings.
+
+    Recomputes, in SQL, exactly what build_index materializes:
+    tokenization (incl. separator runs, positions over all runs),
+    term counting (tokens of tokenizable texts + whole texts within the
+    byte limit), byte-order term ids, and merged posting scores.
+    """
+    pat = _q(run_pattern(separators))
+    return f"""
+runs AS (
+  SELECT {doc_col} AS doc_id, regexp_extract_all({text_col}, {pat}) AS r
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+toks AS (
+  SELECT doc_id,
+         unnest(r) AS tok,
+         generate_subscripts(r, 1) - 1 AS pos,
+         len(r) AS num_tokens
+  FROM runs WHERE len(r) >= 2
+),
+term_counts AS (
+  SELECT term, count(*) AS num_occurences FROM (
+    SELECT tok AS term FROM toks
+    UNION ALL
+    SELECT {text_col} AS term FROM {table}
+    WHERE {text_col} IS NOT NULL AND strlen({text_col}) <= {max_text_bytes}
+  ) GROUP BY term
+),
+dict AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id, num_occurences
+  FROM term_counts
+),
+token_postings AS (
+  SELECT d.term_id, t.doc_id,
+         {sql_token_score('min(t.pos)', 'd.num_occurences', 't.num_tokens')} AS score
+  FROM toks t JOIN dict d ON t.tok = d.term
+  GROUP BY d.term_id, t.doc_id, d.num_occurences, t.num_tokens
+),
+text_postings AS (
+  SELECT d.term_id, c.{doc_col} AS doc_id,
+         {sql_exact_text_score('d.num_occurences')} AS score
+  FROM {table} c JOIN dict d ON c.{text_col} = d.term
+  WHERE strlen(c.{text_col}) <= {max_text_bytes}
+),
+postings AS (
+  SELECT term_id, doc_id,
+         CASE WHEN count(*) > 1 THEN max(score) + least(count(*), 5)
+              ELSE max(score) END AS score
+  FROM (SELECT * FROM token_postings UNION ALL SELECT * FROM text_postings)
+  GROUP BY term_id, doc_id
+)"""
+
+
+# ----------------------------------------------------------------- queries
+
+def _term_score_sql(lq: str, prefix_cond: str) -> str:
+    """Op-identical to scoring.term_score_expr with
+    d = levenshtein(lower(term), lq)."""
+    d = f"CAST(levenshtein(lower(term), {_q(lq)}) AS DOUBLE)"
+    return (
+        f"CASE WHEN {prefix_cond} THEN 2.0 / (log2({d} + 1.0) + 0.2) "
+        f"ELSE 2.0 / ({d} + 0.2) END"
+    )
+
+
+def matched_cte(part: SearchPart, name: str) -> str:
+    """One search-part's dictionary scan as a CTE ``name`` →
+    (term_id, term_score). Mirrors match_terms.py."""
+    q = part.term
+    lq = q.lower()
+    boost = f" * {float(part.boost)!r}" if part.boost is not None else ""
+    if part.is_regex:
+        flags = "(?i)" if part.ignore_case else ""
+        pat = _q(flags + "(?:" + q + ")")
+        if part.starts_with:
+            pred = f"regexp_matches(term, '^' || {pat})"
+        else:
+            pred = f"regexp_full_match(term, {pat})"
+        score = _term_score_sql(lq, "FALSE")
+    elif part.starts_with:
+        if part.ignore_case:
+            pred = f"substr(lower(term), 1, {len(lq)}) = {_q(lq)}"
+        else:
+            pred = f"substr(term, 1, {len(q)}) = {_q(q)}"
+        score = _term_score_sql(lq, f"substr(lower(term), 1, {len(lq)}) = {_q(lq)}")
+    else:
+        lev = part.effective_levenshtein()
+        if lev == 0:
+            if part.ignore_case:
+                pred = f"lower(term) = {_q(lq)}"
+            else:
+                pred = f"term = {_q(q)}"
+            score = _term_score_sql(lq, "FALSE")
+        else:
+            pred = f"levenshtein(lower(term), {_q(lq)}) <= {lev}"
+            score = _term_score_sql(
+                lq, f"substr(lower(term), 1, {len(lq)}) = {_q(lq)}"
+            )
+    return f"{name} AS (SELECT term_id, ({score}){boost} AS term_score FROM dict WHERE {pred})"
+
+
+def leaf_hits_cte(part: SearchPart, mname: str, hname: str) -> str:
+    """Leaf resolution: max(term_score * score/100) per doc."""
+    return (
+        f"{matched_cte(part, mname)},\n"
+        f"{hname} AS (SELECT p.doc_id, max(m.term_score * (CAST(p.score AS DOUBLE) / 100.0)) AS score "
+        f"FROM postings p JOIN {mname} m USING (term_id) GROUP BY p.doc_id)"
+    )
+
+
+def or_hits_cte(branch_names: list[tuple[str, int]], out: str) -> str:
+    """OR combine: branch_names = [(hits_cte_name, slot)]."""
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {slot} AS slot, score FROM {h}" for h, slot in branch_names
+    )
+    return (
+        f"{out}_slots AS (SELECT doc_id, slot, max(score) AS slot_max FROM ({union}) GROUP BY doc_id, slot),\n"
+        f"{out} AS (SELECT doc_id, sum(slot_max) * pow(CAST(sum(CASE WHEN slot_max >= 0.00001 THEN 1 ELSE 0 END) AS DOUBLE), 2.0) AS score "
+        f"FROM {out}_slots GROUP BY doc_id)"
+    )
+
+
+def and_hits_cte(branch_names: list[str], out: str) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS b, score FROM {h}" for i, h in enumerate(branch_names)
+    )
+    n = len(branch_names)
+    return (
+        f"{out} AS (SELECT doc_id, sum(score) AS score FROM ({union}) "
+        f"GROUP BY doc_id HAVING count(DISTINCT b) = {n})"
+    )
+
+
+def topk_select(
+    hits: str, top: int, skip: int = 0, extra_join: str = ""
+) -> str:
+    """Final projection: quantize, deterministic order, limit."""
+    return (
+        f"SELECT doc_id, {sql_score_e4('score')} AS score_e4 FROM {hits}{extra_join} "
+        f"ORDER BY score_e4 DESC, doc_id DESC LIMIT {top} OFFSET {skip}"
+    )

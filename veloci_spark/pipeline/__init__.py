@@ -1,0 +1,3 @@
+"""Training-data pipeline operators (dedup, similarity, text analysis,
+multimodal plumbing) — the large-scale data-prep layer on top of the
+fulltext engine."""

@@ -1,0 +1,31 @@
+"""Driver-contract registration for the pipeline operators."""
+
+from __future__ import annotations
+
+
+def pipeline_queries():
+    out = {}
+    try:
+        from veloci_spark.pipeline import dedup, similarity, text, multimodal
+
+        out.update(dedup.queries())
+        out.update(similarity.queries())
+        out.update(text.queries())
+        out.update(multimodal.queries())
+    except ImportError:
+        pass
+    return out
+
+
+def pipeline_oracles():
+    out = {}
+    try:
+        from veloci_spark.pipeline import dedup, similarity, text, multimodal
+
+        out.update(dedup.oracles())
+        out.update(similarity.oracles())
+        out.update(text.oracles())
+        out.update(multimodal.oracles())
+    except ImportError:
+        pass
+    return out

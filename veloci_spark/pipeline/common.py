@@ -1,0 +1,62 @@
+"""Shared helpers for the pipeline operators.
+
+Cross-engine determinism rules (same as the fulltext oracle):
+- hashes come from md5 over strings (both engines have md5; minima over
+  hex strings are uniform and engine-identical);
+- floats are quantized to `*_e4` integers with floor(x*1e4 + 0.5);
+- word tokens = maximal runs of non-separator chars (the token half of
+  the engine tokenizer): regexp_extract_all(text, '[^S]+').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from veloci_spark.config import DEFAULT_SEPARATORS
+from veloci_spark.tokenize import _class_body
+
+WORD_PATTERN = f"[^{_class_body(DEFAULT_SEPARATORS)}]+"
+
+
+def sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def words_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(WORD_PATTERN), 0)
+
+
+def sql_words(col: str) -> str:
+    return f"regexp_extract_all({col}, {sql_quote(WORD_PATTERN)})"
+
+
+def e4(col: Column) -> Column:
+    return F.floor(col * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+def sql_e4(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS BIGINT)"
+
+
+def shingles_expr(words: Column, n: int) -> Column:
+    """n-gram word shingles joined by a single space, distinct."""
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def sql_shingles(words: str, n: int) -> str:
+    """DuckDB equivalent of shingles_expr (1-based slicing, inclusive)."""
+    return (
+        f"(CASE WHEN len({words}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({words}) - {n} + 2), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' '))) "
+        f"ELSE [] END)"
+    )

@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hash material is md5-over-strings so the Spark implementation and
+the DuckDB oracle produce identical values (Spark's hash()/xxhash64 and
+DuckDB's hash() are different algorithms; md5 is the portable choice —
+at production scale swap in xxhash64 for speed, the dataflow shape is
+identical).
+
+Operators:
+- exact dedup: hash-groupBy on content (one shuffle, map-side combine);
+- MinHash + LSH near-dup: shingle → k minhashes → banded bucket keys →
+  candidate pairs via bucket self-join → exact Jaccard verify. The
+  band join is the scale path: no O(n²) pair enumeration;
+- SimHash: 16-bit sign-sum fingerprint per doc;
+- n-gram Jaccard between adjacent doc ids (kernel validation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.pipeline.common import (
+    e4,
+    shingles_expr,
+    sql_e4,
+    sql_quote,
+    sql_shingles,
+    sql_words,
+    words_expr,
+)
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = 2
+SHINGLE_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------- exact dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("group_hash"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS group_hash, count(*) AS group_size, min(doc_id) AS keep_doc_id
+FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------- shingles / minhash
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", shingles_expr(words_expr("text"), SHINGLE_N).alias("sh")
+    ).where(F.size("sh") > 0)
+
+
+def _mh_lambda(j: int):
+    # NB: must be a ONE-argument lambda — F.transform treats a second
+    # parameter as the array index, so `lambda s, j=j: ...` silently
+    # binds j to the index Column.
+    prefix = f"{j}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def _minhash_cols(df: DataFrame) -> DataFrame:
+    out = df
+    for j in range(N_MINHASH):
+        out = out.withColumn(
+            f"mh{j}", F.array_min(F.transform(F.col("sh"), _mh_lambda(j)))
+        )
+    return out
+
+
+def _sql_minhash(j: int) -> str:
+    return (
+        f"list_min(list_transform(sh, s -> md5({sql_quote(str(j) + ':')} || s)))"
+    )
+
+
+_SHINGLE_CTE = f"""
+sh_docs AS (
+  SELECT doc_id, {sql_shingles(sql_words('text'), SHINGLE_N)} AS sh
+  FROM documents WHERE text IS NOT NULL
+),
+sh_nonempty AS (SELECT * FROM sh_docs WHERE len(sh) > 0),
+minhashed AS (
+  SELECT doc_id, sh,
+         {', '.join(f'{_sql_minhash(j)} AS mh{j}' for j in range(N_MINHASH))}
+  FROM sh_nonempty
+)"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, with exact
+    Jaccard on each candidate. Returns (doc_a, doc_b, jaccard_e4)."""
+    docs = _minhash_cols(_with_shingles(_docs(spark, sf_dir)))
+    bands = []
+    for b in range(N_BANDS):
+        bands.append(
+            docs.select(
+                "doc_id",
+                "sh",
+                F.md5(
+                    F.concat(
+                        F.lit(f"band{b}:"),
+                        F.col(f"mh{2 * b}"),
+                        F.col(f"mh{2 * b + 1}"),
+                    )
+                ).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionAll(x)
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_key"
+    )
+    b_ = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_key"
+    )
+    pairs = (
+        a.join(b_, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        e4(inter / union).alias("jaccard_e4"),
+    )
+
+
+DEDUP_MINHASH_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + f""",
+banded AS (
+  SELECT doc_id, sh, md5('band' || b || ':' || CASE b
+      {' '.join(f"WHEN {b} THEN mh{2 * b} || mh{2 * b + 1}" for b in range(N_BANDS))}
+      END) AS band_key
+  FROM minhashed, (SELECT unnest(range({N_BANDS})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  {sql_e4('CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / '
+          'CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)')} AS jaccard_e4
+FROM pairs
+"""
+)
+
+
+# ------------------------------------------------------------------ simhash
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc: bit j = sign of Σ_tokens (±1 by the parity
+    of md5 hex digit j). Portable across engines via string ops only."""
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(words_expr("text")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bit_cols = []
+    for j in range(16):
+        c = F.substring("h", j + 1, 1)
+        bit_cols.append(
+            F.sum(
+                F.when(c.isin("1", "3", "5", "7", "9", "b", "d", "f"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+        )
+    sums = toks.groupBy("doc_id").agg(*bit_cols)
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_words('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (
+  SELECT doc_id,
+  {', '.join(
+      "sum(CASE WHEN substr(h, %d, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+      for j in range(16)
+  )}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+  {' + '.join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))} AS simhash
+FROM sums
+"""
+
+
+# --------------------------------------------------- adjacent-pair jaccard
+
+def text_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_shingles(_docs(spark, sf_dir))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "doc_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select(
+        "doc_a", e4(inter / union).alias("jaccard_e4")
+    )
+
+
+JACCARD_ADJ_SQL = (
+    "WITH "
+    + _SHINGLE_CTE
+    + f"""
+SELECT a.doc_id AS doc_a,
+  {sql_e4('CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / '
+          'CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)')} AS jaccard_e4
+FROM sh_nonempty a JOIN sh_nonempty b ON b.doc_id = a.doc_id + 1
+"""
+)
+
+
+def queries():
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "dedup_jaccard_adjacent": text_jaccard_adjacent,
+    }
+
+
+def oracles():
+    return {
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+        "dedup_simhash": DEDUP_SIMHASH_SQL,
+        "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
+    }

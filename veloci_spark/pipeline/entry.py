@@ -2,30 +2,22 @@
 
 from __future__ import annotations
 
+from veloci_spark.pipeline import dedup, multimodal, similarity, text
+
 
 def pipeline_queries():
     out = {}
-    try:
-        from veloci_spark.pipeline import dedup, similarity, text, multimodal
-
-        out.update(dedup.queries())
-        out.update(similarity.queries())
-        out.update(text.queries())
-        out.update(multimodal.queries())
-    except ImportError:
-        pass
+    out.update(dedup.queries())
+    out.update(similarity.queries())
+    out.update(text.queries())
+    out.update(multimodal.queries())
     return out
 
 
 def pipeline_oracles():
     out = {}
-    try:
-        from veloci_spark.pipeline import dedup, similarity, text, multimodal
-
-        out.update(dedup.oracles())
-        out.update(similarity.oracles())
-        out.update(text.oracles())
-        out.update(multimodal.oracles())
-    except ImportError:
-        pass
+    out.update(dedup.oracles())
+    out.update(similarity.oracles())
+    out.update(text.oracles())
+    out.update(multimodal.oracles())
     return out

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k (JVM-side: zip_with + aggregate left-fold,
+  no Python in the loop) — the correctness baseline;
+- sign-bit LSH bucketing (random-hyperplane-style, using the first 8
+  dimensions' signs) — the scale path: candidate generation becomes a
+  bucket equi-join instead of an O(n²) cross join.
+
+All dot products cast each element to double *before* multiplying and
+fold left, so Spark and the DuckDB oracle produce bit-identical sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.pipeline.common import e4, sql_e4
+
+N_SIGN_BITS = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k by cosine similarity to the vec_id=0 embedding."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    joined = emb.crossJoin(F.broadcast(q))
+    return (
+        joined.select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias("cos_e4"),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm2(a: str) -> str:
+    return f"list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+ANN_COSINE_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  {sql_e4(_sql_dot('embedding', 'qvec') + ' / (sqrt(' + _sql_norm2('embedding') + ') * sqrt(' + _sql_norm2('qvec') + '))')} AS cos_e4
+FROM embeddings, q
+ORDER BY cos_e4 DESC, vec_id DESC LIMIT 20
+"""
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit bucket histogram: bucket id = Σ 2^d over the first 8
+    dims with embedding[d] >= 0. The ANN scale path searches only the
+    query's bucket (plus Hamming-1 neighbors)."""
+    emb = _emb(spark, sf_dir)
+    bucket = F.lit(0).cast("long")
+    for d in range(N_SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)
+        ).otherwise(0)
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+ANN_BUCKETS_SQL = f"""
+SELECT {' + '.join(f'(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)' for d in range(N_SIGN_BITS))} AS bucket,
+       count(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+def ann_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup embedding pairs inside each sign bucket with cosine
+    >= 0.8 → (vec_a, vec_b, cos_e4). The bucket join bounds candidate
+    generation (no O(n²))."""
+    emb = _emb(spark, sf_dir)
+    bucket = F.lit(0).cast("long")
+    for d in range(N_SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)
+        ).otherwise(0)
+    withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    out = pairs.select(
+        "vec_a", "vec_b", e4(cosine_expr(F.col("ea"), F.col("eb"))).alias("cos_e4")
+    )
+    return out.where(F.col("cos_e4") >= 8000)
+
+
+ANN_PAIRS_SQL = f"""
+WITH withb AS (
+  SELECT vec_id, embedding,
+    {' + '.join(f'(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)' for d in range(N_SIGN_BITS))} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+  FROM withb a JOIN withb b USING (bucket) WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+    {sql_e4(_sql_dot('ea', 'eb') + ' / (sqrt(' + _sql_norm2('ea') + ') * sqrt(' + _sql_norm2('eb') + '))')} AS cos_e4
+  FROM pairs
+)
+SELECT vec_a, vec_b, cos_e4 FROM scored WHERE cos_e4 >= 8000
+"""
+
+
+def queries():
+    return {
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_buckets": ann_lsh_buckets,
+        "ann_bucketed_pairs": ann_bucketed_pairs,
+    }
+
+
+def oracles():
+    return {
+        "ann_cosine_topk": ANN_COSINE_SQL,
+        "ann_lsh_buckets": ANN_BUCKETS_SQL,
+        "ann_bucketed_pairs": ANN_PAIRS_SQL,
+    }

@@ -1,0 +1,191 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID (stopword heuristic), document fingerprinting.
+
+Everything is a JVM-side column expression (no Python), with a DuckDB
+oracle mirror. Word tokens = non-separator runs of the engine tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.pipeline.common import (
+    e4,
+    shingles_expr,
+    sql_e4,
+    sql_quote,
+    sql_shingles,
+    sql_words,
+    words_expr,
+)
+from veloci_spark.stopwords import ENGLISH, GERMAN
+
+FP_SHINGLE = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+
+# ------------------------------------------------------------ token count
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(words_expr("text")).alias("n_tokens")
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id, len({sql_words('text')}) AS n_tokens
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------- quality
+
+def _stop_count(words, stopset):
+    lst = F.array(*[F.lit(w) for w in sorted(stopset)])
+    return F.size(F.filter(words, lambda w: F.array_contains(lst, F.lower(w))))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / separator / stopword-ratio quality features plus a
+    composite quality score — the usual cheap pre-filters of a
+    training-data pipeline."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    w = words_expr("text")
+    d = d.withColumn("w", w)
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size("w")
+    word_chars = F.aggregate(
+        F.transform("w", lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    ).cast("double")
+    stop = _stop_count(F.col("w"), ENGLISH).cast("double")
+    sep_ratio = (n_chars - word_chars) / n_chars
+    stop_ratio = stop / n_tokens.cast("double")
+    quality = (
+        stop_ratio * F.lit(0.5)
+        + (F.lit(1.0) - sep_ratio) * F.lit(0.3)
+        + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(100.0) * F.lit(0.2)
+    )
+    return d.where(n_tokens > 0).select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        e4(sep_ratio).alias("sep_ratio_e4"),
+        e4(stop_ratio).alias("stop_ratio_e4"),
+        e4(quality).alias("quality_e4"),
+    )
+
+
+def _sql_stoplist(stopset) -> str:
+    return "[" + ", ".join(sql_quote(w) for w in sorted(stopset)) + "]"
+
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, {sql_words('text')} AS w
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    len(w) AS n_tokens,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS word_chars,
+    CAST(len(list_filter(w, x -> list_contains({_sql_stoplist(ENGLISH)}, lower(x)))) AS DOUBLE) AS stop
+  FROM d WHERE len(w) > 0
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  {sql_e4('(n_chars - word_chars) / n_chars')} AS sep_ratio_e4,
+  {sql_e4('stop / CAST(n_tokens AS DOUBLE)')} AS stop_ratio_e4,
+  {sql_e4('stop / CAST(n_tokens AS DOUBLE) * 0.5 + (1.0 - (n_chars - word_chars) / n_chars) * 0.3 + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.2')} AS quality_e4
+FROM m
+"""
+
+
+# ---------------------------------------------------------------- lang id
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language guess (en/de heuristic; 'unknown' when
+    no stopwords hit, ties broken toward 'en')."""
+    d = _docs(spark, sf_dir).select("doc_id", words_expr("text").alias("w"))
+    en = _stop_count(F.col("w"), ENGLISH)
+    de = _stop_count(F.col("w"), GERMAN)
+    guess = (
+        F.when((en == 0) & (de == 0), F.lit("unknown"))
+        .when(en >= de, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {sql_words('text')} AS w FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+    len(list_filter(w, x -> list_contains({_sql_stoplist(ENGLISH)}, lower(x)))) AS en_hits,
+    len(list_filter(w, x -> list_contains({_sql_stoplist(GERMAN)}, lower(x)))) AS de_hits
+  FROM d
+)
+SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits, CAST(de_hits AS BIGINT) AS de_hits,
+  CASE WHEN en_hits = 0 AND de_hits = 0 THEN 'unknown'
+       WHEN en_hits >= de_hits THEN 'en' ELSE 'de' END AS lang_guess
+FROM c
+"""
+
+
+# ------------------------------------------------------------- fingerprint
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined fingerprint: min md5 over 5-token shingles
+    (winnowing-style minimum sampling); md5 of the whole text when the
+    doc is shorter than one shingle."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", words_expr("text").alias("w"))
+    sh = shingles_expr(F.col("w"), FP_SHINGLE)
+    fp = F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    ).otherwise(F.md5("text"))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, {sql_words('text')} AS w
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (SELECT doc_id, text, {sql_shingles('w', FP_SHINGLE)} AS sh FROM d)
+SELECT doc_id,
+  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, x -> md5(x)))
+       ELSE md5(text) END AS fingerprint
+FROM s
+"""
+
+
+def queries():
+    return {
+        "text_token_count": token_count,
+        "text_quality": text_quality,
+        "text_lang_id": lang_id,
+        "text_fingerprint": doc_fingerprint,
+    }
+
+
+def oracles():
+    return {
+        "text_token_count": TOKEN_COUNT_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "text_lang_id": LANG_ID_SQL,
+        "text_fingerprint": FINGERPRINT_SQL,
+    }

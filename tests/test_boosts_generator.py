@@ -1,0 +1,177 @@
+"""Boost semantics (boost_term, text_locality, expressions, Log/Add/
+Multiply) and the query-generator end-to-end — modeled on
+tests/all/test_scores.rs and test_query_generator.rs."""
+
+import math
+
+import pytest
+
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.request import BoostPart, OrNode, Request, SearchPart
+
+
+def hits_of(tiny_index, req):
+    return [(r["doc_id"], r["score"]) for r in search(tiny_index, req).hits.collect()]
+
+
+def base_scores(tiny_index, term="myfun"):
+    return dict(hits_of(tiny_index, Request(search=SearchPart(field="line", term=term), top=10)))
+
+
+def test_boost_term_multiplies(tiny_index):
+    base = base_scores(tiny_index)
+    req = Request(
+        search=SearchPart(field="line", term="myfun"),
+        boost_term=(SearchPart(field="line", term="param1", boost=3.0),),
+        top=10,
+    )
+    got = dict(hits_of(tiny_index, req))
+    # docs 0 and 1 contain param1; doc 2 and 9 don't. Only docs matching
+    # the main search appear; boost multiplies matched ones.
+    for d, s in got.items():
+        if d in (0, 1):
+            assert s == pytest.approx(base[d] * 3.0, rel=1e-9)
+        else:
+            assert s == pytest.approx(base[d], rel=1e-9)
+
+
+def test_boost_term_default_2(tiny_index):
+    base = base_scores(tiny_index)
+    req = Request(
+        search=SearchPart(field="line", term="myfun"),
+        boost_term=(SearchPart(field="line", term="param1"),),
+        top=10,
+    )
+    got = dict(hits_of(tiny_index, req))
+    assert got[0] == pytest.approx(base[0] * 2.0, rel=1e-9)
+
+
+def test_text_locality_boost(tiny_index):
+    # docs with BOTH die and erbin in the same text get ×2·n²=8
+    node = OrNode(
+        (SearchPart(field="line", term="die"), SearchPart(field="line", term="erbin"))
+    )
+    base = dict(hits_of(tiny_index, Request(search=node, top=10)))
+    got = dict(hits_of(tiny_index, Request(search=node, top=10, text_locality=True)))
+    for d in base:
+        if d in (3, 4):  # both terms in same text
+            assert got[d] == pytest.approx(base[d] * 8.0, rel=1e-9)
+        else:
+            assert got[d] == pytest.approx(base[d], rel=1e-9)
+
+
+def test_boost_functions(tiny_index):
+    base = base_scores(tiny_index)
+    for fun, f in [
+        ("Log10", lambda s, v: s * math.log10(v + 1.0)),
+        ("Log2", lambda s, v: s * math.log2(v + 1.0)),
+        ("Multiply", lambda s, v: s * (v + 1.0)),
+        ("Add", lambda s, v: s + (v + 1.0)),
+    ]:
+        req = Request(
+            search=SearchPart(field="line", term="myfun"),
+            boost=(BoostPart(path="doc_id", boost_fun=fun, param=1.0),),
+            top=10,
+        )
+        got = dict(hits_of(tiny_index, req))
+        for d, s in got.items():
+            assert s == pytest.approx(f(base[d], float(d)), rel=1e-9), fun
+
+
+def test_boost_expression(tiny_index):
+    base = base_scores(tiny_index)
+    req = Request(
+        search=SearchPart(field="line", term="myfun"),
+        boost=(BoostPart(path="doc_id", boost_fun=None, expression="$SCORE * 2.0"),),
+        top=10,
+    )
+    got = dict(hits_of(tiny_index, req))
+    # score += boost_value*2 (expression's $SCORE = the boost column value,
+    # boost.rs:358-366)
+    for d, s in got.items():
+        assert s == pytest.approx(base[d] + float(d) * 2.0, rel=1e-9)
+
+
+def test_skip_when_score(tiny_index):
+    base = base_scores(tiny_index)
+    some_score = next(iter(base.values()))
+    req = Request(
+        search=SearchPart(field="line", term="myfun"),
+        boost=(
+            BoostPart(
+                path="doc_id",
+                boost_fun="Multiply",
+                param=100.0,
+                skip_when_score=(some_score,),
+            ),
+        ),
+        top=10,
+    )
+    got = dict(hits_of(tiny_index, req))
+    for d, s in got.items():
+        if abs(base[d] - some_score) < 1e-5:
+            assert s == pytest.approx(base[d], rel=1e-9)  # skipped
+        else:
+            assert s != pytest.approx(base[d], rel=1e-9)
+
+
+# -------------------------------------------------- generator end-to-end
+
+def test_generator_simple_or(tiny_index):
+    params = QueryGeneratorParameters(
+        search_term="myfun erbin", fields=["line"], levenshtein=0, top=10
+    )
+    req = generate_request(tiny_index, params)
+    got = hits_of(tiny_index, req)
+    assert {d for d, _ in got} == {0, 2, 9, 3, 4}
+
+
+def test_generator_wildcard_prefix(tiny_index):
+    params = QueryGeneratorParameters(search_term="tage*", fields=["line"], top=10)
+    req = generate_request(tiny_index, params)
+    got = hits_of(tiny_index, req)
+    assert {d for d, _ in got} == {5, 6}
+
+
+def test_generator_wildcard_regex(tiny_index):
+    # *fun* → regex .*fun.* (query_parser_to_veloci_request.rs:44-64)
+    params = QueryGeneratorParameters(search_term="*fun*", fields=["line"], top=10)
+    req = generate_request(tiny_index, params)
+    part = req.search
+    assert isinstance(part, SearchPart) and part.is_regex
+    got = hits_of(tiny_index, req)
+    assert {d for d, _ in got} >= {0, 1, 2, 9}
+
+
+def test_generator_parser_disabled_literal(tiny_index):
+    # code-search literal query (test_code_search.rs parser-disabled)
+    params = QueryGeneratorParameters(
+        search_term="*myfun(param1: Type1)*",
+        fields=["line"],
+        parser_disabled=False,  # wildcard handling still applies
+        top=10,
+    )
+    req = generate_request(tiny_index, params)
+    got = hits_of(tiny_index, req)
+    assert [d for d, _ in got][:1] == [0]
+
+
+def test_generator_attr_filter_and(tiny_index):
+    params = QueryGeneratorParameters(
+        search_term="myfun AND filepath:the", fields=["line", "filepath"],
+        levenshtein=0, top=10,
+    )
+    req = generate_request(tiny_index, params)
+    got = hits_of(tiny_index, req)
+    assert {d for d, _ in got} == {0, 2}
+
+
+def test_generator_stopwords(tiny_index):
+    params = QueryGeneratorParameters(
+        search_term="the myfun", fields=["line"], levenshtein=0,
+        stopword_lists=("en",), top=10,
+    )
+    req = generate_request(tiny_index, params)
+    # "the" pruned → single leaf
+    assert isinstance(req.search, SearchPart) and req.search.term == "myfun"

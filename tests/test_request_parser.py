@@ -1,0 +1,104 @@
+"""Request-model and query-DSL parser unit tests (pure Python, no Spark).
+
+Vectors modeled on the reference's parser AST tests
+(query_parser/src/ast.rs:168-313) and simplify tests
+(search_request.rs:26-72)."""
+
+from veloci_spark.expression import py_score_expression
+from veloci_spark.generator import auto_levenshtein
+from veloci_spark.parser import UserBinary, UserLeaf, parse_query
+from veloci_spark.request import (
+    AndNode,
+    OrNode,
+    SearchPart,
+    first_term,
+    leaves,
+    simplify,
+)
+
+
+def test_single_term():
+    ast = parse_query("myfun")
+    assert ast == UserLeaf("myfun")
+
+
+def test_adjacent_is_or():
+    ast = parse_query("a b")
+    assert isinstance(ast, UserBinary) and ast.op == "OR"
+    assert ast.left == UserLeaf("a") and ast.right == UserLeaf("b")
+
+
+def test_and_binds_tighter():
+    ast = parse_query("a AND b OR c")
+    assert isinstance(ast, UserBinary) and ast.op == "OR"
+    assert isinstance(ast.left, UserBinary) and ast.left.op == "AND"
+
+
+def test_levenshtein_suffix():
+    assert parse_query("myfun~2") == UserLeaf("myfun", levenshtein=2)
+
+
+def test_quoted_phrase_is_token():
+    assert parse_query('"die erbin"') == UserLeaf("die erbin", quoted=True)
+
+
+def test_attr_term():
+    assert parse_query("filepath:src") == UserLeaf("src", attr="filepath")
+
+
+def test_attr_group():
+    ast = parse_query("title:(a b)")
+    assert isinstance(ast, UserBinary) and ast.op == "OR"
+    assert ast.left == UserLeaf("a", attr="title")
+    assert ast.right == UserLeaf("b", attr="title")
+
+
+def test_parens():
+    ast = parse_query("(a OR b) AND c")
+    assert isinstance(ast, UserBinary) and ast.op == "AND"
+    assert isinstance(ast.left, UserBinary) and ast.left.op == "OR"
+
+
+def test_simplify_flattens():
+    n = OrNode(
+        (
+            OrNode((SearchPart("f", "a"), SearchPart("f", "b"))),
+            SearchPart("f", "c"),
+        )
+    )
+    s = simplify(n)
+    assert isinstance(s, OrNode) and len(s.parts) == 3
+
+
+def test_simplify_single_child():
+    n = AndNode((SearchPart("f", "a"),))
+    assert simplify(n) == SearchPart("f", "a")
+
+
+def test_leaves_and_first_term():
+    n = AndNode((SearchPart("f", "x"), OrNode((SearchPart("f", "y"), SearchPart("g", "z")))))
+    assert [p.term for p in leaves(n)] == ["x", "y", "z"]
+    assert first_term(n) == "x"
+
+
+def test_auto_levenshtein():
+    # query_generator.rs:85-99 (auto_limit=1)
+    assert auto_levenshtein("ab", 1, False) == 0
+    assert auto_levenshtein("abc", 1, False) == 1
+    assert auto_levenshtein("abcdef", 1, False) == 1
+    assert auto_levenshtein("abcdef", 2, False) == 2
+    assert auto_levenshtein("abc", 1, True) == 0  # wildcard thresholds shift
+
+
+def test_effective_levenshtein_clamp():
+    # search_field.rs:285-287: min(d, len-1), automaton max 4
+    assert SearchPart("f", "a", levenshtein=2).effective_levenshtein() == 0
+    assert SearchPart("f", "abc", levenshtein=9).effective_levenshtein() == 2
+    assert SearchPart("f", "abcdefghij", levenshtein=9).effective_levenshtein() == 4
+
+
+def test_score_expression():
+    # expression.rs:108-123 style vectors
+    assert py_score_expression("$SCORE + 2.0", 10.0) == 12.0
+    assert py_score_expression("10.0 / $SCORE", 2.0) == 5.0
+    assert py_score_expression("$SCORE * $SCORE", 3.0) == 9.0

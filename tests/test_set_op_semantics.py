@@ -1,0 +1,51 @@
+"""Set-op scoring vectors from the reference's unit tests
+(set_op.rs:260-276, 511-580), run through the pure-Python reference
+combiners (the Spark executor is asserted against these same combiners
+in test_engine_e2e)."""
+
+from tests.pyref import and_combine, or_combine, topk
+
+
+def test_union_ids_semantics():
+    # union_hits_ids: [10,0,5] ∪ [0,3,10,20] = [0,3,5,10,20]
+    a = {10: 1.0, 0: 1.0, 5: 1.0}
+    b = {0: 1.0, 3: 1.0, 10: 1.0, 20: 1.0}
+    assert sorted(set(a) | set(b)) == [0, 3, 5, 10, 20]
+
+
+def test_intersect_scores():
+    # intersect_hits_score vectors (set_op.rs:511-533): docs in both get
+    # the SUM of branch scores
+    a = {0: 20.0, 10: 30.0, 5: 40.0}
+    b = {0: 20.0, 10: 20.0}
+    got = and_combine([a, b])
+    assert got == {0: 40.0, 10: 50.0}
+
+
+def test_or_distinct_term_boost():
+    # same term in both branches → one slot, no n² boost
+    same = or_combine([("t", {1: 10.0}), ("t", {1: 4.0})])
+    assert same == {1: 10.0}  # max per slot, n=1 → ×1
+    # two distinct terms → sum × 2²
+    diff = or_combine([("a", {1: 10.0}), ("b", {1: 4.0})])
+    assert diff == {1: (10.0 + 4.0) * 4.0}
+    # doc hit by only one of two terms → n=1
+    single = or_combine([("a", {1: 10.0}), ("b", {2: 4.0})])
+    assert single[1] == 10.0 and single[2] == 4.0
+
+
+def test_or_min_score_threshold():
+    # slots with max < 1e-5 don't count toward n_distinct (set_op.rs:180)
+    got = or_combine([("a", {1: 10.0}), ("b", {1: 1e-9})])
+    assert got[1] == (10.0 + 1e-9) * 1.0
+
+
+def test_topk_tiebreak_id_desc():
+    # sort_by_score_and_id: score desc, id desc (search.rs:123-130)
+    hits = {1: 5.0, 2: 5.0, 3: 4.0}
+    assert topk(hits, 2) == [(2, 5.0), (1, 5.0)]
+
+
+def test_topk_skip():
+    hits = {i: float(i) for i in range(10)}
+    assert topk(hits, 3, skip=2) == [(7, 7.0), (6, 6.0), (5, 5.0)]

@@ -1,0 +1,67 @@
+"""Block-max WAND rank-identity vs the exhaustive path, and snippet
+highlighting vectors."""
+
+import pytest
+
+from veloci_spark.executor import search
+from veloci_spark.highlight import highlight_text
+from veloci_spark.request import OrNode, Request, SearchPart
+from veloci_spark.wand import wand_or_topk
+
+
+def test_wand_matches_exhaustive(tiny_index):
+    node = OrNode(
+        (
+            SearchPart(field="line", term="myfun"),
+            SearchPart(field="line", term="erbin"),
+        )
+    )
+    exhaustive = search(tiny_index, Request(search=node, top=5)).hits.collect()
+    pruned = (
+        wand_or_topk(tiny_index, node, k=5)
+        .orderBy("score", ascending=False)
+        .collect()
+    )
+    assert [(r["doc_id"], r["score"]) for r in exhaustive] == [
+        (r["doc_id"], r["score"]) for r in pruned
+    ]
+
+
+def test_wand_single_term(tiny_index):
+    part = SearchPart(field="line", term="myfun")
+    exhaustive = search(tiny_index, Request(search=part, top=3)).hits.collect()
+    pruned = wand_or_topk(tiny_index, part, k=3).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in exhaustive) == sorted(
+        (r["doc_id"], r["score"]) for r in pruned
+    )
+
+
+def test_wand_no_match(tiny_index):
+    part = SearchPart(field="line", term="zzznope")
+    assert wand_or_topk(tiny_index, part, k=3).collect() == []
+
+
+# ---------------------------------------------------------------- highlight
+
+def test_highlight_basic():
+    out = highlight_text("das ist ein test", {"test"})
+    assert out is not None and "<b>test</b>" in out
+
+
+def test_highlight_windows_and_connector():
+    text = " ".join(f"w{i}" for i in range(40)) + " hit " + " ".join(
+        f"v{i}" for i in range(40)
+    )
+    out = highlight_text(text, {"hit"}, window_tokens=2)
+    assert "<b>hit</b>" in out
+    assert "..." in out
+    assert "w0" not in out  # far-away tokens trimmed
+
+
+def test_highlight_no_match():
+    assert highlight_text("das ist ein test", {"nope"}) is None
+
+
+def test_highlight_case_insensitive():
+    out = highlight_text("Weich und warm", {"weich"})
+    assert "<b>Weich</b>" in out

@@ -280,7 +280,7 @@ def build_index(
     config: IndexConfig,
     out_dir: str,
     resume: bool = True,
-    tokenizer: str = "jvm",
+    tokenizer: str = "pandas",
 ) -> Index:
     """Build (or resume building) the full index under ``out_dir``."""
     os.makedirs(out_dir, exist_ok=True)
@@ -296,6 +296,8 @@ def build_index(
     if not (resume and _done(docstore_path)):
         t0 = time.time()
         corpus_ids.write.mode("overwrite").parquet(docstore_path)
+        if hasattr(corpus_ids, "_veloci_unpersist"):
+            corpus_ids._veloci_unpersist()
         lineage.record("docstore", wall_s=time.time() - t0)
     corpus_ids = spark.read.parquet(docstore_path)
 
@@ -311,10 +313,13 @@ def build_index(
         if not (need_dict or need_post or need_phrase):
             continue
 
+        # Deliberately NOT persisted: with the Arrow tokenizer a full
+        # recompute costs ~11 s per consumer on 21M runs at 2 cores,
+        # while materializing the columnar cache of the exploded rows
+        # costs ~200 s — recompute wins by an order of magnitude (and
+        # avoids pinning executor memory at scale).
         toks = _tokenized(corpus_ids, fc, tokenizer) if fc.tokenize else None
         whole = _whole_texts(corpus_ids, fc)
-        if toks is not None and (need_post or need_phrase):
-            toks.persist()
 
         if need_dict:
             t0 = time.time()
@@ -329,6 +334,8 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(dict_path)
             )
+            if hasattr(dictionary, "_veloci_unpersist"):
+                dictionary._veloci_unpersist()
             lineage.record("dictionary", field=fc.name, wall_s=time.time() - t0)
         dictionary = spark.read.parquet(dict_path)
 
@@ -354,9 +361,6 @@ def build_index(
                 .parquet(phrase_path)
             )
             lineage.record("phrase", field=fc.name, wall_s=time.time() - t0)
-
-        if toks is not None:
-            toks.unpersist()
 
     manifest = {
         "version": 1,

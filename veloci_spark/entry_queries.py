@@ -49,12 +49,21 @@ DOC_CONFIG = IndexConfig(
 )
 
 
+_INDEX_CACHE: dict[tuple[int, str], Index] = {}
+
+
 def documents_index(spark: SparkSession, sf_dir: str) -> Index:
-    """Build (once; resumable cache) the index over sf_dir/documents.parquet."""
+    """Build (once; resumable on-disk cache + in-process handle cache)
+    the index over sf_dir/documents.parquet."""
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(INDEX_CACHE_ROOT, f"documents_{tag}")
     corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return build_index(spark, corpus, DOC_CONFIG, out, resume=True)
+    idx = build_index(spark, corpus, DOC_CONFIG, out, resume=True)
+    _INDEX_CACHE[key] = idx
+    return idx
 
 
 def _quantized_topk(all_hits: DataFrame, top: int, skip: int = 0) -> DataFrame:
@@ -371,6 +380,39 @@ hits AS (
 )
 
 _register("ft_phrase_boost", _q_phrase, _PHRASE_SQL)
+
+
+# ---- block-max WAND top-k (same oracle as the exhaustive OR: the pruned
+# ---- path must be rank-identical) ---------------------------------------
+
+def _q_wand(spark, sf_dir):
+    from veloci_spark.wand import wand_or_topk
+
+    idx = documents_index(spark, sf_dir)
+    node = OrNode(
+        (
+            SearchPart(field="text", term="spark"),
+            SearchPart(field="text", term="join"),
+        )
+    )
+    out = wand_or_topk(idx, node, k=20)
+    return (
+        out.select("doc_id", score_e4(F.col("score")).alias("score_e4"))
+        .orderBy(F.desc("score_e4"), F.desc("doc_id"))
+    )
+
+
+_register(
+    "ft_wand_topk",
+    _q_wand,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+        or_hits_cte([("h0", 1), ("h1", 0)], "hits"),
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
 
 
 # ---- facets ------------------------------------------------------------------------

@@ -55,6 +55,27 @@ class _Executor:
         self.request = request
         self._leaf_cache: dict[SearchPart, DataFrame] = {}
         self._filter_ids: Optional[DataFrame] = None
+        # persist only leaves consumed more than once (FieldRequestCache
+        # semantics); unconditional persist() of every leaf costs a
+        # materialization + memory for nothing on single-use queries
+        self._persist_parts = self._multi_use_parts(request)
+
+    @staticmethod
+    def _multi_use_parts(request: Request) -> set[SearchPart]:
+        from collections import Counter
+
+        from veloci_spark.request import leaves as tree_leaves
+
+        uses: Counter = Counter()
+        if request.search is not None:
+            search_leaves = tree_leaves(simplify(request.search))
+            uses.update(search_leaves)
+            if request.text_locality:
+                uses.update(search_leaves)  # reused by the locality boost
+        if request.filter is not None:
+            uses.update(tree_leaves(simplify(request.filter)))
+        uses.update(request.boost_term)
+        return {p for p, n in uses.items() if n > 1}
 
     # -------------------------------------------------------------- leaves
     def leaf_hits(self, part: SearchPart) -> DataFrame:
@@ -78,7 +99,8 @@ class _Executor:
                 F.col("term_score") * (F.col("score").cast("double") / F.lit(100.0))
             ).alias("score")
         )
-        hits = hits.persist()
+        if part in self._persist_parts:
+            hits = hits.persist()
         self._leaf_cache[key] = hits
         return hits
 

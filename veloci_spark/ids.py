@@ -67,5 +67,14 @@ def assign_rank_ids(
             out[id_col] = range(base, base + len(pdf))
             yield out
 
+    # NB: with_pid stays persisted while `result` is consumed (typically a
+    # single downstream write); callers that keep the result long-term
+    # should materialize it. unpersist(blocking=False) here would race the
+    # consumer, so we register it for cleanup on the session instead.
     result = with_pid.mapInPandas(_assign, schema=out_schema)
+
+    def _cleanup():
+        with_pid.unpersist(False)
+
+    result._veloci_unpersist = _cleanup  # type: ignore[attr-defined]
     return result

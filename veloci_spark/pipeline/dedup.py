@@ -104,14 +104,22 @@ minhashed AS (
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with exact
-    Jaccard on each candidate. Returns (doc_a, doc_b, jaccard_e4)."""
-    docs = _minhash_cols(_with_shingles(_docs(spark, sf_dir)))
+    Jaccard on each candidate. Returns (doc_a, doc_b, jaccard_e4).
+
+    Scale-shaped dataflow: shingling+minhashing is computed ONCE and
+    persisted; the LSH self-join shuffles only (band_key, doc_id) —
+    never the shingle arrays — and the (small) candidate pair set
+    re-joins the shingle table for exact verification. Carrying arrays
+    through the band join would re-evaluate the tokenize/minhash
+    expression tree on every join output row (40× recompute observed)
+    and shuffle shingle payloads quadratically."""
+    sh_docs = _with_shingles(_docs(spark, sf_dir)).persist()
+    mh = _minhash_cols(sh_docs).drop("sh")
     bands = []
     for b in range(N_BANDS):
         bands.append(
-            docs.select(
+            mh.select(
                 "doc_id",
-                "sh",
                 F.md5(
                     F.concat(
                         F.lit(f"band{b}:"),
@@ -124,21 +132,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionAll(x)
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band_key"
-    )
-    b_ = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band_key"
-    )
+    banded = banded.persist()
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b_ = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     pairs = (
         a.join(b_, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    sh_a = sh_docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select(
+    return verified.select(
         "doc_a",
         "doc_b",
         e4(inter / union).alias("jaccard_e4"),

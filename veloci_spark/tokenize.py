@@ -71,8 +71,10 @@ def tokenize_expr(col: Column | str, separators: Sequence[str] = DEFAULT_SEPARAT
 
 
 def is_separator_expr(tok: Column, separators: Sequence[str] = DEFAULT_SEPARATORS) -> Column:
-    """True when a run is a separator group (its first char is a separator)."""
-    return F.substring(tok, 1, 1).rlike("^" + sep_class(separators) + "$")
+    """True when a run is a separator group (its first char is a separator).
+    Implemented as isin over the separator set — a per-row regex here costs
+    more than the tokenize itself on large corpora."""
+    return F.substring(tok, 1, 1).isin(*separators)
 
 
 def has_tokens_expr(runs: Column) -> Column:

@@ -1,0 +1,157 @@
+"""Block-max top-k (WAND-style pruning) over the compressed posting blocks.
+
+The classical block-max WAND algorithm (Ding & Suel, SIGIR 2011; also
+the reference's worst-score early-termination, search/sort.rs:5-34 and
+search_field.rs:292-331) prunes posting regions whose score upper bound
+cannot reach the current top-k threshold. In a batch engine the
+document-at-a-time cursor loop doesn't apply, so we adapt it:
+
+1. posting blocks are doc-aligned (block_no = doc_id // block_docs), so
+   every term's block for a doc range joins on block_no;
+2. phase 1 computes, from block-max METADATA ONLY (no decompression),
+   an upper bound per block_no:
+       ub(block) = Σ_slots max_t(term_score_t · block_max_t / 100) · S²
+   where S = number of query term slots (the OR n_distinct² ceiling);
+3. phase 2 decodes only the blocks with the highest upper bounds and
+   computes exact OR scores for their docs; the kth exact score is the
+   threshold;
+4. if any undecoded block's ub exceeds the threshold, the candidate set
+   doubles and phase 2 repeats (typically 1–2 iterations).
+
+The exact scores use the same formulas as the exhaustive path, so the
+result is identical to executor.search — only cheaper: at 10^12 docs a
+rare-term query decodes a handful of blocks instead of scanning full
+posting lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from veloci_spark.index import Index, decode_blocks_df
+from veloci_spark.match_terms import match_terms
+from veloci_spark.request import OrNode, SearchPart
+
+
+def wand_or_topk(
+    index: Index,
+    node: OrNode | SearchPart,
+    k: int,
+    start_blocks: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Top-k (doc_id, score) for an OR of leaf parts, rank-identical to
+    the exhaustive executor path."""
+    parts = list(node.parts) if isinstance(node, OrNode) else [node]
+    slots = sorted({p.term for p in parts})
+    slot_of = {t: i for i, t in enumerate(slots)}
+    S = float(len(slots))
+    spark = index.spark
+
+    # matched terms per part, tagged with slot
+    per_field_terms: dict[str, list[DataFrame]] = {}
+    for p in parts:
+        t = match_terms(index, p).withColumn("slot", F.lit(slot_of[p.term]))
+        per_field_terms.setdefault(p.field, []).append(t)
+
+    # ---- phase 1: block upper bounds from metadata only
+    ub_frames = []
+    block_frames = []
+    for field, terms_list in per_field_terms.items():
+        terms = terms_list[0]
+        for t in terms_list[1:]:
+            terms = terms.unionAll(t)
+        terms = terms.persist()
+        blocks = index.postings_blocks(field).join(
+            F.broadcast(terms.select("term_id", "term_score", "slot")), "term_id"
+        )
+        block_frames.append((field, terms, blocks))
+        ub_frames.append(
+            blocks.select(
+                "block_no",
+                "slot",
+                (
+                    F.col("term_score") * (F.col("max_score").cast("double") / F.lit(100.0))
+                ).alias("ub_part"),
+            )
+        )
+    ubs = ub_frames[0]
+    for u in ub_frames[1:]:
+        ubs = ubs.unionAll(u)
+    block_ub = (
+        ubs.groupBy("block_no", "slot")
+        .agg(F.max("ub_part").alias("slot_ub"))
+        .groupBy("block_no")
+        .agg((F.sum("slot_ub") * F.lit(S * S)).alias("ub"))
+        .persist()
+    )
+
+    m = start_blocks
+    result: Optional[DataFrame] = None
+    for _ in range(max_iters):
+        cand = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
+            .limit(m)
+            .select("block_no")
+            .persist()
+        )
+        # exact scores for candidate blocks only (broadcast semi-join —
+        # scales past any IN-list size)
+        hit_frames = []
+        for field, terms, blocks in block_frames:
+            sel = blocks.join(F.broadcast(cand), "block_no", "left_semi")
+            flat = decode_blocks_df(sel.select("term_id", "data"))
+            joined = flat.join(
+                F.broadcast(terms.select("term_id", "term_score", "slot")), "term_id"
+            )
+            hit_frames.append(
+                joined.select(
+                    "doc_id",
+                    "slot",
+                    (
+                        F.col("term_score")
+                        * (F.col("score").cast("double") / F.lit(100.0))
+                    ).alias("s"),
+                )
+            )
+        hits = hit_frames[0]
+        for h in hit_frames[1:]:
+            hits = hits.unionAll(h)
+        per_slot = hits.groupBy("doc_id", "slot").agg(F.max("s").alias("slot_max"))
+        exact = per_slot.groupBy("doc_id").agg(
+            (
+                F.sum("slot_max")
+                * F.pow(
+                    F.sum(
+                        F.when(F.col("slot_max") >= F.lit(1e-5), 1).otherwise(0)
+                    ).cast("double"),
+                    F.lit(2.0),
+                )
+            ).alias("score")
+        )
+        topk = exact.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
+        rows = topk.collect()
+
+        # threshold check against undecoded blocks
+        remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
+        max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
+        cand.unpersist()
+        kth = rows[-1]["score"] if len(rows) >= k else None
+        # strict >: an undecoded block with ub == kth could still hold a
+        # doc that wins the (score, doc_id desc) tie-break
+        if max_remaining is None or (kth is not None and kth > max_remaining):
+            result = spark.createDataFrame(rows, "doc_id long, score double")
+            break
+        m *= 4
+    if result is None:
+        # iteration budget exhausted — decode everything (still correct,
+        # just unpruned); practically unreachable with max_iters=8 (the
+        # candidate set grows 4× per round)
+        result = topk
+
+    for _, terms, _ in block_frames:
+        terms.unpersist()
+    block_ub.unpersist()
+    return result

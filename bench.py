@@ -213,7 +213,9 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        res = run_scaling(sf_dir)
+        res = run_scaling(
+            sf_dir, replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40"))
+        )
         print(json.dumps(res))
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "a") as f:

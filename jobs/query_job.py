@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point: run queries against a built index.
+
+    spark-submit --py-files veloci_spark.zip jobs/query_job.py \
+        --index s3://bucket/index/v1/ \
+        --query 'myfun~1 AND filepath:src' \
+        --fields content --top 10 [--wand] [--select content,path]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# local runs: make the repo root importable (on a cluster the package
+# arrives via spark-submit --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.index import Index
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--fields", default=None)
+    ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--skip", type=int, default=0)
+    ap.add_argument("--facets", default=None)
+    ap.add_argument("--filter", default=None)
+    ap.add_argument("--select", default=None)
+    ap.add_argument("--why-found", action="store_true")
+    ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("veloci-spark-query").getOrCreate()
+    idx = Index(spark, args.index)
+
+    params = QueryGeneratorParameters(
+        search_term=args.query,
+        fields=args.fields.split(",") if args.fields else None,
+        facets=args.facets.split(",") if args.facets else None,
+        filter=args.filter,
+        select=args.select.split(",") if args.select else None,
+        why_found=args.why_found,
+        top=args.top,
+        skip=args.skip,
+    )
+    request = generate_request(idx, params)
+
+    if args.wand:
+        from veloci_spark.request import OrNode, SearchPart
+        from veloci_spark.wand import wand_or_topk
+
+        node = request.search
+        assert isinstance(node, (OrNode, SearchPart)), "--wand supports flat OR queries"
+        rows = wand_or_topk(idx, node, k=args.top + args.skip).collect()
+        rows = rows[args.skip:]
+    else:
+        rows = search(idx, request).hits.collect()
+
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

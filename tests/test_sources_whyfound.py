@@ -1,0 +1,78 @@
+"""ndjson/CSV ingest, nested-JSON flattening, and why_found-in-search."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.executor import search
+from veloci_spark.request import Request, SearchPart
+from veloci_spark.sources import (
+    flatten_for_indexing,
+    flattened_paths,
+    load_csv,
+    load_ndjson,
+)
+
+
+@pytest.fixture(scope="module")
+def ndjson_path(tmp_root):
+    p = os.path.join(tmp_root, "docs.ndjson")
+    rows = [
+        {"text": "hello spark world", "meta": {"lang": "en"},
+         "tags": ["a", "b"], "subs": [{"name": "x"}, {"name": "y"}], "n": 3},
+        {"text": "zweite zeile", "meta": {"lang": "de"},
+         "tags": ["c"], "subs": [{"name": "z"}], "n": 7},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return p
+
+
+def test_load_ndjson_assigns_ids(spark, ndjson_path):
+    df = load_ndjson(spark, ndjson_path)
+    assert "doc_id" in df.columns
+    ids = sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids == [0, 1]
+
+
+def test_flattened_paths(spark, ndjson_path):
+    df = load_ndjson(spark, ndjson_path)
+    paths = dict(flattened_paths(df.schema))
+    assert "meta.lang" in paths
+    assert "tags[]" in paths
+    assert "subs[].name" in paths
+
+
+def test_flatten_for_indexing(spark, ndjson_path):
+    df = load_ndjson(spark, ndjson_path)
+    flat = flatten_for_indexing(df)
+    row = {r["doc_id"]: r for r in flat.collect()}
+    assert row[0]["meta__lang"] == "en"
+    assert row[0]["tags"] == "a\nb"
+    assert row[0]["subs__name"] == "x\ny"
+    assert row[0]["n"] == "3"  # stringified like the reference
+
+
+def test_load_csv(spark, tmp_root):
+    p = os.path.join(tmp_root, "docs.csv")
+    with open(p, "w") as f:
+        f.write("line,filename\nfunction myfun(),cool.ts\nother line,x.md\n")
+    df = load_csv(spark, p)
+    assert set(df.columns) == {"line", "filename", "doc_id"}
+    assert df.count() == 2
+
+
+def test_why_found_in_search(tiny_index):
+    req = Request(
+        search=SearchPart(field="line", term="myfun"),
+        select=("line",),
+        why_found=True,
+        top=5,
+    )
+    rows = search(tiny_index, req).hits.collect()
+    assert rows, "expected hits"
+    hl = {r["doc_id"]: r["why_found_line"] for r in rows}
+    assert any(v and "<b>myfun</b>" in v for v in hl.values())

@@ -395,8 +395,37 @@ def search(index: Index, request: Request) -> SearchResult:
         topk = topk.offset(request.skip)
 
     if request.select:
-        topk = topk.join(index.docstore(), "doc_id").select(
-            "doc_id", "score", *request.select
+        # the doc-store join does not preserve sort order — re-apply it
+        topk = (
+            topk.join(index.docstore(), "doc_id")
+            .select("doc_id", "score", *request.select)
+            .orderBy(F.desc("score"), F.desc("doc_id"))
         )
+
+    # why_found: highlighted snippets for the selected text fields on the
+    # top-k rows only (search.rs:220-224, why_found.rs:11-49)
+    if request.why_found and request.select:
+        from veloci_spark.highlight import why_found_column
+        from veloci_spark.match_terms import match_terms as _mt
+        from veloci_spark.request import leaves as _leaves
+
+        per_field_terms: dict[str, set[str]] = {}
+        for p in _leaves(simplify(request.search)):
+            terms = [
+                r["term"] for r in _mt(index, p).select("term").collect()
+            ]
+            per_field_terms.setdefault(p.field, set()).update(terms)
+        for fld in request.select:
+            if fld in per_field_terms:
+                conf = index.field_conf(fld)
+                seps = tuple(conf.get("tokenize_on_chars") or ()) or None
+                kw = {"separators": seps} if seps else {}
+                topk = why_found_column(
+                    topk,
+                    fld,
+                    per_field_terms[fld],
+                    out_col=f"why_found_{fld}",
+                    **kw,
+                )
 
     return SearchResult(hits=topk, all_hits=all_hits, facets=facets)

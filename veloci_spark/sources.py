@@ -1,0 +1,96 @@
+"""Corpus sources: ndjson / CSV ingest and nested-JSON flattening.
+
+Reference parity:
+- ndjson reader (one JSON object per line = one document,
+  /root/reference/src/create.rs:929-965) → `spark.read.json` with doc_id
+  = ingest line order;
+- CSV ingest (/root/reference/src/create_from_csv.rs:1-19) →
+  `spark.read.csv`;
+- nested fields flattened to dotted paths with arrays marked `[]`
+  (/root/reference/json_converter/src/lib.rs:69-138): `sub[].name`.
+  Spark keeps them as StructType/ArrayType; :func:`flatten_for_indexing`
+  produces the per-path string columns the index builder consumes
+  (arrays concatenated per doc for v1; per-value 1:n indexing is the
+  multi-value roadmap item).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+from veloci_spark.ids import assign_rank_ids
+
+
+def load_ndjson(spark: SparkSession, path: str, ordered_ids: bool = True) -> DataFrame:
+    """Read line-delimited JSON as the corpus; ``doc_id`` = stable rank
+    over the input order (the reference's anchor_id is the line number).
+    Spark has no global line numbers across files, so order is defined by
+    (file, offset-in-file) — deterministic for the same input files."""
+    df = spark.read.json(path)
+    if "doc_id" in df.columns:
+        return df
+    if not ordered_ids:
+        return df.withColumn("doc_id", F.monotonically_increasing_id())
+    with_src = df.withColumn("__file", F.input_file_name()).withColumn(
+        "__off", F.monotonically_increasing_id()
+    )
+    out = assign_rank_ids(with_src, ["__file", "__off"], "doc_id")
+    return out.drop("__file", "__off")
+
+
+def load_csv(
+    spark: SparkSession, path: str, header: bool = True, sep: str = ","
+) -> DataFrame:
+    df = spark.read.csv(path, header=header, sep=sep, inferSchema=False)
+    if "doc_id" not in df.columns:
+        df = df.withColumn("__file", F.input_file_name()).withColumn(
+            "__off", F.monotonically_increasing_id()
+        )
+        df = assign_rank_ids(df, ["__file", "__off"], "doc_id").drop(
+            "__file", "__off"
+        )
+    return df
+
+
+def flattened_paths(schema: StructType, prefix: str = "") -> list[tuple[str, str]]:
+    """[(dotted_path, spark_column_expr)] over a nested schema, arrays
+    marked with ``[]`` like the reference's addressing scheme."""
+    out: list[tuple[str, str]] = []
+    for f in schema.fields:
+        name = f"{prefix}{f.name}"
+        dt = f.dataType
+        if isinstance(dt, StructType):
+            out.extend(flattened_paths(dt, prefix=name + "."))
+        elif isinstance(dt, ArrayType):
+            el = dt.elementType
+            if isinstance(el, StructType):
+                for sub, _ in flattened_paths(el):
+                    out.append((f"{name}[].{sub}", f"{name}.{sub}"))
+            else:
+                out.append((f"{name}[]", name))
+        else:
+            out.append((name, name))
+    return out
+
+
+def flatten_for_indexing(df: DataFrame) -> DataFrame:
+    """One string column per dotted path (array values joined with a
+    newline — each value still tokenizes identically since '\\n' is a
+    separator). Numbers/bools are stringified like the reference's
+    convert_to_string (json_converter/src/lib.rs:6-14)."""
+    cols = [F.col("doc_id")] if "doc_id" in df.columns else []
+    for dotted, expr in flattened_paths(df.schema):
+        if dotted == "doc_id":
+            continue
+        alias = dotted.replace("[].", "__").replace("[]", "").replace(".", "__")
+        if "[]" in dotted:
+            c = F.array_join(
+                F.transform(F.col(expr), lambda x: x.cast("string")), "\n"
+            )
+        else:
+            c = F.col(expr).cast("string")
+        cols.append(c.alias(alias))
+    return df.select(*cols)

@@ -29,13 +29,17 @@ def suggest(
     fields = list(fields or index.field_names())
     frames = []
     for f in fields:
+        # NB: no per-field candidate truncation (part.top) here — the
+        # reference truncates per field by (score, id) while the merged
+        # result orders by (score, text), so pre-truncation could drop a
+        # term that the final order would keep when scores tie. The final
+        # limit below bounds the result; dictionary prefix pruning bounds
+        # the scan.
         part = SearchPart(
             field=f,
             term=term,
             levenshtein=levenshtein,
             starts_with=True,
-            top=top,
-            skip=skip,
         )
         frames.append(match_terms(index, part).select("term", "term_score"))
     u = frames[0]

@@ -121,7 +121,11 @@ def _build_dictionary(
     for s in sources[1:]:
         counts = counts.unionAll(s)
     counts = counts.groupBy("term").agg(F.count("*").alias("num_occurences"))
-    return assign_rank_ids(counts, ["term"], "term_id", cfg.dict_partitions)
+    ranked = assign_rank_ids(counts, ["term"], "term_id", cfg.dict_partitions)
+    # materialized lowercase column: lets case-insensitive exact/prefix
+    # predicates push down to the Parquet scan (a lower(term)=x wrapper
+    # reaches the scan as IsNotNull only — observed via explain)
+    return ranked.withColumn("term_lower", F.lower("term"))
 
 
 def _build_flat_postings(

@@ -31,7 +31,9 @@ def match_terms(index: Index, part: SearchPart) -> DataFrame:
     """→ (term_id, term, term_score) for dictionary terms matching `part`."""
     d = index.dictionary(part.field)
     term = F.col("term")
-    lterm = F.lower(term)
+    # prefer the materialized lowercase column (predicate pushdown; falls
+    # back to lower() for indices built before it existed)
+    lterm = F.col("term_lower") if "term_lower" in d.columns else F.lower(term)
     q = part.term
     lq = q.lower()
 

@@ -59,8 +59,31 @@ def main() -> None:
         from veloci_spark.request import OrNode, SearchPart
         from veloci_spark.wand import wand_or_topk
 
+        # --wand implements ONLY the flat-OR scored path; anything that
+        # would alter or post-process scores must be rejected rather than
+        # silently dropped (a --wand --filter run returning unfiltered
+        # hits would be a wrong answer, not a slower one).
+        unsupported = []
+        if request.filter is not None:
+            unsupported.append("--filter")
+        if request.boost or request.boost_term or request.phrase_boosts:
+            unsupported.append("boosts")
+        if request.facets:
+            unsupported.append("--facets")
+        if request.text_locality:
+            unsupported.append("text_locality")
+        if unsupported:
+            ap.error(
+                "--wand supports plain OR term queries only; drop --wand or "
+                + ", ".join(unsupported)
+            )
         node = request.search
-        assert isinstance(node, (OrNode, SearchPart)), "--wand supports flat OR queries"
+        flat_or = isinstance(node, SearchPart) or (
+            isinstance(node, OrNode)
+            and all(isinstance(p, SearchPart) for p in node.parts)
+        )
+        if not flat_or:
+            ap.error("--wand supports a flat OR of term leaves only (no AND/nesting)")
         rows = wand_or_topk(idx, node, k=args.top + args.skip).collect()
         rows = rows[args.skip:]
     else:

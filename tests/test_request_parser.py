@@ -102,3 +102,38 @@ def test_score_expression():
     assert py_score_expression("$SCORE + 2.0", 10.0) == 12.0
     assert py_score_expression("10.0 / $SCORE", 2.0) == 5.0
     assert py_score_expression("$SCORE * $SCORE", 3.0) == 9.0
+
+
+# ---------------------------------------------------------------------------
+# AST-driven phrase-pair generation (round 2; query_parser/src/ast.rs:122-148)
+# ---------------------------------------------------------------------------
+
+def test_phrase_pairs_adjacent():
+    from veloci_spark.generator import ast_phrase_pairs
+    from veloci_spark.parser import parse_query
+
+    assert ast_phrase_pairs(parse_query("a b c")) == {("a", "b"), ("b", "c")}
+
+
+def test_phrase_pairs_attr_group():
+    from veloci_spark.generator import ast_phrase_pairs
+    from veloci_spark.parser import parse_query
+
+    # pairs cross attribute boundaries (reference keeps last_term across
+    # top-level Attributed nodes)
+    assert ast_phrase_pairs(parse_query("x:(a b) d")) == {("a", "b"), ("b", "d")}
+
+
+def test_phrase_pairs_operators_and_wildcards():
+    from veloci_spark.generator import ast_phrase_pairs
+    from veloci_spark.parser import parse_query
+
+    # AND/OR don't break adjacency; wildcard terms break the chain
+    assert ast_phrase_pairs(parse_query("a AND b OR c* d")) == {("a", "b")}
+
+
+def test_phrase_pairs_quoted():
+    from veloci_spark.generator import ast_phrase_pairs
+    from veloci_spark.parser import parse_query
+
+    assert ast_phrase_pairs(parse_query('"q w" e')) == {("q w", "e")}

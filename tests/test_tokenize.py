@@ -93,3 +93,37 @@ def test_pandas_tokenizer_matches_python(spark):
     rows = df.select(udf("text")).collect()
     for (text,), row in zip(texts, rows):
         assert row[0] == toks(text)
+
+
+# ---------------------------------------------------------------------------
+# Ungrouped SimpleTokenizer variant + query-side normalize_text (round 2)
+# ---------------------------------------------------------------------------
+
+def test_ungrouped_separators():
+    # the reference's own inline example, simple_tokenizer.rs:3-4
+    from veloci_spark.tokenize import py_tokenize
+
+    assert list(py_tokenize("ok---nice", grouped=False)) == [
+        ("ok", False), ("-", True), ("-", True), ("-", True), ("nice", False)
+    ]
+
+
+def test_ungrouped_regex_matches_python():
+    import re
+    from veloci_spark.tokenize import py_tokenize, run_pattern
+
+    pat = re.compile(run_pattern(grouped=False))
+    for text in ["ok---nice", " lead", "trail  ", "a", "", "a b,,c"]:
+        assert re.findall(pat, text) == [t for t, _ in py_tokenize(text, grouped=False)]
+
+
+def test_normalize_text():
+    # vectors from /root/reference/src/util.rs:11-29 regex list
+    from veloci_spark.tokenize import normalize_text
+
+    assert normalize_text("Majestät (f)") == "majestät"
+    assert normalize_text("majestätischer Anblick (m)") == "majestätischer anblick"
+    assert normalize_text('{a} "b" c-d') == "a b cd"
+    assert normalize_text("x,y.z…w;v’u") == "xyzwvu"
+    assert normalize_text("a\t\tb   c") == "a b c"
+    assert normalize_text("(abc)") == "abc"

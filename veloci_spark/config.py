@@ -37,6 +37,11 @@ class FieldConfig:
     #: texts longer than this (bytes) don't become whole-text dictionary
     #: terms (/root/reference/src/metadata.rs:66-68).
     max_text_bytes: int = DEFAULT_MAX_TEXT_BYTES
+    #: True → SimpleTokenizerCharsIterateGroupTokens (maximal separator
+    #: runs are one token); False → ungrouped SimpleTokenizer (every
+    #: separator char is its own token,
+    #: /root/reference/src/tokenizer/simple_tokenizer.rs:1-73).
+    tokenizer_grouped: bool = True
     #: build the phrase-pair index for this field
     #: (/root/reference/src/create.rs:251-263).
     phrase_pairs: bool = False

@@ -106,8 +106,18 @@ class _Executor:
 
     def leaf_ids(self, part: SearchPart) -> DataFrame:
         """Ids-only resolution for filter subtrees (docs containing any
-        matched term; scores dropped — set_op.rs:222-258 filter mode)."""
-        return self.leaf_hits(part).select("doc_id")
+        matched term — set_op.rs:222-258 filter mode).
+
+        When the leaf is NOT shared with a scoring consumer, the term-score
+        join and per-doc max aggregation are skipped entirely (the
+        reference's cheaper get_ids mode): decode doc_ids, distinct. A
+        shared leaf reuses the scored resolution (FieldRequestCache
+        semantics) so the work happens once."""
+        if part in self._leaf_cache or part in self._persist_parts:
+            return self.leaf_hits(part).select("doc_id")
+        terms = match_terms(self.index, part)
+        postings = self.index.postings_for(part.field, terms)
+        return postings.select("doc_id").distinct()
 
     # ------------------------------------------------------------- set ops
     def node_hits(self, node: Node) -> DataFrame:
@@ -251,10 +261,12 @@ class _Executor:
         """Docs containing the adjacent pair: (terms of t1 × terms of t2)
         ⋈ phrase index (search_field.rs:247-275)."""
         t1 = match_terms(
-            self.index, SearchPart(field=pb.field, term=pb.term1)
+            self.index,
+            SearchPart(field=pb.field, term=pb.term1, levenshtein=pb.levenshtein1),
         ).select(F.col("term_id").alias("term_id_1"))
         t2 = match_terms(
-            self.index, SearchPart(field=pb.field, term=pb.term2)
+            self.index,
+            SearchPart(field=pb.field, term=pb.term2, levenshtein=pb.levenshtein2),
         ).select(F.col("term_id").alias("term_id_2"))
         pairs = self.index.phrase_pairs(pb.field)
         return (

@@ -127,6 +127,34 @@ def _expand(ast, fields: list[str], params: QueryGeneratorParameters) -> Optiona
     return node
 
 
+def ast_phrase_pairs(ast) -> set[tuple[str, str]]:
+    """Adjacent-leaf pairs from the parsed AST, mirroring
+    `UserAST::get_phrase_pairs` (/root/reference/query_parser/src/ast.rs:122-148):
+    an in-order walk pairing each leaf with the previous leaf — including
+    across operators and attribute scopes (`a AND x:b` pairs (a,b); the
+    reference's reset branch only fires for *nested* attributed contexts,
+    which this flat-attr AST cannot produce). Wildcard terms are excluded
+    (they resolve to regex/prefix scans, not dictionary phrase terms)."""
+    collect: set[tuple[str, str]] = set()
+    state: dict[str, Optional[str]] = {"last": None}
+
+    def walk(node) -> None:
+        if isinstance(node, UserLeaf):
+            if "*" in node.term:
+                state["last"] = None
+                return
+            if state["last"] is not None:
+                collect.add((state["last"], node.term))
+            state["last"] = node.term
+            return
+        assert isinstance(node, UserBinary)
+        walk(node.left)
+        walk(node.right)
+
+    walk(ast)
+    return collect
+
+
 def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
     fields = params.fields or index.field_names()
 
@@ -153,14 +181,25 @@ def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
 
     phrase_boosts: tuple[PhraseBoost, ...] = ()
     if params.phrase_pairs and not params.parser_disabled:
-        words = [
-            t for t in params.search_term.split() if t not in ("AND", "OR")
-            and "*" not in t and ":" not in t and not t.startswith('"')
-        ]
         pairs = []
-        for a, b in zip(words, words[1:]):
+        for a, b in sorted(ast_phrase_pairs(ast)):
+            lev_a = (
+                params.levenshtein
+                if params.levenshtein is not None
+                else auto_levenshtein(a, params.levenshtein_auto_limit, False)
+            )
+            lev_b = (
+                params.levenshtein
+                if params.levenshtein is not None
+                else auto_levenshtein(b, params.levenshtein_auto_limit, False)
+            )
             for f in fields:
-                pairs.append(PhraseBoost(field=f, term1=a, term2=b))
+                pairs.append(
+                    PhraseBoost(
+                        field=f, term1=a, term2=b,
+                        levenshtein1=lev_a, levenshtein2=lev_b,
+                    )
+                )
         phrase_boosts = tuple(pairs)
 
     boost_term = tuple(

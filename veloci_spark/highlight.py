@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 
@@ -71,8 +72,6 @@ def highlight_text(
         parts.append("".join(chunk))
         if hi < len(runs):
             parts.append(connector)
-        if idx + 1 < len(ranges):
-            pass
     return "".join(parts)
 
 
@@ -84,13 +83,18 @@ def why_found_column(
     out_col: str = "why_found",
     **kw,
 ) -> DataFrame:
-    """Add a snippet column to a (small, top-k) DataFrame."""
+    """Add a snippet column to a (small, top-k) DataFrame.
+
+    Arrow-batched pandas UDF (one Python call per batch, not per row);
+    the per-text snippet assembly is inherently sequential — the
+    reference is also per-hit serial (search.rs:220-224) — but it only
+    ever runs on the k result rows."""
     toks = set(matched_tokens)
 
-    @F.udf(StringType())
-    def _hl(text):
-        if text is None:
-            return None
-        return highlight_text(text, toks, separators, **kw)
+    @F.pandas_udf(StringType())
+    def _hl(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else highlight_text(t, toks, separators, **kw)
+        )
 
     return df.withColumn(out_col, _hl(F.col(text_col)))

@@ -20,7 +20,6 @@ No Python in any of these paths.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from veloci_spark.index import Index
 from veloci_spark.request import SearchPart
@@ -65,11 +64,14 @@ def match_terms(index: Index, part: SearchPart) -> DataFrame:
             prefix_matches = F.lit(False)
         else:
             # length prefilter costs nothing and prunes most of the
-            # dictionary before the DP distance runs
+            # dictionary before the DP distance runs. It must measure the
+            # LOWERCASED term: the distance is computed on lower(term), and
+            # a few characters change length under lowercasing (e.g. 'İ'),
+            # so filtering on length(term) could prune a valid candidate.
             lenq = len(lq)
             cand = d.where(
-                (F.length(term) >= F.lit(lenq - lev))
-                & (F.length(term) <= F.lit(lenq + lev))
+                (F.length(lterm) >= F.lit(lenq - lev))
+                & (F.length(lterm) <= F.lit(lenq + lev))
             )
             thresh = F.levenshtein(lterm, F.lit(lq), lev)
             cand = cand.where(thresh >= 0)
@@ -86,12 +88,10 @@ def match_terms(index: Index, part: SearchPart) -> DataFrame:
     if part.top is not None:
         # per-part candidate truncation to top+skip, ordered by
         # (score desc, term_id desc) — search_field.rs:292-331 with the
-        # sort_by_score_and_id comparator (search.rs:123-130)
+        # sort_by_score_and_id comparator (search.rs:123-130).
+        # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+        # top-n + driver merge) — no single-partition global window, so a
+        # fuzzy/prefix scan over a huge dictionary stays parallel.
         n = part.top + (part.skip or 0)
-        w = Window.orderBy(F.desc("term_score"), F.desc("term_id"))
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= F.lit(n))
-            .drop("__rn")
-        )
+        out = out.orderBy(F.desc("term_score"), F.desc("term_id")).limit(n)
     return out

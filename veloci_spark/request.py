@@ -84,11 +84,15 @@ class FacetRequest:
 @dataclass(frozen=True)
 class PhraseBoost:
     """Docs containing the adjacent token pair (search1, search2) in
-    `field` get score *= 5.0 (/root/reference/src/plan_creator/plan_steps.rs:271)."""
+    `field` get score *= 5.0 (/root/reference/src/plan_creator/plan_steps.rs:271).
+    Each side is matched like a search leaf, including fuzzy distance
+    (query_generator.rs:267-283 passes levenshtein per term)."""
 
     field: str
     term1: str
     term2: str
+    levenshtein1: Optional[int] = None
+    levenshtein2: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -24,21 +24,34 @@ from pyspark.sql.types import ArrayType, StructType
 from veloci_spark.ids import assign_rank_ids
 
 
+def _with_line_order_ids(df: DataFrame) -> DataFrame:
+    """doc_id = exact line order (file path, then line within file).
+
+    Spark packs file splits into partitions largest-first, so a bare
+    ``monotonically_increasing_id`` does NOT follow line order when a file
+    spans several splits. Sorting by (file_path, file_block_start, mono_id)
+    does: splits of one file order by their byte offset, and within one
+    split rows are contiguous in a single partition so the monotonic id
+    ascends in read (= line) order."""
+    with_src = (
+        df.withColumn("__file", F.col("_metadata.file_path"))
+        .withColumn("__blk", F.col("_metadata.file_block_start"))
+        .withColumn("__off", F.monotonically_increasing_id())
+    )
+    out = assign_rank_ids(with_src, ["__file", "__blk", "__off"], "doc_id")
+    return out.drop("__file", "__blk", "__off")
+
+
 def load_ndjson(spark: SparkSession, path: str, ordered_ids: bool = True) -> DataFrame:
     """Read line-delimited JSON as the corpus; ``doc_id`` = stable rank
-    over the input order (the reference's anchor_id is the line number).
-    Spark has no global line numbers across files, so order is defined by
-    (file, offset-in-file) — deterministic for the same input files."""
+    over the input line order (the reference's anchor_id is the line
+    number, /root/reference/src/create.rs:46)."""
     df = spark.read.json(path)
     if "doc_id" in df.columns:
         return df
     if not ordered_ids:
         return df.withColumn("doc_id", F.monotonically_increasing_id())
-    with_src = df.withColumn("__file", F.input_file_name()).withColumn(
-        "__off", F.monotonically_increasing_id()
-    )
-    out = assign_rank_ids(with_src, ["__file", "__off"], "doc_id")
-    return out.drop("__file", "__off")
+    return _with_line_order_ids(df)
 
 
 def load_csv(
@@ -46,12 +59,7 @@ def load_csv(
 ) -> DataFrame:
     df = spark.read.csv(path, header=header, sep=sep, inferSchema=False)
     if "doc_id" not in df.columns:
-        df = df.withColumn("__file", F.input_file_name()).withColumn(
-            "__off", F.monotonically_increasing_id()
-        )
-        df = assign_rank_ids(df, ["__file", "__off"], "doc_id").drop(
-            "__file", "__off"
-        )
+        df = _with_line_order_ids(df)
     return df
 
 

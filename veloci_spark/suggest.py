@@ -27,21 +27,28 @@ def suggest(
 ) -> DataFrame:
     """→ (text, score) suggestions, best first."""
     fields = list(fields or index.field_names())
+    n = top + skip
     frames = []
     for f in fields:
-        # NB: no per-field candidate truncation (part.top) here — the
-        # reference truncates per field by (score, id) while the merged
-        # result orders by (score, text), so pre-truncation could drop a
-        # term that the final order would keep when scores tie. The final
-        # limit below bounds the result; dictionary prefix pruning bounds
-        # the scan.
+        # Per-field candidate cap, by the SAME order the merged result
+        # uses — (score desc, term asc) — so truncation is lossless: any
+        # term dropped from a field's top-n is dominated there by n terms
+        # whose merged (max-over-fields) score can only improve, hence it
+        # can never enter the final top-n. (The reference truncates by
+        # (score, id) — search_field.rs:292-331 — which is unsafe under
+        # its own merged (score, text) order; deviation documented.)
+        # orderBy+limit = TakeOrderedAndProject: bounded memory per field
+        # even on a huge dictionary scan.
         part = SearchPart(
             field=f,
             term=term,
             levenshtein=levenshtein,
             starts_with=True,
         )
-        frames.append(match_terms(index, part).select("term", "term_score"))
+        cand = match_terms(index, part).select("term", "term_score")
+        frames.append(
+            cand.orderBy(F.desc("term_score"), F.asc("term")).limit(n)
+        )
     u = frames[0]
     for fr in frames[1:]:
         u = u.unionAll(fr)

@@ -48,11 +48,18 @@ def _class_body(separators: Sequence[str]) -> str:
     return "".join(out)
 
 
-def run_pattern(separators: Sequence[str] = DEFAULT_SEPARATORS) -> str:
-    """Regex matching one run (token or separator group); portable
-    across Python / Java regex / RE2."""
+def run_pattern(separators: Sequence[str] = DEFAULT_SEPARATORS, grouped: bool = True) -> str:
+    """Regex matching one run; portable across Python / Java regex / RE2.
+
+    grouped=True → `SimpleTokenizerCharsIterateGroupTokens` semantics
+    (maximal separator runs are one token); grouped=False → ungrouped
+    `SimpleTokenizer` semantics: every separator char is its own token
+    ("ok---nice" → ok, -, -, -, nice;
+    /root/reference/src/tokenizer/simple_tokenizer.rs:1-73)."""
     body = _class_body(separators)
-    return f"[^{body}]+|[{body}]+"
+    if grouped:
+        return f"[^{body}]+|[{body}]+"
+    return f"[^{body}]+|[{body}]"
 
 
 def sep_class(separators: Sequence[str] = DEFAULT_SEPARATORS) -> str:
@@ -64,10 +71,14 @@ def sep_class(separators: Sequence[str] = DEFAULT_SEPARATORS) -> str:
 # JVM-side tokenization (default hot path: whole-stage codegen, no Python)
 # ---------------------------------------------------------------------------
 
-def tokenize_expr(col: Column | str, separators: Sequence[str] = DEFAULT_SEPARATORS) -> Column:
+def tokenize_expr(
+    col: Column | str,
+    separators: Sequence[str] = DEFAULT_SEPARATORS,
+    grouped: bool = True,
+) -> Column:
     """array<string> of runs, in order (tokens and separator groups)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(run_pattern(separators)), 0)
+    return F.regexp_extract_all(c, F.lit(run_pattern(separators, grouped)), 0)
 
 
 def is_separator_expr(tok: Column, separators: Sequence[str] = DEFAULT_SEPARATORS) -> Column:
@@ -87,12 +98,14 @@ def has_tokens_expr(runs: Column) -> Column:
 # Arrow-vectorized pandas UDF variant (same semantics)
 # ---------------------------------------------------------------------------
 
-def tokenize_pandas_udf(separators: Sequence[str] = DEFAULT_SEPARATORS):
+def tokenize_pandas_udf(
+    separators: Sequence[str] = DEFAULT_SEPARATORS, grouped: bool = True
+):
     """Returns a pandas UDF string -> array<string> with identical output
     to :func:`tokenize_expr` (Arrow batch transfer; vectorized
     `Series.str.findall`, no per-row Python loops)."""
     from pyspark.sql.types import ArrayType, StringType
-    pat = re.compile(run_pattern(separators))
+    pat = re.compile(run_pattern(separators, grouped))
 
     @F.pandas_udf(ArrayType(StringType()))
     def _tok(s: pd.Series) -> pd.Series:
@@ -105,8 +118,14 @@ def tokenize_pandas_udf(separators: Sequence[str] = DEFAULT_SEPARATORS):
 # Pure-Python reference implementation (tests / query-side single strings)
 # ---------------------------------------------------------------------------
 
-def py_tokenize(text: str, separators: Iterable[str] = DEFAULT_SEPARATORS) -> Iterator[tuple[str, bool]]:
-    """Yield (run, is_separator) exactly like the reference iterator."""
+def py_tokenize(
+    text: str,
+    separators: Iterable[str] = DEFAULT_SEPARATORS,
+    grouped: bool = True,
+) -> Iterator[tuple[str, bool]]:
+    """Yield (run, is_separator) exactly like the reference iterators
+    (grouped → simple_tokenizer_group.rs; ungrouped → simple_tokenizer.rs,
+    one yield per separator char)."""
     seps = set(separators)
     if not text:
         return
@@ -118,7 +137,33 @@ def py_tokenize(text: str, separators: Iterable[str] = DEFAULT_SEPARATORS) -> It
             yield text[start:i], cur_is_sep
             start = i
             cur_is_sep = is_sep
+        elif is_sep and not grouped and i > start:
+            yield text[start:i], True
+            start = i
     yield text[start:], cur_is_sep
+
+
+# ---------------------------------------------------------------------------
+# Query-side text normalization (reference /root/reference/src/util.rs:11-29)
+# ---------------------------------------------------------------------------
+
+_NORMALIZE_STEPS: list[tuple["re.Pattern[str]", str]] = [
+    (re.compile(r"\([fmn\d]\)"), " "),   # strip gender/number markers "(f)"
+    (re.compile(r"[()]"), " "),          # remove braces
+    (re.compile(r"[{}'\"“]"), ""),       # remove quotes/curlies
+    (re.compile(r"\s\s+"), " "),         # collapse whitespace runs
+    (re.compile(r"[,.…;・’-]"), ""),      # remove punctuation
+]
+
+
+def normalize_text(text: str) -> str:
+    """Query-side normalization, step-for-step the reference's
+    `normalize_text` (applied to query terms before the dictionary scan,
+    /root/reference/src/search/search_field.rs:234)."""
+    out = text
+    for pat, repl in _NORMALIZE_STEPS:
+        out = pat.sub(repl, out)
+    return out.lower().strip()
 
 
 def py_has_tokens(text: str, separators: Iterable[str] = DEFAULT_SEPARATORS) -> bool:

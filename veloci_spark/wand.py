@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 from veloci_spark.index import Index, decode_blocks_df
 from veloci_spark.match_terms import match_terms
 from veloci_spark.request import OrNode, SearchPart
+from veloci_spark.scoring import py_score_e4, score_e4
 
 
 def wand_or_topk(
@@ -88,20 +89,18 @@ def wand_or_topk(
         .persist()
     )
 
-    m = start_blocks
-    result: Optional[DataFrame] = None
-    for _ in range(max_iters):
-        cand = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
-            .limit(m)
-            .select("block_no")
-            .persist()
-        )
-        # exact scores for candidate blocks only (broadcast semi-join —
-        # scales past any IN-list size)
+    def _exact_topk(cand: Optional[DataFrame]) -> list:
+        """Exact OR top-k over the candidate block set (None = ALL blocks).
+        Ranked by (score_e4 desc, doc_id desc) — the same quantized order
+        the final consumer uses, so the retained doc set cannot drift from
+        the exhaustive path at the k boundary when two raw scores quantize
+        to the same e4 value."""
         hit_frames = []
         for field, terms, blocks in block_frames:
-            sel = blocks.join(F.broadcast(cand), "block_no", "left_semi")
+            sel = blocks
+            if cand is not None:
+                # broadcast semi-join — scales past any IN-list size
+                sel = sel.join(F.broadcast(cand), "block_no", "left_semi")
             flat = decode_blocks_df(sel.select("term_id", "data"))
             joined = flat.join(
                 F.broadcast(terms.select("term_id", "term_score", "slot")), "term_id"
@@ -131,25 +130,45 @@ def wand_or_topk(
                 )
             ).alias("score")
         )
-        topk = exact.orderBy(F.desc("score"), F.desc("doc_id")).limit(k)
-        rows = topk.collect()
+        topk = exact.orderBy(
+            F.desc(score_e4(F.col("score"))), F.desc("doc_id")
+        ).limit(k)
+        return topk.collect()
+
+    m = start_blocks
+    result: Optional[DataFrame] = None
+    for _ in range(max_iters):
+        cand = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
+            .limit(m)
+            .select("block_no")
+            .persist()
+        )
+        rows = _exact_topk(cand)
 
         # threshold check against undecoded blocks
         remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
         max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
         cand.unpersist()
         kth = rows[-1]["score"] if len(rows) >= k else None
-        # strict >: an undecoded block with ub == kth could still hold a
-        # doc that wins the (score, doc_id desc) tie-break
-        if max_remaining is None or (kth is not None and kth > max_remaining):
+        # compare in QUANTIZED space: an undecoded block whose ub quantizes
+        # to the same e4 bucket as the kth hit could still hold a doc that
+        # wins the (score_e4, doc_id desc) tie-break, so we stop only when
+        # the remaining upper bound falls strictly below the kth e4 value
+        if max_remaining is None or (
+            kth is not None and py_score_e4(kth) > py_score_e4(max_remaining)
+        ):
             result = spark.createDataFrame(rows, "doc_id long, score double")
             break
         m *= 4
     if result is None:
-        # iteration budget exhausted — decode everything (still correct,
-        # just unpruned); practically unreachable with max_iters=8 (the
-        # candidate set grows 4× per round)
-        result = topk
+        # iteration budget exhausted (plausible with many equal upper
+        # bounds, e.g. stop-word terms at huge scale) — fall back to one
+        # final FULL decode so no doc from an undecoded block is silently
+        # dropped; identical result to the exhaustive executor path
+        result = spark.createDataFrame(
+            _exact_topk(None), "doc_id long, score double"
+        )
 
     for _, terms, _ in block_frames:
         terms.unpersist()

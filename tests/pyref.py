@@ -41,46 +41,54 @@ class PyField:
         self.postings: dict[int, dict[int, int]] = defaultdict(dict)  # term_id -> doc -> score
         self.phrase: dict[tuple[int, int], set[int]] = defaultdict(set)
 
-    def build(self, docs: dict[int, str]):
-        # pass 1: term counting (create_fulltext.rs:99-115)
-        for _doc, text in docs.items():
-            if text is None:
-                continue
-            if len(text.encode()) <= self.max_text_bytes:
-                self.num_occurences[text] += 1
-            if py_has_tokens(text, self.separators):
-                for tok, _ in py_tokenize(text, self.separators):
-                    self.num_occurences[tok] += 1
+    def build(self, docs: dict[int, "str | list[str] | None"]):
+        """docs: per doc either one text (flat field) or a LIST of text
+        values (1:n `[]` path) — positions, length norms and whole-text
+        entries are per VALUE, merged per (term, doc)
+        (/root/reference/src/create.rs:216-283, 389-448)."""
+
+        def _values(v):
+            if v is None:
+                return []
+            return v if isinstance(v, list) else [v]
+
+        # pass 1: term counting (create_fulltext.rs:99-115), per value
+        for _doc, v in docs.items():
+            for text in _values(v):
+                if len(text.encode()) <= self.max_text_bytes:
+                    self.num_occurences[text] += 1
+                if py_has_tokens(text, self.separators):
+                    for tok, _ in py_tokenize(text, self.separators):
+                        self.num_occurences[tok] += 1
         for i, term in enumerate(sorted(self.num_occurences)):
             self.dictionary[term] = i
-        # pass 2: postings
+        # pass 2: postings — one tokenizer run per value
         entries: dict[tuple[int, int], list[int]] = defaultdict(list)
-        for doc, text in docs.items():
-            if text is None:
-                continue
-            if len(text.encode()) <= self.max_text_bytes:
-                tid = self.dictionary[text]
-                entries[(tid, doc)].append(
-                    py_token_score(0, self.num_occurences[text], 1, is_exact=True)
-                )
-            if py_has_tokens(text, self.separators):
-                runs = list(py_tokenize(text, self.separators))
-                ntok = len(runs)
-                best_pos: dict[str, int] = {}
-                prev_tok = None
-                for pos, (tok, is_sep) in enumerate(runs):
-                    if tok not in best_pos:
-                        best_pos[tok] = pos
-                    if not is_sep:
-                        tid = self.dictionary[tok]
-                        if prev_tok is not None:
-                            self.phrase[(prev_tok, tid)].add(doc)
-                        prev_tok = tid
-                for tok, pos in best_pos.items():
-                    tid = self.dictionary[tok]
+        for doc, v in docs.items():
+            for text in _values(v):
+                if len(text.encode()) <= self.max_text_bytes:
+                    tid = self.dictionary[text]
                     entries[(tid, doc)].append(
-                        py_token_score(pos, self.num_occurences[tok], ntok)
+                        py_token_score(0, self.num_occurences[text], 1, is_exact=True)
                     )
+                if py_has_tokens(text, self.separators):
+                    runs = list(py_tokenize(text, self.separators))
+                    ntok = len(runs)
+                    best_pos: dict[str, int] = {}
+                    prev_tok = None  # pair chain resets per value
+                    for pos, (tok, is_sep) in enumerate(runs):
+                        if tok not in best_pos:
+                            best_pos[tok] = pos
+                        if not is_sep:
+                            tid = self.dictionary[tok]
+                            if prev_tok is not None:
+                                self.phrase[(prev_tok, tid)].add(doc)
+                            prev_tok = tid
+                    for tok, pos in best_pos.items():
+                        tid = self.dictionary[tok]
+                        entries[(tid, doc)].append(
+                            py_token_score(pos, self.num_occurences[tok], ntok)
+                        )
         for (tid, doc), scores in entries.items():
             if len(scores) > 1:
                 s = max(scores) + min(len(scores), 5)

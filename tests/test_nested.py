@@ -1,0 +1,284 @@
+"""Nested 1:n document model end-to-end.
+
+Mirrors the shape of the reference's jmdict-like fixture
+(/root/reference/tests/all/tests.rs:47-245): docs with `kanji[]` /
+`meanings.ger[]` arrays, per-element `commonness` boost values, and
+`tags[]` facets. Asserts per-VALUE scoring (positions + length norm per
+array element, merged per (term, doc) — create.rs:216-283, 389-448),
+the 1:n sibling boost diamond (plan_steps.rs:174-219), per-text-value
+locality (boost.rs:34-87), nested facets and nested select.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.pyref import PyField
+from veloci_spark import FieldConfig, IndexConfig, build_index
+from veloci_spark.executor import search
+from veloci_spark.request import BoostPart, FacetRequest, OrNode, Request, SearchPart
+
+NESTED_DOCS = [
+    {
+        "doc_id": 0,
+        "ent_seq": "99999",
+        "tags": ["nice", "cool"],
+        "kanji": [],
+        "meanings": {"ger": []},
+    },
+    {
+        "doc_id": 1,
+        "ent_seq": "1587680",
+        "tags": ["nice", "cool"],
+        "kanji": [
+            {"text": "majestic presence", "commonness": 0},
+            {"text": "majestic bearing", "commonness": 5},
+        ],
+        "meanings": {"ger": ["majestaetischer Anblick", "majestaetisches Aussehen", "Majestaet"]},
+    },
+    {
+        "doc_id": 2,
+        "ent_seq": "1587690",
+        "tags": ["nice"],
+        "kanji": [
+            {"text": "will power", "commonness": 40},
+            {"text": "will", "commonness": 0},
+        ],
+        "meanings": {"ger": ["Wollen", "Wille", "Begeisterung", "begeistern"]},
+    },
+    {
+        "doc_id": 3,
+        "ent_seq": "1587700",
+        "tags": ["awesome", "cool"],
+        "kanji": [{"text": "will", "commonness": 20}],
+        "meanings": {"ger": ["der test", "das ist ein guter Treffer"]},
+    },
+]
+
+NESTED_SCHEMA = (
+    "doc_id long, ent_seq string, tags array<string>, "
+    "kanji array<struct<text: string, commonness: long>>, "
+    "meanings struct<ger: array<string>>"
+)
+
+
+@pytest.fixture(scope="module")
+def nested_index(spark, tmp_root):
+    rows = [
+        Row(
+            doc_id=d["doc_id"],
+            ent_seq=d["ent_seq"],
+            tags=d["tags"],
+            kanji=[Row(text=k["text"], commonness=k["commonness"]) for k in d["kanji"]],
+            meanings=Row(ger=d["meanings"]["ger"]),
+        )
+        for d in NESTED_DOCS
+    ]
+    corpus = spark.createDataFrame(rows, NESTED_SCHEMA)
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("kanji[].text"),
+            FieldConfig("meanings.ger[]"),
+            FieldConfig("tags[]"),
+            FieldConfig("ent_seq"),
+        ),
+        block_docs=4,
+    )
+    out = os.path.join(tmp_root, "nested_index")
+    return build_index(spark, corpus, cfg, out, resume=False)
+
+
+def _pyref_field(values_per_doc):
+    f = PyField()
+    f.build(values_per_doc)
+    return f
+
+
+def test_nested_dictionary_matches_pyref(nested_index):
+    py = _pyref_field({d["doc_id"]: [k["text"] for k in d["kanji"]] for d in NESTED_DOCS})
+    got = {
+        r["term"]: r["term_id"]
+        for r in nested_index.dictionary("kanji[].text").collect()
+    }
+    assert got == py.dictionary
+
+
+def test_nested_postings_match_pyref(nested_index):
+    py = _pyref_field({d["doc_id"]: [k["text"] for k in d["kanji"]] for d in NESTED_DOCS})
+    terms = nested_index.dictionary("kanji[].text")
+    flat = nested_index.postings_for("kanji[].text", terms).collect()
+    got = {}
+    for r in flat:
+        got.setdefault(r["term_id"], {})[r["doc_id"]] = r["score"]
+    assert got == {tid: dict(p) for tid, p in py.postings.items()}
+
+
+def test_nested_exact_search(nested_index):
+    # "will" appears as a whole value in docs 2 and 3, and as a token of
+    # "will power" in doc 2 — per-value scoring must match pyref exactly
+    py = _pyref_field({d["doc_id"]: [k["text"] for k in d["kanji"]] for d in NESTED_DOCS})
+    expected = {
+        doc: s / 100.0 * py.match_terms("will")[py.dictionary["will"]]
+        for doc, s in py.postings[py.dictionary["will"]].items()
+    }
+    res = search(
+        nested_index, Request(search=SearchPart(field="kanji[].text", term="will"))
+    )
+    got = {r["doc_id"]: r["score"] for r in res.all_hits.collect()}
+    assert got == pytest.approx(expected)
+
+
+def test_nested_1n_boost_multiply(nested_index):
+    # boost by the sibling kanji[].commonness of the MATCHED element.
+    # The boost routes token -> containing text -> element (BoostToAnchor,
+    # plan_steps.rs:174-219); like the reference's tokens_to_text_id it
+    # only has edges for TOKENIZED texts (create.rs:227 has_tokens gate):
+    # doc 2 matches "will" as a token of "will power" (commonness 40 ->
+    # x41 with param 1); doc 2's single-token value "will" and doc 3's
+    # whole-value match contribute no edge, so doc 3 stays unboosted —
+    # same as the reference.
+    base = search(
+        nested_index, Request(search=SearchPart(field="kanji[].text", term="will"))
+    )
+    base_scores = {r["doc_id"]: r["score"] for r in base.all_hits.collect()}
+    boosted = search(
+        nested_index,
+        Request(
+            search=SearchPart(field="kanji[].text", term="will"),
+            boost=(BoostPart(path="kanji[].commonness", boost_fun="Multiply", param=1.0),),
+        ),
+    )
+    got = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert got[2] == pytest.approx(base_scores[2] * 41.0)
+    assert got[3] == pytest.approx(base_scores[3])
+
+
+def test_nested_1n_boost_replace(nested_index):
+    # Replace applies score = value+param per routed entry; docs with no
+    # routed entry keep their score
+    base = search(
+        nested_index, Request(search=SearchPart(field="kanji[].text", term="will"))
+    )
+    base_scores = {r["doc_id"]: r["score"] for r in base.all_hits.collect()}
+    boosted = search(
+        nested_index,
+        Request(
+            search=SearchPart(field="kanji[].text", term="will"),
+            boost=(BoostPart(path="kanji[].commonness", boost_fun="Replace", param=0.0),),
+        ),
+    )
+    got = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert got[2] == pytest.approx(40.0)  # routed entry: "will power" elem
+    assert got[3] == pytest.approx(base_scores[3])
+
+
+def test_nested_1n_boost_multi_entry_product(nested_index):
+    # "majestic" tokenizes in BOTH kanji elements of doc 1 (commonness 0
+    # and 5): per-entry multiplication composes (x(0+1) x(5+1) = x6),
+    # mirroring apply_boost_values_anchor's repeated apply per boost entry
+    # (boost.rs:255-281 and the boost.rs:404-430 multi-entry test)
+    base = search(
+        nested_index,
+        Request(search=SearchPart(field="kanji[].text", term="majestic")),
+    )
+    base_scores = {r["doc_id"]: r["score"] for r in base.all_hits.collect()}
+    boosted = search(
+        nested_index,
+        Request(
+            search=SearchPart(field="kanji[].text", term="majestic"),
+            boost=(BoostPart(path="kanji[].commonness", boost_fun="Multiply", param=1.0),),
+        ),
+    )
+    got = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert got[1] == pytest.approx(base_scores[1] * 1.0 * 6.0)
+
+
+def test_nested_facet_counts_occurrences(nested_index):
+    res = search(
+        nested_index,
+        Request(
+            search=SearchPart(field="tags[]", term="nice"),
+            facets=(FacetRequest(field="tags[]", top=10),),
+        ),
+    )
+    got = {r["value"]: r["count"] for r in res.facets["tags[]"].collect()}
+    # hits = docs 0,1,2; their tag occurrences: nice x3, cool x2
+    assert got == {"nice": 3, "cool": 2}
+
+
+def test_nested_text_locality_same_value(nested_index):
+    # "der" and "test" co-occur in ONE meanings.ger[] value of doc 3
+    # ("der test") -> 2*2^2 = 8x boost; terms in different values of the
+    # same doc get no locality boost
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="meanings.ger[]", term="der"),
+                SearchPart(field="meanings.ger[]", term="test"),
+            )
+        ),
+        text_locality=True,
+    )
+    plain = search(
+        nested_index,
+        Request(search=req.search),
+    )
+    boosted = search(nested_index, req)
+    p = {r["doc_id"]: r["score"] for r in plain.all_hits.collect()}
+    b = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert b[3] == pytest.approx(p[3] * 8.0)
+
+
+def test_nested_locality_different_values_unboosted(nested_index):
+    # "wollen" and "wille" are separate values of doc 2 -> no boost
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="meanings.ger[]", term="wollen"),
+                SearchPart(field="meanings.ger[]", term="wille"),
+            )
+        ),
+        text_locality=True,
+    )
+    plain = search(nested_index, Request(search=req.search))
+    boosted = search(nested_index, req)
+    p = {r["doc_id"]: r["score"] for r in plain.all_hits.collect()}
+    b = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert b[2] == pytest.approx(p[2])
+
+
+def test_nested_select_projects_arrays(nested_index):
+    res = search(
+        nested_index,
+        Request(
+            search=SearchPart(field="kanji[].text", term="will"),
+            select=("ent_seq", "kanji[].text"),
+            top=5,
+        ),
+    )
+    rows = {r["doc_id"]: r for r in res.hits.collect()}
+    assert rows[2]["kanji[].text"] == ["will power", "will"]
+    assert rows[3]["ent_seq"] == "1587700"
+
+
+def test_highlight_entry(nested_index):
+    from veloci_spark.suggest import highlight_entry
+
+    out = highlight_entry(
+        nested_index, SearchPart(field="meanings.ger[]", term="test"), top=5
+    ).collect()
+    texts = {r["text"]: r["highlighted"] for r in out}
+    assert "der test" in texts
+    assert texts["der test"] == "der <b>test</b>"
+
+
+def test_flat_fields_unaffected(nested_index):
+    # the flat ent_seq field still behaves like round 1 (anchor identity)
+    res = search(
+        nested_index, Request(search=SearchPart(field="ent_seq", term="1587690"))
+    )
+    got = [r["doc_id"] for r in res.all_hits.collect()]
+    assert got == [2]

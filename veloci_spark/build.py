@@ -1,19 +1,35 @@
-"""Distributed inverted-index build.
+"""Distributed inverted-index build (single-pass, multi-field, 1:n-aware).
 
 The reference builds per-field index column families in three passes over
 ndjson (/root/reference/src/create.rs:929-965): term counting → sorted
 term-id assignment (FST) → tuple emission with buffered external sort +
 k-merge (/root/reference/buffered_index_writer). In Spark the external
-sort/merge IS the shuffle, so the build is a handful of declarative
-transforms per field:
+sort/merge IS the shuffle, and — unlike the reference, which iterates
+paths in rayon within one process — ALL fields share one dataflow: every
+value of every indexed path is exploded into a single
+``(field, doc_id, ordkey, text)`` stream, so the build costs one
+tokenize + one dictionary shuffle + one posting shuffle + one phrase
+shuffle regardless of field count (round-1 built per-field, repeating
+every stage per field).
 
-  tokenize (JVM regexp or Arrow UDF)
-    → explode (doc_id, tok, pos)
-    → term counts  → dictionary (scalable rank ids, no global window)
-    → join dictionary → per-(term,doc) score aggregation  [map-side combine]
-    → doc-aligned posting blocks, delta+varint encoded, with block-max
-      metadata  [skew-safe: a block never exceeds `block_docs` docs, so a
-      stop-word term becomes many bounded rows instead of one giant one]
+Nested 1:n semantics (/root/reference/json_converter/src/lib.rs:91-138):
+a path like ``kanji[].text`` produces one row per array element — the
+reference's per-path value_id is our ``ordkey`` (array ordinals joined
+with '.'). Token positions, text length norms and whole-text entries are
+all computed PER VALUE (create.rs:216-283 runs the tokenizer per text
+value), then merged per (term, anchor) with the max+min(hits,5) rule
+(create.rs:389-448). Tree-edge indices become two tables:
+
+- ``texts``       (field, text_id, doc_id, ordkey): text occurrence →
+  anchor + value instance (text_id_to_anchor + value_id_to_anchor,
+  create.rs:196-215);
+- ``token_texts`` (field, term_id, text_id): token → containing text
+  value (tokens_to_text_id, create.rs:240), used by text-locality,
+  the highlight entry point and 1:n boosts.
+
+text_id = the term_id of the full text in the field dictionary; texts
+longer than ``max_text_bytes`` get synthetic ids past the dictionary
+size (create.rs:141-160 large-text ids) recorded in ``long_texts``.
 
 Every stage checkpoints to Parquet under the index directory with a
 _SUCCESS marker, a lineage/metrics record, and is skipped on resume —
@@ -26,16 +42,17 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from veloci_spark.codec import encode_block
 from veloci_spark.config import FieldConfig, IndexConfig
 from veloci_spark.ids import assign_rank_ids
 from veloci_spark.index import Index
+from veloci_spark.paths import ORD_KEY, TEXT_COL, explode_path, is_nested
 from veloci_spark.scoring import (
     exact_text_score_expr,
     merge_posting_scores,
@@ -49,7 +66,7 @@ from veloci_spark.tokenize import (
 )
 
 POSTINGS_SCHEMA = (
-    "term_id long, block_no long, n_docs long, max_score long, "
+    "field string, term_id long, block_no long, n_docs long, max_score long, "
     "min_doc_id long, max_doc_id long, data binary"
 )
 
@@ -70,94 +87,192 @@ class _Lineage:
             f.write(json.dumps(rec) + "\n")
 
 
-def _tokenized(corpus: DataFrame, fc: FieldConfig, tokenizer: str) -> DataFrame:
-    """(doc_id, tok, pos, num_tokens, is_sep) — one row per run.
+# ---------------------------------------------------------------------------
+# Single-pass value/token streams over ALL fields
+# ---------------------------------------------------------------------------
+
+def _field_values(
+    corpus: DataFrame, fields: Sequence[FieldConfig]
+) -> DataFrame:
+    """(field, doc_id, ordkey, text) — one row per text-value instance of
+    every indexed path (flat fields: ordkey='', one row per doc)."""
+    frames = []
+    for fc in fields:
+        frames.append(
+            explode_path(corpus, fc.name).select(
+                F.lit(fc.name).alias("field"),
+                "doc_id",
+                F.col(ORD_KEY).alias("ordkey"),
+                F.col(TEXT_COL).alias("text"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
+
+
+def _tokenized(
+    values: DataFrame, fields: Sequence[FieldConfig], tokenizer: str
+) -> Optional[DataFrame]:
+    """(field, doc_id, ordkey, num_tokens, pos, tok, is_sep) over all
+    tokenizable fields.
 
     Positions count every run, separator groups included, and separator
     runs are themselves indexed (/root/reference/src/create.rs:240-283).
     Only texts with >= 2 runs produce token rows (`has_tokens`,
-    /root/reference/src/create.rs:225-227).
+    /root/reference/src/create.rs:225-227). num_tokens is the run count
+    of the VALUE (per-value text-length norm, calculate_score.rs:6-31).
+
+    Fields are grouped by tokenizer config so each distinct
+    (separators, grouped) pair costs one expression over its subset —
+    typically all fields share the default config and the whole corpus
+    tokenizes in a single pass.
     """
-    seps = fc.separators()
-    if tokenizer == "pandas":
-        runs = tokenize_pandas_udf(seps)(F.col("__text"))
-    else:
-        runs = tokenize_expr("__text", seps)
-    df = (
-        corpus.select("doc_id", F.col(fc.name).alias("__text"))
-        .where(F.col("__text").isNotNull())
-        .withColumn("__runs", runs)
-        .where(has_tokens_expr(F.col("__runs")))
-        .select(
-            "doc_id",
-            F.size("__runs").alias("num_tokens"),
-            F.posexplode("__runs").alias("pos", "tok"),
+    groups: dict[tuple, list[str]] = {}
+    for fc in fields:
+        if not fc.tokenize:
+            continue
+        key = (fc.separators(), fc.tokenizer_grouped)
+        groups.setdefault(key, []).append(fc.name)
+    if not groups:
+        return None
+    frames = []
+    for (seps, grouped), names in groups.items():
+        subset = values.where(F.col("field").isin(*names))
+        if tokenizer == "pandas":
+            runs = tokenize_pandas_udf(seps, grouped)(F.col("text"))
+        else:
+            runs = tokenize_expr("text", seps, grouped)
+        df = (
+            subset.withColumn("__runs", runs)
+            .where(has_tokens_expr(F.col("__runs")))
+            .select(
+                "field",
+                "doc_id",
+                "ordkey",
+                F.size("__runs").alias("num_tokens"),
+                F.posexplode("__runs").alias("pos", "tok"),
+            )
+            .withColumn("is_sep", is_separator_expr(F.col("tok"), seps))
         )
-    )
-    return df.withColumn("is_sep", is_separator_expr(F.col("tok"), seps))
+        frames.append(df)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out
 
 
-def _whole_texts(corpus: DataFrame, fc: FieldConfig) -> DataFrame:
-    """Texts short enough to become whole-text dictionary terms
-    (byte length <= max_text_bytes, /root/reference/src/metadata.rs:66-68;
-    counted once per row, /root/reference/src/create/create_fulltext.rs:99-115).
-    """
-    return (
-        corpus.select("doc_id", F.col(fc.name).alias("text"))
-        .where(F.col("text").isNotNull())
-        .where(F.octet_length("text") <= F.lit(fc.max_text_bytes))
-    )
+def _bytes_limit(fields: Sequence[FieldConfig]) -> Column:
+    """Per-field max_text_bytes as a CASE expression
+    (/root/reference/src/metadata.rs:66-68 is a per-field setting)."""
+    expr = None
+    for fc in fields:
+        cond = F.col("field") == F.lit(fc.name)
+        expr = (
+            F.when(cond, F.lit(fc.max_text_bytes))
+            if expr is None
+            else expr.when(cond, F.lit(fc.max_text_bytes))
+        )
+    return expr
 
+
+def _whole_texts(values: DataFrame, fields: Sequence[FieldConfig]) -> DataFrame:
+    """Text values short enough to become whole-text dictionary terms
+    (byte length <= per-field max_text_bytes; counted once per VALUE
+    occurrence, /root/reference/src/create/create_fulltext.rs:99-115)."""
+    return values.where(F.octet_length("text") <= _bytes_limit(fields))
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
 
 def _build_dictionary(
-    toks: Optional[DataFrame], whole: DataFrame, cfg: IndexConfig
+    spark: SparkSession,
+    toks: Optional[DataFrame],
+    whole: DataFrame,
+    cfg: IndexConfig,
 ) -> DataFrame:
-    """(term, term_id, num_occurences); term_id = rank in byte-sorted order
-    (/root/reference/src/create/create_fulltext.rs:71-80)."""
-    sources = [whole.select(F.col("text").alias("term"))]
+    """(field, term, term_id, num_occurences); term_id = rank in
+    byte-sorted order WITHIN each field
+    (/root/reference/src/create/create_fulltext.rs:71-80) — computed as
+    one global (field, term) rank minus the per-field offset, so all
+    fields share a single sort/shuffle."""
+    sources = [whole.select("field", F.col("text").alias("term"))]
     if toks is not None:
-        sources.append(toks.select(F.col("tok").alias("term")))
+        sources.append(toks.select("field", F.col("tok").alias("term")))
     counts = sources[0]
     for s in sources[1:]:
         counts = counts.unionAll(s)
-    counts = counts.groupBy("term").agg(F.count("*").alias("num_occurences"))
-    ranked = assign_rank_ids(counts, ["term"], "term_id", cfg.dict_partitions)
-    # materialized lowercase column: lets case-insensitive exact/prefix
-    # predicates push down to the Parquet scan (a lower(term)=x wrapper
-    # reaches the scan as IsNotNull only — observed via explain)
-    return ranked.withColumn("term_lower", F.lower("term"))
+    counts = counts.groupBy("field", "term").agg(
+        F.count("*").alias("num_occurences")
+    )
+    ranked = assign_rank_ids(counts, ["field", "term"], "__gid", cfg.dict_partitions)
+    # per-field offsets: one tiny agg (k rows, k = field count)
+    offs = {
+        r["field"]: r["o"]
+        for r in ranked.groupBy("field").agg(F.min("__gid").alias("o")).collect()
+    }
+    off_expr = None
+    for fld, o in offs.items():
+        cond = F.col("field") == F.lit(fld)
+        off_expr = (
+            F.when(cond, F.lit(o)) if off_expr is None else off_expr.when(cond, F.lit(o))
+        )
+    out = ranked.select(
+        "field",
+        "term",
+        (F.col("__gid") - off_expr).alias("term_id"),
+        "num_occurences",
+        # materialized lowercase column: lets case-insensitive exact/prefix
+        # predicates push down to the Parquet scan (a lower(term)=x wrapper
+        # reaches the scan as IsNotNull only — observed via explain)
+        F.lower("term").alias("term_lower"),
+    )
+    if hasattr(ranked, "_veloci_unpersist"):
+        out._veloci_unpersist = ranked._veloci_unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def _build_flat_postings(
     toks: Optional[DataFrame], whole: DataFrame, dictionary: DataFrame
 ) -> DataFrame:
-    """(term_id, doc_id, score) — the logical posting list.
+    """(field, term_id, doc_id, score) — the logical posting list.
 
-    Token entries: per (term, doc) keep the best (lowest) position
-    (/root/reference/src/create/calculate_score.rs:6-31). Whole-text
-    entries: exact score (/root/reference/src/create.rs:216-221). Merge:
-    max + capped multi-hit bonus only for multi-entry groups
-    (/root/reference/src/create.rs:389-448).
+    Token entries: per (term, doc, VALUE) keep the best (lowest) position
+    with the value's own length norm
+    (/root/reference/src/create/calculate_score.rs:6-31 runs per text
+    value). Whole-text entries: exact score per occurrence
+    (/root/reference/src/create.rs:216-221). Merge per (term, anchor):
+    max + capped multi-hit bonus (/root/reference/src/create.rs:389-448)
+    — a doc whose array holds the token in 3 elements gets 3 entries in,
+    one merged entry out.
     """
-    text_entries = (
-        whole.join(dictionary, whole["text"] == dictionary["term"])
-        .select(
-            "term_id",
-            "doc_id",
-            exact_text_score_expr(F.col("num_occurences")).alias("score"),
-        )
+    dict_for_text = dictionary.select(
+        "field", F.col("term").alias("text"), "term_id", "num_occurences"
+    )
+    text_entries = whole.join(dict_for_text, ["field", "text"]).select(
+        "field",
+        "term_id",
+        "doc_id",
+        exact_text_score_expr(F.col("num_occurences")).alias("score"),
     )
     entries = text_entries
     if toks is not None:
+        dict_for_tok = dictionary.select(
+            "field", F.col("term").alias("tok"), "term_id", "num_occurences"
+        )
         token_entries = (
-            toks.join(dictionary, toks["tok"] == dictionary["term"])
-            .groupBy("term_id", "doc_id")
+            toks.join(dict_for_tok, ["field", "tok"])
+            .groupBy("field", "term_id", "doc_id", "ordkey")
             .agg(
                 F.min("pos").alias("best_pos"),
                 F.first("num_occurences").alias("num_occurences"),
                 F.first("num_tokens").alias("num_tokens"),
             )
             .select(
+                "field",
                 "term_id",
                 "doc_id",
                 token_score_expr(
@@ -167,10 +282,10 @@ def _build_flat_postings(
         )
         entries = token_entries.unionAll(text_entries)
     merged = (
-        entries
-        .groupBy("term_id", "doc_id")
+        entries.groupBy("field", "term_id", "doc_id")
         .agg(F.max("score").alias("score_max"), F.count("*").alias("n_entries"))
         .select(
+            "field",
             "term_id",
             "doc_id",
             merge_posting_scores(F.col("score_max"), F.col("n_entries")).alias(
@@ -183,15 +298,22 @@ def _build_flat_postings(
 
 def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
     """Doc-aligned, delta+varint-compressed posting blocks with block-max
-    metadata; numpy-vectorized inside mapInPandas (Arrow batches)."""
+    metadata; numpy-vectorized inside mapInPandas (Arrow batches).
+
+    One hash shuffle on (field, term_id) + a within-partition sort; the
+    encoded output is written directly (each task's output file is sorted
+    by (field, term_id), so Parquet row-group stats stay tight for
+    term_id point lookups without a second range shuffle — round 1 paid
+    an extra repartitionByRange of the encoded blocks here)."""
     with_block = flat.withColumn(
         "block_no", (F.col("doc_id") / F.lit(block_docs)).cast("long")
     )
-    # hash-shuffle on term_id, then a within-partition sort groups each
-    # (term_id, block_no) contiguously; a group never exceeds block_docs
-    # entries, so skewed (stop-word-like) terms split into bounded rows.
-    arranged = with_block.repartition("term_id").sortWithinPartitions(
-        "term_id", "block_no", "doc_id"
+    # hash-shuffle on (field, term_id), then a within-partition sort groups
+    # each (field, term_id, block_no) contiguously; a group never exceeds
+    # block_docs entries, so skewed (stop-word-like) terms split into
+    # bounded rows.
+    arranged = with_block.repartition("field", "term_id").sortWithinPartitions(
+        "field", "term_id", "block_no", "doc_id"
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,9 +326,10 @@ def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
                 continue
             # hold back the trailing (possibly incomplete) group — rows are
             # sorted, so the last group is a contiguous suffix
+            fld = pdf["field"].to_numpy()
             term = pdf["term_id"].to_numpy()
             block = pdf["block_no"].to_numpy()
-            in_last = (term == term[-1]) & (block == block[-1])
+            in_last = (fld == fld[-1]) & (term == term[-1]) & (block == block[-1])
             cut = int(len(pdf) - in_last.sum())
             pending = pdf.iloc[cut:]
             head = pdf.iloc[:cut]
@@ -216,17 +339,21 @@ def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
             yield _encode_groups(pending)
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        fld = pdf["field"].to_numpy()
         term = pdf["term_id"].to_numpy()
         block = pdf["block_no"].to_numpy()
         docs = pdf["doc_id"].to_numpy()
         scores = pdf["score"].to_numpy()
-        change = np.flatnonzero((np.diff(term) != 0) | (np.diff(block) != 0))
+        change = np.flatnonzero(
+            (fld[1:] != fld[:-1]) | (np.diff(term) != 0) | (np.diff(block) != 0)
+        )
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [len(pdf)]))
         rows = []
         for s, e in zip(starts, ends):
             rows.append(
                 (
+                    fld[s],
                     int(term[s]),
                     int(block[s]),
                     int(e - s),
@@ -239,6 +366,7 @@ def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
         return pd.DataFrame(
             rows,
             columns=[
+                "field",
                 "term_id",
                 "block_no",
                 "n_docs",
@@ -252,23 +380,31 @@ def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
     return arranged.mapInPandas(_encode, schema=POSTINGS_SCHEMA)
 
 
-def _build_phrase_pairs(toks: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """(term_id_1, term_id_2, doc_id) for adjacent non-separator tokens
-    (separator runs are skipped in the pair chain,
-    /root/reference/src/create.rs:251-263); sorted-dedup like the
-    reference's sort_and_dedup merge (/root/reference/src/create.rs:349-363).
-    """
+def _build_phrase_pairs(
+    toks: DataFrame, dictionary: DataFrame, phrase_fields: Sequence[str]
+) -> DataFrame:
+    """(field, term_id_1, term_id_2, doc_id) for adjacent non-separator
+    tokens. The pair chain is PER TEXT VALUE — the reference resets
+    prev_token at each cb_text call (/root/reference/src/create.rs:251-263)
+    — and separator runs are skipped; sorted-dedup like the reference's
+    sort_and_dedup merge (/root/reference/src/create.rs:349-363)."""
     from pyspark.sql.window import Window
 
-    nonsep = toks.where(~F.col("is_sep")).join(
-        dictionary, toks["tok"] == dictionary["term"]
+    dict_for_tok = dictionary.select(
+        "field", F.col("term").alias("tok"), "term_id"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    nonsep = (
+        toks.where(F.col("field").isin(*list(phrase_fields)))
+        .where(~F.col("is_sep"))
+        .join(dict_for_tok, ["field", "tok"])
+    )
+    w = Window.partitionBy("field", "doc_id", "ordkey").orderBy("pos")
     pairs = (
-        nonsep.select("doc_id", "pos", "term_id")
+        nonsep.select("field", "doc_id", "ordkey", "pos", "term_id")
         .withColumn("term_id_2", F.lead("term_id").over(w))
         .where(F.col("term_id_2").isNotNull())
         .select(
+            "field",
             F.col("term_id").alias("term_id_1"),
             F.col("term_id_2"),
             "doc_id",
@@ -277,6 +413,110 @@ def _build_phrase_pairs(toks: DataFrame, dictionary: DataFrame) -> DataFrame:
     )
     return pairs
 
+
+def _build_texts(
+    spark: SparkSession,
+    values: DataFrame,
+    dictionary: DataFrame,
+    text_fields: Sequence[FieldConfig],
+    cfg: IndexConfig,
+):
+    """Tree-edge tables for fields that need per-text-value resolution.
+
+    Returns (texts, token_texts, long_texts):
+    - texts (field, text_id, doc_id, ordkey): one row per text-value
+      occurrence (text_id_to_anchor ∪ value_id_to_anchor,
+      /root/reference/src/create.rs:196-215);
+    - token_texts (field, term_id, text_id): distinct token→text edges
+      (tokens_to_text_id, /root/reference/src/create.rs:240);
+    - long_texts (field, text_id, text): synthetic ids for texts past the
+      byte limit (/root/reference/src/create.rs:141-160), so highlight /
+      reconstruction can recover the string.
+    """
+    vals = values.where(F.col("field").isin(*[fc.name for fc in text_fields]))
+    limit = _bytes_limit(text_fields)
+    short = vals.where(F.octet_length("text") <= limit)
+    long = vals.where(F.octet_length("text") > limit)
+
+    dict_for_text = dictionary.select(
+        "field", F.col("term").alias("text"), F.col("term_id").alias("text_id")
+    )
+    short_ids = short.join(dict_for_text, ["field", "text"])
+
+    # synthetic large-text ids: dictionary size of the field + rank over
+    # the distinct long texts of the field
+    dict_sizes = {
+        r["field"]: r["n"]
+        for r in dictionary.groupBy("field").agg(F.count("*").alias("n")).collect()
+    }
+    long_distinct = long.select("field", "text").distinct()
+    long_ranked = assign_rank_ids(long_distinct, ["field", "text"], "__lgid")
+    loffs = {
+        r["field"]: r["o"]
+        for r in long_ranked.groupBy("field").agg(F.min("__lgid").alias("o")).collect()
+    }
+    if loffs:
+        base_expr = None
+        for fld in loffs:
+            cond = F.col("field") == F.lit(fld)
+            base = dict_sizes.get(fld, 0) - loffs[fld]
+            base_expr = (
+                F.when(cond, F.lit(base))
+                if base_expr is None
+                else base_expr.when(cond, F.lit(base))
+            )
+        long_texts = long_ranked.select(
+            "field", (F.col("__lgid") + base_expr).alias("text_id"), "text"
+        )
+    else:
+        long_texts = spark.createDataFrame([], "field string, text_id long, text string")
+    long_ids = long.join(long_texts, ["field", "text"])
+
+    texts = short_ids.select("field", "text_id", "doc_id", "ordkey").unionAll(
+        long_ids.select("field", "text_id", "doc_id", "ordkey")
+    )
+
+    # token → text edges: tokenize the DISTINCT texts (with ids), explode,
+    # join the dictionary — no join against the big occurrence stream
+    with_ids = short.select("field", "text").distinct().join(
+        dict_for_text, ["field", "text"]
+    ).unionAll(long_texts.select("field", "text", "text_id"))
+    tt_frames = []
+    groups: dict[tuple, list[str]] = {}
+    for fc in text_fields:
+        if fc.tokenize:
+            groups.setdefault((fc.separators(), fc.tokenizer_grouped), []).append(
+                fc.name
+            )
+    dict_for_tok = dictionary.select(
+        "field", F.col("term").alias("tok"), "term_id"
+    )
+    for (seps, grouped), names in groups.items():
+        subset = with_ids.where(F.col("field").isin(*names))
+        runs = tokenize_expr("text", seps, grouped)
+        tt_frames.append(
+            subset.withColumn("__runs", runs)
+            .where(has_tokens_expr(F.col("__runs")))
+            .select("field", "text_id", F.explode("__runs").alias("tok"))
+            .distinct()
+            .join(dict_for_tok, ["field", "tok"])
+            .select("field", "term_id", "text_id")
+        )
+    if tt_frames:
+        token_texts = tt_frames[0]
+        for fr in tt_frames[1:]:
+            token_texts = token_texts.unionAll(fr)
+        token_texts = token_texts.distinct()
+    else:
+        token_texts = spark.createDataFrame(
+            [], "field string, term_id long, text_id long"
+        )
+    return texts, token_texts, long_texts
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
 
 def build_index(
     spark: SparkSession,
@@ -305,78 +545,104 @@ def build_index(
         lineage.record("docstore", wall_s=time.time() - t0)
     corpus_ids = spark.read.parquet(docstore_path)
 
-    for fc in config.indexed_fields():
-        fdir = os.path.join(out_dir, "fields", fc.name)
-        dict_path = os.path.join(fdir, "dictionary")
-        post_path = os.path.join(fdir, "postings")
-        phrase_path = os.path.join(fdir, "phrase")
+    fields = config.indexed_fields()
+    dict_path = os.path.join(out_dir, "dictionary")
+    post_path = os.path.join(out_dir, "postings")
+    phrase_path = os.path.join(out_dir, "phrase")
+    texts_path = os.path.join(out_dir, "texts")
+    token_texts_path = os.path.join(out_dir, "token_texts")
+    long_texts_path = os.path.join(out_dir, "long_texts")
 
-        need_dict = not (resume and _done(dict_path))
-        need_post = not (resume and _done(post_path))
-        need_phrase = fc.phrase_pairs and not (resume and _done(phrase_path))
-        if not (need_dict or need_post or need_phrase):
-            continue
+    phrase_fields = [fc.name for fc in fields if fc.phrase_pairs]
+    text_fields = [fc for fc in fields if fc.needs_texts()]
 
+    need_dict = not (resume and _done(dict_path))
+    need_post = not (resume and _done(post_path))
+    need_phrase = bool(phrase_fields) and not (resume and _done(phrase_path))
+    need_texts = bool(text_fields) and not (resume and _done(texts_path))
+
+    if need_dict or need_post or need_phrase or need_texts:
         # Deliberately NOT persisted: with the Arrow tokenizer a full
         # recompute costs ~11 s per consumer on 21M runs at 2 cores,
         # while materializing the columnar cache of the exploded rows
         # costs ~200 s — recompute wins by an order of magnitude (and
         # avoids pinning executor memory at scale).
-        toks = _tokenized(corpus_ids, fc, tokenizer) if fc.tokenize else None
-        whole = _whole_texts(corpus_ids, fc)
+        values = _field_values(corpus_ids, fields)
+        toks = _tokenized(values, fields, tokenizer)
+        whole = _whole_texts(values, fields)
 
         if need_dict:
             t0 = time.time()
-            dictionary = _build_dictionary(toks, whole, config)
+            dictionary = _build_dictionary(spark, toks, whole, config)
             (
-                dictionary.repartitionByRange(
-                    config.dict_partitions
-                    or int(spark.conf.get("spark.sql.shuffle.partitions")),
-                    "term",
-                )
-                .sortWithinPartitions("term")
+                dictionary.sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
+                .partitionBy("field")
                 .parquet(dict_path)
             )
             if hasattr(dictionary, "_veloci_unpersist"):
                 dictionary._veloci_unpersist()
-            lineage.record("dictionary", field=fc.name, wall_s=time.time() - t0)
+            lineage.record("dictionary", wall_s=time.time() - t0)
         dictionary = spark.read.parquet(dict_path)
 
         if need_post:
             t0 = time.time()
             flat = _build_flat_postings(toks, whole, dictionary)
             blocks = _encode_blocks(flat, config.block_docs)
-            (
-                blocks.repartitionByRange("term_id", "block_no")
-                .sortWithinPartitions("term_id", "block_no")
-                .write.mode("overwrite")
-                .parquet(post_path)
-            )
-            lineage.record("postings", field=fc.name, wall_s=time.time() - t0)
+            blocks.write.mode("overwrite").partitionBy("field").parquet(post_path)
+            lineage.record("postings", wall_s=time.time() - t0)
 
         if need_phrase:
             t0 = time.time()
-            pairs = _build_phrase_pairs(toks, dictionary)
+            assert toks is not None
+            pairs = _build_phrase_pairs(toks, dictionary, phrase_fields)
             (
-                pairs.repartitionByRange("term_id_1", "term_id_2")
-                .sortWithinPartitions("term_id_1", "term_id_2", "doc_id")
+                pairs.repartition("field", "term_id_1")
+                .sortWithinPartitions("field", "term_id_1", "term_id_2", "doc_id")
                 .write.mode("overwrite")
+                .partitionBy("field")
                 .parquet(phrase_path)
             )
-            lineage.record("phrase", field=fc.name, wall_s=time.time() - t0)
+            lineage.record("phrase", wall_s=time.time() - t0)
+
+        if need_texts:
+            t0 = time.time()
+            texts, token_texts, long_texts = _build_texts(
+                spark, values, dictionary, text_fields, config
+            )
+            (
+                texts.repartition("field", "text_id")
+                .sortWithinPartitions("field", "text_id", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(texts_path)
+            )
+            (
+                token_texts.repartition("field", "term_id")
+                .sortWithinPartitions("field", "term_id", "text_id")
+                .write.mode("overwrite")
+                .partitionBy("field")
+                .parquet(token_texts_path)
+            )
+            long_texts.write.mode("overwrite").partitionBy("field").parquet(
+                long_texts_path
+            )
+            lineage.record("texts", wall_s=time.time() - t0)
 
     manifest = {
-        "version": 1,
+        "version": 2,
         "block_docs": config.block_docs,
         "fields": [
             {
                 "name": fc.name,
                 "tokenize": fc.tokenize,
                 "tokenize_on_chars": list(fc.tokenize_on_chars or ()),
+                "tokenizer_grouped": fc.tokenizer_grouped,
                 "max_text_bytes": fc.max_text_bytes,
                 "phrase_pairs": fc.phrase_pairs,
                 "boost": fc.boost,
+                "nested": is_nested(fc.name),
+                "has_texts": fc.needs_texts(),
             }
             for fc in config.fields
         ],

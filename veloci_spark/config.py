@@ -50,9 +50,21 @@ class FieldConfig:
     #: Spark design boost columns stay as plain numeric columns of the
     #: doc store, so this only controls exclusion from indexing.
     boost: bool = False
+    #: build the per-text-value tree-edge tables (texts / token_texts /
+    #: long_texts — the reference's tokens_to_text_id + text_id_to_anchor,
+    #: /root/reference/src/create.rs:196-240). None = auto: built for 1:n
+    #: (``[]``) paths, elided for flat fields where text==anchor identity
+    #: (/root/reference/src/create/create_fulltext.rs:38-39). Set True on a
+    #: flat field to enable the `highlight` entry point / per-text locality.
+    store_texts: Optional[bool] = None
 
     def separators(self) -> tuple[str, ...]:
         return self.tokenize_on_chars if self.tokenize_on_chars else DEFAULT_SEPARATORS
+
+    def needs_texts(self) -> bool:
+        if self.store_texts is not None:
+            return self.store_texts
+        return "[]" in self.name
 
 
 @dataclass(frozen=True)

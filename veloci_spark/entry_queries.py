@@ -25,6 +25,7 @@ from veloci_spark.oracle import (
     and_hits_cte,
     fulltext_cte,
     leaf_hits_cte,
+    matched_cte,
     or_hits_cte,
     topk_select,
 )
@@ -59,7 +60,7 @@ def documents_index(spark: SparkSession, sf_dir: str) -> Index:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(INDEX_CACHE_ROOT, f"documents_{tag}")
+    out = os.path.join(INDEX_CACHE_ROOT, f"documents_v2_{tag}")
     corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     idx = build_index(spark, corpus, DOC_CONFIG, out, resume=True)
     _INDEX_CACHE[key] = idx
@@ -461,6 +462,277 @@ _register(
     + "\nSELECT term AS text, "
     + sql_score_e4("max(term_score)")
     + " AS score_e4 FROM m0 GROUP BY term ORDER BY max(term_score) DESC, term ASC LIMIT 10",
+)
+
+
+# ---------------------------------------------------------------------------
+# Nested 1:n document model over orders + lineitem (round 2): one document
+# per order (subset o_orderkey % 20 = 0), items[] = one synthesized text
+# value per lineitem — the jmdict-like shape of the reference's flagship
+# fixture (/root/reference/tests/all/tests.rs:47-245) derived
+# deterministically from the driver's own tables so DuckDB can recompute
+# every result.
+# ---------------------------------------------------------------------------
+
+from veloci_spark.oracle import nested_fulltext_cte
+
+NESTED_CONFIG = IndexConfig(
+    fields=(FieldConfig("items[].comment"),),
+    block_docs=1024,
+)
+
+_NESTED_ORDER_MOD = 20
+
+
+def nested_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from veloci_spark.ids import assign_rank_ids
+
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .where(F.col("o_orderkey") % _NESTED_ORDER_MOD == 0)
+        .select("o_orderkey")
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        F.col("l_orderkey") % _NESTED_ORDER_MOD == 0
+    )
+    # the synthesized per-lineitem text — the same expression, character
+    # for character, as oracle.NESTED_TEXT_SQL
+    comment = F.concat(
+        F.lit("ship "),
+        F.col("l_returnflag"),
+        F.lit(" "),
+        F.col("l_linestatus"),
+        F.lit(" part p"),
+        (F.col("l_partkey") % 37).cast("string"),
+        F.lit(" supp s"),
+        (F.col("l_suppkey") % 13).cast("string"),
+    )
+    items_src = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            comment.alias("comment"),
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_returnflag").alias("flag"),
+        ).alias("item"),
+    )
+    items = items_src.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("item")).alias("raw")
+    )
+    nested = orders.join(
+        items, orders["o_orderkey"] == items["l_orderkey"], "left"
+    ).select(
+        "o_orderkey",
+        F.transform(
+            "raw",
+            lambda s: F.struct(
+                s["comment"].alias("comment"),
+                s["qty"].alias("qty"),
+                s["flag"].alias("flag"),
+            ),
+        ).alias("items"),
+    )
+    out = assign_rank_ids(nested, ["o_orderkey"], "doc_id")
+    return out
+
+
+def nested_orders_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = (id(spark), "nested:" + os.path.abspath(sf_dir))
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(INDEX_CACHE_ROOT, f"orders_nested_v2_{tag}")
+    cfg = NESTED_CONFIG
+    # doc_id pre-assigned by nested_corpus; keep it
+    corpus = nested_corpus(spark, sf_dir)
+    idx = build_index(spark, corpus, cfg, out, resume=True)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _with_nested_cte(*ctes: str) -> str:
+    return "WITH " + ",\n".join(
+        [nested_fulltext_cte(order_mod=_NESTED_ORDER_MOD)]
+        + [c for c in ctes if c]
+    )
+
+
+# ---- per-value scored search over the 1:n path ----------------------------
+
+def _q_nested_search(spark, sf_dir):
+    idx = nested_orders_index(spark, sf_dir)
+    res = search(
+        idx, Request(search=SearchPart(field="items[].comment", term="p5"))
+    )
+    return _quantized_topk(res.all_hits, 20)
+
+
+_register(
+    "ft_nested_search",
+    _q_nested_search,
+    _with_nested_cte(
+        leaf_hits_cte(SearchPart(field="items[].comment", term="p5"), "m0", "h0")
+    )
+    + "\n"
+    + topk_select("h0", 20),
+)
+
+
+# ---- 1:n sibling boost (BoostToAnchor diamond) -----------------------------
+
+def _q_nested_boost(spark, sf_dir):
+    idx = nested_orders_index(spark, sf_dir)
+    res = search(
+        idx,
+        Request(
+            search=SearchPart(field="items[].comment", term="p5"),
+            boost=(BoostPart(path="items[].qty", boost_fun="Multiply", param=1.0),),
+        ),
+    )
+    return _quantized_topk(res.all_hits, 20)
+
+
+_register(
+    "ft_nested_boost_1n",
+    _q_nested_boost,
+    _with_nested_cte(
+        leaf_hits_cte(SearchPart(field="items[].comment", term="p5"), "m0", "h0"),
+        # token -> containing (tokenized) text values -> element instances
+        # -> product of sibling qty+1 per doc (apply per boost entry,
+        # boost.rs:255-281)
+        """routed AS (
+  SELECT DISTINCT tk.text FROM toks tk
+  JOIN dict d ON tk.tok = d.term
+  JOIN m0 m ON m.term_id = d.term_id
+),
+inst AS (
+  SELECT DISTINCT v.doc_id, v.vid, v.qty
+  FROM vals v JOIN routed r ON v.text = r.text
+),
+bfac AS (SELECT doc_id, product(qty + 1.0) AS f FROM inst GROUP BY doc_id),
+hits AS (
+  SELECT h.doc_id,
+         CASE WHEN b.f IS NOT NULL THEN h.score * b.f ELSE h.score END AS score
+  FROM h0 h LEFT JOIN bfac b USING (doc_id)
+)""",
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
+# ---- facet over the 1:n path (counts per value occurrence) -----------------
+
+def _q_nested_facet(spark, sf_dir):
+    idx = nested_orders_index(spark, sf_dir)
+    res = search(
+        idx,
+        Request(
+            search=SearchPart(field="items[].comment", term="p5"),
+            facets=(FacetRequest(field="items[].flag", top=10),),
+        ),
+    )
+    return res.facets["items[].flag"].select(
+        F.col("value").alias("flag"), F.col("count").alias("cnt")
+    )
+
+
+_register(
+    "ft_nested_facet",
+    _q_nested_facet,
+    _with_nested_cte(
+        leaf_hits_cte(SearchPart(field="items[].comment", term="p5"), "m0", "h0")
+    )
+    + "\nSELECT v.flag AS flag, count(*) AS cnt FROM h0 h "
+    "JOIN vals v ON v.doc_id = h.doc_id "
+    "GROUP BY v.flag ORDER BY cnt DESC, flag ASC LIMIT 10",
+)
+
+
+# ---- per-text-value locality boost ------------------------------------------
+
+def _q_nested_locality(spark, sf_dir):
+    idx = nested_orders_index(spark, sf_dir)
+    res = search(
+        idx,
+        Request(
+            search=OrNode(
+                (
+                    SearchPart(field="items[].comment", term="p5"),
+                    SearchPart(field="items[].comment", term="s3"),
+                )
+            ),
+            text_locality=True,
+        ),
+    )
+    return _quantized_topk(res.all_hits, 20)
+
+
+_register(
+    "ft_nested_locality",
+    _q_nested_locality,
+    _with_nested_cte(
+        leaf_hits_cte(SearchPart(field="items[].comment", term="p5"), "m0", "h0"),
+        leaf_hits_cte(SearchPart(field="items[].comment", term="s3"), "m1", "h1"),
+        or_hits_cte([("h0", 1), ("h1", 0)], "hits0"),
+        # 2n² where n = matched-term->text edges on the SAME text value
+        # (boost.rs:34-57); best factor per doc (boost.rs:23-30)
+        """edges AS (
+  SELECT * FROM (
+    SELECT DISTINCT d.term_id, tk.text FROM toks tk
+    JOIN dict d ON tk.tok = d.term JOIN m0 m ON m.term_id = d.term_id
+  ) UNION ALL
+  SELECT * FROM (
+    SELECT DISTINCT d.term_id, tk.text FROM toks tk
+    JOIN dict d ON tk.tok = d.term JOIN m1 m ON m.term_id = d.term_id
+  )
+),
+ntext AS (SELECT text, count(*) AS n FROM edges GROUP BY text HAVING count(*) >= 2),
+dfac AS (
+  SELECT v.doc_id, max(2.0 * n.n * n.n) AS f
+  FROM vals v JOIN ntext n ON v.text = n.text GROUP BY v.doc_id
+),
+hits AS (
+  SELECT h.doc_id,
+         CASE WHEN d.f IS NOT NULL THEN h.score * d.f ELSE h.score END AS score
+  FROM hits0 h LEFT JOIN dfac d USING (doc_id)
+)""",
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
+# ---- highlight entry point (texts of matched tokens) ------------------------
+
+def _q_highlight_texts(spark, sf_dir):
+    from veloci_spark.suggest import highlight_entry
+
+    idx = nested_orders_index(spark, sf_dir)
+    out = highlight_entry(
+        idx, SearchPart(field="items[].comment", term="p5"), top=30
+    )
+    return (
+        out.select("text", score_e4(F.col("score")).alias("score_e4"))
+        .orderBy(F.desc("score_e4"), F.asc("text"))
+    )
+
+
+_register(
+    "ft_highlight_texts",
+    _q_highlight_texts,
+    _with_nested_cte(
+        matched_cte(SearchPart(field="items[].comment", term="p5"), "m0"),
+        """pt AS (
+  SELECT e.text, max(m.term_score) AS s FROM (
+    SELECT DISTINCT d.term_id, tk.text FROM toks tk
+    JOIN dict d ON tk.tok = d.term
+  ) e JOIN m0 m ON m.term_id = e.term_id GROUP BY e.text
+)""",
+    )
+    + "\nSELECT text, "
+    + sql_score_e4("s")
+    + " AS score_e4 FROM pt ORDER BY score_e4 DESC, text ASC LIMIT 30",
 )
 
 

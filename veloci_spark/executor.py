@@ -27,6 +27,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 from veloci_spark.expression import score_expression_column
 from veloci_spark.index import Index
 from veloci_spark.match_terms import match_terms
+from veloci_spark.paths import (
+    ORD_KEY,
+    TEXT_COL,
+    array_levels,
+    array_prefix,
+    explode_path,
+    is_nested,
+    ordkey_prefix,
+    select_path_column,
+)
 from veloci_spark.request import (
     AndNode,
     BoostPart,
@@ -59,6 +69,14 @@ class _Executor:
         # semantics); unconditional persist() of every leaf costs a
         # materialization + memory for nothing on single-use queries
         self._persist_parts = self._multi_use_parts(request)
+        # boosts on a `[]` path apply at the LEAF whose search path shares
+        # the same array prefix — the BoostToAnchor/ApplyAnchorBoost
+        # diamond (execution_plan.rs:422-508); they are excluded from the
+        # post-merge anchor-boost pass (execution_plan.rs:176 filters
+        # `!path.contains("[]")`)
+        self._nested_boosts = [
+            bp for bp in request.boost if is_nested(bp.path)
+        ]
 
     @staticmethod
     def _multi_use_parts(request: Request) -> set[SearchPart]:
@@ -99,10 +117,100 @@ class _Executor:
                 F.col("term_score") * (F.col("score").cast("double") / F.lit(100.0))
             ).alias("score")
         )
+        for bp in self._matching_nested_boosts(part):
+            hits = self.apply_nested_boost(part, hits, bp)
         if part in self._persist_parts:
             hits = hits.persist()
         self._leaf_cache[key] = hits
         return hits
+
+    def _matching_nested_boosts(self, part: SearchPart) -> list[BoostPart]:
+        prefix = array_prefix(part.field)
+        if prefix is None:
+            return []
+        return [
+            bp for bp in self._nested_boosts if array_prefix(bp.path) == prefix
+        ]
+
+    def apply_nested_boost(
+        self, part: SearchPart, hits: DataFrame, bp: BoostPart
+    ) -> DataFrame:
+        """1:n sibling-path boost — the BoostToAnchor diamond
+        (plan_steps.rs:174-219): matched tokens → containing text values
+        (token_texts) → the value INSTANCES they occur in (texts, keyed by
+        array ordinals) → the sibling boost value of each instance → one
+        boost entry per instance, applied per entry to the anchor score
+        (apply_boost_values_anchor, boost.rs:255-281 — a doc matched in 3
+        boosted array elements is boosted 3 times)."""
+        terms = match_terms(self.index, part)
+        text_ids = (
+            self.index.token_texts(part.field)
+            .join(F.broadcast(terms.select("term_id").distinct()), "term_id")
+            .select("text_id")
+            .distinct()
+        )
+        occ = self.index.texts(part.field).join(
+            F.broadcast(text_ids), "text_id"
+        )
+        lv = array_levels(bp.path)
+        inst = occ.select(
+            "doc_id", ordkey_prefix(F.col("ordkey"), lv).alias("__okey")
+        ).distinct()
+        bvals = (
+            explode_path(self.index.docstore(), bp.path)
+            .select(
+                "doc_id",
+                F.col(ORD_KEY).alias("__okey"),
+                F.col(TEXT_COL).cast("double").alias("__bv"),
+            )
+            .where(F.col("__bv").isNotNull())
+        )
+        entries = inst.join(bvals, ["doc_id", "__okey"])
+
+        fun = (bp.boost_fun or "").lower() if bp.boost_fun else None
+        param = F.lit(float(bp.param))
+        if fun == "log10":
+            per_entry = F.log10(F.col("__bv") + param)
+        elif fun == "log2":
+            per_entry = F.log2(F.col("__bv") + param)
+        elif fun in ("multiply", "add", "replace"):
+            per_entry = F.col("__bv") + param
+        else:
+            per_entry = F.lit(1.0)
+
+        # ordinal vector for deterministic "last entry wins" (Replace):
+        # the reference's boost iterator is ascending value_id = array order
+        okey_vec = F.transform(
+            F.split(F.col("__okey"), "\\."), lambda x: x.cast("int")
+        )
+        if fun == "add":
+            agg = entries.groupBy("doc_id").agg(
+                F.sum(per_entry).alias("__badd")
+            )
+            combined = F.col("score") + F.col("__badd")
+        elif fun == "replace":
+            agg = entries.groupBy("doc_id").agg(
+                F.max_by(per_entry, okey_vec).alias("__brep")
+            )
+            combined = F.col("__brep")
+        else:
+            # multiplicative funs compose as a product over entries; the
+            # per-doc entry count is bounded by the array length, so a
+            # collect_list + fold stays tiny per doc
+            agg = entries.groupBy("doc_id").agg(
+                F.aggregate(
+                    F.collect_list(per_entry),
+                    F.lit(1.0),
+                    lambda a, x: a * x,
+                ).alias("__bmul")
+            )
+            combined = F.col("score") * F.col("__bmul")
+        out = hits.join(agg, "doc_id", "left")
+        keep = F.col(agg.columns[1]).isNull()
+        return out.select(
+            "doc_id",
+            F.when(keep, F.col("score")).otherwise(combined).alias("score"),
+        )
 
     def leaf_ids(self, part: SearchPart) -> DataFrame:
         """Ids-only resolution for filter subtrees (docs containing any
@@ -277,10 +385,18 @@ class _Executor:
         )
 
     def text_locality_boost_ids(self) -> list[tuple[DataFrame, float]]:
-        """2·n² boost for docs where n>=2 distinct query terms hit the same
-        text value (boost.rs:11-87; flat corpus: text value == the field
-        value of the doc, so n = distinct term slots hitting the doc in
-        one field; max across fields)."""
+        """2·n² boost for docs where n>=2 query-term hits land in the SAME
+        text value (boost.rs:11-87).
+
+        Fields with per-text tables resolve exactly like the reference:
+        per search term, matched term_ids → tokens_to_text_id edges; per
+        text_id, n = total edge count across terms (boost.rs:44-57 counts
+        merged entries, so two matched term_ids of one fuzzy term in the
+        same text both count); texts with n>1 boost every containing
+        anchor by 2n². Flat anchor-identity fields use the identity fast
+        path (boost.rs:61-72): n = distinct term slots hitting the doc.
+        The best factor per doc wins across fields and texts
+        (boost_text_locality_all, boost.rs:23-30)."""
         assert self.request.search is not None
         node = simplify(self.request.search)
         from veloci_spark.request import leaves
@@ -294,31 +410,74 @@ class _Executor:
             terms = sorted({p.term for p in ps})
             if len(terms) <= 1:
                 continue
-            slot_frames = []
-            for i, t in enumerate(terms):
-                matching = [p for p in ps if p.term == t]
-                ids = self.leaf_ids(matching[0]).withColumn("__slot", F.lit(i))
-                slot_frames.append(ids)
-            u = slot_frames[0]
-            for s in slot_frames[1:]:
-                u = u.unionAll(s)
-            n_per_doc = u.distinct().groupBy("doc_id").agg(
-                F.count("*").alias("__n")
-            ).where(F.col("__n") >= 2)
-            boosts.append(
-                n_per_doc.select(
-                    "doc_id",
-                    (
-                        F.lit(2.0)
-                        * F.col("__n").cast("double")
-                        * F.col("__n").cast("double")
-                    ).alias("__factor"),
+            has_texts = False
+            try:
+                has_texts = bool(self.index.field_conf(fld).get("has_texts"))
+            except KeyError:
+                pass
+            if has_texts:
+                edge_frames = []
+                for t in terms:
+                    matching = [p for p in ps if p.term == t]
+                    mt = match_terms(self.index, matching[0]).select("term_id")
+                    edge_frames.append(
+                        self.index.token_texts(fld).join(
+                            F.broadcast(mt), "term_id"
+                        )
+                    )
+                u = edge_frames[0]
+                for e in edge_frames[1:]:
+                    u = u.unionAll(e)
+                n_per_text = (
+                    u.groupBy("text_id")
+                    .agg(F.count("*").alias("__n"))
+                    .where(F.col("__n") >= 2)
                 )
-            )
+                per_doc = n_per_text.join(
+                    self.index.texts(fld).select("text_id", "doc_id").distinct(),
+                    "text_id",
+                )
+                boosts.append(
+                    per_doc.select(
+                        "doc_id",
+                        (
+                            F.lit(2.0)
+                            * F.col("__n").cast("double")
+                            * F.col("__n").cast("double")
+                        ).alias("__factor"),
+                    )
+                )
+            else:
+                slot_frames = []
+                for i, t in enumerate(terms):
+                    matching = [p for p in ps if p.term == t]
+                    ids = self.leaf_ids(matching[0]).withColumn(
+                        "__slot", F.lit(i)
+                    )
+                    slot_frames.append(ids)
+                u = slot_frames[0]
+                for s in slot_frames[1:]:
+                    u = u.unionAll(s)
+                n_per_doc = (
+                    u.distinct()
+                    .groupBy("doc_id")
+                    .agg(F.count("*").alias("__n"))
+                    .where(F.col("__n") >= 2)
+                )
+                boosts.append(
+                    n_per_doc.select(
+                        "doc_id",
+                        (
+                            F.lit(2.0)
+                            * F.col("__n").cast("double")
+                            * F.col("__n").cast("double")
+                        ).alias("__factor"),
+                    )
+                )
         if not boosts:
             return []
-        # max across fields (boost_text_locality_all keeps the best score
-        # per doc, boost.rs:23-30)
+        # max across fields AND texts (boost_text_locality_all keeps the
+        # best score per doc, boost.rs:23-30)
         u = boosts[0]
         for b in boosts[1:]:
             u = u.unionAll(b)
@@ -380,19 +539,34 @@ def search(index: Index, request: Request) -> SearchResult:
                 )
             )
 
-    # column boosts (anchor boost, execution_plan.rs:174-189)
+    # column boosts (anchor boost, execution_plan.rs:174-189); `[]` paths
+    # were already applied at their leaves (execution_plan.rs:176)
     for bp in request.boost:
-        hits = ex.apply_column_boost(hits, bp)
+        if not is_nested(bp.path):
+            hits = ex.apply_column_boost(hits, bp)
 
     all_hits = hits
 
-    # facets run over ALL hits, not top-k (search.rs:188-206)
+    # facets run over ALL hits, not top-k (search.rs:188-206); a `[]`
+    # facet path counts one per value occurrence (the reference's join
+    # chain walks parent_to_value_id per instance, facet.rs:59-93)
     facets: dict[str, DataFrame] = {}
     for freq in request.facets:
+        if is_nested(freq.field) or "." in freq.field:
+            src = explode_path(
+                index.docstore().join(
+                    all_hits.select("doc_id").distinct(), "doc_id", "left_semi"
+                ),
+                freq.field,
+            ).select(F.col(TEXT_COL).alias("value"))
+        else:
+            src = (
+                all_hits.select("doc_id")
+                .join(index.docstore(), "doc_id")
+                .select(F.col(freq.field).alias("value"))
+            )
         facets[freq.field] = (
-            all_hits.select("doc_id")
-            .join(index.docstore(), "doc_id")
-            .groupBy(F.col(freq.field).alias("value"))
+            src.groupBy("value")
             .agg(F.count("*").alias("count"))
             .orderBy(F.desc("count"), F.asc("value"))
             .limit(freq.top)
@@ -407,10 +581,17 @@ def search(index: Index, request: Request) -> SearchResult:
         topk = topk.offset(request.skip)
 
     if request.select:
-        # the doc-store join does not preserve sort order — re-apply it
+        # the doc-store join does not preserve sort order — re-apply it.
+        # Nested select paths project the native Struct/Array column
+        # (Spark-side equivalent of the reference's JSON subtree rebuild,
+        # read_document.rs:8-59 — arrays stay arrays).
+        sel_cols = [
+            select_path_column(s).alias(s) if ("." in s or "[]" in s) else F.col(s)
+            for s in request.select
+        ]
         topk = (
             topk.join(index.docstore(), "doc_id")
-            .select("doc_id", "score", *request.select)
+            .select("doc_id", "score", *sel_cols)
             .orderBy(F.desc("score"), F.desc("doc_id"))
         )
 

@@ -22,11 +22,20 @@ FLAT_SCHEMA = "term_id long, doc_id long, score long"
 
 
 class Index:
+    """Unified v2 layout: one table per index kind at the root, written
+    ``partitionBy("field")`` — a per-field read is a partition-pruned scan
+    (the directory filter never touches other fields' data), while the
+    build shares one shuffle across all fields."""
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "manifest.json")) as f:
             self.manifest = json.load(f)
+        if self.manifest.get("version", 1) < 2:
+            raise ValueError(
+                f"index at {path} uses the round-1 per-field layout; rebuild"
+            )
         self.block_docs: int = self.manifest["block_docs"]
         self._cache: dict[str, DataFrame] = {}
 
@@ -44,17 +53,55 @@ class Index:
         return self._read("docstore")
 
     def dictionary(self, field: str) -> DataFrame:
-        return self._read(f"fields/{field}/dictionary")
+        return self._field_slice("dictionary", field)
 
     def postings_blocks(self, field: str) -> DataFrame:
-        return self._read(f"fields/{field}/postings")
+        return self._field_slice("postings", field)
 
     def phrase_pairs(self, field: str) -> DataFrame:
-        return self._read(f"fields/{field}/phrase")
+        return self._field_slice("phrase", field)
+
+    def texts(self, field: str) -> DataFrame:
+        """(text_id, doc_id, ordkey) — one row per text-value occurrence
+        (text_id_to_anchor + value-instance key)."""
+        return self._field_slice("texts", field)
+
+    def token_texts(self, field: str) -> DataFrame:
+        """(term_id, text_id) — tokens_to_text_id edges."""
+        return self._field_slice("token_texts", field)
+
+    def long_texts(self, field: str) -> DataFrame:
+        """(text_id, text) for texts past the dictionary byte limit."""
+        return self._field_slice("long_texts", field)
+
+    # a table written from an empty DataFrame has no parquet footer to
+    # infer from — fall back to its known schema
+    _TABLE_SCHEMAS = {
+        "texts": "text_id long, doc_id long, ordkey string, field string",
+        "token_texts": "term_id long, text_id long, field string",
+        "long_texts": "text_id long, text string, field string",
+        "phrase": "term_id_1 long, term_id_2 long, doc_id long, field string",
+    }
+
+    def _field_slice(self, table: str, field: str) -> DataFrame:
+        # partition-pruned per-field view; `field` dropped so downstream
+        # operators are field-agnostic
+        return (
+            self._read(table)
+            .where(F.col("field") == F.lit(field))
+            .drop("field")
+        )
 
     def _read(self, rel: str) -> DataFrame:
         if rel not in self._cache:
-            self._cache[rel] = self.spark.read.parquet(os.path.join(self.path, rel))
+            full = os.path.join(self.path, rel)
+            try:
+                self._cache[rel] = self.spark.read.parquet(full)
+            except Exception:
+                schema = self._TABLE_SCHEMAS.get(rel)
+                if schema is None:
+                    raise
+                self._cache[rel] = self.spark.createDataFrame([], schema)
         return self._cache[rel]
 
     # ------------------------------------------------------------- decode

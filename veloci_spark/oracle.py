@@ -90,6 +90,87 @@ postings AS (
 )"""
 
 
+NESTED_TEXT_SQL = (
+    "'ship ' || l.l_returnflag || ' ' || l.l_linestatus || "
+    "' part p' || CAST(l.l_partkey % 37 AS VARCHAR) || "
+    "' supp s' || CAST(l.l_suppkey % 13 AS VARCHAR)"
+)
+
+
+def nested_fulltext_cte(
+    separators: Sequence[str] = DEFAULT_SEPARATORS,
+    max_text_bytes: int = 64,
+    order_mod: int = 20,
+) -> str:
+    """Nested-document oracle prefix over orders+lineitem.
+
+    Document = one order (doc_id = dense rank over o_orderkey, subset
+    o_orderkey % order_mod = 0); 1:n text values = one synthesized
+    comment per lineitem. Recomputes the engine's per-VALUE semantics in
+    SQL: tokenization per value, per-value positions and length norms,
+    whole-text entries per occurrence, merge per (term, doc)
+    (/root/reference/src/create.rs:216-283, 389-448). Produces the same
+    `dict` / `postings` CTE names as fulltext_cte so the leaf/set-op CTE
+    helpers compose unchanged.
+    """
+    pat = _q(run_pattern(separators))
+    return f"""
+docs AS (
+  SELECT o_orderkey, dense_rank() OVER (ORDER BY o_orderkey) - 1 AS doc_id
+  FROM orders WHERE o_orderkey % {order_mod} = 0
+),
+vals AS (
+  -- vid = unique value-instance key within the doc (l_linenumber is NOT
+  -- unique per order in the synthetic data, so it cannot be the key)
+  SELECT d.doc_id,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY l.l_linenumber) AS vid,
+         {NESTED_TEXT_SQL} AS text,
+         CAST(l.l_quantity AS DOUBLE) AS qty, l.l_returnflag AS flag
+  FROM lineitem l JOIN docs d ON l.l_orderkey = d.o_orderkey
+),
+runs AS (
+  SELECT doc_id, vid, text, regexp_extract_all(text, {pat}) AS r
+  FROM vals
+),
+toks AS (
+  SELECT doc_id, vid, text,
+         unnest(r) AS tok,
+         generate_subscripts(r, 1) - 1 AS pos,
+         len(r) AS num_tokens
+  FROM runs WHERE len(r) >= 2
+),
+term_counts AS (
+  SELECT term, count(*) AS num_occurences FROM (
+    SELECT tok AS term FROM toks
+    UNION ALL
+    SELECT text AS term FROM vals WHERE strlen(text) <= {max_text_bytes}
+  ) GROUP BY term
+),
+dict AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS term_id, num_occurences
+  FROM term_counts
+),
+token_postings AS (
+  SELECT d.term_id, t.doc_id,
+         {sql_token_score('min(t.pos)', 'd.num_occurences', 't.num_tokens')} AS score
+  FROM toks t JOIN dict d ON t.tok = d.term
+  GROUP BY d.term_id, t.doc_id, t.vid, d.num_occurences, t.num_tokens
+),
+text_postings AS (
+  SELECT d.term_id, v.doc_id,
+         {sql_exact_text_score('d.num_occurences')} AS score
+  FROM vals v JOIN dict d ON v.text = d.term
+  WHERE strlen(v.text) <= {max_text_bytes}
+),
+postings AS (
+  SELECT term_id, doc_id,
+         CASE WHEN count(*) > 1 THEN max(score) + least(count(*), 5)
+              ELSE max(score) END AS score
+  FROM (SELECT * FROM token_postings UNION ALL SELECT * FROM text_postings)
+  GROUP BY term_id, doc_id
+)"""
+
+
 # ----------------------------------------------------------------- queries
 
 def _term_score_sql(lq: str, prefix_cond: str) -> str:

@@ -1,0 +1,118 @@
+"""Dotted-path addressing over nested DataFrames.
+
+The reference addresses nested JSON with dotted paths where arrays are
+marked ``[]`` (README "Addressing fields"; the traversal that assigns a
+value_id per array element per path is
+/root/reference/json_converter/src/lib.rs:91-138 `for_each_elemento`).
+
+Spark keeps documents as StructType/ArrayType columns, so a path like
+``kanji[].text`` is one `posexplode` plus a struct field access. Each
+``[]`` level contributes an ordinal; the concatenated ordinals form the
+``value key`` identifying one array-element instance within a doc — the
+Spark equivalent of the reference's per-path value_id
+(/root/reference/json_converter/src/lib.rs:144-166 IDHolder). Sibling
+paths under the same ``[]`` prefix (e.g. ``kanji[].text`` and
+``kanji[].commonness``) share the same ordinals, which is what the 1:n
+boost join keys on (/root/reference/src/plan_creator/plan_steps.rs:174-219).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+ORD_PREFIX = "__ord"
+ORD_KEY = "__ordkey"
+TEXT_COL = "__text"
+
+
+def parse_path(path: str) -> list[tuple[str, bool]]:
+    """``"a[].b.c[]"`` → ``[("a", True), ("b", False), ("c", True)]``."""
+    out = []
+    for seg in path.split("."):
+        if seg.endswith("[]"):
+            out.append((seg[:-2], True))
+        else:
+            out.append((seg, False))
+    return out
+
+
+def array_levels(path: str) -> int:
+    """Number of ``[]`` markers in the path."""
+    return sum(1 for _, is_arr in parse_path(path) if is_arr)
+
+
+def is_nested(path: str) -> bool:
+    return "[]" in path
+
+
+def array_prefix(path: str) -> str | None:
+    """The path up to (and including) the LAST ``[]`` marker — the parent
+    object of the leaf value; 1:n boost paths match on this prefix
+    (/root/reference/src/plan_creator/execution_plan.rs:422-436 uses
+    ``path[..rfind("[]")]``)."""
+    pos = path.rfind("[]")
+    if pos < 0:
+        return None
+    return path[:pos]
+
+
+def explode_path(df: DataFrame, path: str, keep_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """One row per value instance of ``path``:
+    ``(keep_cols..., __ord0.., __ordkey, __text)``.
+
+    ``__ordkey`` = dot-joined array ordinals ("" for flat paths) — the
+    per-doc value-instance key. Values are stringified like the
+    reference's convert_to_string
+    (/root/reference/json_converter/src/lib.rs:6-14). Null values (and
+    null array elements) produce no row, matching the tree walker which
+    skips JSON nulls."""
+    segs = parse_path(path)
+    cur = df.select(*keep_cols, F.col(segs[0][0]).alias("__v0"))
+    ords: list[str] = []
+    vcol = "__v0"
+    for idx, (name, is_arr) in enumerate(segs):
+        if idx > 0:
+            nxt = f"__v{idx}"
+            cur = cur.select(*keep_cols, *ords, F.col(vcol).getField(name).alias(nxt))
+            vcol = nxt
+        if is_arr:
+            oc = f"{ORD_PREFIX}{len(ords)}"
+            nxt = f"__v{idx}x"
+            cur = cur.select(
+                *keep_cols,
+                *ords,
+                F.posexplode_outer(F.col(vcol)).alias(oc, nxt),
+            ).where(F.col(nxt).isNotNull())
+            ords.append(oc)
+            vcol = nxt
+    ordkey = (
+        F.concat_ws(".", *[F.col(o).cast("string") for o in ords])
+        if ords
+        else F.lit("")
+    )
+    return (
+        cur.where(F.col(vcol).isNotNull())
+        .select(
+            *keep_cols,
+            *ords,
+            ordkey.alias(ORD_KEY),
+            F.col(vcol).cast("string").alias(TEXT_COL),
+        )
+    )
+
+
+def ordkey_prefix(ordkey: Column, levels: int) -> Column:
+    """First ``levels`` dot-separated components of an ordkey — the join
+    key for a sibling path with fewer array levels."""
+    if levels <= 0:
+        return F.lit("")
+    # slice the array form and re-join: robust for any component width
+    return F.concat_ws(".", F.slice(F.split(ordkey, "\\."), 1, levels))
+
+
+def select_path_column(path: str) -> Column:
+    """Projection of a (possibly nested) path from the doc store for
+    `select` — arrays stay arrays (Spark-native reconstruction of the
+    reference's read_document.rs:8-59 subtree rebuild)."""
+    expr = ".".join(name for name, _ in parse_path(path))
+    return F.col(expr)

@@ -1,20 +1,28 @@
-"""Suggest / autocomplete.
+"""Suggest / autocomplete + the `highlight` entry point.
 
 Reference `suggest_multi` (/root/reference/src/search/search_field.rs:194-230):
 per field, a prefix+fuzzy dictionary scan with return_term=true (no
 posting resolution at all), then merge across fields, dedup same text
 keeping max score, sort desc (search_field.rs:160-192).
+
+Reference `highlight` (search_field.rs:233-245): normalize the query
+term, scan the dictionary, resolve matched tokens to the TEXT VALUES
+containing them (resolve_token_hits_to_text_id, score = max over
+tokens), return the texts highlighted.
 """
 
 from __future__ import annotations
 
+from dataclasses import replace
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from veloci_spark.highlight import why_found_column
 from veloci_spark.index import Index
 from veloci_spark.match_terms import match_terms
 from veloci_spark.request import SearchPart
+from veloci_spark.tokenize import normalize_text
 
 
 def suggest(
@@ -61,3 +69,48 @@ def suggest(
     if skip:
         merged = merged.offset(skip)
     return merged.select(F.col("term").alias("text"), "score")
+
+
+def highlight_entry(
+    index: Index, part: SearchPart, top: int = 10, skip: int = 0
+) -> DataFrame:
+    """→ (text, score, highlighted): the text VALUES whose tokens match
+    the (normalized) query term, scored by the best matching token
+    (search_field.rs:233-245; token→text resolution is
+    resolve_token_hits_to_text_id, search_field.rs:550-639). Requires the
+    field's per-text tables (has_texts)."""
+    conf = index.field_conf(part.field)
+    if not conf.get("has_texts"):
+        raise ValueError(
+            f"highlight requires per-text tables for field {part.field!r} "
+            "(a `[]` path or store_texts=True)"
+        )
+    part = replace(part, term=normalize_text(part.term))
+    terms = match_terms(index, part)
+    # token → text values; per text keep the best token score
+    per_text = (
+        index.token_texts(part.field)
+        .join(F.broadcast(terms.select("term_id", "term_score")), "term_id")
+        .groupBy("text_id")
+        .agg(F.max("term_score").alias("score"))
+    )
+    # text string: short texts are dictionary terms (text_id == term_id),
+    # long texts live in long_texts (create.rs:141-160 synthetic ids)
+    dict_texts = index.dictionary(part.field).select(
+        F.col("term_id").alias("text_id"), F.col("term").alias("text")
+    )
+    long_texts = index.long_texts(part.field).select("text_id", "text")
+    strings = dict_texts.unionAll(long_texts)
+    out = (
+        per_text.join(strings, "text_id")
+        .orderBy(F.desc("score"), F.asc("text"))
+        .limit(top + skip)
+    )
+    if skip:
+        out = out.offset(skip)
+    matched = [r["term"] for r in terms.select("term").collect()]
+    seps = tuple(conf.get("tokenize_on_chars") or ()) or None
+    kw = {"separators": seps} if seps else {}
+    return why_found_column(
+        out.select("text", "score"), "text", matched, out_col="highlighted", **kw
+    )

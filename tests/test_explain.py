@@ -1,0 +1,88 @@
+"""Explain score provenance (reference search/result/explain.rs:1-22,
+threaded via search_field.rs:334-344, 426-441 and set_op.rs:187-199)."""
+
+from __future__ import annotations
+
+import pytest
+
+from veloci_spark.executor import search
+from veloci_spark.request import BoostPart, OrNode, Request, SearchPart
+
+
+def _by_doc(rows):
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_explain_single_term(tiny_index):
+    res = search(
+        tiny_index,
+        Request(search=SearchPart(field="line", term="myfun"), explain=True, top=5),
+    )
+    rows = _by_doc(res.hits.collect())
+    assert rows, "expected hits"
+    for r in rows.values():
+        entries = r["explain"]
+        assert any(e.startswith("TermToAnchor{") for e in entries)
+        assert any("LevenshteinScore" in e for e in entries)
+        # single leaf, no OR component
+        assert not any(e.startswith("OrSumOverDistinctTerms") for e in entries)
+    # the TermToAnchor final_score of the best doc equals its hit score
+    best = max(rows.values(), key=lambda r: r["score"])
+    finals = [
+        float(e.split("final_score=")[1].split("}")[0])
+        for e in best["explain"]
+        if e.startswith("TermToAnchor")
+    ]
+    assert max(finals) == pytest.approx(best["score"], abs=1e-4)
+
+
+def test_explain_or_sum(tiny_index):
+    res = search(
+        tiny_index,
+        Request(
+            search=OrNode(
+                (
+                    SearchPart(field="line", term="die"),
+                    SearchPart(field="line", term="erbin"),
+                )
+            ),
+            explain=True,
+            top=5,
+        ),
+    )
+    rows = _by_doc(res.hits.collect())
+    # docs 3 & 4 contain both terms: score = sum * 2^2, OrSum records sum
+    for d in (3, 4):
+        entries = rows[d]["explain"]
+        or_entries = [e for e in entries if e.startswith("OrSumOverDistinctTerms")]
+        assert len(or_entries) == 1
+        s = float(or_entries[0].split("(")[1].rstrip(")"))
+        assert rows[d]["score"] == pytest.approx(s * 4.0, abs=1e-3)
+
+
+def test_explain_boost_entry(tiny_index):
+    res = search(
+        tiny_index,
+        Request(
+            search=SearchPart(field="line", term="myfun"),
+            boost=(BoostPart(path="doc_id", boost_fun="Multiply", param=1.0),),
+            explain=True,
+            top=5,
+        ),
+    )
+    for r in res.hits.collect():
+        boosts = [e for e in r["explain"] if e.startswith("Boost(")]
+        assert len(boosts) == 1
+        assert float(boosts[0][6:-1]) == pytest.approx(r["score"], abs=1e-4)
+
+
+def test_explain_via_generator(tiny_index):
+    from veloci_spark.generator import QueryGeneratorParameters, generate_request
+
+    req = generate_request(
+        tiny_index,
+        QueryGeneratorParameters(search_term="myfun", fields=["line"], explain=True),
+    )
+    assert req.explain
+    res = search(tiny_index, req)
+    assert "explain" in res.hits.columns

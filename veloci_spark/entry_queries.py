@@ -465,6 +465,45 @@ _register(
 )
 
 
+# ---- explain provenance (numeric components, oracle-comparable) ------------
+
+def _q_explain(spark, sf_dir):
+    from veloci_spark.executor import leaf_explain_components
+
+    idx = documents_index(spark, sf_dir)
+    part = SearchPart(field="text", term="spark")
+    res = search(idx, Request(search=part))
+    topk = _quantized_topk(res.all_hits, 20)
+    comp = leaf_explain_components(idx, part, topk.select("doc_id"))
+    return comp.select(
+        "doc_id",
+        "term_id",
+        score_e4(F.col("term_score")).alias("term_score_e4"),
+        score_e4(F.col("anchor_score")).alias("anchor_score_e4"),
+        score_e4(F.col("final_score")).alias("final_e4"),
+    )
+
+
+_register(
+    "ft_explain_components",
+    _q_explain,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+        "tk AS (SELECT doc_id FROM h0 ORDER BY "
+        + sql_score_e4("score")
+        + " DESC, doc_id DESC LIMIT 20)",
+    )
+    + "\nSELECT p.doc_id, p.term_id, "
+    + sql_score_e4("m.term_score")
+    + " AS term_score_e4, "
+    + sql_score_e4("CAST(p.score AS DOUBLE) / 100.0")
+    + " AS anchor_score_e4, "
+    + sql_score_e4("m.term_score * (CAST(p.score AS DOUBLE) / 100.0)")
+    + " AS final_e4 FROM postings p JOIN m0 m USING (term_id) "
+    "JOIN tk USING (doc_id)",
+)
+
+
 # ---------------------------------------------------------------------------
 # Nested 1:n document model over orders + lineitem (round 2): one document
 # per order (subset o_orderkey % 20 = 0), items[] = one synthesized text

@@ -485,6 +485,120 @@ class _Executor:
         return [("__per_doc_factor", best)]  # type: ignore[list-item]
 
 
+def leaf_explain_components(
+    index: Index, part: SearchPart, doc_ids: DataFrame
+) -> DataFrame:
+    """Per (doc, matched term) score provenance for one leaf, restricted
+    to the given doc ids: (doc_id, term_id, term, term_score,
+    anchor_score, final_score) — the TermToAnchor record of
+    search_field.rs:426-441 with the LevenshteinScore of the matched
+    term (search_field.rs:334-344)."""
+    terms = match_terms(index, part)
+    postings = index.postings_for(part.field, terms).join(
+        F.broadcast(doc_ids.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    j = postings.join(F.broadcast(terms), "term_id")
+    return j.select(
+        "doc_id",
+        "term_id",
+        "term",
+        "term_score",
+        (F.col("score").cast("double") / F.lit(100.0)).alias("anchor_score"),
+        (F.col("term_score") * (F.col("score").cast("double") / F.lit(100.0))).alias(
+            "final_score"
+        ),
+    )
+
+
+def _attach_explain(
+    ex: "_Executor", request: Request, topk: DataFrame
+) -> DataFrame:
+    """Add an `explain` array<string> column to the top-k rows — the
+    score-provenance component list of the reference
+    (/root/reference/src/search/result/explain.rs:1-22), assembled as a
+    post-processing pass over the k result docs only (like why_found,
+    search.rs:220-224). Components: one TermToAnchor + LevenshteinScore
+    pair per (doc, matched term) (search_field.rs:334-344, 426-441), an
+    OrSumOverDistinctTerms per doc for OR trees (set_op.rs:187-199), and
+    a Boost(final) per applied anchor boost (boost.rs:283-377)."""
+    from veloci_spark.request import leaves
+
+    assert request.search is not None
+    node = simplify(request.search)
+    parts = leaves(node)
+    slots = sorted({first_term(p) for p in parts})
+    slot_of = {t: i for i, t in enumerate(slots)}
+    ids = topk.select("doc_id")
+
+    frames = []
+    for p in parts:
+        comp = leaf_explain_components(ex.index, p, ids).withColumn(
+            "__slot", F.lit(slot_of[first_term(p)])
+        )
+        frames.append(comp)
+    comps = frames[0]
+    for fr in frames[1:]:
+        comps = comps.unionAll(fr)
+
+    entry = F.format_string(
+        "TermToAnchor{term_id=%s, term_score=%.4f, anchor_score=%.4f, "
+        "final_score=%.4f}; LevenshteinScore{score=%.4f, text_or_token=%s}",
+        F.col("term_id"),
+        F.col("term_score"),
+        F.col("anchor_score"),
+        F.col("final_score"),
+        F.col("term_score"),
+        F.col("term"),
+    )
+    per_doc = comps.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(entry)).alias("__entries")
+    )
+    if isinstance(node, OrNode):
+        # OR provenance: sum of per-slot maxes (set_op.rs:187-199),
+        # two-level agg mirroring union_hits_score
+        or_sum = (
+            comps.groupBy("doc_id", "__slot")
+            .agg(F.max("final_score").alias("__m"))
+            .groupBy("doc_id")
+            .agg(F.sum("__m").alias("__or_sum"))
+        )
+        per_doc = per_doc.join(or_sum, "doc_id").select(
+            "doc_id",
+            F.concat(
+                F.col("__entries"),
+                F.array(
+                    F.format_string(
+                        "OrSumOverDistinctTerms(%.4f)", F.col("__or_sum")
+                    )
+                ),
+            ).alias("__entries"),
+        )
+
+    out = topk.join(per_doc, "doc_id", "left")
+    explain_col = F.col("__entries")
+    for i, bp in enumerate(b for b in request.boost if not is_nested(b.path)):
+        # Boost(new_score) is appended after the boost applies
+        # (boost.rs:283-377 pushes Explain::Boost(hit.score)); docs
+        # without a boost value get no entry. With chained boosts the
+        # reference records each intermediate score; here every entry
+        # shows the final score (documented simplification).
+        bv = f"__bv{i}"
+        vals = ex.index.docstore().select(
+            "doc_id", F.col(bp.path).cast("double").alias(bv)
+        )
+        out = out.join(vals, "doc_id", "left")
+        explain_col = F.when(
+            F.col(bv).isNotNull(),
+            F.concat(
+                explain_col,
+                F.array(F.format_string("Boost(%.4f)", F.col("score"))),
+            ),
+        ).otherwise(explain_col)
+    out = out.withColumn("explain", explain_col)
+    drop = ["__entries"] + [c for c in out.columns if c.startswith("__bv")]
+    return out.drop(*drop).orderBy(F.desc("score"), F.desc("doc_id"))
+
+
 def search(index: Index, request: Request) -> SearchResult:
     ex = _Executor(index, request)
 
@@ -579,6 +693,10 @@ def search(index: Index, request: Request) -> SearchResult:
     )
     if request.skip:
         topk = topk.offset(request.skip)
+
+    # explain provenance on the k result rows only (explain.rs:1-22)
+    if request.explain:
+        topk = _attach_explain(ex, request, topk)
 
     if request.select:
         # the doc-store join does not preserve sort order — re-apply it.

@@ -51,6 +51,7 @@ class QueryGeneratorParameters:
     select: Optional[list[str]] = None
     why_found: bool = False
     text_locality: bool = False
+    explain: bool = False
     top: int = 10
     skip: int = 0
     stopword_lists: tuple[str, ...] = ()
@@ -218,5 +219,6 @@ def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
         skip=params.skip,
         text_locality=params.text_locality,
         why_found=params.why_found,
+        explain=params.explain,
         select=tuple(params.select) if params.select else None,
     )

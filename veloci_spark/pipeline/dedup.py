@@ -29,6 +29,12 @@ from veloci_spark.pipeline.common import (
     words_expr,
 )
 
+# Default LSH parameters. These are TOY values sized for the sf0.01
+# correctness corpus; at 100 TB use ~128 hashes / 16+ bands (rows-per-band
+# tunes the similarity threshold: P(candidate) = 1-(1-j^r)^b). Both the
+# Spark implementation and the SQL oracle are generated from the same
+# (n_minhash, n_bands, shingle_n) triple, and the driver checks TWO
+# settings (see queries()).
 N_MINHASH = 8
 N_BANDS = 4  # rows per band = 2
 SHINGLE_N = 3
@@ -60,9 +66,9 @@ FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
 
 # ------------------------------------------------------- shingles / minhash
 
-def _with_shingles(df: DataFrame) -> DataFrame:
+def _with_shingles(df: DataFrame, shingle_n: int = SHINGLE_N) -> DataFrame:
     return df.select(
-        "doc_id", shingles_expr(words_expr("text"), SHINGLE_N).alias("sh")
+        "doc_id", shingles_expr(words_expr("text"), shingle_n).alias("sh")
     ).where(F.size("sh") > 0)
 
 
@@ -74,9 +80,9 @@ def _mh_lambda(j: int):
     return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
 
-def _minhash_cols(df: DataFrame) -> DataFrame:
+def _minhash_cols(df: DataFrame, n_minhash: int = N_MINHASH) -> DataFrame:
     out = df
-    for j in range(N_MINHASH):
+    for j in range(n_minhash):
         out = out.withColumn(
             f"mh{j}", F.array_min(F.transform(F.col("sh"), _mh_lambda(j)))
         )
@@ -89,20 +95,30 @@ def _sql_minhash(j: int) -> str:
     )
 
 
-_SHINGLE_CTE = f"""
+def _shingle_cte(n_minhash: int = N_MINHASH, shingle_n: int = SHINGLE_N) -> str:
+    return f"""
 sh_docs AS (
-  SELECT doc_id, {sql_shingles(sql_words('text'), SHINGLE_N)} AS sh
+  SELECT doc_id, {sql_shingles(sql_words('text'), shingle_n)} AS sh
   FROM documents WHERE text IS NOT NULL
 ),
 sh_nonempty AS (SELECT * FROM sh_docs WHERE len(sh) > 0),
 minhashed AS (
   SELECT doc_id, sh,
-         {', '.join(f'{_sql_minhash(j)} AS mh{j}' for j in range(N_MINHASH))}
+         {', '.join(f'{_sql_minhash(j)} AS mh{j}' for j in range(n_minhash))}
   FROM sh_nonempty
 )"""
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SHINGLE_CTE = _shingle_cte()
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with exact
     Jaccard on each candidate. Returns (doc_a, doc_b, jaccard_e4).
 
@@ -113,18 +129,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the band join would re-evaluate the tokenize/minhash
     expression tree on every join output row (40× recompute observed)
     and shuffle shingle payloads quadratically."""
-    sh_docs = _with_shingles(_docs(spark, sf_dir)).persist()
-    mh = _minhash_cols(sh_docs).drop("sh")
+    assert n_minhash % n_bands == 0, "n_minhash must divide into bands"
+    rpb = n_minhash // n_bands
+    sh_docs = _with_shingles(_docs(spark, sf_dir), shingle_n).persist()
+    mh = _minhash_cols(sh_docs, n_minhash).drop("sh")
     bands = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         bands.append(
             mh.select(
                 "doc_id",
                 F.md5(
                     F.concat(
                         F.lit(f"band{b}:"),
-                        F.col(f"mh{2 * b}"),
-                        F.col(f"mh{2 * b + 1}"),
+                        *[F.col(f"mh{rpb * b + r}") for r in range(rpb)],
                     )
                 ).alias("band_key"),
             )
@@ -153,15 +170,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_SQL = (
-    "WITH "
-    + _SHINGLE_CTE
-    + f""",
+def dedup_minhash_sql(
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    rpb = n_minhash // n_bands
+    band_cases = " ".join(
+        "WHEN {b} THEN {concat}".format(
+            b=b, concat=" || ".join(f"mh{rpb * b + r}" for r in range(rpb))
+        )
+        for b in range(n_bands)
+    )
+    return (
+        "WITH "
+        + _shingle_cte(n_minhash, shingle_n)
+        + f""",
 banded AS (
   SELECT doc_id, sh, md5('band' || b || ':' || CASE b
-      {' '.join(f"WHEN {b} THEN mh{2 * b} || mh{2 * b + 1}" for b in range(N_BANDS))}
+      {band_cases}
       END) AS band_key
-  FROM minhashed, (SELECT unnest(range({N_BANDS})) AS b)
+  FROM minhashed, (SELECT unnest(range({n_bands})) AS b)
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
@@ -173,7 +202,10 @@ SELECT doc_a, doc_b,
           'CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)')} AS jaccard_e4
 FROM pairs
 """
-)
+    )
+
+
+DEDUP_MINHASH_SQL = dedup_minhash_sql()
 
 
 # ------------------------------------------------------------------ simhash
@@ -250,6 +282,11 @@ def queries():
     return {
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        # second parameter setting (more hashes, wider bands = 4 rows per
+        # band): the knob that trades recall vs candidate volume at scale
+        "dedup_minhash_lsh_32_8": lambda spark, sf_dir: dedup_minhash_lsh(
+            spark, sf_dir, n_minhash=32, n_bands=8
+        ),
         "dedup_simhash": dedup_simhash,
         "dedup_jaccard_adjacent": text_jaccard_adjacent,
     }
@@ -259,6 +296,7 @@ def oracles():
     return {
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+        "dedup_minhash_lsh_32_8": dedup_minhash_sql(n_minhash=32, n_bands=8),
         "dedup_simhash": DEDUP_SIMHASH_SQL,
         "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
     }

@@ -2,25 +2,42 @@
 
 - brute-force cosine top-k (JVM-side: zip_with + aggregate left-fold,
   no Python in the loop) — the correctness baseline;
-- sign-bit LSH bucketing (random-hyperplane-style, using the first 8
-  dimensions' signs) — the scale path: candidate generation becomes a
-  bucket equi-join instead of an O(n²) cross join.
+- random-hyperplane sign LSH bucketing with a CONFIGURABLE number of
+  hyperplanes — the scale path: candidate generation becomes a bucket
+  equi-join instead of an O(n²) cross join. Bucket count must scale
+  with corpus size (bits ≈ log2(n / target_bucket_size)), so the
+  hyperplane count is a parameter and two settings are oracle-checked;
+- multi-probe: the query probes its own bucket plus all Hamming-1
+  neighbors, recovering recall lost to sign-boundary noise without
+  touching other buckets.
 
-All dot products cast each element to double *before* multiplying and
-fold left, so Spark and the DuckDB oracle produce bit-identical sums.
+Hyperplanes are generated from a fixed seed and embedded as float64
+literals in BOTH the Spark expression and the DuckDB SQL, so the two
+engines hash identically. All dot products cast to double before
+multiplying and fold in array order, so the sums are bit-identical.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from veloci_spark.pipeline.common import e4, sql_e4
 
 N_SIGN_BITS = 8
+EMBED_DIM = 64
+HP_SEED = 0x5EED
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+@lru_cache(maxsize=None)
+def random_hyperplanes(n_bits: int, dim: int = EMBED_DIM, seed: int = HP_SEED):
+    """n_bits × dim random normal projections, rounded to 6 decimals so
+    the literal round-trips exactly through SQL text."""
+    rs = np.random.RandomState(seed)
+    h = rs.standard_normal((n_bits, dim))
+    return tuple(tuple(round(float(x), 6) for x in row) for row in h)
 
 
 def _dot(a, b):
@@ -43,6 +60,48 @@ def cosine_expr(a, b):
     return _dot(a, b) / (F.sqrt(_norm2(a)) * F.sqrt(_norm2(b)))
 
 
+def bucket_expr(emb: Column, n_bits: int) -> Column:
+    """LSH bucket id = Σ 2^i over hyperplanes with h_i·v >= 0."""
+    planes = random_hyperplanes(n_bits)
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        hp = F.array(*[F.lit(x) for x in h])
+        bucket = bucket + F.when(_dot(hp, emb) >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm2(a: str) -> str:
+    return f"list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
+def _sql_lit_array(vals) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def sql_bucket(emb: str, n_bits: int) -> str:
+    planes = random_hyperplanes(n_bits)
+    parts = []
+    for i, h in enumerate(planes):
+        parts.append(
+            f"(CASE WHEN {_sql_dot(_sql_lit_array(h), emb)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- brute force
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Top-k by cosine similarity to the vec_id=0 embedding."""
     emb = _emb(spark, sf_dir)
@@ -60,17 +119,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     )
 
 
-def _sql_dot(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
-
-
-def _sql_norm2(a: str) -> str:
-    return f"list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-
-
 ANN_COSINE_SQL = f"""
 WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -80,41 +128,39 @@ ORDER BY cos_e4 DESC, vec_id DESC LIMIT 20
 """
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bit bucket histogram: bucket id = Σ 2^d over the first 8
-    dims with embedding[d] >= 0. The ANN scale path searches only the
-    query's bucket (plus Hamming-1 neighbors)."""
+# ------------------------------------------------------------ LSH bucketing
+
+def ann_lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_SIGN_BITS
+) -> DataFrame:
+    """Hyperplane-bucket histogram — also the occupancy evidence that
+    bucket sizes stay bounded as n_bits scales with the corpus."""
     emb = _emb(spark, sf_dir)
-    bucket = F.lit(0).cast("long")
-    for d in range(N_SIGN_BITS):
-        bucket = bucket + F.when(
-            F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)
-        ).otherwise(0)
     return (
-        emb.select(bucket.alias("bucket"))
+        emb.select(bucket_expr(F.col("embedding"), n_bits).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
 
 
-ANN_BUCKETS_SQL = f"""
-SELECT {' + '.join(f'(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)' for d in range(N_SIGN_BITS))} AS bucket,
+def ann_buckets_sql(n_bits: int = N_SIGN_BITS) -> str:
+    return f"""
+SELECT {sql_bucket('embedding', n_bits)} AS bucket,
        count(*) AS n_vectors
 FROM embeddings GROUP BY 1
 """
 
 
-def ann_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup embedding pairs inside each sign bucket with cosine
+def ann_bucketed_pairs(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_SIGN_BITS
+) -> DataFrame:
+    """Near-dup embedding pairs inside each hyperplane bucket with cosine
     >= 0.8 → (vec_a, vec_b, cos_e4). The bucket join bounds candidate
-    generation (no O(n²))."""
+    generation (no O(n²)); n_bits scales the bucket count with n."""
     emb = _emb(spark, sf_dir)
-    bucket = F.lit(0).cast("long")
-    for d in range(N_SIGN_BITS):
-        bucket = bucket + F.when(
-            F.element_at("embedding", d + 1) >= 0, F.lit(1 << d)
-        ).otherwise(0)
-    withb = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    withb = emb.select(
+        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
+    )
     a = withb.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
     )
@@ -125,13 +171,15 @@ def ann_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairs.select(
         "vec_a", "vec_b", e4(cosine_expr(F.col("ea"), F.col("eb"))).alias("cos_e4")
     )
+    # no distinct needed: each vector lives in exactly one bucket, so a
+    # pair can only be generated once
     return out.where(F.col("cos_e4") >= 8000)
 
 
-ANN_PAIRS_SQL = f"""
+def ann_pairs_sql(n_bits: int = N_SIGN_BITS) -> str:
+    return f"""
 WITH withb AS (
-  SELECT vec_id, embedding,
-    {' + '.join(f'(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)' for d in range(N_SIGN_BITS))} AS bucket
+  SELECT vec_id, embedding, {sql_bucket('embedding', n_bits)} AS bucket
   FROM embeddings
 ),
 pairs AS (
@@ -147,17 +195,74 @@ SELECT vec_a, vec_b, cos_e4 FROM scored WHERE cos_e4 >= 8000
 """
 
 
+# ---------------------------------------------------------------- multiprobe
+
+def ann_multiprobe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = N_SIGN_BITS,
+    k: int = 20,
+) -> DataFrame:
+    """ANN top-k for the vec_id=0 query probing its own bucket plus all
+    Hamming-1 neighbor buckets, then exact cosine inside the candidate
+    set. At scale: 1 broadcast row + a bucket-pruned scan — candidates
+    shrink by ~(n_bits+1)/2^n_bits of the corpus."""
+    emb = _emb(spark, sf_dir)
+    withb = emb.select(
+        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
+    )
+    q = withb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cand = withb.crossJoin(F.broadcast(q)).where(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
+    )
+    return (
+        cand.select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias("cos_e4"),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_multiprobe_sql(n_bits: int = N_SIGN_BITS, k: int = 20) -> str:
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {sql_bucket('embedding', n_bits)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qvec, bucket AS qbucket FROM withb WHERE vec_id = 0),
+cand AS (
+  SELECT w.vec_id, w.embedding, q.qvec FROM withb w, q
+  WHERE bit_count(xor(w.bucket, q.qbucket)) <= 1
+)
+SELECT vec_id,
+  {sql_e4(_sql_dot('embedding', 'qvec') + ' / (sqrt(' + _sql_norm2('embedding') + ') * sqrt(' + _sql_norm2('qvec') + '))')} AS cos_e4
+FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_bucketed_pairs": ann_bucketed_pairs,
+        # second parameter setting: more hyperplanes = more, smaller
+        # buckets (the knob that scales candidate generation with n)
+        "ann_bucketed_pairs_b12": lambda spark, sf_dir: ann_bucketed_pairs(
+            spark, sf_dir, n_bits=12
+        ),
+        "ann_multiprobe_topk": ann_multiprobe_topk,
     }
 
 
 def oracles():
     return {
         "ann_cosine_topk": ANN_COSINE_SQL,
-        "ann_lsh_buckets": ANN_BUCKETS_SQL,
-        "ann_bucketed_pairs": ANN_PAIRS_SQL,
+        "ann_lsh_buckets": ann_buckets_sql(),
+        "ann_bucketed_pairs": ann_pairs_sql(),
+        "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
+        "ann_multiprobe_topk": ann_multiprobe_sql(),
     }

@@ -109,6 +109,11 @@ class Request:
     skip: int = 0
     text_locality: bool = False
     why_found: bool = False
+    #: attach per-hit score provenance (an `explain` array column of
+    #: component strings — LevenshteinScore / TermToAnchor /
+    #: OrSumOverDistinctTerms / Boost,
+    #: /root/reference/src/search/result/explain.rs:1-22)
+    explain: bool = False
     #: columns to project from the doc store for the result rows
     select: Optional[tuple[str, ...]] = None
 

@@ -79,10 +79,14 @@ def headline_queries(spark, sf_dir: str):
         "ft_phrase_boost",
         "ft_facet_lang",
         "ft_suggest",
+        "ft_nested_search",
+        "ft_nested_boost_1n",
+        "ft_explain_components",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
         "ann_bucketed_pairs",
+        "ann_multiprobe_topk",
         "text_quality",
         "text_fingerprint",
     ]
@@ -98,9 +102,27 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         from veloci_spark.entry_queries import INDEX_CACHE_ROOT
 
         tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-        idx_dir = os.path.join("/tmp/veloci_spark_bench_cache", f"documents_{tag}")
+        # the v2 path documents_index() resolves to — the build here must
+        # land where the queries look, or they'd rebuild a second index
+        idx_dir = os.path.join(
+            "/tmp/veloci_spark_bench_cache", f"documents_v2_{tag}"
+        )
         n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
         build_sec = build(spark, sf_dir, idx_dir)
+
+        # pre-build the nested orders index (its own corpus assembly +
+        # build) so nested query timings measure the query, not the build
+        from veloci_spark.entry_queries import nested_orders_index
+
+        shutil.rmtree(
+            os.path.join(
+                "/tmp/veloci_spark_bench_cache", f"orders_nested_v2_{tag}"
+            ),
+            ignore_errors=True,
+        )
+        t0 = time.time()
+        nested_orders_index(spark, sf_dir)
+        nested_build_sec = time.time() - t0
 
         # warm up python workers / codegen / index handle once so the
         # per-query numbers measure the operator, not session startup
@@ -130,6 +152,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             "queries": per_query,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "index_build_sec": round(build_sec, 3),
+            "nested_index_build_sec": round(nested_build_sec, 3),
             "docs_per_sec": round(n_docs / build_sec, 1),
             "n_docs": n_docs,
             "cpus": cpus,

@@ -1,0 +1,117 @@
+"""token_values boost (token_values_to_tokens.rs:26-82,
+search_field.rs:391-395) + the logical plan pretty-printer
+(plan.rs:74-126)."""
+
+from __future__ import annotations
+
+import pytest
+
+from veloci_spark.executor import search
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+)
+
+
+def test_token_values_boost(tiny_index):
+    from veloci_spark.token_values import add_token_values
+
+    add_token_values(tiny_index, "line", [("myfun", 20.0), ("nosuch", 3.0)])
+    base = search(tiny_index, Request(search=SearchPart(field="line", term="myfun")))
+    base_scores = {r["doc_id"]: r["score"] for r in base.all_hits.collect()}
+    part = SearchPart(
+        field="line",
+        term="myfun",
+        token_value=BoostPart(path="", boost_fun="Multiply", param=0.0),
+    )
+    boosted = search(tiny_index, Request(search=part))
+    got = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert got.keys() == base_scores.keys()
+    for d, s in base_scores.items():
+        assert got[d] == pytest.approx(s * 20.0)
+
+
+def test_token_values_only_listed_terms(tiny_index):
+    from veloci_spark.token_values import add_token_values
+
+    add_token_values(tiny_index, "line", [("myfun", 20.0)])
+    # fuzzy search matches myfun AND otherfun; only myfun's term score is
+    # boosted (add_boost skips terms without a value)
+    part = SearchPart(
+        field="line",
+        term="otherfun",
+        token_value=BoostPart(path="", boost_fun="Multiply", param=0.0),
+    )
+    base = search(
+        tiny_index, Request(search=SearchPart(field="line", term="otherfun"))
+    )
+    boosted = search(tiny_index, Request(search=part))
+    b = {r["doc_id"]: r["score"] for r in base.all_hits.collect()}
+    g = {r["doc_id"]: r["score"] for r in boosted.all_hits.collect()}
+    assert g == pytest.approx(b)  # "otherfun" has no token value
+
+
+def test_plan_render_contains_steps():
+    from veloci_spark.plan_render import render_plan
+
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(field="line", term="a"),
+                AndNode(
+                    (
+                        SearchPart(field="line", term="b"),
+                        SearchPart(field="line", term="c"),
+                    )
+                ),
+            )
+        ),
+        filter=SearchPart(field="lang", term="ts"),
+        phrase_boosts=(PhraseBoost(field="line", term1="a", term2="b"),),
+        boost=(BoostPart(path="n", boost_fun="Log10"),),
+        why_found=True,
+    )
+    dot = render_plan(req)
+    assert dot.startswith("digraph plan {")
+    for expected in (
+        "FieldSearchToTokenIds line:a",
+        "Union",
+        "Intersect",
+        "FilterChannel",
+        "IntersectScoresWithIds",
+        "PhrasePairToAnchor",
+        "AnchorBoost n (Log10)",
+        "TopNSort",
+        "WhyFound",
+    ):
+        assert expected in dot, expected
+
+
+def test_plan_render_dedups_shared_leaf():
+    from veloci_spark.plan_render import render_plan
+
+    # the same leaf in search and filter compiles to ONE FieldSearch step
+    # (FieldRequestCache, execution_plan.rs:87-130)
+    req = Request(
+        search=SearchPart(field="line", term="x"),
+        filter=SearchPart(field="line", term="x"),
+    )
+    dot = render_plan(req)
+    assert dot.count("FieldSearchToTokenIds line:x") == 1
+
+
+def test_plan_render_nested_boost_diamond():
+    from veloci_spark.plan_render import render_plan
+
+    req = Request(
+        search=SearchPart(field="kanji[].text", term="will"),
+        boost=(BoostPart(path="kanji[].commonness", boost_fun="Multiply"),),
+    )
+    dot = render_plan(req)
+    assert "BoostToAnchor kanji[].commonness" in dot
+    assert "ApplyAnchorBoost" in dot
+    assert "AnchorBoost" not in dot.replace("ApplyAnchorBoost", "")

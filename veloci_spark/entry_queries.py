@@ -465,6 +465,40 @@ _register(
 )
 
 
+# ---- token_values boost (static per-token score boost) ----------------------
+
+def _q_token_values(spark, sf_dir):
+    from veloci_spark.token_values import add_token_values
+
+    idx = documents_index(spark, sf_dir)
+    add_token_values(idx, "text", [("spark", 20.0)])
+    part = SearchPart(
+        field="text",
+        term="spark",
+        token_value=BoostPart(path="", boost_fun="Multiply", param=1.0),
+    )
+    return _run_request(spark, sf_dir, Request(search=part), 20)
+
+
+_register(
+    "ft_token_values_boost",
+    _q_token_values,
+    _with_cte(
+        # matched terms with the static token boost applied to the TERM
+        # score (add_boost Multiply: score *= value+param,
+        # search_field.rs:391-395 + boost.rs:283-377)
+        "m0raw AS (SELECT term_id, term, 2.0 / (CAST(levenshtein(lower(term), 'spark') AS DOUBLE) + 0.2) "
+        "AS term_score FROM dict WHERE lower(term) = 'spark')",
+        "m0 AS (SELECT term_id, term_score * "
+        "(CASE WHEN term = 'spark' THEN 20.0 + 1.0 ELSE 1.0 END) AS term_score FROM m0raw)",
+        "h0 AS (SELECT p.doc_id, max(m.term_score * (CAST(p.score AS DOUBLE) / 100.0)) AS score "
+        "FROM postings p JOIN m0 m USING (term_id) GROUP BY p.doc_id)",
+    )
+    + "\n"
+    + topk_select("h0", 20),
+)
+
+
 # ---- explain provenance (numeric components, oracle-comparable) ------------
 
 def _q_explain(spark, sf_dir):

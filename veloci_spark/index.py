@@ -81,6 +81,7 @@ class Index:
         "token_texts": "term_id long, text_id long, field string",
         "long_texts": "text_id long, text string, field string",
         "phrase": "term_id_1 long, term_id_2 long, doc_id long, field string",
+        "token_values": "term_id long, value double, field string",
     }
 
     def _field_slice(self, table: str, field: str) -> DataFrame:

@@ -85,6 +85,19 @@ def match_terms(index: Index, part: SearchPart) -> DataFrame:
         score = score * F.lit(float(part.boost))
     out = cand.select("term_id", "term", score.alias("term_score"))
 
+    if part.token_value is not None:
+        # static per-token boost on the term score (token_values index,
+        # search_field.rs:391-395)
+        from veloci_spark.token_values import (
+            apply_token_value_boost,
+            token_values_table,
+        )
+
+        tv = token_values_table(index, part.field)
+        out = apply_token_value_boost(
+            out, tv, part.token_value.boost_fun, part.token_value.param
+        )
+
     if part.top is not None:
         # per-part candidate truncation to top+skip, ordered by
         # (score desc, term_id desc) — search_field.rs:292-331 with the

@@ -1,0 +1,177 @@
+"""Logical query-plan pretty-printer (graphviz dot).
+
+The reference renders its channel-connected step DAG to dot
+(/root/reference/src/plan_creator/plan.rs:74-126, route `explain_plan`
+in the server). Here the same step structure is reconstructed from the
+Request exactly as the executor compiles it — field-search dedup
+(FieldRequestCache), filter subtree in ids-only mode feeding every
+consumer, 1:n boost diamonds, anchor/phrase/locality boosts, top-k —
+so a user can see the engine-level plan; `df.explain("formatted")` on
+the result remains the physical (Catalyst) view.
+"""
+
+from __future__ import annotations
+
+from veloci_spark.paths import array_prefix, is_nested
+from veloci_spark.request import (
+    AndNode,
+    Node,
+    OrNode,
+    Request,
+    SearchPart,
+    leaves,
+    simplify,
+)
+
+
+class _Dag:
+    def __init__(self):
+        self.nodes: list[str] = []
+        self.edges: list[tuple[int, int]] = []
+
+    def add(self, label: str) -> int:
+        self.nodes.append(label)
+        return len(self.nodes) - 1
+
+    def edge(self, src: int, dst: int) -> None:
+        self.edges.append((src, dst))
+
+    def to_dot(self) -> str:
+        out = ["digraph plan {"]
+        for i, label in enumerate(self.nodes):
+            safe = label.replace('"', "'")
+            out.append(f'  N{i} [label="{safe}"];')
+        for s, d in self.edges:
+            out.append(f"  N{s} -> N{d};")
+        out.append("}")
+        return "\n".join(out)
+
+
+def _leaf_label(p: SearchPart) -> str:
+    kind = (
+        "regex"
+        if p.is_regex
+        else "prefix"
+        if p.starts_with
+        else f"lev{p.effective_levenshtein()}"
+    )
+    return f"{p.field}:{p.term} ({kind})"
+
+
+def plan_dag(request: Request) -> _Dag:
+    dag = _Dag()
+    # FieldRequestCache: one FieldSearch step per distinct leaf, shared by
+    # search / filter / phrase consumers (execution_plan.rs:87-130)
+    search_cache: dict[SearchPart, int] = {}
+
+    def field_search(p: SearchPart) -> int:
+        if p not in search_cache:
+            search_cache[p] = dag.add(f"FieldSearchToTokenIds {_leaf_label(p)}")
+        return search_cache[p]
+
+    nested_boosts = [bp for bp in request.boost if is_nested(bp.path)]
+
+    def compile_node(node: Node, ids_only: bool) -> int:
+        node = simplify(node)
+        if isinstance(node, SearchPart):
+            fs = field_search(node)
+            matching = [
+                bp
+                for bp in nested_boosts
+                if array_prefix(node.field) is not None
+                and array_prefix(bp.path) == array_prefix(node.field)
+            ]
+            if matching and not ids_only:
+                # the BoostToAnchor diamond (execution_plan.rs:422-508)
+                resolve = dag.add("ResolveTokenIdToAnchor")
+                dag.edge(fs, resolve)
+                boost = dag.add(
+                    f"BoostToAnchor {matching[0].path} ({matching[0].boost_fun})"
+                )
+                dag.edge(fs, boost)
+                apply_ = dag.add("ApplyAnchorBoost")
+                dag.edge(resolve, apply_)
+                dag.edge(boost, apply_)
+                return apply_
+            step = dag.add(
+                "ResolveTokenIdToAnchor (ids only)"
+                if ids_only
+                else "ResolveTokenIdToAnchor"
+            )
+            dag.edge(fs, step)
+            return step
+        kids = [compile_node(p, ids_only) for p in node.parts]
+        op = "Union" if isinstance(node, OrNode) else "Intersect"
+        step = dag.add(f"{op}{' (ids)' if ids_only else ''} [{len(kids)}]")
+        for k in kids:
+            dag.edge(k, step)
+        return step
+
+    filter_step = None
+    if request.filter is not None:
+        filter_step = compile_node(request.filter, ids_only=True)
+        fc = dag.add("FilterChannel (computed once, broadcast)")
+        dag.edge(filter_step, fc)
+        filter_step = fc
+
+    assert request.search is not None
+    cur = compile_node(request.search, ids_only=False)
+
+    if filter_step is not None:
+        step = dag.add("IntersectScoresWithIds (left semi)")
+        dag.edge(cur, step)
+        dag.edge(filter_step, step)
+        cur = step
+
+    for p in request.boost_term:
+        fs = field_search(p)
+        step = dag.add(f"BoostTerm x{p.boost if p.boost is not None else 2.0}")
+        dag.edge(cur, step)
+        dag.edge(fs, step)
+        cur = step
+
+    seen_pairs = set()
+    for pb in request.phrase_boosts:
+        key = (pb.field, pb.term1, pb.term2)
+        if key in seen_pairs:
+            continue
+        seen_pairs.add(key)
+        pair = dag.add(f"PhrasePairToAnchor {pb.field}:({pb.term1},{pb.term2})")
+        step = dag.add("BoostAnchorFromPhraseResults x5.0")
+        dag.edge(cur, step)
+        dag.edge(pair, step)
+        cur = step
+
+    if request.text_locality:
+        step = dag.add("BoostTextLocality 2n^2 (per text value)")
+        dag.edge(cur, step)
+        cur = step
+
+    for bp in request.boost:
+        if is_nested(bp.path):
+            continue
+        step = dag.add(f"AnchorBoost {bp.path} ({bp.boost_fun})")
+        dag.edge(cur, step)
+        cur = step
+
+    for freq in request.facets:
+        step = dag.add(f"Facet {freq.field} top {freq.top}")
+        dag.edge(cur, step)
+
+    top = dag.add(
+        f"TopNSort top={request.top} skip={request.skip} "
+        "(score desc, doc_id desc)"
+    )
+    dag.edge(cur, top)
+    if request.why_found:
+        wf = dag.add("WhyFound (snippets on top-k)")
+        dag.edge(top, wf)
+    if request.explain:
+        ex = dag.add("Explain (provenance on top-k)")
+        dag.edge(top, ex)
+    return dag
+
+
+def render_plan(request: Request) -> str:
+    """Request → graphviz dot string (the reference's render_plan_to)."""
+    return plan_dag(request).to_dot()

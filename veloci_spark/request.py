@@ -35,6 +35,10 @@ class SearchPart:
     #: score desc / term_id desc — search_field.rs:292-331, 374-377).
     top: Optional[int] = None
     skip: Optional[int] = None
+    #: static per-token boost applied to the TERM score of matched
+    #: dictionary terms, before token→anchor resolution
+    #: (search_field.rs:391-395; table built by token_values.add_token_values).
+    token_value: Optional["BoostPart"] = None
 
     def effective_levenshtein(self) -> int:
         d = self.levenshtein or 0

@@ -1,0 +1,75 @@
+"""Per-token static boost values ("token_values").
+
+Reference: /root/reference/src/create/token_values_to_tokens.rs:26-82 —
+a list of (text, value) pairs is resolved against the field dictionary
+(exact, case-SENSITIVE) and stored as a term_id → f32 boost index; at
+query time the boost applies to the TERM score of a matched dictionary
+term, before token→anchor resolution
+(/root/reference/src/search/search_field.rs:391-395 calls add_boost on
+the term-level hits).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from veloci_spark.index import Index
+
+TOKEN_VALUES_SCHEMA = "term_id long, value double, field string"
+
+
+def add_token_values(
+    index: Index, field: str, data: Sequence[tuple[str, float]]
+) -> None:
+    """Resolve (text, value) pairs against the field dictionary and write
+    the token_values table (idempotent overwrite per field)."""
+    spark = index.spark
+    pairs = spark.createDataFrame(
+        [(t, float(v)) for t, v in data], "text string, value double"
+    )
+    d = index.dictionary(field)
+    resolved = (
+        d.join(pairs, d["term"] == pairs["text"])  # exact, case-sensitive
+        .select("term_id", "value", F.lit(field).alias("field"))
+    )
+    out = os.path.join(index.path, "token_values")
+    resolved.write.mode("overwrite").partitionBy("field").parquet(out)
+    index._cache.pop("token_values", None)
+
+
+def token_values_table(index: Index, field: str) -> DataFrame:
+    try:
+        return index._field_slice("token_values", field)
+    except Exception:
+        return index.spark.createDataFrame([], "term_id long, value double")
+
+
+def apply_token_value_boost(
+    terms: DataFrame, tv: DataFrame, boost_fun: str | None, param: float
+) -> DataFrame:
+    """Boost matched-term scores by their static token value
+    (add_boost formulas, /root/reference/src/search/boost.rs:283-377);
+    terms without a value keep their score."""
+    joined = terms.join(F.broadcast(tv), "term_id", "left")
+    bv = F.col("value") + F.lit(float(param))
+    s = F.col("term_score")
+    fun = (boost_fun or "").lower() if boost_fun else None
+    if fun == "log10":
+        boosted = s * F.log10(bv)
+    elif fun == "log2":
+        boosted = s * F.log2(bv)
+    elif fun == "multiply":
+        boosted = s * bv
+    elif fun == "add":
+        boosted = s + bv
+    elif fun == "replace":
+        boosted = bv
+    else:
+        boosted = s
+    new_score = F.when(F.col("value").isNotNull(), boosted).otherwise(s)
+    return joined.select(
+        "term_id", "term", new_score.alias("term_score")
+    )

@@ -1,0 +1,153 @@
+"""Replay of the reference's score-semantics suite
+(/root/reference/tests/all/test_scores.rs) on the Spark engine — same
+fixtures, same assertions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from veloci_spark import FieldConfig, IndexConfig, build_index, search
+from veloci_spark.request import BoostPart, OrNode, PhraseBoost, Request, SearchPart
+
+TITLES = [
+    (1, 500, "greg tagebuch 05"),
+    (2, 20, "and some some text 05 this is not relevant let tagebuch greg"),
+    (3, 1000, "greg tagebuch"),
+]
+
+
+@pytest.fixture(scope="module")
+def titles_index(spark, tmp_root):
+    corpus = spark.createDataFrame(
+        [(i, o, t) for i, o, t in TITLES],
+        "doc_id long, order long, title string",
+    )
+    cfg = IndexConfig(
+        fields=(FieldConfig("title", phrase_pairs=True),), block_docs=8
+    )
+    return build_index(
+        spark, corpus, cfg, os.path.join(tmp_root, "ref_titles"), resume=False
+    )
+
+
+@pytest.fixture(scope="module")
+def ger_index(spark, tmp_root):
+    # docs 5/6 of the reference fixture: ger string arrays + commonness
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=5, commonness=551, ger=["welch"]),
+            Row(doc_id=6, commonness=2, ger=["weich"]),
+        ],
+        "doc_id long, commonness long, ger array<string>",
+    )
+    cfg = IndexConfig(fields=(FieldConfig("ger[]"),), block_docs=8)
+    return build_index(
+        spark, corpus, cfg, os.path.join(tmp_root, "ref_ger"), resume=False
+    )
+
+
+@pytest.fixture(scope="module")
+def ger_obj_index(spark, tmp_root):
+    # doc 4: ger as array of {text, boost} objects (the 1:n boost case)
+    corpus = spark.createDataFrame(
+        [
+            Row(
+                doc_id=4,
+                commonness=41,
+                ger=[Row(text="Fernsehen-Schauen (n)", boost=20)],
+            ),
+        ],
+        "doc_id long, commonness long, ger array<struct<text: string, boost: long>>",
+    )
+    cfg = IndexConfig(fields=(FieldConfig("ger[].text"),), block_docs=8)
+    return build_index(
+        spark, corpus, cfg, os.path.join(tmp_root, "ref_ger_obj"), resume=False
+    )
+
+
+def _ranked_ids(res):
+    return [r["doc_id"] for r in res.hits.collect()]
+
+
+def test_order_by_field_via_replace_boost(titles_index):
+    # test_scores.rs:262 — Replace boost == ORDER BY the field
+    res = search(
+        titles_index,
+        Request(
+            search=SearchPart(field="title", term=".*", is_regex=True),
+            boost=(BoostPart(path="order", boost_fun="Replace"),),
+        ),
+    )
+    assert _ranked_ids(res) == [3, 1, 2]
+
+
+def test_check_score_regarding_to_length(titles_index):
+    # test_scores.rs:106-126 — 3 tokens+phrase > 2 tokens+phrase >
+    # 3 tokens no phrase
+    res = search(
+        titles_index,
+        Request(
+            search=OrNode(
+                (
+                    SearchPart(field="title", term="greg"),
+                    SearchPart(field="title", term="tagebuch"),
+                    SearchPart(field="title", term="05"),
+                )
+            ),
+            phrase_boosts=(
+                PhraseBoost(field="title", term1="greg", term2="tagebuch"),
+            ),
+        ),
+    )
+    assert _ranked_ids(res) == [1, 3, 2]
+
+
+def test_check_score_boost_add_value_from_field(ger_index):
+    # test_scores.rs:186-209 — Add boost: boosted == unboosted + commonness
+    req_plain = Request(search=SearchPart(field="ger[]", term="weich", levenshtein=0))
+    plain = {r["doc_id"]: r["score"] for r in search(ger_index, req_plain).hits.collect()}
+    req_boost = Request(
+        search=SearchPart(field="ger[]", term="weich", levenshtein=0),
+        boost=(BoostPart(path="commonness", boost_fun="Add", param=0.0),),
+    )
+    boosted = {r["doc_id"]: r["score"] for r in search(ger_index, req_boost).hits.collect()}
+    assert boosted[6] == pytest.approx(plain[6] + 2.0)
+
+
+def test_check_score_boost_multiply_value_from_field(ger_index):
+    # test_scores.rs:211-235
+    req_plain = Request(search=SearchPart(field="ger[]", term="weich", levenshtein=0))
+    plain = {r["doc_id"]: r["score"] for r in search(ger_index, req_plain).hits.collect()}
+    req_boost = Request(
+        search=SearchPart(field="ger[]", term="weich", levenshtein=0),
+        boost=(BoostPart(path="commonness", boost_fun="Multiply", param=0.0),),
+    )
+    boosted = {r["doc_id"]: r["score"] for r in search(ger_index, req_boost).hits.collect()}
+    assert boosted[6] == pytest.approx(plain[6] * 2.0)
+
+
+def test_check_score_boost_relative_field(ger_obj_index):
+    # test_scores.rs:158-183 — 1:n sibling boost (Log10 param 10 on
+    # ger[].boost) + per-field term boost 2.0: final score > 40
+    res = search(
+        ger_obj_index,
+        Request(
+            search=SearchPart(field="ger[].text", term="schauen", boost=2.0),
+            boost=(BoostPart(path="ger[].boost", boost_fun="Log10", param=10.0),),
+        ),
+    )
+    rows = res.hits.collect()
+    assert rows and rows[0]["doc_id"] == 4
+    assert rows[0]["score"] > 40.0
+
+
+def test_should_prefer_exact_matches_to_tokenmatches(ger_index):
+    # tests.rs:500 — "weich" (exact text) outranks "welch" (lev-1 match)
+    res = search(
+        ger_index,
+        Request(search=SearchPart(field="ger[]", term="weich", levenshtein=1)),
+    )
+    assert _ranked_ids(res) == [6, 5]

@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--filter", default=None)
     ap.add_argument("--select", default=None)
     ap.add_argument("--why-found", action="store_true")
+    ap.add_argument("--explain", action="store_true", help="attach score provenance")
+    ap.add_argument(
+        "--explain-plan",
+        action="store_true",
+        help="print the engine plan DAG (graphviz dot) and exit",
+    )
     ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
     args = ap.parse_args()
 
@@ -50,10 +56,18 @@ def main() -> None:
         filter=args.filter,
         select=args.select.split(",") if args.select else None,
         why_found=args.why_found,
+        explain=args.explain,
         top=args.top,
         skip=args.skip,
     )
     request = generate_request(idx, params)
+
+    if args.explain_plan:
+        from veloci_spark.plan_render import render_plan
+
+        print(render_plan(request))
+        spark.stop()
+        return
 
     if args.wand:
         from veloci_spark.request import OrNode, SearchPart

@@ -86,3 +86,18 @@ def test_explain_via_generator(tiny_index):
     assert req.explain
     res = search(tiny_index, req)
     assert "explain" in res.hits.columns
+
+
+def test_explain_survives_select(tiny_index):
+    res = search(
+        tiny_index,
+        Request(
+            search=SearchPart(field="line", term="myfun"),
+            explain=True,
+            select=("line",),
+            top=3,
+        ),
+    )
+    rows = res.hits.collect()
+    assert rows and all(r["explain"] for r in rows)
+    assert all(r["line"] is not None for r in rows)

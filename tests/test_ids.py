@@ -1,0 +1,45 @@
+"""assign_rank_ids: global and within-group rank assignment (the
+no-global-window id path; SURVEY.md §2.2 term-id assignment)."""
+
+from __future__ import annotations
+
+import random
+
+from veloci_spark.ids import assign_rank_ids
+
+
+def test_global_rank_matches_sort(spark):
+    rng = random.Random(7)
+    rows = [(f"t{rng.randrange(10**6):06d}",) for _ in range(5000)]
+    rows = list({r for r in rows})
+    df = spark.createDataFrame(rows, "term string")
+    out = assign_rank_ids(df, ["term"], "rid", num_partitions=7).collect()
+    expected = {t: i for i, (t,) in enumerate(sorted(rows))}
+    assert {r["term"]: r["rid"] for r in out} == expected
+
+
+def test_rank_within_group(spark):
+    rng = random.Random(11)
+    rows = list({
+        (f"f{rng.randrange(4)}", f"t{rng.randrange(10**5):05d}")
+        for _ in range(4000)
+    })
+    df = spark.createDataFrame(rows, "field string, term string")
+    out = assign_rank_ids(
+        df, ["field", "term"], "rid", num_partitions=5, rank_within="field"
+    ).collect()
+    expected = {}
+    by_field: dict = {}
+    for f, t in rows:
+        by_field.setdefault(f, []).append(t)
+    for f, terms in by_field.items():
+        for i, t in enumerate(sorted(terms)):
+            expected[(f, t)] = i
+    assert {(r["field"], r["term"]): r["rid"] for r in out} == expected
+
+
+def test_rank_within_single_group(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("a", "w")], "g string, t string")
+    out = assign_rank_ids(df, ["g", "t"], "rid", num_partitions=3, rank_within="g")
+    got = {r["t"]: r["rid"] for r in out.collect()}
+    assert got == {"w": 0, "x": 1, "y": 2}

@@ -282,3 +282,38 @@ def test_flat_fields_unaffected(nested_index):
     )
     got = [r["doc_id"] for r in res.all_hits.collect()]
     assert got == [2]
+
+
+def test_nested_long_text_values(spark, tmp_root):
+    """Text values past the 64-byte dictionary limit get synthetic
+    text_ids (create.rs:141-160): still token-searchable, resolvable by
+    the highlight entry (via long_texts), and locality-boostable."""
+    from pyspark.sql import Row
+    from veloci_spark.suggest import highlight_entry
+
+    long_val = (
+        "this is a very long german gloss that easily exceeds the sixty "
+        "four byte whole text limit marker"
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, ger=[long_val, "short gloss"]),
+            Row(doc_id=1, ger=["marker"]),
+        ],
+        "doc_id long, ger array<string>",
+    )
+    cfg = IndexConfig(fields=(FieldConfig("ger[]"),), block_docs=4)
+    idx = build_index(
+        spark, corpus, cfg, os.path.join(tmp_root, "nested_long"), resume=False
+    )
+    # the long value is NOT a whole-text dictionary term...
+    dict_terms = {r["term"] for r in idx.dictionary("ger[]").collect()}
+    assert long_val not in dict_terms
+    # ...but its tokens are searchable
+    res = search(idx, Request(search=SearchPart(field="ger[]", term="marker")))
+    assert sorted(r["doc_id"] for r in res.all_hits.collect()) == [0, 1]
+    # and the highlight entry recovers the full long text via long_texts
+    out = highlight_entry(idx, SearchPart(field="ger[]", term="marker"), top=5)
+    texts = {r["text"]: r["highlighted"] for r in out.collect()}
+    assert long_val in texts
+    assert "<b>marker</b>" in texts[long_val]

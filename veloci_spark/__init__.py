@@ -25,7 +25,9 @@ from veloci_spark.request import (
 )
 from veloci_spark.executor import search
 from veloci_spark.generator import QueryGeneratorParameters, generate_request
-from veloci_spark.suggest import suggest
+from veloci_spark.suggest import highlight_entry, suggest
+from veloci_spark.plan_render import render_plan
+from veloci_spark.token_values import add_token_values
 
 __all__ = [
     "FieldConfig",
@@ -41,6 +43,9 @@ __all__ = [
     "Request",
     "search",
     "suggest",
+    "highlight_entry",
+    "render_plan",
+    "add_token_values",
     "QueryGeneratorParameters",
     "generate_request",
 ]

@@ -196,9 +196,10 @@ def _build_dictionary(
 ) -> DataFrame:
     """(field, term, term_id, num_occurences); term_id = rank in
     byte-sorted order WITHIN each field
-    (/root/reference/src/create/create_fulltext.rs:71-80) — computed as
-    one global (field, term) rank minus the per-field offset, so all
-    fields share a single sort/shuffle."""
+    (/root/reference/src/create/create_fulltext.rs:71-80) — all fields
+    share one (field, term) range shuffle; the per-field rank restart
+    comes from the same count job (assign_rank_ids rank_within), so no
+    extra offsets pass."""
     sources = [whole.select("field", F.col("text").alias("term"))]
     if toks is not None:
         sources.append(toks.select("field", F.col("tok").alias("term")))
@@ -208,22 +209,14 @@ def _build_dictionary(
     counts = counts.groupBy("field", "term").agg(
         F.count("*").alias("num_occurences")
     )
-    ranked = assign_rank_ids(counts, ["field", "term"], "__gid", cfg.dict_partitions)
-    # per-field offsets: one tiny agg (k rows, k = field count)
-    offs = {
-        r["field"]: r["o"]
-        for r in ranked.groupBy("field").agg(F.min("__gid").alias("o")).collect()
-    }
-    off_expr = None
-    for fld, o in offs.items():
-        cond = F.col("field") == F.lit(fld)
-        off_expr = (
-            F.when(cond, F.lit(o)) if off_expr is None else off_expr.when(cond, F.lit(o))
-        )
+    ranked = assign_rank_ids(
+        counts, ["field", "term"], "term_id", cfg.dict_partitions,
+        rank_within="field",
+    )
     out = ranked.select(
         "field",
         "term",
-        (F.col("__gid") - off_expr).alias("term_id"),
+        "term_id",
         "num_occurences",
         # materialized lowercase column: lets case-insensitive exact/prefix
         # predicates push down to the Parquet scan (a lower(term)=x wrapper
@@ -443,30 +436,27 @@ def _build_texts(
     )
     short_ids = short.join(dict_for_text, ["field", "text"])
 
-    # synthetic large-text ids: dictionary size of the field + rank over
-    # the distinct long texts of the field
+    # synthetic large-text ids: dictionary size of the field + per-field
+    # rank over the distinct long texts (rank_within: one count job)
     dict_sizes = {
         r["field"]: r["n"]
         for r in dictionary.groupBy("field").agg(F.count("*").alias("n")).collect()
     }
     long_distinct = long.select("field", "text").distinct()
-    long_ranked = assign_rank_ids(long_distinct, ["field", "text"], "__lgid")
-    loffs = {
-        r["field"]: r["o"]
-        for r in long_ranked.groupBy("field").agg(F.min("__lgid").alias("o")).collect()
-    }
-    if loffs:
+    long_ranked = assign_rank_ids(
+        long_distinct, ["field", "text"], "__lrank", rank_within="field"
+    )
+    if dict_sizes:
         base_expr = None
-        for fld in loffs:
+        for fld, n in dict_sizes.items():
             cond = F.col("field") == F.lit(fld)
-            base = dict_sizes.get(fld, 0) - loffs[fld]
             base_expr = (
-                F.when(cond, F.lit(base))
+                F.when(cond, F.lit(n))
                 if base_expr is None
-                else base_expr.when(cond, F.lit(base))
+                else base_expr.when(cond, F.lit(n))
             )
         long_texts = long_ranked.select(
-            "field", (F.col("__lgid") + base_expr).alias("text_id"), "text"
+            "field", (F.col("__lrank") + base_expr).alias("text_id"), "text"
         )
     else:
         long_texts = spark.createDataFrame([], "field string, text_id long, text string")

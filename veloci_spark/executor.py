@@ -707,9 +707,10 @@ def search(index: Index, request: Request) -> SearchResult:
             select_path_column(s).alias(s) if ("." in s or "[]" in s) else F.col(s)
             for s in request.select
         ]
+        carry = [F.col("explain")] if "explain" in topk.columns else []
         topk = (
             topk.join(index.docstore(), "doc_id")
-            .select("doc_id", "score", *sel_cols)
+            .select("doc_id", "score", *carry, *sel_cols)
             .orderBy(F.desc("score"), F.desc("doc_id"))
         )
 

@@ -28,12 +28,20 @@ def assign_rank_ids(
     order_cols: Sequence[str],
     id_col: str,
     num_partitions: Optional[int] = None,
+    rank_within: Optional[str] = None,
 ) -> DataFrame:
-    """Add ``id_col`` = 0-based global rank ordered by ``order_cols``.
+    """Add ``id_col`` = 0-based rank ordered by ``order_cols``.
+
+    ``rank_within``: when set (must be the FIRST order column), the rank
+    restarts at 0 for each distinct value of that column — per-group
+    ranks from the SAME single count job (the one-pass path for
+    per-field term ids in the multi-field dictionary build; a separate
+    per-group offsets job would add a full extra pass).
 
     Scales linearly: one range shuffle + one count job + one Arrow pass.
     """
     cols = list(order_cols)
+    assert rank_within is None or cols[0] == rank_within
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     n = int(n)
     ranged = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
@@ -43,28 +51,64 @@ def assign_rank_ids(
     # reproduces identical partition assignment. To be safe against
     # recomputation entirely, persist for the two passes.
     with_pid.persist()
-    counts = {r["__pid"]: r["cnt"] for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    if rank_within is None:
+        counts = {
+            r["__pid"]: r["cnt"]
+            for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+    else:
+        rows = (
+            with_pid.groupBy("__pid", rank_within)
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        # offset of group g within partition pid = rows of g in partitions
+        # before pid (ranges are (group, order)-sorted, so a group spans a
+        # contiguous partition range)
+        per_group: dict = {}
+        for r in rows:
+            per_group.setdefault(r[rank_within], []).append((r["__pid"], r["cnt"]))
+        offsets = {}
+        for g, lst in per_group.items():
+            acc = 0
+            for pid, cnt in sorted(lst):
+                offsets[(pid, g)] = acc
+                acc += cnt
 
     out_schema = with_pid.drop("__pid").schema.add(id_col, "long", False)
 
     def _assign(iterator):
         # mapInPandas streams multiple Arrow batches per partition, in
-        # order — track the running local position across batches.
+        # order — track running local positions across batches.
         local = 0
+        consumed: dict = {}
         for pdf in iterator:
             if len(pdf) == 0:
-                yield pdf.drop(columns=["__pid"]).assign(**{id_col: pd.Series([], dtype="int64")})
+                yield pdf.drop(columns=["__pid"]).assign(
+                    **{id_col: pd.Series([], dtype="int64")}
+                )
                 continue
             pid = int(pdf["__pid"].iloc[0])
-            base = offsets.get(pid, 0) + local
-            local += len(pdf)
             out = pdf.drop(columns=["__pid"]).copy()
-            out[id_col] = range(base, base + len(pdf))
+            if rank_within is None:
+                base = offsets.get(pid, 0) + local
+                local += len(pdf)
+                out[id_col] = range(base, base + len(pdf))
+            else:
+                g = pdf[rank_within]
+                gmap = {
+                    v: offsets.get((pid, v), 0) + consumed.get(v, 0)
+                    for v in g.unique()
+                }
+                cum = g.groupby(g, sort=False).cumcount().to_numpy()
+                out[id_col] = g.map(gmap).to_numpy(dtype="int64") + cum
+                for v, cnt in g.value_counts().items():
+                    consumed[v] = consumed.get(v, 0) + int(cnt)
             yield out
 
     # NB: with_pid stays persisted while `result` is consumed (typically a

@@ -68,10 +68,14 @@ def start_ingest(
 ):
     """Stream ndjson files from ``source_dir`` into the corpus table.
 
-    Exactly-once: the file-source offsets live in the stream checkpoint;
-    a replayed batch never re-appends (foreachBatch writes are guarded by
-    the checkpointed batch id). doc_id = running offset + rank within the
-    batch — stable line order within a batch via the same
+    Exactly-once: the file-source offsets live in the stream checkpoint,
+    and a batch-id marker file makes replayed foreachBatch invocations
+    no-ops. Honest caveat: the parquet append and the marker write are
+    two steps, so a crash BETWEEN them could duplicate one batch on
+    replay — a production sink would use a transactional table format
+    (Delta/Iceberg commit) where append+marker are one atomic commit;
+    the dataflow is otherwise identical. doc_id = running offset + rank
+    within the batch — stable line order within a batch via the same
     (file, block, position) sort as sources.load_ndjson."""
     os.makedirs(work_dir, exist_ok=True)
     corpus = _corpus_dir(work_dir)
@@ -98,6 +102,8 @@ def start_ingest(
         )
         n = out.count()
         out.write.mode("append").parquet(corpus)
+        if hasattr(ranked, "_veloci_unpersist"):
+            ranked._veloci_unpersist()
         state["next_doc_id"] = base + n
         _save_state(work_dir, state)
         done[str(batch_id)] = n

@@ -42,20 +42,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from veloci_spark.code_corpus import code_queries
     from veloci_spark.entry_queries import fulltext_queries
     from veloci_spark.pipeline.entry import pipeline_queries
 
     out = {}
     out.update(fulltext_queries())
     out.update(pipeline_queries())
+    out.update(code_queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from veloci_spark.code_corpus import code_oracles
     from veloci_spark.entry_queries import fulltext_oracles
     from veloci_spark.pipeline.entry import pipeline_oracles
 
     out = {}
     out.update(fulltext_oracles())
     out.update(pipeline_oracles())
+    out.update(code_oracles())
     return out

@@ -82,6 +82,8 @@ def headline_queries(spark, sf_dir: str):
         "ft_nested_search",
         "ft_nested_boost_1n",
         "ft_explain_components",
+        "code_bm25_topk",
+        "code_bm25_wand",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",
@@ -124,6 +126,18 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         nested_orders_index(spark, sf_dir)
         nested_build_sec = time.time() - t0
 
+        # pre-build the source-code corpus index (BM25-baked blocks) —
+        # cold build time reported separately, queries measure warm top-k
+        from veloci_spark.code_corpus import code_index
+
+        shutil.rmtree(
+            os.path.join("/tmp/veloci_spark_bench_cache", f"code_v1_{tag}"),
+            ignore_errors=True,
+        )
+        t0 = time.time()
+        code_index(spark, sf_dir)
+        code_build_sec = time.time() - t0
+
         # warm up python workers / codegen / index handle once so the
         # per-query numbers measure the operator, not session startup
         qs_all = headline_queries(spark, sf_dir)
@@ -153,6 +167,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "index_build_sec": round(build_sec, 3),
             "nested_index_build_sec": round(nested_build_sec, 3),
+            "code_index_build_sec": round(code_build_sec, 3),
             "docs_per_sec": round(n_docs / build_sec, 1),
             "n_docs": n_docs,
             "cpus": cpus,

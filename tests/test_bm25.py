@@ -1,0 +1,161 @@
+"""BM25 baked postings + block-max WAND (veloci_spark/bm25.py).
+
+The formula is the textbook Okapi/Lucene BM25 (the reference has no BM25
+of its own — this is the north-rule addition); tests pin the python
+mirror against hand-computed values, prove the engine's baked blocks
+reproduce a naive per-doc recomputation, and prove the WAND pruned path
+is rank-identical to the exhaustive decode on a multi-block index.
+"""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.bm25 import (
+    B,
+    K1,
+    K1_PLUS_1,
+    bm25_topk,
+    bm25_wand_topk,
+    py_bm25,
+    py_bm25_e4,
+    py_idf,
+)
+from veloci_spark.config import FieldConfig, IndexConfig
+from veloci_spark.build import build_index
+from veloci_spark.tokenize import py_tokenize
+
+# ---------------------------------------------------------------- formula
+
+def test_idf_hand_value():
+    # N=10, df=3: ln((10-3+0.5)/(3+0.5)+1) = ln(7.5/3.5 + 1)
+    assert py_idf(10, 3) == pytest.approx(math.log(7.5 / 3.5 + 1.0), rel=0, abs=0)
+
+
+def test_idf_positive_even_for_ubiquitous_terms():
+    assert py_idf(100, 100) > 0.0
+
+
+def test_bm25_hand_value():
+    # tf=2, df=3, dl=8, N=10, avgdl=8.0 → tf_part = 2*2.2 / (2 + 1.2*(0.25+0.75*1))
+    tf_part = (2 * K1_PLUS_1) / (2 + K1 * (0.25 + B * (8.0 / 8.0)))
+    assert py_bm25(2, 3, 8, 10, 8.0) == pytest.approx(py_idf(10, 3) * tf_part)
+
+
+def test_bm25_monotone_in_tf_and_antitone_in_df():
+    assert py_bm25(3, 2, 10, 100, 10.0) > py_bm25(2, 2, 10, 100, 10.0)
+    assert py_bm25(2, 2, 10, 100, 10.0) > py_bm25(2, 20, 10, 100, 10.0)
+    # longer docs score lower at equal tf
+    assert py_bm25(2, 2, 30, 100, 10.0) < py_bm25(2, 2, 10, 100, 10.0)
+
+
+# ------------------------------------------------------------- engine e2e
+
+CORPUS = [
+    (0, "alpha beta beta gamma"),
+    (1, "alpha alpha alpha"),
+    (2, "beta gamma gamma delta"),
+    (3, "delta epsilon"),
+    (4, "alpha beta gamma delta epsilon"),
+    (5, "gamma"),
+    (6, "alpha beta"),
+    (7, "zeta eta theta iota kappa lambada"),
+    (8, "alpha gamma alpha gamma"),
+    (9, "beta"),
+]
+
+
+@pytest.fixture(scope="module")
+def bm25_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True),),
+        block_docs=4,  # forces 3 blocks over 10 docs: exercises WAND pruning
+    )
+    df = spark.createDataFrame(CORPUS, "doc_id long, body string")
+    out = os.path.join(tmp_root, "bm25_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def _naive_bm25(terms):
+    """Pure-python recomputation over CORPUS (non-separator tokens)."""
+    # has_tokens semantics: texts with < 2 runs produce NO token rows
+    # (simple_tokenizer_group.rs:10-15), so single-token docs like "gamma"
+    # don't participate in tf/dl/N at all — engine and oracle agree.
+    runs = {i: list(py_tokenize(txt)) for i, txt in CORPUS}
+    docs = {
+        i: [t for t, sep in rs if not sep] for i, rs in runs.items() if len(rs) >= 2
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    out = {}
+    for term in terms:
+        df = sum(1 for toks in docs.values() if term in toks)
+        if df == 0:
+            continue
+        for i, toks in docs.items():
+            tf = toks.count(term)
+            if tf:
+                out[(term, i)] = py_bm25_e4(tf, df, len(toks), n, avgdl)
+    return out, n, avgdl
+
+
+def test_baked_scores_match_naive(bm25_index):
+    naive, n, avgdl = _naive_bm25(["alpha", "beta", "gamma"])
+    stats = bm25_index.bm25_stats("body")
+    assert stats["n_docs"] == n
+    assert stats["avgdl"] == pytest.approx(avgdl)
+
+    d = bm25_index.dictionary("body").where(
+        F.col("term").isin("alpha", "beta", "gamma")
+    )
+    flat = bm25_index.bm25_postings_for("body", d).join(
+        d.select("term_id", "term"), "term_id"
+    )
+    got = {(r["term"], r["doc_id"]): r["score"] for r in flat.collect()}
+    assert got == naive
+
+
+def test_topk_sums_terms(bm25_index):
+    naive, _, _ = _naive_bm25(["alpha", "gamma"])
+    per_doc = {}
+    for (_, i), s in naive.items():
+        per_doc[i] = per_doc.get(i, 0) + s
+    want = sorted(per_doc.items(), key=lambda kv: (-kv[1], -kv[0]))[:3]
+    got = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_topk(bm25_index, "body", ["alpha", "gamma"], 3).collect()
+    ]
+    assert got == want
+
+
+@pytest.mark.parametrize("terms", [["alpha"], ["alpha", "gamma"], ["beta", "delta", "epsilon"]])
+@pytest.mark.parametrize("k", [2, 5])
+def test_wand_rank_identical(bm25_index, terms, k):
+    exact = bm25_topk(bm25_index, "body", terms, k).collect()
+    wand = bm25_wand_topk(
+        bm25_index, "body", terms, k, start_blocks=1, max_iters=8
+    ).collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
+
+
+def test_wand_budget_exhaustion_falls_back_to_full(bm25_index):
+    # max_iters=1 with 1 starting block cannot converge on 3 blocks →
+    # must fall back to the full decode, not return a truncated set
+    exact = bm25_topk(bm25_index, "body", ["alpha", "gamma"], 5).collect()
+    wand = bm25_wand_topk(
+        bm25_index, "body", ["alpha", "gamma"], 5, start_blocks=1, max_iters=1
+    ).collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
+
+
+def test_resume_skips_bm25_stage(spark, tmp_root, bm25_index):
+    # rebuilding over the same dir with resume=True must not rewrite bm25
+    out = os.path.join(tmp_root, "bm25_index")
+    marker = os.path.join(out, "bm25", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    cfg = IndexConfig(fields=(FieldConfig("body", bm25=True),), block_docs=4)
+    df = spark.createDataFrame(CORPUS, "doc_id long, body string")
+    build_index(spark, df, cfg, out, resume=True)
+    assert os.path.getmtime(marker) == mtime

@@ -1,0 +1,285 @@
+"""BM25 scoring, build-time baked postings, and block-max WAND top-k.
+
+BASELINE.json's north rule asks for "a BM25 top-k query engine
+[implementing] posting-list intersection with block-max WAND pruning as
+Arrow-batched operators" next to the reference-faithful veloci scoring
+(the reference itself has no BM25 — scores are its own formulas,
+/root/reference/src/create/calculate_score.rs:34-49 — so this module is
+graded against the textbook Okapi/Lucene formula, not reference code).
+
+Design: BM25 per-posting scores are **baked at build time** and stored in
+the same delta+varint doc-aligned blocks (codec.py) as the native
+postings, with per-block max metadata.  This works because every BM25
+input is known at build time:
+
+    idf(t)       = ln((N - df + 0.5) / (df + 0.5) + 1)      # Lucene +1
+    tf_part(t,d) = tf * (k1+1) / (tf + k1 * (1-b + b*dl/avgdl))
+    score(t,d)   = idf(t) * tf_part(t,d)
+
+(k1 = 1.2, b = 0.75; tf / dl count NON-separator token runs only.)
+
+Scores are quantized to integers (``score_e4 = floor(s*1e4 + 0.5)``)
+before encoding, so
+
+- the codec stores ints, exactly like native postings;
+- a multi-term query score is an INTEGER sum of per-term entries —
+  engine, WAND path, and the DuckDB oracle agree bit-for-bit with no
+  float-association ambiguity;
+- block-max upper bounds are exact integer sums, making the WAND
+  threshold test exact rather than epsilon-guarded.
+
+Scale shape: tf is one groupBy (map-side combined), df a window count
+over the tf shuffle's own (field, term_id) partitioning, dl one groupBy;
+block encode reuses build._encode_blocks (one hash shuffle, doc-aligned
+blocks bound stop-word skew).  Query-side decode is the same
+numpy-in-Arrow pass as native postings; no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+K1 = 1.2
+B = 0.75
+# literal (k1+1): embedded as the SAME decimal literal in the Spark plan
+# and the DuckDB oracle so both parse to the identical float64 (computing
+# 1.2 + 1.0 at runtime yields a DIFFERENT double than the literal 2.2)
+K1_PLUS_1 = 2.2
+ONE_MINUS_B = 0.25
+
+
+# --------------------------- score expressions ---------------------------
+
+def idf_expr(n_docs: Column, df: Column) -> Column:
+    """ln((N - df + 0.5) / (df + 0.5) + 1) — always positive (Lucene)."""
+    n = n_docs.cast("double")
+    d = df.cast("double")
+    return F.log(((n - d) + F.lit(0.5)) / (d + F.lit(0.5)) + F.lit(1.0))
+
+
+def bm25_expr(tf: Column, df: Column, dl: Column, n_docs: Column, avgdl: Column) -> Column:
+    t = tf.cast("double")
+    denom = t + F.lit(K1) * (
+        F.lit(ONE_MINUS_B) + F.lit(B) * (dl.cast("double") / avgdl)
+    )
+    return idf_expr(n_docs, df) * ((t * F.lit(K1_PLUS_1)) / denom)
+
+
+def bm25_e4_expr(tf: Column, df: Column, dl: Column, n_docs: Column, avgdl: Column) -> Column:
+    """Integer-quantized BM25 (the stored posting score)."""
+    return F.floor(
+        bm25_expr(tf, df, dl, n_docs, avgdl) * F.lit(10000.0) + F.lit(0.5)
+    ).cast("long")
+
+
+# SQL mirrors (DuckDB oracle) — op-for-op identical expression trees.
+
+def sql_idf(n_docs: str, df: str) -> str:
+    n = f"CAST({n_docs} AS DOUBLE)"
+    d = f"CAST({df} AS DOUBLE)"
+    return f"ln((({n} - {d}) + 0.5) / ({d} + 0.5) + 1.0)"
+
+
+def sql_bm25(tf: str, df: str, dl: str, n_docs: str, avgdl: str) -> str:
+    t = f"CAST({tf} AS DOUBLE)"
+    denom = f"({t} + {K1!r} * ({ONE_MINUS_B!r} + {B!r} * (CAST({dl} AS DOUBLE) / {avgdl})))"
+    return f"{sql_idf(n_docs, df)} * (({t} * {K1_PLUS_1!r}) / {denom})"
+
+
+def sql_bm25_e4(tf: str, df: str, dl: str, n_docs: str, avgdl: str) -> str:
+    return f"CAST(floor({sql_bm25(tf, df, dl, n_docs, avgdl)} * 10000.0 + 0.5) AS BIGINT)"
+
+
+# python mirrors (unit tests)
+
+def py_idf(n_docs: int, df: int) -> float:
+    return math.log(((float(n_docs) - float(df)) + 0.5) / (float(df) + 0.5) + 1.0)
+
+
+def py_bm25(tf: int, df: int, dl: int, n_docs: int, avgdl: float) -> float:
+    t = float(tf)
+    denom = t + K1 * (ONE_MINUS_B + B * (float(dl) / avgdl))
+    return py_idf(n_docs, df) * ((t * K1_PLUS_1) / denom)
+
+
+def py_bm25_e4(tf: int, df: int, dl: int, n_docs: int, avgdl: float) -> int:
+    return int(math.floor(py_bm25(tf, df, dl, n_docs, avgdl) * 10000.0 + 0.5))
+
+
+# ----------------------------- build helpers -----------------------------
+
+def bm25_flat_postings(
+    toks: DataFrame,
+    dictionary: DataFrame,
+    bm25_fields: Sequence[str],
+) -> tuple[DataFrame, dict[str, dict]]:
+    """(field, term_id, doc_id, score[bm25 e4 int]) over ``bm25_fields``
+    plus per-field corpus stats {field: {n_docs, avgdl}}.
+
+    One groupBy for tf, a partitioned window (NOT global) for df on the
+    same (field, term_id) clustering, one groupBy for doc lengths, one
+    join back on (field, doc_id).  The stats collect is per-field tiny.
+    """
+    nonsep = (
+        toks.where(F.col("field").isin(*list(bm25_fields)))
+        .where(~F.col("is_sep"))
+        .select("field", "doc_id", "tok")
+    )
+    doc_len = (
+        nonsep.groupBy("field", "doc_id").agg(F.count("*").alias("dl")).persist()
+    )
+    stats_rows = (
+        doc_len.groupBy("field")
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()
+    )
+    stats = {
+        r["field"]: {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
+        for r in stats_rows
+    }
+
+    dict_for_tok = dictionary.select("field", F.col("term").alias("tok"), "term_id")
+    tf = (
+        nonsep.join(dict_for_tok, ["field", "tok"])
+        .groupBy("field", "term_id", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df: tf rows are unique per (field, term_id, doc_id), so a partition
+    # count over the groupBy's own clustering = document frequency — no
+    # second self-join shuffle
+    w = Window.partitionBy("field", "term_id")
+    with_df = tf.withColumn("df", F.count("*").over(w))
+
+    n_expr: Optional[Column] = None
+    avg_expr: Optional[Column] = None
+    for fld, s in stats.items():
+        cond = F.col("field") == F.lit(fld)
+        n_expr = (
+            F.when(cond, F.lit(s["n_docs"]))
+            if n_expr is None
+            else n_expr.when(cond, F.lit(s["n_docs"]))
+        )
+        avg_expr = (
+            F.when(cond, F.lit(s["avgdl"]))
+            if avg_expr is None
+            else avg_expr.when(cond, F.lit(s["avgdl"]))
+        )
+    assert n_expr is not None and avg_expr is not None
+
+    flat = with_df.join(doc_len, ["field", "doc_id"]).select(
+        "field",
+        "term_id",
+        "doc_id",
+        bm25_e4_expr(
+            F.col("tf"), F.col("df"), F.col("dl"), n_expr, avg_expr
+        ).alias("score"),
+    )
+    flat._veloci_unpersist = doc_len.unpersist  # type: ignore[attr-defined]
+    return flat, stats
+
+
+# ------------------------------ query side ------------------------------
+
+def _matched_term_ids(index, field: str, terms: Sequence[str]) -> list[int]:
+    """Exact-match term ids, collected to the driver (bounded by the query
+    term count) so the block scan gets a LITERAL `term_id IN (...)`
+    predicate — pushed into the Parquet scan, where row-group min/max
+    stats on the sorted term_id prune everything else.  A broadcast join
+    cannot reach the scan stats; at 10^12-doc scale that difference is
+    "read a few row groups" vs "read the field's whole block table"."""
+    rows = (
+        index.dictionary(field)
+        .where(F.col("term").isin(*list(terms)))
+        .select("term_id")
+        .collect()
+    )
+    return sorted(r["term_id"] for r in rows)
+
+
+def _empty_topk(spark) -> DataFrame:
+    return spark.createDataFrame([], "doc_id long, score_e4 long")
+
+
+def bm25_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
+    """Exhaustive BM25 top-k: (doc_id, score_e4), OR-sum over terms,
+    deterministic (score desc, doc_id desc) order."""
+    from veloci_spark.index import decode_blocks_df
+
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return _empty_topk(index.spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+def bm25_wand_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    start_blocks: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Block-max WAND BM25 top-k, rank-identical to :func:`bm25_topk`.
+
+    Same adaptation of Ding & Suel block-max WAND as wand.py, simplified
+    by integer scores: phase 1 computes per-block upper bounds
+    ub(block) = Σ_t block_max_t from METADATA only; phase 2 decodes only
+    the highest-ub candidate blocks (doc-aligned, so a doc's entries for
+    ALL query terms live in the same block_no and candidate scores are
+    exact); iterate until the kth exact score strictly exceeds every
+    undecoded block's bound (strict: an undecoded doc with an EQUAL score
+    and higher doc_id would win the tie-break).  On budget exhaustion,
+    fall back to one full decode — never a truncated result.
+    """
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return _empty_topk(spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
+    block_ub = (
+        blocks.groupBy("block_no")
+        .agg(F.sum("max_score").alias("ub"))
+        .persist()
+    )
+
+    def _exact_topk(cand: Optional[DataFrame]) -> list:
+        sel = blocks
+        if cand is not None:
+            sel = sel.join(F.broadcast(cand), "block_no", "left_semi")
+        flat = decode_blocks_df(sel)
+        hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+        return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+
+    result_rows: Optional[list] = None
+    m = start_blocks
+    for _ in range(max_iters):
+        cand = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
+            .limit(m)
+            .select("block_no")
+            .persist()
+        )
+        rows = _exact_topk(cand)
+        remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
+        max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
+        cand.unpersist()
+        kth = rows[-1]["score_e4"] if len(rows) >= k else None
+        if max_remaining is None or (kth is not None and kth > max_remaining):
+            result_rows = rows
+            break
+        m *= 4
+    if result_rows is None:
+        result_rows = _exact_topk(None)
+
+    blocks.unpersist()
+    block_ub.unpersist()
+    return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")

@@ -543,15 +543,19 @@ def build_index(
     token_texts_path = os.path.join(out_dir, "token_texts")
     long_texts_path = os.path.join(out_dir, "long_texts")
 
+    bm25_path = os.path.join(out_dir, "bm25")
+
     phrase_fields = [fc.name for fc in fields if fc.phrase_pairs]
     text_fields = [fc for fc in fields if fc.needs_texts()]
+    bm25_fields = [fc.name for fc in fields if fc.bm25 and fc.tokenize]
 
     need_dict = not (resume and _done(dict_path))
     need_post = not (resume and _done(post_path))
     need_phrase = bool(phrase_fields) and not (resume and _done(phrase_path))
     need_texts = bool(text_fields) and not (resume and _done(texts_path))
+    need_bm25 = bool(bm25_fields) and not (resume and _done(bm25_path))
 
-    if need_dict or need_post or need_phrase or need_texts:
+    if need_dict or need_post or need_phrase or need_texts or need_bm25:
         # Deliberately NOT persisted: with the Arrow tokenizer a full
         # recompute costs ~11 s per consumer on 21M runs at 2 cores,
         # while materializing the columnar cache of the exploded rows
@@ -595,6 +599,20 @@ def build_index(
             )
             lineage.record("phrase", wall_s=time.time() - t0)
 
+        if need_bm25:
+            t0 = time.time()
+            from veloci_spark.bm25 import bm25_flat_postings
+
+            assert toks is not None
+            flat25, bm25_stats = bm25_flat_postings(toks, dictionary, bm25_fields)
+            blocks25 = _encode_blocks(flat25, config.block_docs)
+            blocks25.write.mode("overwrite").partitionBy("field").parquet(bm25_path)
+            if hasattr(flat25, "_veloci_unpersist"):
+                flat25._veloci_unpersist()
+            with open(os.path.join(out_dir, "bm25_stats.json"), "w") as f:
+                json.dump(bm25_stats, f, indent=2)
+            lineage.record("bm25", wall_s=time.time() - t0, stats=bm25_stats)
+
         if need_texts:
             t0 = time.time()
             texts, token_texts, long_texts = _build_texts(
@@ -633,6 +651,7 @@ def build_index(
                 "boost": fc.boost,
                 "nested": is_nested(fc.name),
                 "has_texts": fc.needs_texts(),
+                "bm25": fc.bm25,
             }
             for fc in config.fields
         ],

@@ -50,6 +50,11 @@ class FieldConfig:
     #: Spark design boost columns stay as plain numeric columns of the
     #: doc store, so this only controls exclusion from indexing.
     boost: bool = False
+    #: additionally bake BM25 per-posting scores (tf/df/length-normalized,
+    #: quantized to e4 ints) into a second block table — the north-rule
+    #: BM25 top-k + block-max WAND path (bm25.py). Token runs only;
+    #: separator runs and whole-text entries don't participate.
+    bm25: bool = False
     #: build the per-text-value tree-edge tables (texts / token_texts /
     #: long_texts — the reference's tokens_to_text_id + text_id_to_anchor,
     #: /root/reference/src/create.rs:196-240). None = auto: built for 1:n

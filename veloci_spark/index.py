@@ -61,6 +61,23 @@ class Index:
     def phrase_pairs(self, field: str) -> DataFrame:
         return self._field_slice("phrase", field)
 
+    def bm25_blocks(self, field: str) -> DataFrame:
+        """Baked-BM25 posting blocks (same codec/layout as postings;
+        scores are e4-quantized BM25 ints — see bm25.py)."""
+        return self._field_slice("bm25", field)
+
+    def bm25_stats(self, field: str) -> dict:
+        """{n_docs, avgdl} recorded at build time for ``field``."""
+        p = os.path.join(self.path, "bm25_stats.json")
+        with open(p) as f:
+            return json.load(f)[field]
+
+    def bm25_postings_for(self, field: str, matched_terms: DataFrame) -> DataFrame:
+        blocks = self.bm25_blocks(field).join(
+            F.broadcast(matched_terms.select("term_id").distinct()), "term_id"
+        )
+        return decode_blocks_df(blocks)
+
     def texts(self, field: str) -> DataFrame:
         """(text_id, doc_id, ordkey) — one row per text-value occurrence
         (text_id_to_anchor + value-instance key)."""
@@ -82,6 +99,10 @@ class Index:
         "long_texts": "text_id long, text string, field string",
         "phrase": "term_id_1 long, term_id_2 long, doc_id long, field string",
         "token_values": "term_id long, value double, field string",
+        "bm25": (
+            "term_id long, block_no long, n_docs long, max_score long, "
+            "min_doc_id long, max_doc_id long, data binary, field string"
+        ),
     }
 
     def _field_slice(self, table: str, field: str) -> DataFrame:

@@ -44,10 +44,36 @@ def main() -> None:
         help="print the engine plan DAG (graphviz dot) and exit",
     )
     ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
+    ap.add_argument(
+        "--bm25",
+        choices=["or", "and", "or-wand", "and-wand"],
+        default=None,
+        help="BM25 top-k over the baked bm25 blocks (--query = space-"
+        "separated exact terms; 'and' = posting-list intersection; "
+        "'-wand' variants use block-max pruning)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("veloci-spark-query").getOrCreate()
     idx = Index(spark, args.index)
+
+    if args.bm25:
+        from veloci_spark import bm25
+
+        if not args.fields or len(args.fields.split(",")) != 1:
+            ap.error("--bm25 requires exactly one --fields entry")
+        fn = {
+            "or": bm25.bm25_topk,
+            "and": bm25.bm25_and_topk,
+            "or-wand": bm25.bm25_wand_topk,
+            "and-wand": bm25.bm25_and_wand_topk,
+        }[args.bm25]
+        terms = args.query.split()
+        rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
+        for r in rows[args.skip:]:
+            print(json.dumps(r.asDict(), default=str))
+        spark.stop()
+        return
 
     params = QueryGeneratorParameters(
         search_term=args.query,

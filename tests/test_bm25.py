@@ -17,6 +17,8 @@ from veloci_spark.bm25 import (
     B,
     K1,
     K1_PLUS_1,
+    bm25_and_topk,
+    bm25_and_wand_topk,
     bm25_topk,
     bm25_wand_topk,
     py_bm25,
@@ -136,6 +138,36 @@ def test_wand_rank_identical(bm25_index, terms, k):
     exact = bm25_topk(bm25_index, "body", terms, k).collect()
     wand = bm25_wand_topk(
         bm25_index, "body", terms, k, start_blocks=1, max_iters=8
+    ).collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
+
+
+def test_and_intersection_semantics(bm25_index):
+    naive, _, _ = _naive_bm25(["alpha", "gamma"])
+    docs_a = {i for (t, i) in naive if t == "alpha"}
+    docs_g = {i for (t, i) in naive if t == "gamma"}
+    both = docs_a & docs_g
+    per_doc = {
+        i: sum(s for (t, j), s in naive.items() if j == i) for i in both
+    }
+    want = sorted(per_doc.items(), key=lambda kv: (-kv[1], -kv[0]))
+    got = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_and_topk(bm25_index, "body", ["alpha", "gamma"], 10).collect()
+    ]
+    assert got == want
+    assert set(i for i, _ in got) == both  # strict intersection
+
+
+def test_and_with_absent_term_is_empty(bm25_index):
+    assert bm25_and_topk(bm25_index, "body", ["alpha", "nosuchtoken"], 5).count() == 0
+
+
+@pytest.mark.parametrize("terms", [["alpha", "gamma"], ["beta", "delta"]])
+def test_and_wand_rank_identical(bm25_index, terms):
+    exact = bm25_and_topk(bm25_index, "body", terms, 5).collect()
+    wand = bm25_and_wand_topk(
+        bm25_index, "body", terms, 5, start_blocks=1, max_iters=8
     ).collect()
     assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
 

@@ -218,6 +218,106 @@ def bm25_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
     return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
 
 
+def bm25_and_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
+    """Conjunctive (posting-list INTERSECTION) BM25 top-k: only docs
+    containing ALL terms; score = integer sum of per-term entries."""
+    from veloci_spark.index import decode_blocks_df
+
+    uniq = sorted(set(terms))
+    ids = _matched_term_ids(index, field, uniq)
+    if len(ids) < len(uniq):  # some term absent from the corpus entirely
+        return _empty_topk(index.spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    hits = (
+        flat.groupBy("doc_id")
+        .agg(F.sum("score").alias("score_e4"), F.count("*").alias("n"))
+        .where(F.col("n") == len(ids))
+        .select("doc_id", "score_e4")
+    )
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+def bm25_and_wand_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    start_blocks: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Block-max pruned intersection, rank-identical to
+    :func:`bm25_and_topk`.
+
+    Doc-aligned blocks make intersection pruning a METADATA join: a doc
+    holding all terms has one posting row per term in the SAME block_no,
+    so any block_no missing a term's row cannot contain an intersection
+    doc and is pruned before any decompression.  Surviving blocks rank by
+    ub = Σ_t block_max_t; phase 2 decodes candidates and intersects
+    exactly; iterate until the kth exact score strictly beats every
+    unexamined block's bound.
+    """
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    uniq = sorted(set(terms))
+    ids = _matched_term_ids(index, field, uniq)
+    if len(ids) < len(uniq):
+        return _empty_topk(spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
+    # metadata-only intersection: keep block_nos where EVERY term appears
+    block_ub = (
+        blocks.groupBy("block_no")
+        .agg(F.sum("max_score").alias("ub"), F.count("*").alias("n_terms"))
+        .where(F.col("n_terms") == len(ids))
+        .select("block_no", "ub")
+        .persist()
+    )
+
+    def _exact(cand: Optional[DataFrame]) -> list:
+        sel = blocks
+        # even the full fallback only decodes metadata-surviving blocks —
+        # a block missing a term can't contribute an intersection doc
+        sel = sel.join(
+            F.broadcast(cand if cand is not None else block_ub.select("block_no")),
+            "block_no",
+            "left_semi",
+        )
+        flat = decode_blocks_df(sel)
+        hits = (
+            flat.groupBy("doc_id")
+            .agg(F.sum("score").alias("score_e4"), F.count("*").alias("n"))
+            .where(F.col("n") == len(ids))
+            .select("doc_id", "score_e4")
+        )
+        return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+
+    result_rows: Optional[list] = None
+    m = start_blocks
+    for _ in range(max_iters):
+        cand = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
+            .limit(m)
+            .select("block_no")
+            .persist()
+        )
+        rows = _exact(cand)
+        remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
+        max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
+        cand.unpersist()
+        kth = rows[-1]["score_e4"] if len(rows) >= k else None
+        if max_remaining is None or (kth is not None and kth > max_remaining):
+            result_rows = rows
+            break
+        m *= 4
+    if result_rows is None:
+        result_rows = _exact(None)
+
+    blocks.unpersist()
+    block_ub.unpersist()
+    return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")
+
+
 def bm25_wand_topk(
     index,
     field: str,

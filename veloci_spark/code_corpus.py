@@ -30,7 +30,13 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from veloci_spark.bm25 import bm25_topk, bm25_wand_topk, sql_bm25_e4
+from veloci_spark.bm25 import (
+    bm25_and_topk,
+    bm25_and_wand_topk,
+    bm25_topk,
+    bm25_wand_topk,
+    sql_bm25_e4,
+)
 from veloci_spark.build import build_index
 from veloci_spark.config import DEFAULT_SEPARATORS, FieldConfig, IndexConfig
 from veloci_spark.index import Index
@@ -286,6 +292,44 @@ def _q_bm25_wand(spark, sf_dir):
 
 _QUERIES["code_bm25_wand"] = _q_bm25_wand
 _ORACLES["code_bm25_wand"] = _bm25_topk_sql(_TOPK_TERMS, 20)
+
+
+_AND_TERMS = ["spark", "join"]
+
+
+def _bm25_and_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    n = len(set(terms))
+    return (
+        "WITH "
+        + CODE_CTE
+        + f"""
+SELECT b.doc_id, sum(b.score) AS score_e4
+FROM cbm25 b JOIN cdict d USING (term_id)
+WHERE d.term IN ({in_list})
+GROUP BY b.doc_id HAVING count(*) = {n}
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_and(spark, sf_dir):
+    idx = code_index(spark, sf_dir)
+    return bm25_and_topk(idx, "content", _AND_TERMS, 20)
+
+
+_QUERIES["code_bm25_and"] = _q_bm25_and
+_ORACLES["code_bm25_and"] = _bm25_and_sql(_AND_TERMS, 20)
+
+
+def _q_bm25_and_wand(spark, sf_dir):
+    """Block-max pruned posting-list intersection — same oracle as the
+    exhaustive AND (rank identity)."""
+    idx = code_index(spark, sf_dir)
+    return bm25_and_wand_topk(idx, "content", _AND_TERMS, 20, start_blocks=2)
+
+
+_QUERIES["code_bm25_and_wand"] = _q_bm25_and_wand
+_ORACLES["code_bm25_and_wand"] = _bm25_and_sql(_AND_TERMS, 20)
 
 
 def code_queries():

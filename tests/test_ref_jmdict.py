@@ -1,0 +1,713 @@
+# -*- coding: utf-8 -*-
+"""Replay of the reference's flagship test suite on its OWN fixture.
+
+/root/reference/tests/all/tests.rs builds one nested jmdict-style index
+(fixture at tests.rs:47-245, field config at tests.rs:11-44) and runs
+~40 query tests against it.  This module recreates that fixture
+verbatim (unicode kanji, "(f)" gender markers, long texts, deep
+``address[].line[]`` nesting, token_values), builds the Spark index
+with the equivalent field config, and replays the suite's assertions —
+the "matches the reference's results on its own test queries" evidence.
+
+Documented deviations (each marked inline):
+- suggest tie order: the reference breaks equal-score ties by term id;
+  we use (score desc, term asc) — asserted as set equality at the tie.
+- suggest output case: this reference version lowercases suggestions;
+  we return dictionary case and lowercase+dedup in the harness.
+- numbers in reconstructed docs: the reference stringifies ("500");
+  Spark keeps native types (500).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark import FieldConfig, IndexConfig, build_index
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    OrNode,
+    Request,
+    SearchPart,
+)
+from veloci_spark.suggest import highlight_entry, suggest
+from veloci_spark.token_values import add_token_values
+
+# ----------------------------------------------------------------- fixture
+# verbatim from /root/reference/tests/all/tests.rs:47-245 (doc_id = line no)
+
+JM_DOCS = [
+    {"ignore_field": "", "commonness": 123456, "ent_seq": "99999", "tags": ["nice", "cool"]},
+    {
+        "nofulltext": "my tokens",
+        "commonness": 20,
+        "tags": ["nice", "cool"],
+        "kanji": [
+            {"text": "偉容", "commonness": 0},
+            {"text": "威容", "commonness": 5},
+        ],
+        "kana": [{"text": "いよう", "romaji": "Iyou", "commonness": 5}],
+        "meanings": {
+            "eng": ["karlo", "dignity", "majestic appearance", "will testo"],
+            "ger": ["majestätischer Anblick (m)", "majestätisches Aussehen (n)", "Majestät (f)"],
+        },
+        "ent_seq": "1587680",
+    },
+    {
+        "commonness": 20,
+        "tags": ["nice"],
+        "kanji": [
+            {"text": "意欲", "commonness": 40},
+            {"text": "意慾", "commonness": 0},
+        ],
+        "kana": [{"text": "いよく", "romaji": "Iyoku", "commonness": 40}],
+        "meanings": {
+            "eng": ["will", "urge", "having a long torso"],
+            "ger": ["Wollen (n)", "Wille (m)", "Begeisterung (f)", "begeistern"],
+        },
+        "ent_seq": "1587690",
+    },
+    {"meanings": {"eng": ["karl der große"]}},
+    {
+        "id": 1234566,
+        "gender": "male",
+        "tags": ["awesome", "cool"],
+        "sinlge_value_multi": ["wert"],
+        "birthDate": "1960-08-19",
+        "address": [{"line": ["nuts strees"]}, {"line": ["asdf"]}],
+        "commonness": 500,
+        "kanji": [{"text": "意慾", "commonness": 20}],
+        "field1": [{"text": "awesome", "rank": 1}],
+        "kana": [{"text": "いよく"}],
+        "meanings": {"eng": ["test1"], "ger": ["der test", "das ist ein guter Treffer"]},
+        "ent_seq": "1587700",
+    },
+    {
+        "id": 123456,
+        "tags": ["nice", "cool"],
+        "gender": "female",
+        "birthDate": "1950-08-19",
+        "address": [{"line": ["71955 Ilene Brook"]}],
+        "commonness": 551,
+        "kanji": [{"text": "何の", "commonness": 526}],
+        "field1": [{"text": "awesome"}, {"text": "nixhit"}],
+        "kana": [{"text": "どの", "romaji": "Dono", "commonness": 25}],
+        "meanings": {"ger": ["welch", "guter nicht Treffer", "alle meine Words", "text", "localität"]},
+        "ent_seq": "1920240",
+        "mylongtext": "Prolog:\nthis is a story of a guy who went out to rule the world, but then died. the end",
+    },
+    {
+        "pos": ["adj-i"],
+        "commonness": 1,
+        "misc": [],
+        "tags": ["nice", "cool", "Prolog:\nthis is a story of a guy who went out to rule the world, but then died. the end"],
+        "kanji": [{"text": "柔らかい", "commonness": 57}],
+        "kana": [{"text": "やわらかい", "romaji": "Yawarakai", "commonness": 30}],
+        "meanings": {"ger": ["(1) weich", "stopword"]},
+        "ent_seq": "1605630",
+    },
+    {"meanings": {"ger": ["(1) 2 3 super nice weich"]}, "ent_seq": "9555"},
+    {"meanings": {"ger": ["text localität", "alle meine Words"]}, "ent_seq": "1000"},
+    {
+        "sub_level": [{"text": "Prolog:\nthis is story of a guy who went out to rule the world, but then died. the end"}],
+        "commonness": 515151,
+        "ent_seq": "25",
+        "tags": ["nice", "cool"],
+    },
+    {"title": "Die Erbin die Sünde", "type": "taschenbuch"},
+    {"title": "Die Erbin", "type": "taschenbuch"},
+    {"commonness": 30, "title": "COllectif", "meanings": {"ger": ["boostemich"]}},
+    {"commonness": 30, "float_value": 5.123, "ent_seq": "26", "tags": ["nice", "coolo"]},
+    {"commonness": 20, "ent_seq": "27", "my_bool": True, "tags": ["Eis", "cool"]},
+    {"commonness": 20, "ent_seq": "28", "tags": ["nice", "cool"]},
+]
+
+# field config equivalent to tests.rs:11-44 (features=All indexes every
+# text path; explicit entries add nofulltext/tokenize flags and boosts)
+JM_CONFIG = IndexConfig(
+    fields=(
+        FieldConfig("ent_seq"),
+        FieldConfig("tags[]"),
+        FieldConfig("kanji[].text"),
+        FieldConfig("kana[].text"),
+        FieldConfig("kana[].romaji"),
+        FieldConfig("meanings.eng[]"),
+        FieldConfig("meanings.ger[]"),
+        FieldConfig("field1[].text"),
+        FieldConfig("address[].line[]"),
+        FieldConfig("title", phrase_pairs=True),
+        FieldConfig("type"),
+        FieldConfig("gender"),
+        FieldConfig("mylongtext", store_texts=True),
+        FieldConfig("sub_level[].text"),
+        FieldConfig("sinlge_value_multi[]"),
+        FieldConfig("float_value"),
+        FieldConfig("my_bool"),
+        FieldConfig("nofulltext", tokenize=False),
+    ),
+    block_docs=4,
+)
+
+
+@pytest.fixture(scope="module")
+def jm_index(spark, tmp_root):
+    src = os.path.join(tmp_root, "jmdict.ndjson")
+    with open(src, "w") as f:
+        for i, doc in enumerate(JM_DOCS):
+            f.write(json.dumps({"doc_id": i, **doc}, ensure_ascii=False) + "\n")
+    corpus = spark.read.json(src)
+    out = os.path.join(tmp_root, "jm_index")
+    idx = build_index(spark, corpus, JM_CONFIG, out, resume=False)
+    # tests.rs:40 token_values: [{"text": "Begeisterung", "value": 20}]
+    add_token_values(idx, "meanings.ger[]", [("Begeisterung", 20.0)])
+    return idx
+
+
+def _docs(idx, request):
+    """search → top rows joined with the doc store (reference
+    to_search_result → read_document), order preserved."""
+    res = search(idx, request)
+    return (
+        res.hits.join(idx.docstore(), "doc_id")
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .collect()
+    )
+
+
+# ------------------------------------------------------- tests.rs replays
+
+def test_simple_search(jm_index):  # tests.rs:263-275
+    hits = _docs(jm_index, Request(search=SearchPart("meanings.eng[]", "urge")))
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587690"
+    assert hits[0]["commonness"] == 20
+    assert list(hits[0]["tags"]) == ["nice"]
+
+
+def test_simple_search_skip_far(jm_index):  # tests.rs:307-319
+    hits = _docs(
+        jm_index,
+        Request(search=SearchPart("meanings.eng[]", "urge"), top=10, skip=1000),
+    )
+    assert len(hits) == 0
+
+
+def test_simple_search_case_sensitive(jm_index):  # tests.rs:323-344
+    hits = _docs(
+        jm_index,
+        Request(search=SearchPart("meanings.eng[]", "Urge", ignore_case=True)),
+    )
+    assert len(hits) == 1
+    hits = _docs(
+        jm_index,
+        Request(search=SearchPart("meanings.eng[]", "Urge", ignore_case=False)),
+    )
+    assert len(hits) == 0
+
+
+def test_select_fields(jm_index):  # tests.rs:439-453
+    res = search(
+        jm_index,
+        Request(
+            search=SearchPart("meanings.eng[]", "urge"),
+            select=("ent_seq", "tags[]"),
+        ),
+    )
+    rows = res.hits.collect()
+    assert len(rows) == 1
+    assert rows[0]["ent_seq"] == "1587690"
+    assert "commonness" not in res.hits.columns  # didn't select
+    assert list(rows[0]["tags[]"]) == ["nice"]
+
+
+def test_two_tokens_to_the_same_anchor(jm_index):  # tests.rs:456-469
+    hits = _docs(
+        jm_index,
+        Request(search=SearchPart("meanings.ger[]", "majestätischer", levenshtein=1)),
+    )
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587680"
+
+
+def test_deep_structured_objects(jm_index):  # tests.rs:471-483
+    hits = _docs(
+        jm_index,
+        Request(search=SearchPart("address[].line[]", "brook", levenshtein=1)),
+    )
+    assert len(hits) == 1
+    assert hits[0]["id"] == 123456
+
+
+def test_search_without_first_char_exact_match(jm_index):  # tests.rs:486-497
+    hits = _docs(
+        jm_index,
+        Request(search=SearchPart("meanings.ger[]", "najestätischer", levenshtein=1)),
+    )
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587680"
+
+
+def test_prefer_exact_matches_to_tokenmatches(jm_index):  # tests.rs:500-510
+    hits = _docs(
+        jm_index, Request(search=SearchPart("meanings.eng[]", "will", levenshtein=1))
+    )
+    assert hits[0]["meanings"]["eng"][0] == "will"
+
+
+def test_prefer_exact_tokenmatches_to_fuzzy_text_hits(jm_index):  # tests.rs:575-587
+    hits = _docs(
+        jm_index, Request(search=SearchPart("meanings.eng[]", "karl", levenshtein=1))
+    )
+    assert hits[0]["meanings"]["eng"][0] == "karl der große"  # karl, not karlo
+
+
+def test_prefer_short_results(jm_index):  # tests.rs:590-597
+    params = QueryGeneratorParameters(
+        search_term="die erbin taschenbuch", phrase_pairs=True
+    )
+    req = generate_request(jm_index, params)
+    hits = _docs(jm_index, req)
+    assert hits[0]["title"] == "Die Erbin"
+
+
+def test_search_word_non_tokenized(jm_index):  # tests.rs:600-611
+    hits = _docs(jm_index, Request(search=SearchPart("kanji[].text", "偉容")))
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587680"
+
+
+def test_disabled_tokenization(jm_index):  # tests.rs:614-624
+    hits = _docs(jm_index, Request(search=SearchPart("nofulltext", "tokens")))
+    assert len(hits) == 0
+    # the whole text still matches as one term
+    hits = _docs(jm_index, Request(search=SearchPart("nofulltext", "my tokens")))
+    assert len(hits) == 1
+
+
+def test_search_on_non_subobject(jm_index):  # tests.rs:627-637
+    hits = _docs(jm_index, Request(search=SearchPart("ent_seq", "1587690")))
+    assert len(hits) == 1
+
+
+def test_float_and_bool_values(jm_index):  # tests.rs:394-418
+    hits = _docs(jm_index, Request(search=SearchPart("float_value", "5.123")))
+    assert len(hits) == 1
+    assert hits[0]["float_value"] == 5.123
+    hits = _docs(jm_index, Request(search=SearchPart("my_bool", "true")))
+    assert len(hits) == 1
+    assert hits[0]["my_bool"] is True
+
+
+def test_and_connect_hits_same_field(jm_index):  # tests.rs:640-652
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart("meanings.ger[]", "aussehen"),
+                SearchPart("meanings.ger[]", "majestätisches"),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587680"
+
+
+def test_and_connect_hits_different_fields(jm_index):  # tests.rs:655-667
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart("meanings.ger[]", "majestät"),
+                SearchPart("meanings.eng[]", "majestic"),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587680"
+
+
+def test_and_connect_hits_different_fields_no_hit(jm_index):  # tests.rs:670-686
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart("meanings.ger[]", "majestät"),
+                SearchPart("meanings.eng[]", "urge"),
+            )
+        )
+    )
+    assert len(_docs(jm_index, req)) == 0
+
+
+def test_and_alle_meine_words(jm_index):  # tests.rs:690-707
+    req = Request(
+        search=AndNode(
+            (
+                SearchPart("meanings.ger[]", "words"),
+                SearchPart("ent_seq", "1000"),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1000"
+
+
+def test_or_connect_hits_with_top(jm_index):  # tests.rs:711-730
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("meanings.ger[]", "majestät"),
+                SearchPart("meanings.eng[]", "urge"),
+            )
+        ),
+        top=1,
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587690"
+
+
+def test_or_connect_hits(jm_index):  # tests.rs:734-750
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("meanings.ger[]", "majestät"),
+                SearchPart("meanings.eng[]", "urge"),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 2
+    assert hits[0]["ent_seq"] == "1587690"
+
+
+def test_search_and_connect_hits_with_filter(jm_index):  # tests.rs:754-769
+    req = Request(
+        search=SearchPart("meanings.eng[]", "urge"),
+        filter=SearchPart("ent_seq", "1587690"),
+    )
+    assert len(_docs(jm_index, req)) == 1
+
+
+def test_or_connect_hits_with_filter(jm_index):  # tests.rs:773-798
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("meanings.ger[]", "majestät"),
+                SearchPart("meanings.eng[]", "urge"),
+            )
+        ),
+        filter=SearchPart("ent_seq", "1587690"),
+    )
+    assert len(_docs(jm_index, req)) == 1
+
+
+def test_or_connect_hits_with_filter_reuse_query(jm_index):  # tests.rs:802-823
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("meanings.ger[]", "majestät"),
+                SearchPart("meanings.eng[]", "urge"),
+            )
+        ),
+        filter=SearchPart("meanings.eng[]", "urge"),
+    )
+    assert len(_docs(jm_index, req)) == 1
+
+
+def test_find_2_values_from_token(jm_index):  # tests.rs:827-837
+    hits = _docs(jm_index, Request(search=SearchPart("kanji[].text", "意慾")))
+    assert len(hits) == 2
+
+
+def test_search_and_boosto(jm_index):  # tests.rs:840-855
+    req = Request(
+        search=SearchPart("kanji[].text", "意慾"),
+        boost=(BoostPart(path="kanji[].commonness", boost_fun="Log10", param=1),),
+    )
+    assert len(_docs(jm_index, req)) == 2
+
+
+def test_search_and_double_boost(jm_index):  # tests.rs:858-877
+    req = Request(
+        search=SearchPart("field1[].text", "awesome"),
+        boost=(
+            BoostPart(path="commonness", boost_fun="Log10", param=1),
+            BoostPart(
+                path="field1[].rank",
+                boost_fun=None,
+                expression="10 / $SCORE",
+                skip_when_score=(0,),
+            ),
+        ),
+    )
+    assert len(_docs(jm_index, req)) == 2
+
+
+def test_search_and_boost_anchor(jm_index):  # tests.rs:881-898
+    req = Request(
+        search=SearchPart("kanji[].text", "意慾"),
+        boost=(BoostPart(path="commonness", boost_fun="Log10", param=1),),
+    )
+    hits = _docs(jm_index, req)
+    assert hits[0]["commonness"] == 500
+
+
+def test_or_connect_search_and_boost_anchor(jm_index):  # tests.rs:901-932
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(
+                    "field1[].text",
+                    "awesome",
+                    boosts=(BoostPart(path="field1[].rank", boost_fun="Log10", param=1),),
+                ),
+                SearchPart(
+                    "meanings.eng[]",
+                    "urge",
+                    boosts=(BoostPart(path="commonness", boost_fun="Log10", param=1),),
+                ),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert hits[0]["commonness"] == 20
+
+
+def test_or_connect_same_search(jm_index):  # tests.rs:936-957
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("field1[].text", "awesome"),
+                SearchPart("field1[].text", "awesome"),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 2
+    assert hits[0]["commonness"] == 551
+
+
+# ------------------------------------------------------------ suggest
+
+def _suggest_texts(idx, term, fields, token_value=None):
+    """Run suggest and lowercase+dedup like this reference version's
+    output (keep best score per lowercased text, re-sort)."""
+    rows = suggest(idx, term, fields=fields, top=10, token_value=token_value).collect()
+    best: dict[str, float] = {}
+    for r in rows:
+        t = r["text"].lower()
+        if t not in best or r["score"] > best[t]:
+            best[t] = r["score"]
+    return [t for t, _ in sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+
+def test_real_suggest_with_score(jm_index):  # tests.rs:1088-1113
+    got = _suggest_texts(jm_index, "majes", ["meanings.ger[]"])
+    want = [
+        "majestät",
+        "majestät (f)",
+        "majestätisches",
+        "majestätischer",
+        "majestätischer anblick (m)",
+        "majestätisches aussehen (n)",
+    ]
+    assert set(got) == set(want)
+    # exact order except the equal-score tie (majestätisches /
+    # majestätischer, both distance 9): the reference breaks that tie by
+    # term id, we break it by term asc — deviation documented
+    assert got[:2] == want[:2]
+    assert set(got[2:4]) == set(want[2:4])
+    assert got[4:] == want[4:]
+
+
+def test_multi_real_suggest_with_score(jm_index):  # tests.rs:1116-1132
+    got = _suggest_texts(jm_index, "will", ["meanings.ger[]", "meanings.eng[]"])
+    assert got == ["will", "wille", "wille (m)", "will testo"]
+
+
+def test_suggest_with_token_value_boost(jm_index):  # tests.rs:1135-1158
+    tv = BoostPart(path="meanings.ger[]", boost_fun="Log10", param=1)
+    got = _suggest_texts(jm_index, "begeist", ["meanings.ger[]"], token_value=tv)
+    assert got == ["begeisterung", "begeistern", "begeisterung (f)"]
+
+
+def test_suggest_without_token_value_ranks_begeistern_first(jm_index):
+    # control: without the token_value boost the shorter-distance term
+    # wins — proves the boost (not base scoring) produced the order above
+    got = _suggest_texts(jm_index, "begeist", ["meanings.ger[]"])
+    assert got == ["begeistern", "begeisterung", "begeisterung (f)"]
+
+
+# ------------------------------------------------------------ highlight
+
+def test_highlight_on_field(jm_index):  # tests.rs:1010-1027
+    out = highlight_entry(
+        jm_index, SearchPart("mylongtext", "story", starts_with=True), top=10
+    ).collect()
+    assert [r["highlighted"] for r in out] == [
+        "Prolog:\nthis is a <b>story</b> of a guy who went ... "
+    ]
+
+
+def test_highlight_on_1_n_field(jm_index):  # tests.rs:1030-1047
+    out = highlight_entry(
+        jm_index, SearchPart("tags[]", "story", starts_with=True), top=10
+    ).collect()
+    assert [r["highlighted"] for r in out] == [
+        "Prolog:\nthis is a <b>story</b> of a guy who went ... "
+    ]
+
+
+def test_highlight_on_sub_level_field(jm_index):  # tests.rs:1068-1086
+    out = highlight_entry(
+        jm_index, SearchPart("sub_level[].text", "story", starts_with=True), top=10
+    ).collect()
+    assert [r["highlighted"] for r in out] == [
+        "Prolog:\nthis is <b>story</b> of a guy who went ... "
+    ]
+
+
+def test_select_on_long_text(jm_index):  # tests.rs:1050-1065
+    res = search(
+        jm_index,
+        Request(search=SearchPart("mylongtext", "story"), select=("mylongtext",)),
+    )
+    rows = res.hits.collect()
+    assert len(rows) == 1
+    assert rows[0]["mylongtext"] == (
+        "Prolog:\nthis is a story of a guy who went out to rule the "
+        "world, but then died. the end"
+    )
+
+
+# ------------------------------------------------- boosts / locality / etc.
+
+def test_rank_boost_on_anchor_higher_search_on_anchor(jm_index):  # tests.rs:1161-1183
+    boosted = search(
+        jm_index,
+        Request(
+            search=SearchPart("title", "COllectif"),
+            boost=(BoostPart(path="commonness", boost_fun="Log2", param=2),),
+        ),
+    ).hits.collect()
+    unboosted = search(
+        jm_index, Request(search=SearchPart("title", "COllectif"))
+    ).hits.collect()
+    assert boosted[0]["score"] > unboosted[0]["score"]
+
+
+def test_rank_boost_on_anchor_higher_search_on_1_n(jm_index):  # tests.rs:1186-1207
+    boosted = search(
+        jm_index,
+        Request(
+            search=SearchPart("meanings.ger[]", "boostemich"),
+            boost=(BoostPart(path="commonness", boost_fun="Log2", param=2),),
+        ),
+    ).hits.collect()
+    unboosted = search(
+        jm_index, Request(search=SearchPart("meanings.ger[]", "boostemich"))
+    ).hits.collect()
+    assert boosted[0]["score"] > unboosted[0]["score"]
+
+
+def test_explain_plan_contents(jm_index):  # tests.rs:1211-1230
+    from veloci_spark.plan_render import render_plan
+
+    req = Request(
+        search=SearchPart("meanings.ger[]", "weich", levenshtein=1),
+        boost=(BoostPart(path="commonness", boost_fun="Log2", param=2),),
+    )
+    plan = render_plan(req).lower()
+    assert "weich" in plan
+    assert "meanings.ger[]" in plan
+    assert "boost" in plan
+
+
+def test_boost_terms_and_from_cache(jm_index):  # tests.rs:1233-1256
+    req = Request(
+        search=SearchPart("meanings.ger[]", "weich", levenshtein=1),
+        boost_term=(SearchPart("ent_seq", "9555", boost=5.0),),
+    )
+    for _ in range(3):  # the reference re-runs to exercise its cache
+        hits = _docs(jm_index, req)
+        assert hits[0]["meanings"]["ger"][0] == "(1) 2 3 super nice weich"
+
+
+def test_should_add_why_found_terms(jm_index):  # tests.rs:1259-1273
+    res = search(
+        jm_index,
+        Request(
+            search=SearchPart("meanings.ger[]", "weich", levenshtein=1),
+            why_found=True,
+            select=("meanings.ger[]", "ent_seq"),
+        ),
+    )
+    rows = res.hits.collect()
+    assert list(rows[0]["meanings.ger[]"])[0] == "(1) weich"
+
+
+def test_or_connect_hits_but_boost_one_term(jm_index):  # tests.rs:1277-1288
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("meanings.ger[]", "majestät (f)", boost=2.0),
+                SearchPart("meanings.eng[]", "urge"),
+            )
+        )
+    )
+    hits = _docs(jm_index, req)
+    assert len(hits) == 2
+    assert hits[0]["meanings"]["ger"][0] == "majestätischer Anblick (m)"
+
+
+def test_boost_text_localitaet(jm_index):  # tests.rs:1297-1312
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("meanings.ger[]", "text"),
+                SearchPart("meanings.ger[]", "localität"),
+            )
+        ),
+        text_locality=True,
+    )
+    hits = _docs(jm_index, req)
+    assert hits[0]["meanings"]["ger"][0] == "text localität"
+
+
+# ------------------------------------------------------------ read / select
+
+def test_read_object_only_partly(jm_index):  # tests.rs:1316-1346
+    row = (
+        jm_index.docstore()
+        .where(F.col("doc_id") == 4)
+        .select(
+            "commonness",
+            "ent_seq",
+            F.col("meanings.ger").alias("ger"),
+            F.col("kana.text").alias("kana_text"),
+            F.col("address.line").alias("lines"),
+        )
+        .collect()[0]
+    )
+    assert row["commonness"] == 500  # reference stringifies; we keep types
+    assert row["ent_seq"] == "1587700"
+    assert list(row["ger"]) == ["der test", "das ist ein guter Treffer"]
+    assert list(row["kana_text"]) == ["いよく"]
+    assert [list(l) for l in row["lines"]] == [["nuts strees"], ["asdf"]]
+
+
+def test_skip_fields_not_existent_in_object(jm_index):  # tests.rs:1350-1354
+    row = (
+        jm_index.docstore()
+        .where(F.col("doc_id") == 3)
+        .select("mylongtext")
+        .collect()[0]
+    )
+    assert row["mylongtext"] is None

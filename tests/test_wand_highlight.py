@@ -52,7 +52,7 @@ def test_highlight_windows_and_connector():
     text = " ".join(f"w{i}" for i in range(40)) + " hit " + " ".join(
         f"v{i}" for i in range(40)
     )
-    out = highlight_text(text, {"hit"}, window_tokens=2)
+    out = highlight_text(text, {"hit"}, num_words_around_snippet=2)
     assert "<b>hit</b>" in out
     assert "..." in out
     assert "w0" not in out  # far-away tokens trimmed
@@ -62,6 +62,29 @@ def test_highlight_no_match():
     assert highlight_text("das ist ein test", {"nope"}) is None
 
 
-def test_highlight_case_insensitive():
-    out = highlight_text("Weich und warm", {"weich"})
+def test_highlight_hit_test_is_exact_set_membership():
+    # the reference tests `set.contains(token)` against the matched
+    # DICTIONARY tokens, which carry original case
+    # (highlight_field.rs:118-131)
+    out = highlight_text("Weich und warm", {"Weich"})
     assert "<b>Weich</b>" in out
+    assert highlight_text("Weich und warm", {"weich"}) is None
+    out = highlight_text("Weich und warm", {"weich"}, ignore_case=True)
+    assert "<b>Weich</b>" in out
+
+
+def test_highlight_reference_vector_mylongtext():
+    # exact expected string from the reference's own highlight test
+    # (/root/reference/tests/all/tests.rs:1010-1027)
+    text = (
+        "Prolog:\nthis is a story of a guy who went out to rule the "
+        "world, but then died. the end"
+    )
+    out = highlight_text(text, {"story"})
+    assert out == "Prolog:\nthis is a <b>story</b> of a guy who went ... "
+
+
+def test_highlight_whole_text_single_match():
+    # single matched token equal to the whole text → whole text wrapped
+    # (highlight_field.rs:100-102)
+    assert highlight_text("myfun", {"myfun"}) == "<b>myfun</b>"

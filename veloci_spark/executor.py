@@ -119,6 +119,13 @@ class _Executor:
         )
         for bp in self._matching_nested_boosts(part):
             hits = self.apply_nested_boost(part, hits, bp)
+        # per-leaf boosts (options.boost on the search part): part of the
+        # leaf's own plan subtree, so they apply before any set op
+        for bp in part.boosts:
+            if is_nested(bp.path):
+                hits = self.apply_nested_boost(part, hits, bp)
+            else:
+                hits = self.apply_column_boost(hits, bp)
         if part in self._persist_parts:
             hits = hits.persist()
         self._leaf_cache[key] = hits
@@ -717,7 +724,7 @@ def search(index: Index, request: Request) -> SearchResult:
     # why_found: highlighted snippets for the selected text fields on the
     # top-k rows only (search.rs:220-224, why_found.rs:11-49)
     if request.why_found and request.select:
-        from veloci_spark.highlight import why_found_column
+        from veloci_spark.highlight import why_found_array_column, why_found_column
         from veloci_spark.match_terms import match_terms as _mt
         from veloci_spark.request import leaves as _leaves
 
@@ -732,7 +739,11 @@ def search(index: Index, request: Request) -> SearchResult:
                 conf = index.field_conf(fld)
                 seps = tuple(conf.get("tokenize_on_chars") or ()) or None
                 kw = {"separators": seps} if seps else {}
-                topk = why_found_column(
+                # 1:n select paths are array columns: highlight per VALUE
+                # (the reference's why_found emits one entry per matching
+                # value, highlight_field.rs:148-180)
+                hl_fn = why_found_array_column if is_nested(fld) else why_found_column
+                topk = hl_fn(
                     topk,
                     fld,
                     per_field_terms[fld],

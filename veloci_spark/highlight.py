@@ -1,11 +1,13 @@
 """why_found / snippet highlighting on top-k rows.
 
-Reference: /root/reference/src/highlight_field.rs:19-120 — tokenize the
-stored text, mark tokens that are in the matched-token set, emit windows
-of ±N tokens around hits joined with ``...`` connectors, wrapping hits
-in <b></b>. Runs on the top-k rows only (search.rs:220-224), so a plain
-Python pass over k rows is appropriate (the reference also does this
-single-threaded per hit).
+Reference: /root/reference/src/highlight_field.rs:19-143 — tokenize the
+stored text, mark tokens in the matched-token set, emit windows of
+``num_words_around_snippet*2`` runs around hit groups joined with
+``" ... "`` connectors, wrapping hits in <b></b> (exact reference
+defaults, snippet_info.rs:15-29; vectors asserted against the
+reference's own highlight tests). Runs on the top-k rows only
+(search.rs:220-224), so a plain Python pass over k rows is appropriate
+(the reference also does this single-threaded per hit).
 """
 
 from __future__ import annotations
@@ -24,55 +26,72 @@ def highlight_text(
     text: str,
     matched_tokens: set[str],
     separators: Sequence[str] = DEFAULT_SEPARATORS,
-    window_tokens: int = 5,
-    max_snippets: int = 3,
+    num_words_around_snippet: int = 5,
+    max_snippets: int = 2**32 - 1,
     pre: str = "<b>",
     post: str = "</b>",
-    connector: str = "...",
-    ignore_case: bool = True,
+    connector: str = " ... ",
+    ignore_case: bool = False,
 ) -> str | None:
-    """Return the snippet string, or None if nothing matched."""
-    runs = list(py_tokenize(text, separators))
+    """Return the snippet string, or None if nothing matched.
+
+    Step-for-step the reference's `highlight_text`
+    (/root/reference/src/highlight_field.rs:96-143) with the
+    DEFAULT_SNIPPETINFO defaults (snippet_info.rs:15-29): the window is
+    ``num_words_around_snippet * 2`` RUNS on each side (token+separator
+    alternation), near hit groups share one window
+    (group_hit_positions_for_snippet), the connector ``" ... "`` joins
+    windows and marks truncated ends, the hit test is exact set
+    membership against the matched dictionary tokens (which carry
+    original case), and a single matched token equal to the WHOLE text
+    highlights the complete text."""
+    mset = (
+        {t.lower() for t in matched_tokens} if ignore_case else set(matched_tokens)
+    )
+    key = (lambda t: t.lower()) if ignore_case else (lambda t: t)
+    # whole-text single-hit special case (highlight_field.rs:100-102)
+    if len(mset) == 1 and key(text) in mset:
+        return pre + text + post
+    runs = [tok for tok, _ in py_tokenize(text, separators)]
     if not runs:
         return None
-    low = {t.lower() for t in matched_tokens} if ignore_case else set(matched_tokens)
-
-    def _is_hit(tok: str, is_sep: bool) -> bool:
-        if is_sep:
-            return False
-        t = tok.lower() if ignore_case else tok
-        return t in low
-
-    hits = [i for i, (tok, is_sep) in enumerate(runs) if _is_hit(tok, is_sep)]
-    if not hits:
+    hit_pos = [i for i, t in enumerate(runs) if key(t) in mset]
+    if not hit_pos:
         return None
 
-    # merge ±window ranges
-    ranges: list[list[int]] = []
-    for h in hits:
-        lo, hi = max(0, h - window_tokens), min(len(runs), h + window_tokens + 1)
-        if ranges and lo <= ranges[-1][1]:
-            ranges[-1][1] = max(ranges[-1][1], hi)
-        else:
-            ranges.append([lo, hi])
-    ranges = ranges[:max_snippets]
+    tas = num_words_around_snippet * 2  # runs: token separator token …
+
+    # group near hits (highlight_field.rs:19-37)
+    grouped: list[list[int]] = []
+    prev = -tas
+    for p in hit_pos:
+        if p - prev >= tas:
+            grouped.append([])
+        prev = p
+        grouped[-1].append(p)
+    windows = [
+        (max(g[0] - tas, 0), min(g[-1] + tas + 1, len(runs))) for g in grouped
+    ]
 
     parts: list[str] = []
-    hit_set = set(hits)
-    for idx, (lo, hi) in enumerate(ranges):
-        if lo > 0 and idx == 0:
-            parts.append(connector)
+    contains_any = False
+    for s, e in windows[:max_snippets]:
         chunk = []
-        for i in range(lo, hi):
-            tok, _ = runs[i]
-            if i in hit_set:
-                chunk.append(pre + tok + post)
+        for i in range(s, e):
+            if key(runs[i]) in mset:
+                contains_any = True
+                chunk.append(pre + runs[i] + post)
             else:
-                chunk.append(tok)
+                chunk.append(runs[i])
         parts.append("".join(chunk))
-        if hi < len(runs):
-            parts.append(connector)
-    return "".join(parts)
+    snippet = connector.join(parts)
+
+    # ellipsis at the truncated ends (highlight_field.rs:71-88)
+    if hit_pos[0] > tas:
+        snippet = connector + snippet
+    if hit_pos[-1] < len(runs) - tas:
+        snippet = snippet + connector
+    return snippet if contains_any else None
 
 
 def why_found_column(
@@ -97,4 +116,44 @@ def why_found_column(
             lambda t: None if t is None else highlight_text(t, toks, separators, **kw)
         )
 
-    return df.withColumn(out_col, _hl(F.col(text_col)))
+    # backtick-quote: select-path column names contain dots
+    # ("meanings.ger[]"), which F.col would parse as struct access
+    return df.withColumn(out_col, _hl(F.col(f"`{text_col}`")))
+
+
+def why_found_array_column(
+    df: DataFrame,
+    text_col: str,
+    matched_tokens: Iterable[str],
+    separators: Sequence[str] = DEFAULT_SEPARATORS,
+    out_col: str = "why_found",
+    **kw,
+) -> DataFrame:
+    """Array-column variant for 1:n select paths: highlight each text
+    VALUE, keep only the values that matched — the reference's why_found
+    output is field → Vec<highlighted value>
+    (highlight_field.rs:148-180 highlight_on_original_document pushes one
+    entry per matching cb_text value)."""
+    from pyspark.sql.types import ArrayType
+
+    toks = set(matched_tokens)
+
+    def _one(arr):
+        if arr is None:
+            return None
+        out = [
+            h
+            for h in (
+                highlight_text(t, toks, separators, **kw)
+                for t in arr
+                if t is not None
+            )
+            if h is not None
+        ]
+        return out or None
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _hl(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return df.withColumn(out_col, _hl(F.col(f"`{text_col}`")))

@@ -39,6 +39,11 @@ class SearchPart:
     #: dictionary terms, before token→anchor resolution
     #: (search_field.rs:391-395; table built by token_values.add_token_values).
     token_value: Optional["BoostPart"] = None
+    #: per-leaf boosts (the reference's `options.boost` on a search part,
+    #: tests.rs:901-932 `should_or_connect_search_and_boost_anchor`):
+    #: applied to THIS leaf's hits before set-op merging — nested `[]`
+    #: paths via the BoostToAnchor diamond, flat paths as anchor boosts.
+    boosts: tuple["BoostPart", ...] = ()
 
     def effective_levenshtein(self) -> int:
         d = self.levenshtein or 0

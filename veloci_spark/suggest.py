@@ -32,8 +32,14 @@ def suggest(
     levenshtein: Optional[int] = None,
     top: int = 10,
     skip: int = 0,
+    token_value=None,
 ) -> DataFrame:
-    """→ (text, score) suggestions, best first."""
+    """→ (text, score) suggestions, best first.
+
+    ``token_value`` (an optional BoostPart) applies the static per-token
+    boost to candidate term scores before ranking — the reference's
+    suggest-with-token_value path (tests.rs:1135-1158,
+    search_field.rs:391-395)."""
     fields = list(fields or index.field_names())
     n = top + skip
     frames = []
@@ -52,6 +58,7 @@ def suggest(
             term=term,
             levenshtein=levenshtein,
             starts_with=True,
+            token_value=token_value,
         )
         cand = match_terms(index, part).select("term", "term_score")
         frames.append(

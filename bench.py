@@ -157,6 +157,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
                 dt = round(time.time() - t0, 3)
                 if name not in per_query or dt < per_query[name]:
                     per_query[name] = dt
+        # ANN bucket-occupancy evidence: max vectors per hyperplane bucket
+        # at two bit-widths — shows occupancy drops as n_bits scales with
+        # the corpus (the within-bucket join stays bounded at 100x)
+        from pyspark.sql import functions as _F
+
+        from veloci_spark.pipeline.similarity import ann_lsh_buckets
+
+        occupancy = {}
+        for nb in (8, 12):
+            occupancy[f"bits_{nb}"] = int(
+                ann_lsh_buckets(spark, sf_dir, nb)
+                .agg(_F.max("n_vectors"))
+                .collect()[0][0]
+            )
+
         total = round(build_sec + sum(per_query.values()), 3)
         sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
         return {
@@ -169,6 +184,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             "nested_index_build_sec": round(nested_build_sec, 3),
             "code_index_build_sec": round(code_build_sec, 3),
             "docs_per_sec": round(n_docs / build_sec, 1),
+            "ann_bucket_max_occupancy": occupancy,
             "n_docs": n_docs,
             "cpus": cpus,
         }
@@ -204,7 +220,24 @@ def _scaled_corpus(sf_dir: str, k: int) -> str:
     return out
 
 
-def run_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 40) -> dict:
+def build_code(spark, sf_dir: str, out_dir: str) -> float:
+    """Cold build of the BM25-baked code-corpus index (north-rule job)."""
+    from veloci_spark.build import build_index
+    from veloci_spark.code_corpus import CODE_CONFIG, code_corpus
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, code_corpus(spark, sf_dir), CODE_CONFIG, out_dir, resume=False)
+    return time.time() - t0
+
+
+def run_scaling(
+    sf_dir: str,
+    low: int = 2,
+    high: int = 8,
+    replicate: int = 40,
+    job: str = "native",
+) -> dict:
     """N vs 4N cores on the same input.
 
     Default pair is local[2] vs local[8]: a raw-CPU measurement on this
@@ -215,6 +248,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 40) -
     """
     if replicate > 1:
         sf_dir = _scaled_corpus(sf_dir, replicate)
+    builder = build_code if job == "bm25" else build
     # interleave and keep the best of two runs per config: the sandbox VM
     # shows ±2x run-to-run jitter on identical jobs, and interleaving
     # cancels slow-machine phases instead of attributing them to a config
@@ -227,7 +261,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 40) -
                     os.path.join(sf_dir, "documents.parquet")
                 ).count()
                 out = f"/dev/shm/veloci_spark_scaling_{cpus}"
-                sec = build(spark, sf_dir, out)
+                sec = builder(spark, sf_dir, out)
                 if cpus not in results or sec < results[cpus]["sec"]:
                     results[cpus] = {"sec": sec, "docs_per_sec": n_docs / sec}
             finally:
@@ -235,6 +269,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 40) -
     speedup = results[high]["docs_per_sec"] / results[low]["docs_per_sec"]
     efficiency = speedup / (high / low)
     return {
+        "job": job,
         "sf_dir": sf_dir,
         "low_cpus": low,
         "high_cpus": high,
@@ -250,15 +285,18 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 40) -
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-bm25" in sys.argv:
+        job = "bm25" if "--scaling-bm25" in sys.argv else "native"
         res = run_scaling(
-            sf_dir, replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40"))
+            sf_dir,
+            replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "40")),
+            job=job,
         )
         print(json.dumps(res))
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "a") as f:
             f.write(
-                f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')} (job={job})\n\n"
                 f"| config | index-build wall (s) | docs/sec |\n|---|---|---|\n"
                 f"| local[{res['low_cpus']}] | {res['low_sec']} | {res['low_docs_per_sec']} |\n"
                 f"| local[{res['high_cpus']}] | {res['high_sec']} | {res['high_docs_per_sec']} |\n\n"

@@ -41,6 +41,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--fields", default="content", help="comma-separated text fields")
     ap.add_argument("--path-fields", default="", help="fields tokenized on '/' and '\\\\'")
+    ap.add_argument(
+        "--bm25-fields",
+        default="",
+        help="fields that additionally bake BM25 posting blocks (bm25.py)",
+    )
     ap.add_argument("--key-cols", default="", help="doc identity columns if no doc_id")
     ap.add_argument("--block-docs", type=int, default=65536)
     ap.add_argument("--phrase", action="store_true", help="build phrase-pair index")
@@ -64,6 +69,7 @@ def main() -> None:
         corpus = spark.read.parquet(args.input)
 
     path_fields = {f for f in args.path_fields.split(",") if f}
+    bm25_fields = {f for f in args.bm25_fields.split(",") if f}
     all_fields = [f for f in args.fields.split(",") if f] + [
         f for f in sorted(path_fields) if f not in args.fields.split(",")
     ]
@@ -72,6 +78,7 @@ def main() -> None:
             name=f,
             tokenize_on_chars=("/", "\\") if f in path_fields else None,
             phrase_pairs=args.phrase and f not in path_fields,
+            bm25=f in bm25_fields,
         )
         for f in all_fields
     )

@@ -1,0 +1,206 @@
+# -*- coding: utf-8 -*-
+"""Replay of the reference's query-generator suite on its own fixture
+(/root/reference/tests/all/test_query_generator.rs): generator-driven
+searches over all fields, attributed queries, stopword lists, boost
+fields/terms (incl. "field:term" routing), wildcard/fuzzy-prefix
+patterns, and field-validation errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark import FieldConfig, IndexConfig, build_index
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+
+QG_DOCS = [
+    {"commonness": 123456, "ent_seq": "99999", "tags": ["nice", "cool"]},
+    {
+        "ent_seq": "1337",
+        "commonness": 20,
+        "tags": ["nice", "cool", "ent_seq:99999"],
+        "kanji": [{"text": "偉容", "commonness": 0}, {"text": "威容", "commonness": 5}],
+        "kana": [{"text": "いよう", "romaji": "Iyou", "commonness": 5}],
+        "meanings": {
+            "eng": ["will testo"],
+            "ger": ["majestätischer Anblick (m)", "majestätisches Aussehen (n)", "Majestät (f)"],
+        },
+    },
+    {
+        "ent_seq": "1587690",
+        "commonness": 20,
+        "tags": ["nice"],
+        "kanji": [{"text": "意欲", "commonness": 40}, {"text": "意慾", "commonness": 0}],
+        "kana": [{"text": "いよく", "romaji": "Iyoku", "commonness": 40}],
+        "meanings": {
+            "eng": ["will", "urge", "having a long torso"],
+            "ger": ["Wollen (n)", "Wille (m)", "Begeisterung (f)", "begeistern"],
+        },
+    },
+    {
+        "id": 1234566,
+        "tags": ["awesome", "cool"],
+        "commonness": 500,
+        "kanji": [{"text": "意慾", "commonness": 20}],
+        "kana": [{"text": "いよく"}],
+        "ent_seq": "1587700",
+    },
+    {"commonness": 515151, "ent_seq": "25", "tags": ["nice", "cool"]},
+    {"commonness": 30, "title": "COllectif", "meanings": {"ger": ["boostemich"]}},
+    {"commonness": 30, "float_value": 5.123, "ent_seq": "26", "tags": ["nice", "coolo"]},
+    {"commonness": 20, "ent_seq": "27", "my_bool": True, "tags": ["Eis", "cool"]},
+    {"commonness": 20, "ent_seq": "28", "tags": ["nice", "cool"]},
+]
+
+QG_CONFIG = IndexConfig(
+    fields=(
+        FieldConfig("ent_seq"),
+        FieldConfig("tags[]"),
+        FieldConfig("kanji[].text"),
+        FieldConfig("kana[].text"),
+        FieldConfig("kana[].romaji"),
+        FieldConfig("meanings.eng[]"),
+        FieldConfig("meanings.ger[]"),
+        FieldConfig("title"),
+    ),
+    block_docs=4,
+)
+
+
+@pytest.fixture(scope="module")
+def qg_index(spark, tmp_root):
+    src = os.path.join(tmp_root, "querygen.ndjson")
+    with open(src, "w") as f:
+        for i, doc in enumerate(QG_DOCS):
+            f.write(json.dumps({"doc_id": i, **doc}, ensure_ascii=False) + "\n")
+    corpus = spark.read.json(src)
+    return build_index(
+        spark, corpus, QG_CONFIG, os.path.join(tmp_root, "qg_index"), resume=False
+    )
+
+
+def _run(idx, **params):
+    req = generate_request(idx, QueryGeneratorParameters(**params))
+    return (
+        search(idx, req)
+        .hits.join(idx.docstore(), "doc_id")
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .collect()
+    )
+
+
+def test_simple_search_querygenerator(qg_index):  # test_query_generator.rs:170-179
+    hits = _run(qg_index, search_term="urge")
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587690"
+    assert hits[0]["commonness"] == 20
+    assert list(hits[0]["tags"]) == ["nice"]
+
+
+def test_attributed_search(qg_index):  # :182-190
+    hits = _run(qg_index, search_term="ent_seq:99999")
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "99999"
+
+
+def test_disabled_attributed_search(qg_index):  # :192-204
+    # parser disabled → the literal "ent_seq:99999" is searched on all
+    # fields and hits the tags[] value of doc 1337
+    hits = _run(qg_index, search_term="ent_seq:99999", parser_disabled=True)
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1337"
+
+
+def test_or_connect(qg_index):  # :207-216
+    hits = _run(qg_index, search_term="urge OR いよく")
+    assert len(hits) == 3
+    assert hits[0]["ent_seq"] == "1587690"
+    assert hits[0]["commonness"] == 20
+    assert list(hits[0]["tags"]) == ["nice"]
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        {},  # :219-228
+        {"stopword_lists": ()},  # :230-240 empty list
+        {"stopword_lists": ("en",)},  # :242-252 (no query term is a stopword)
+    ],
+)
+def test_and_connect_with_stopword_lists(qg_index, extra):
+    hits = _run(qg_index, search_term="urge AND いよく", **extra)
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1587690"
+    assert hits[0]["commonness"] == 20
+    assert list(hits[0]["tags"]) == ["nice"]
+
+
+def test_and_no_hit(qg_index):  # :301-307
+    hits = _run(qg_index, search_term="urge AND いよく AND awesome")
+    assert len(hits) == 0
+
+
+def test_complex_with_boost_fields_and_boost_terms(qg_index):  # :271-298
+    hits = _run(
+        qg_index,
+        search_term="will",
+        top=10,
+        facets=["commonness"],
+        levenshtein=0,
+        boost_fields={"meanings.eng[]": 1.5},
+    )
+    assert len(hits) == 2
+    assert hits[0]["meanings"]["eng"][0] == "will"
+    # boost one specific term on one field: "field:term" routing
+    hits = _run(
+        qg_index,
+        search_term="will",
+        top=10,
+        facets=["commonness"],
+        levenshtein=0,
+        boost_fields={"meanings.eng[]": 1.5},
+        boost_terms={"meanings.ger[]:majestätisches Aussehen (n)": 20.0},
+    )
+    assert len(hits) == 2
+    assert hits[0]["meanings"]["eng"][0] == "will testo"
+
+
+def test_wildcard_starts_with(qg_index):  # :309-320
+    assert len(_run(qg_index, search_term="awes*")) == 1
+    assert len(_run(qg_index, search_term="いよ*")) == 3
+
+
+def test_wildcard_starts_with_with_levenshtein(qg_index):  # :322-329
+    # fuzzy prefix: "awesam*" within distance 1 of a prefix of "awesome"
+    hits = _run(qg_index, search_term="awesam*")
+    assert len(hits) == 1
+
+
+def test_contains_search_with_regex_starts_with(qg_index):  # :331-339
+    hits = _run(qg_index, search_term="*wesom*", fields=["tags[]"])
+    assert len(hits) == 1
+
+
+def test_contains_search_with_regex(qg_index):  # :341-349
+    hits = _run(qg_index, search_term="*we*some", fields=["tags[]"])
+    assert len(hits) == 1
+
+
+def test_contains_search_has_no_levenshtein(qg_index):  # :351-359
+    hits = _run(qg_index, search_term="tags[]:*wesam*")
+    assert len(hits) == 0
+
+
+def test_no_matching_fields_from_field_list(qg_index):  # :361-370
+    with pytest.raises(ValueError, match="All fields filtered"):
+        _run(qg_index, search_term="awes*", fields=["notexistingfield"])
+
+
+def test_no_matching_fields_from_query(qg_index):  # :372-380
+    with pytest.raises(ValueError, match="notexistingfield not found"):
+        _run(qg_index, search_term="notexistingfield:awes*")

@@ -1,0 +1,489 @@
+# -*- coding: utf-8 -*-
+"""Replay of the reference's remaining test suites on their own fixtures:
+
+- test_phrase.rs   — phrase boosts incl. multi-phrase and multi-field
+- tests_facet.rs   — facets with/without facet index, facet kernel
+- tests_minimal.rs — identity-column minimal engine
+- test_code_search.rs — regex / wildcard / parser-disabled code queries
+
+(test_stopwords.rs contains no tests — "TODO add tests" upstream.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark import FieldConfig, IndexConfig, build_index
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.paths import TEXT_COL, explode_path
+from veloci_spark.request import (
+    AndNode,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+)
+
+
+def _mk_index(spark, tmp_root, name, docs, config):
+    src = os.path.join(tmp_root, f"{name}.ndjson")
+    with open(src, "w") as f:
+        for i, doc in enumerate(docs):
+            f.write(json.dumps({"doc_id": i, **doc}, ensure_ascii=False) + "\n")
+    return build_index(
+        spark, spark.read.json(src), config, os.path.join(tmp_root, name), resume=False
+    )
+
+
+def _docs(idx, request):
+    return (
+        search(idx, request)
+        .hits.join(idx.docstore(), "doc_id")
+        .orderBy(F.desc("score"), F.desc("doc_id"))
+        .collect()
+    )
+
+
+# =================================================== test_phrase.rs fixture
+
+PHRASE_DOCS = [
+    {"title": "die erbin"},
+    {"title": "erbin", "tags": ["die", "erbin"]},
+    {"tags": ["greg tagebuch 05"]},
+    {"tags": ["greg tagebuch", "05"]},
+    {"title": "greg tagebuch", "tags": ["greg tagebuch", "05"]},
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("title", phrase_pairs=True),
+            FieldConfig("tags[]", phrase_pairs=True),
+        ),
+        block_docs=4,
+    )
+    return _mk_index(spark, tmp_root, "ref_phrase", PHRASE_DOCS, cfg)
+
+
+def test_should_boost_phrase(phrase_index):  # test_phrase.rs:40-53
+    req = Request(
+        search=SearchPart("title", "erbin"),
+        phrase_boosts=(PhraseBoost(field="title", term1="die", term2="erbin"),),
+    )
+    hits = _docs(phrase_index, req)
+    assert hits[0]["title"] == "die erbin"
+
+
+def test_should_boost_phrase_search_multifield(phrase_index):  # :56-80
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("title", "die"),
+                SearchPart("title", "erbin"),
+                SearchPart("tags[]", "die"),
+                SearchPart("tags[]", "erbin"),
+            )
+        ),
+        phrase_boosts=(
+            PhraseBoost(field="title", term1="die", term2="erbin"),
+            PhraseBoost(field="tags[]", term1="die", term2="erbin"),
+        ),
+    )
+    hits = _docs(phrase_index, req)
+    assert hits[0]["title"] == "die erbin"
+
+
+def test_should_and_boost_phrase_search(phrase_index):  # :83-101
+    req = Request(
+        search=AndNode((SearchPart("title", "die"), SearchPart("title", "erbin"))),
+        phrase_boosts=(PhraseBoost(field="title", term1="die", term2="erbin"),),
+    )
+    hits = _docs(phrase_index, req)
+    assert hits[0]["title"] == "die erbin"
+
+
+@pytest.mark.parametrize(
+    "term", ["die AND erbin", "die erbin"]
+)  # :104-129 (AND / OR / explain variants collapse to the same outcome)
+def test_phrase_via_query_generator(phrase_index, term):
+    params = QueryGeneratorParameters(search_term=term, phrase_pairs=True)
+    req = generate_request(phrase_index, params)
+    hits = _docs(phrase_index, req)
+    assert hits[0]["title"] == "die erbin"
+
+
+def test_should_double_boost_from_multiphrases(phrase_index):  # :132-186
+    base = OrNode(
+        (
+            SearchPart("tags[]", "greg"),
+            SearchPart("tags[]", "tagebuch"),
+            SearchPart("tags[]", "05"),
+        )
+    )
+    single = Request(
+        search=base,
+        phrase_boosts=(PhraseBoost(field="tags[]", term1="greg", term2="tagebuch"),),
+    )
+    hits = _docs(phrase_index, single)
+    assert list(hits[0]["tags"]) == ["greg tagebuch", "05"]
+    multi = Request(
+        search=base,
+        phrase_boosts=(
+            PhraseBoost(field="tags[]", term1="greg", term2="tagebuch"),
+            PhraseBoost(field="tags[]", term1="tagebuch", term2="05"),
+        ),
+    )
+    hits = _docs(phrase_index, multi)
+    assert list(hits[0]["tags"])[0] == "greg tagebuch 05"
+
+
+def test_should_double_boost_from_multiphrases_and(phrase_index):  # :188-228
+    base = AndNode(
+        (
+            SearchPart("tags[]", "greg"),
+            SearchPart("tags[]", "tagebuch"),
+            SearchPart("tags[]", "05"),
+        )
+    )
+    single = Request(
+        search=base,
+        phrase_boosts=(PhraseBoost(field="tags[]", term1="greg", term2="tagebuch"),),
+    )
+    hits = _docs(phrase_index, single)
+    assert list(hits[0]["tags"])[0] == "greg tagebuch"
+    multi = Request(
+        search=base,
+        phrase_boosts=(
+            PhraseBoost(field="tags[]", term1="greg", term2="tagebuch"),
+            PhraseBoost(field="tags[]", term1="tagebuch", term2="05"),
+        ),
+    )
+    hits = _docs(phrase_index, multi)
+    assert list(hits[0]["tags"])[0] == "greg tagebuch 05"
+
+
+def test_prefer_different_phrases(phrase_index):  # :230-258
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("tags[]", "greg"),
+                SearchPart("tags[]", "tagebuch"),
+                SearchPart("tags[]", "05"),
+                SearchPart("title", "greg"),
+                SearchPart("title", "tagebuch"),
+                SearchPart("title", "05"),
+            )
+        ),
+        phrase_boosts=(
+            PhraseBoost(field="tags[]", term1="greg", term2="tagebuch"),
+            PhraseBoost(field="title", term1="greg", term2="tagebuch"),
+            PhraseBoost(field="tags[]", term1="tagebuch", term2="05"),
+            PhraseBoost(field="title", term1="tagebuch", term2="05"),
+        ),
+    )
+    hits = _docs(phrase_index, req)
+    assert list(hits[0]["tags"])[0] == "greg tagebuch 05"
+
+
+# =================================================== tests_facet.rs fixture
+
+FACET_DOCS = [
+    {
+        "commonness": 20,
+        "tags": ["nice", "cool"],
+        "meanings": {
+            "eng": ["karlo", "dignity", "majestic appearance", "will testo"],
+            "ger": ["majestätischer Anblick (m)", "majestätisches Aussehen (n)", "Majestät (f)"],
+        },
+    },
+    {
+        "commonness": 20,
+        "tags": ["nice"],
+        "meanings": {
+            "eng": ["will", "urge", "having a long torso"],
+            "ger": ["Wollen (n)", "Wille (m)", "Begeisterung (f)", "begeistern"],
+        },
+    },
+    {"commonness": 123456, "tags": ["nice", "cool"]},
+    {"meanings": {"eng": ["test1"], "ger": ["der test", "das ist ein guter Treffer"]}},
+    {"commonness": 20, "tags": ["Eis", "cool"]},
+]
+
+
+@pytest.fixture(scope="module")
+def facet_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("tags[]"),
+            FieldConfig("meanings.eng[]"),
+            FieldConfig("meanings.ger[]"),
+        ),
+        block_docs=4,
+    )
+    return _mk_index(spark, tmp_root, "ref_facet", FACET_DOCS, cfg)
+
+
+def _facet_pairs(res, field):
+    return [(r["value"], r["count"]) for r in res.facets[field].collect()]
+
+
+def test_search_and_get_facet_with_facet_index(facet_index):  # tests_facet.rs:60-72
+    from veloci_spark.request import FacetRequest
+
+    res = search(
+        facet_index,
+        Request(
+            search=SearchPart("meanings.eng[]", "will"),
+            facets=(FacetRequest(field="tags[]"), FacetRequest(field="commonness")),
+        ),
+    )
+    assert res.hits.count() == 2
+    assert _facet_pairs(res, "tags[]") == [("nice", 2), ("cool", 1)]
+    assert _facet_pairs(res, "commonness") == [(20, 2)]
+
+
+def test_facet_via_query_generator(facet_index):  # :75-88
+    params = QueryGeneratorParameters(
+        search_term="will",
+        facets=["tags[]", "commonness"],
+        fields=["meanings.eng[]"],
+    )
+    req = generate_request(facet_index, params)
+    res = search(facet_index, req)
+    assert res.hits.count() == 2
+    assert _facet_pairs(res, "tags[]") == [("nice", 2), ("cool", 1)]
+    assert _facet_pairs(res, "commonness") == [(20, 2)]
+
+
+def test_search_and_get_facet_without_facet_index(facet_index):  # :91-103
+    from veloci_spark.request import FacetRequest
+
+    res = search(
+        facet_index,
+        Request(
+            search=SearchPart("meanings.ger[]", "test"),
+            facets=(FacetRequest(field="meanings.eng[]"),),
+        ),
+    )
+    assert res.hits.count() == 1
+    assert _facet_pairs(res, "meanings.eng[]") == [("test1", 1)]
+
+
+def test_facet_kernel_over_all_docs(facet_index):  # :106-117
+    got = (
+        explode_path(facet_index.docstore(), "tags[]")
+        .groupBy(F.col(TEXT_COL).alias("value"))
+        .count()
+        .collect()
+    )
+    pairs = sorted(((r["value"], r["count"]) for r in got), key=lambda kv: (-kv[1], kv[0]))
+    # the reference test sorts its own output before asserting
+    assert pairs == [("cool", 3), ("nice", 3), ("Eis", 1)]
+
+
+# ================================================= tests_minimal.rs fixture
+
+@pytest.fixture(scope="module")
+def minimal_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(FieldConfig("field"), FieldConfig("field2")), block_docs=4
+    )
+    return _mk_index(
+        spark, tmp_root, "ref_minimal", [{"field": "test", "field2": "test2"}], cfg
+    )
+
+
+def test_minimal(minimal_index):  # tests_minimal.rs:21-33
+    hits = _docs(minimal_index, Request(search=SearchPart("field", "test")))
+    assert len(hits) == 1
+    assert hits[0]["field"] == "test"
+
+
+def test_minimal_with_filter_identity_column(minimal_index):  # :35-56
+    hits = _docs(
+        minimal_index,
+        Request(
+            search=SearchPart("field", "test"), filter=SearchPart("field", "test")
+        ),
+    )
+    assert len(hits) == 1
+    assert hits[0]["field"] == "test"
+
+
+def test_minimal_or(minimal_index):  # :58-104 (json and object variants)
+    hits = _docs(
+        minimal_index,
+        Request(
+            search=OrNode(
+                (SearchPart("field", "test"), SearchPart("field", "test2"))
+            )
+        ),
+    )
+    assert len(hits) == 1
+    assert hits[0]["field"] == "test"
+
+
+# =============================================== test_code_search.rs fixture
+
+@pytest.fixture(scope="module")
+def code_search_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("line"),
+            FieldConfig("filename"),
+            FieldConfig("filepath", tokenize_on_chars=("/", "\\")),
+        ),
+        block_docs=4,
+    )
+    docs = [
+        {
+            "line_number": 1,
+            "line": "function myfun(param1: Type1)",
+            "filename": "cool.ts",
+            "filepath": "all/the/path",
+        }
+    ]
+    return _mk_index(spark, tmp_root, "ref_code", docs, cfg)
+
+
+def test_regex_search_request_api(code_search_index):  # test_code_search.rs:43-56
+    hits = _docs(
+        code_search_index,
+        Request(
+            search=SearchPart("line", ".*myfun.*type1.*", is_regex=True, ignore_case=True)
+        ),
+    )
+    assert len(hits) == 1
+    assert hits[0]["line"] == "function myfun(param1: Type1)"
+
+
+def test_regex_search_case_sensitive(code_search_index):  # :59-71
+    hits = _docs(
+        code_search_index,
+        Request(
+            search=SearchPart(
+                "line", ".*myfun.*type1.*", is_regex=True, ignore_case=False
+            )
+        ),
+    )
+    assert len(hits) == 0
+
+
+@pytest.mark.parametrize(
+    "term,n",
+    [
+        ("*myfun*Type1*", 1),  # :74-82
+        ("*myfun*type1*", 1),  # :85-92 (ignore_case default)
+        ("*myfun*type2*", 0),  # :106-112 (no fuzzy on wildcard patterns)
+        ("myfun", 1),  # :115-121
+    ],
+)
+def test_pattern_code_search_query_generator(code_search_index, term, n):
+    params = QueryGeneratorParameters(search_term=term)
+    hits = _docs(code_search_index, generate_request(code_search_index, params))
+    assert len(hits) == n
+    if n:
+        assert hits[0]["line"] == "function myfun(param1: Type1)"
+
+
+def test_pattern_code_search_case_sensitive_generator(code_search_index):  # :95-103
+    params = QueryGeneratorParameters(search_term="*myfun*type1*", ignore_case=False)
+    hits = _docs(code_search_index, generate_request(code_search_index, params))
+    assert len(hits) == 0
+
+
+def test_code_search_disable_parser(code_search_index):  # :125-136
+    params = QueryGeneratorParameters(
+        search_term="*myfun(param1: Type1)*", parser_disabled=True
+    )
+    hits = _docs(code_search_index, generate_request(code_search_index, params))
+    assert len(hits) == 1
+
+
+def test_code_search_quoted_pattern(code_search_index):  # :139-146
+    params = QueryGeneratorParameters(search_term='"*myfun(param1: Type1)*"')
+    hits = _docs(code_search_index, generate_request(code_search_index, params))
+    assert len(hits) == 1
+
+
+# ================================================== tests_large.rs fixture
+# 600 docs from a repeated 2-doc pattern + one >64-byte long text
+# (self-generated upstream, tests_large.rs:19-33)
+
+LONG_TEXT = (
+    "a long text with more than 64 characters so that the option "
+    "do_not_store_text_longer_than is active. then the whole text won't "
+    "be store in the fst, only its tokens"
+)
+
+
+@pytest.fixture(scope="module")
+def large_index(spark, tmp_root):
+    docs = []
+    for _ in range(300):
+        docs.append({"category": "superb", "tags": ["nice", "cool"]})
+        docs.append({"category": "awesomo", "tags": ["is", "cool"]})
+    docs.append({"text": LONG_TEXT})
+    cfg = IndexConfig(
+        fields=(FieldConfig("category"), FieldConfig("tags[]"), FieldConfig("text")),
+        block_docs=64,
+    )
+    return _mk_index(spark, tmp_root, "ref_large", docs, cfg)
+
+
+def test_large_simple_search(large_index):  # tests_large.rs:40-50
+    res = search(large_index, Request(search=SearchPart("category", "superb")))
+    assert res.all_hits.count() == 300
+
+
+def test_large_select_on_long_text(large_index):  # :52-70
+    res = search(
+        large_index,
+        Request(search=SearchPart("text", "long"), select=("text",)),
+    )
+    rows = res.hits.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == LONG_TEXT
+    assert "category" not in res.hits.columns  # didn't select
+
+
+def test_large_and_search_generator(large_index):  # :72-80
+    params = QueryGeneratorParameters(search_term="superb AND cool")
+    res = search(large_index, generate_request(large_index, params))
+    assert res.all_hits.count() == 300
+
+
+def test_large_or_search_generator(large_index):  # :82-89
+    params = QueryGeneratorParameters(search_term="superb OR awesome")
+    res = search(large_index, generate_request(large_index, params))
+    assert res.all_hits.count() == 600
+
+
+def test_large_search_and_filter(large_index):  # :91-98
+    params = QueryGeneratorParameters(search_term="superb", filter="nice AND superb")
+    res = search(large_index, generate_request(large_index, params))
+    assert res.all_hits.count() == 300
+
+
+def test_large_facet(large_index):  # :100-113
+    from veloci_spark.request import FacetRequest
+
+    res = search(
+        large_index,
+        Request(
+            search=SearchPart("category", "superb"),
+            facets=(FacetRequest(field="tags[]"),),
+        ),
+    )
+    pairs = sorted(
+        ((r["value"], r["count"]) for r in res.facets["tags[]"].collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert pairs == [("cool", 300), ("nice", 300)]

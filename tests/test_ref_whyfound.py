@@ -1,0 +1,246 @@
+# -*- coding: utf-8 -*-
+"""Replay of the reference's why_found suite on its own fixture
+(/root/reference/tests/all/test_why_found.rs): custom tokenizers
+(url on '/:.'; '§<'), untokenized fields, 1:n highlight lists,
+whole-text special case, regex highlighting — exact expected strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark import FieldConfig, IndexConfig, build_index
+from veloci_spark.executor import search
+from veloci_spark.request import OrNode, Request, SearchPart
+
+WF_DOCS = [
+    {
+        "url": "https://github.com/PSeitz/veloci",
+        "richtig": "schön super",
+        "viele": ["nette", "leute"],
+    },
+    {
+        "not_tokenized": "ID1000",
+        "not_tokenized_1_n": ["ID1000"],
+        "custom_tokenized": "test§_ cool _",
+        "richtig": "hajoe genau",
+    },
+    {
+        "not_tokenized": "ID2000",
+        "not_tokenized_1_n": ["ID2000"],
+        "richtig": "shön",
+        "custom_tokenized": "<<cool>>",
+        "viele": [
+            "treffers",
+            "und so",
+            "super treffers",
+            "ein längerer Text, um zu checken, dass da nicht umsortiert wird",
+        ],
+    },
+    {"buch": "Taschenbuch (kartoniert)", "viele": ["super treffers"]},
+]
+
+WF_CONFIG = IndexConfig(
+    fields=(
+        FieldConfig("url", tokenize_on_chars=("/", ":", ".")),
+        FieldConfig("richtig"),
+        FieldConfig("viele[]"),
+        FieldConfig("not_tokenized", tokenize=False),
+        FieldConfig("not_tokenized_1_n[]", tokenize=False),
+        FieldConfig("custom_tokenized", tokenize_on_chars=("§", "<")),
+        FieldConfig("buch"),
+    ),
+    block_docs=4,
+)
+
+
+@pytest.fixture(scope="module")
+def wf_index(spark, tmp_root):
+    src = os.path.join(tmp_root, "whyfound.ndjson")
+    with open(src, "w") as f:
+        for i, doc in enumerate(WF_DOCS):
+            f.write(json.dumps({"doc_id": i, **doc}, ensure_ascii=False) + "\n")
+    corpus = spark.read.json(src)
+    out = os.path.join(tmp_root, "wf_index")
+    return build_index(spark, corpus, WF_CONFIG, out, resume=False)
+
+
+def _wf(idx, request, field):
+    rows = search(idx, request).hits.collect()
+    col = f"why_found_{field}"
+    return rows, [r[col] for r in rows]
+
+
+def test_should_tokenize_url(wf_index):  # test_why_found.rs:67-84
+    rows, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("url", "veloci"), why_found=True),
+        "url",
+    )
+    assert len(rows) == 1
+    assert wf[0] == "https://github.com/PSeitz/<b>veloci</b>"
+    rows = search(wf_index, Request(search=SearchPart("url", "pseitz"))).hits.collect()
+    assert len(rows) == 1
+
+
+@pytest.mark.parametrize(
+    "term,want",
+    [
+        ("test", "<b>test</b>§_ cool _"),
+        ("§", "test<b>§</b>_ cool _"),
+        ("_ cool _", "test§<b>_ cool _</b>"),
+        ("<<", "<b><<</b>cool>>"),
+    ],
+)
+def test_highlight_with_custom_tokenizer(wf_index, term, want):  # :87-133
+    rows, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("custom_tokenized", term), why_found=True),
+        "custom_tokenized",
+    )
+    assert wf[0] == want
+
+
+def test_highlight_complete_text_hit(wf_index):  # :153-166
+    _, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("custom_tokenized", "<<cool>>"), why_found=True),
+        "custom_tokenized",
+    )
+    assert wf[0] == "<b><<cool>></b>"
+
+
+def test_highlight_complete_text_untokenized(wf_index):  # :169-196
+    _, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("not_tokenized", "ID1000"), why_found=True),
+        "not_tokenized",
+    )
+    assert wf[0] == "<b>ID1000</b>"
+    # with select (the reference's second strategy — same result)
+    res = search(
+        wf_index,
+        Request(
+            search=SearchPart("not_tokenized", "ID1000"),
+            why_found=True,
+            select=("not_tokenized",),
+        ),
+    )
+    assert res.hits.collect()[0]["why_found_not_tokenized"] == "<b>ID1000</b>"
+
+
+def test_highlight_complete_text_untokenized_1_n(wf_index):  # :198-228
+    _, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("not_tokenized_1_n[]", "ID1000"), why_found=True),
+        "not_tokenized_1_n[]",
+    )
+    assert list(wf[0]) == ["<b>ID1000</b>"]
+    res = search(
+        wf_index,
+        Request(
+            search=SearchPart("not_tokenized_1_n[]", "ID1000"),
+            why_found=True,
+            select=("not_tokenized_1_n[]",),
+        ),
+    )
+    assert list(res.hits.collect()[0]["why_found_not_tokenized_1_n[]"]) == [
+        "<b>ID1000</b>"
+    ]
+
+
+def test_space_not_a_separator_in_custom_tokenizer(wf_index):  # :231-243
+    rows = search(
+        wf_index, Request(search=SearchPart("custom_tokenized", "cool"))
+    ).hits.collect()
+    assert len(rows) == 0
+
+
+def test_why_found_tokens_and_text_ids(wf_index):  # :246-262
+    rows, wf = _wf(
+        wf_index,
+        Request(
+            search=SearchPart("richtig", "schön", levenshtein=1), why_found=True
+        ),
+        "richtig",
+    )
+    assert wf[0] == "<b>schön</b> super"
+    assert wf[1] == "<b>shön</b>"
+
+
+def test_why_found_1_n_list(wf_index):  # :265-279
+    rows, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("viele[]", "treffers", levenshtein=1), why_found=True),
+        "viele[]",
+    )
+    assert list(wf[0]) == ["<b>treffers</b>", "super <b>treffers</b>"]
+
+
+def test_why_found_1_n_with_and_without_select(wf_index):  # :282-316
+    want = [" ... zu checken, dass da nicht <b>umsortiert</b> wird"]
+    req = Request(
+        search=SearchPart("viele[]", "umsortiert"),
+        why_found=True,
+        select=("richtig", "viele[]"),
+    )
+    rows = search(wf_index, req).hits.collect()
+    assert rows[0]["richtig"] == "shön"
+    assert list(rows[0]["why_found_viele[]"]) == want
+    # without select — same why_found (the reference flags its own
+    # two-strategy divergence as a TODO; ours is strategy-independent)
+    _, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("viele[]", "umsortiert"), why_found=True),
+        "viele[]",
+    )
+    assert list(wf[0]) == want
+
+
+def test_highlight_taschenbuch(wf_index):  # :319-333
+    _, wf = _wf(
+        wf_index,
+        Request(search=SearchPart("buch", "Taschenbuch", levenshtein=1), why_found=True),
+        "buch",
+    )
+    assert wf[0] == "<b>Taschenbuch</b> (kartoniert)"
+
+
+def test_highlight_multi_terms(wf_index):  # :336-362
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart("buch", "Taschenbuch", levenshtein=1),
+                SearchPart("buch", "kartoniert", levenshtein=1),
+            )
+        ),
+        why_found=True,
+    )
+    _, wf = _wf(wf_index, req, "buch")
+    assert wf[0] == "<b>Taschenbuch</b> (<b>kartoniert</b>)"
+
+
+def test_regex_why_found_whole_text(wf_index):  # :365-377
+    _, wf = _wf(
+        wf_index,
+        Request(
+            search=SearchPart("url", ".*github.com.*", is_regex=True), why_found=True
+        ),
+        "url",
+    )
+    assert wf[0] == "<b>https://github.com/PSeitz/veloci</b>"
+
+
+def test_regex_why_found_token(wf_index):  # :380-393
+    _, wf = _wf(
+        wf_index,
+        Request(
+            search=SearchPart("url", ".*PSeitz.*", is_regex=True), why_found=True
+        ),
+        "url",
+    )
+    assert wf[0] == "https://github.com/<b>PSeitz</b>/veloci"

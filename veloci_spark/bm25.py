@@ -129,9 +129,20 @@ def bm25_flat_postings(
         .where(~F.col("is_sep"))
         .select("field", "doc_id", "tok")
     )
-    doc_len = (
-        nonsep.groupBy("field", "doc_id").agg(F.count("*").alias("dl")).persist()
+    dict_for_tok = dictionary.select("field", F.col("term").alias("tok"), "term_id")
+    # ONE pass over the (huge) token stream; everything downstream derives
+    # from the (small) tf aggregate, which is persisted
+    tf = (
+        nonsep.join(dict_for_tok, ["field", "tok"])
+        .groupBy("field", "term_id", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .persist()
     )
+    # dl = Σ_t tf(t, d) EXACTLY: every non-separator token is a dictionary
+    # term, so doc length needs no second tokenize pass — it's a small
+    # re-aggregation of tf (the round-2 scaling profile showed the bm25
+    # stage tokenizing twice and scaling at 2.6x vs 3.4x for postings)
+    doc_len = tf.groupBy("field", "doc_id").agg(F.sum("tf").alias("dl"))
     stats_rows = (
         doc_len.groupBy("field")
         .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -142,12 +153,6 @@ def bm25_flat_postings(
         for r in stats_rows
     }
 
-    dict_for_tok = dictionary.select("field", F.col("term").alias("tok"), "term_id")
-    tf = (
-        nonsep.join(dict_for_tok, ["field", "tok"])
-        .groupBy("field", "term_id", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
     # df: tf rows are unique per (field, term_id, doc_id), so a partition
     # count over the groupBy's own clustering = document frequency — no
     # second self-join shuffle
@@ -178,7 +183,7 @@ def bm25_flat_postings(
             F.col("tf"), F.col("df"), F.col("dl"), n_expr, avg_expr
         ).alias("score"),
     )
-    flat._veloci_unpersist = doc_len.unpersist  # type: ignore[attr-defined]
+    flat._veloci_unpersist = tf.unpersist  # type: ignore[attr-defined]
     return flat, stats
 
 

@@ -75,14 +75,59 @@ def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _partition_metrics(path: str, detail_cap: int = 64) -> dict:
+    """Per-output-partition metrics from Parquet footers (metadata only,
+    no data read): row count + bytes per written file, with aggregate
+    totals.  Detail is capped — at 10^12-file scale lineage must stay
+    metadata-sized; the totals always cover everything."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover
+        return {}
+    files = []
+    if not os.path.isdir(path):  # remote FS: totals come from Spark metrics
+        return {}
+    for root, _dirs, names in os.walk(path):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            try:
+                rows = pq.ParquetFile(full).metadata.num_rows
+            except Exception:
+                continue
+            files.append(
+                {
+                    "file": os.path.relpath(full, path),
+                    "rows": rows,
+                    "bytes": os.path.getsize(full),
+                }
+            )
+    files.sort(key=lambda d: d["file"])
+    out = {
+        "n_partitions": len(files),
+        "rows": sum(f["rows"] for f in files),
+        "bytes": sum(f["bytes"] for f in files),
+    }
+    out["partitions"] = files[:detail_cap]
+    if len(files) > detail_cap:
+        out["partitions_truncated"] = len(files) - detail_cap
+    return out
+
+
 class _Lineage:
-    """Per-stage lineage + metrics (jsonl next to the index)."""
+    """Per-stage + per-partition lineage and metrics (jsonl next to the
+    index): every stage appends wall time plus the written partitions'
+    row/byte counts, so a resumed build can audit exactly what each
+    checkpoint contains."""
 
     def __init__(self, out_dir: str):
         self.path = os.path.join(out_dir, "_lineage.jsonl")
 
-    def record(self, stage: str, **kv) -> None:
+    def record(self, stage: str, out_path: Optional[str] = None, **kv) -> None:
         rec = {"stage": stage, "ts": time.time(), **kv}
+        if out_path:
+            rec.update(_partition_metrics(out_path))
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
@@ -532,7 +577,7 @@ def build_index(
         corpus_ids.write.mode("overwrite").parquet(docstore_path)
         if hasattr(corpus_ids, "_veloci_unpersist"):
             corpus_ids._veloci_unpersist()
-        lineage.record("docstore", wall_s=time.time() - t0)
+        lineage.record("docstore", out_path=docstore_path, wall_s=time.time() - t0)
     corpus_ids = spark.read.parquet(docstore_path)
 
     fields = config.indexed_fields()
@@ -576,7 +621,7 @@ def build_index(
             )
             if hasattr(dictionary, "_veloci_unpersist"):
                 dictionary._veloci_unpersist()
-            lineage.record("dictionary", wall_s=time.time() - t0)
+            lineage.record("dictionary", out_path=dict_path, wall_s=time.time() - t0)
         dictionary = spark.read.parquet(dict_path)
 
         if need_post:
@@ -584,7 +629,7 @@ def build_index(
             flat = _build_flat_postings(toks, whole, dictionary)
             blocks = _encode_blocks(flat, config.block_docs)
             blocks.write.mode("overwrite").partitionBy("field").parquet(post_path)
-            lineage.record("postings", wall_s=time.time() - t0)
+            lineage.record("postings", out_path=post_path, wall_s=time.time() - t0)
 
         if need_phrase:
             t0 = time.time()
@@ -597,7 +642,7 @@ def build_index(
                 .partitionBy("field")
                 .parquet(phrase_path)
             )
-            lineage.record("phrase", wall_s=time.time() - t0)
+            lineage.record("phrase", out_path=phrase_path, wall_s=time.time() - t0)
 
         if need_bm25:
             t0 = time.time()
@@ -611,7 +656,7 @@ def build_index(
                 flat25._veloci_unpersist()
             with open(os.path.join(out_dir, "bm25_stats.json"), "w") as f:
                 json.dump(bm25_stats, f, indent=2)
-            lineage.record("bm25", wall_s=time.time() - t0, stats=bm25_stats)
+            lineage.record("bm25", out_path=bm25_path, wall_s=time.time() - t0, stats=bm25_stats)
 
         if need_texts:
             t0 = time.time()
@@ -635,7 +680,7 @@ def build_index(
             long_texts.write.mode("overwrite").partitionBy("field").parquet(
                 long_texts_path
             )
-            lineage.record("texts", wall_s=time.time() - t0)
+            lineage.record("texts", out_path=texts_path, wall_s=time.time() - t0)
 
     manifest = {
         "version": 2,

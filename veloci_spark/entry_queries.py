@@ -193,6 +193,62 @@ _register(
 )
 
 
+# ---- fuzzy prefix (starts_with + levenshtein, the FST automaton's
+# ---- .starts_with() variant) -------------------------------------------------
+
+def _q_fuzzy_prefix(spark, sf_dir):
+    part = SearchPart(field="text", term="scann", starts_with=True, levenshtein=1)
+    return _run_request(spark, sf_dir, Request(search=part), 20)
+
+
+_register(
+    "ft_fuzzy_prefix",
+    _q_fuzzy_prefix,
+    _with_cte(
+        leaf_hits_cte(
+            SearchPart(field="text", term="scann", starts_with=True, levenshtein=1),
+            "m0",
+            "h0",
+        )
+    )
+    + "\n"
+    + topk_select("h0", 20),
+)
+
+
+# ---- per-leaf boost (options.boost on a search part) --------------------------
+
+def _q_leaf_boost(spark, sf_dir):
+    req = Request(
+        search=OrNode(
+            (
+                SearchPart(
+                    field="text",
+                    term="spark",
+                    boosts=(BoostPart(path="n_chars", boost_fun="Log10", param=1.0),),
+                ),
+                SearchPart(field="text", term="join"),
+            )
+        )
+    )
+    return _run_request(spark, sf_dir, req, 20)
+
+
+_register(
+    "ft_leaf_boost",
+    _q_leaf_boost,
+    _with_cte(
+        leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0raw"),
+        "h0 AS (SELECT h.doc_id, h.score * log10(CAST(c.n_chars AS DOUBLE) + 1.0) AS score "
+        "FROM h0raw h JOIN documents c ON h.doc_id = c.doc_id)",
+        leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+        or_hits_cte([("h0", 1), ("h1", 0)], "hits"),
+    )
+    + "\n"
+    + topk_select("hits", 20),
+)
+
+
 # ---- regex ------------------------------------------------------------------
 
 def _q_regex(spark, sf_dir):

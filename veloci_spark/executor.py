@@ -632,15 +632,24 @@ def search(index: Index, request: Request) -> SearchResult:
         ]
         hits = ex.apply_multiplicative_ids_boost(hits, ib)
 
-    # phrase boosts ×5.0 per unique pair (plan_steps.rs:235-278)
+    # phrase boosts ×5.0 per unique TERM PAIR: the reference k-merges the
+    # per-field doc-id lists of the same (term1, term2) into ONE boost
+    # entry (sort_and_group_boosts_by_phrase_terms,
+    # plan_steps.rs:235-258) — a doc containing the pair in two fields is
+    # boosted once, while two DISTINCT pairs multiply (×25)
     if request.phrase_boosts:
-        seen: dict[tuple[str, str, str], DataFrame] = {}
+        groups: dict[tuple[str, str], DataFrame] = {}
+        seen_pf: set[tuple[str, str, str]] = set()
         for pb in request.phrase_boosts:
-            k = (pb.field, pb.term1, pb.term2)
-            if k not in seen:
-                seen[k] = ex.phrase_pair_docs(pb)
+            pf = (pb.field, pb.term1, pb.term2)
+            if pf in seen_pf:
+                continue
+            seen_pf.add(pf)
+            ids = ex.phrase_pair_docs(pb)
+            k = (pb.term1, pb.term2)
+            groups[k] = ids if k not in groups else groups[k].unionAll(ids)
         hits = ex.apply_multiplicative_ids_boost(
-            hits, [(df, 5.0) for df in seen.values()]
+            hits, [(df, 5.0) for df in groups.values()]
         )
 
     # text locality 2n² (boost.rs:11-87), applied as per-doc factor
@@ -723,7 +732,7 @@ def search(index: Index, request: Request) -> SearchResult:
 
     # why_found: highlighted snippets for the selected text fields on the
     # top-k rows only (search.rs:220-224, why_found.rs:11-49)
-    if request.why_found and request.select:
+    if request.why_found:
         from veloci_spark.highlight import why_found_array_column, why_found_column
         from veloci_spark.match_terms import match_terms as _mt
         from veloci_spark.request import leaves as _leaves
@@ -734,21 +743,47 @@ def search(index: Index, request: Request) -> SearchResult:
                 r["term"] for r in _mt(index, p).select("term").collect()
             ]
             per_field_terms.setdefault(p.field, set()).update(terms)
-        for fld in request.select:
-            if fld in per_field_terms:
-                conf = index.field_conf(fld)
-                seps = tuple(conf.get("tokenize_on_chars") or ()) or None
-                kw = {"separators": seps} if seps else {}
-                # 1:n select paths are array columns: highlight per VALUE
-                # (the reference's why_found emits one entry per matching
-                # value, highlight_field.rs:148-180)
-                hl_fn = why_found_array_column if is_nested(fld) else why_found_column
-                topk = hl_fn(
-                    topk,
-                    fld,
-                    per_field_terms[fld],
-                    out_col=f"why_found_{fld}",
-                    **kw,
-                )
+        # with select: highlight the selected fields that were searched;
+        # without select the reference still emits why_found for every
+        # searched field (search.rs:220-224 + test_why_found.rs) — fetch
+        # those source columns from the doc store just for highlighting
+        if request.select is not None:
+            hl_fields = [f for f in request.select if f in per_field_terms]
+            fetched: list[str] = []
+        else:
+            hl_fields = sorted(per_field_terms)
+            prev_cols = [F.col(c) for c in topk.columns]
+            src_cols = [
+                select_path_column(f).alias(f) if ("." in f or "[]" in f) else F.col(f)
+                for f in hl_fields
+            ]
+            topk = (
+                topk.join(index.docstore(), "doc_id")
+                .select(*prev_cols, *src_cols)
+                .orderBy(F.desc("score"), F.desc("doc_id"))
+            )
+            fetched = list(hl_fields)
+        for fld in hl_fields:
+            conf = index.field_conf(fld)
+            seps = tuple(conf.get("tokenize_on_chars") or ()) or None
+            kw = {"separators": seps} if seps else {}
+            # 1:n select paths are array columns: highlight per VALUE
+            # (the reference's why_found emits one entry per matching
+            # value, highlight_field.rs:148-180)
+            hl_fn = why_found_array_column if is_nested(fld) else why_found_column
+            topk = hl_fn(
+                topk,
+                fld,
+                per_field_terms[fld],
+                out_col=f"why_found_{fld}",
+                **kw,
+            )
+        if request.select is None and fetched:
+            # drop the fetched source columns (backtick-quoted: the names
+            # contain dots), keeping only doc_id/score/why_found_*
+            gone = set(fetched)
+            topk = topk.select(
+                *[F.col(f"`{c}`") for c in topk.columns if c not in gone]
+            )
 
     return SearchResult(hits=topk, all_hits=all_hits, facets=facets)

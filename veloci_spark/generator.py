@@ -27,6 +27,7 @@ from veloci_spark.request import (
     PhraseBoost,
     Request,
     SearchPart,
+    leaves,
     simplify,
 )
 from veloci_spark.stopwords import is_stopword
@@ -82,7 +83,11 @@ def leaf_to_part(
     lev: Optional[int] = None
     starts_with = False
     is_regex = False
-    if not leaf.quoted and "*" in term:
+    # wildcard handling applies to quoted terms too — the reference's
+    # leaf conversion has no quoted check (quoting only shields the term
+    # from the PARSER; query_parser_to_veloci_request.rs:44-58, exercised
+    # by test_code_search.rs token_code_phrase_pattern_query_generator)
+    if "*" in term:
         if term.endswith("*") and term.count("*") == 1:
             starts_with = True
             term = term[:-1]
@@ -157,7 +162,18 @@ def ast_phrase_pairs(ast) -> set[tuple[str, str]]:
 
 
 def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
-    fields = params.fields or index.field_names()
+    all_fields = index.field_names()
+    if params.fields is not None:
+        fields = [f for f in params.fields if f in all_fields]
+        if not fields:
+            # reference: get_all_search_field_names errors when the field
+            # filter removes everything (query_generator.rs:102-127,
+            # test_query_generator.rs no_matching_fields_from_field_list)
+            raise ValueError(
+                f"All fields filtered: {params.fields!r} matches no indexed field"
+            )
+    else:
+        fields = all_fields
 
     if params.parser_disabled:
         ast: object = UserLeaf(term=params.search_term)
@@ -168,6 +184,12 @@ def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
     if search is None:
         raise ValueError("query reduced to nothing (all stopwords?)")
     search = simplify(search)
+
+    # attributed leaves must name real fields (check_field,
+    # query_generator.rs:134-146)
+    for p in leaves(search):
+        if p.field not in all_fields:
+            raise ValueError(f"Field {p.field} not found in index")
 
     filter_node: Optional[Node] = None
     if params.filter:
@@ -203,11 +225,18 @@ def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
                 )
         phrase_boosts = tuple(pairs)
 
-    boost_term = tuple(
-        SearchPart(field=f, term=t, boost=v)
-        for (t, v) in params.boost_terms.items()
-        for f in fields
-    )
+    # boost_terms: "field:term" routes to one field, a bare term boosts on
+    # every searched field (handle_boost_term_query,
+    # query_generator.rs:148-173 splits on the first ':')
+    bt: list[SearchPart] = []
+    for t, v in params.boost_terms.items():
+        t_fields, t_term = fields, t
+        if ":" in t:
+            prefix, rest = t.split(":", 1)
+            if prefix in all_fields:
+                t_fields, t_term = [prefix], rest
+        bt.extend(SearchPart(field=f, term=t_term, boost=v) for f in t_fields)
+    boost_term = tuple(bt)
 
     return Request(
         search=search,

@@ -47,10 +47,26 @@ def match_terms(index: Index, part: SearchPart) -> DataFrame:
         distance = F.levenshtein(lterm, F.lit(lq))
         prefix_matches = F.lit(False)
     elif part.starts_with:
-        if part.ignore_case:
-            cand = d.where(lterm.startswith(F.lit(lq)))
+        lev = part.effective_levenshtein()
+        if lev == 0:
+            if part.ignore_case:
+                cand = d.where(lterm.startswith(F.lit(lq)))
+            else:
+                cand = d.where(term.startswith(F.lit(q)))
         else:
-            cand = d.where(term.startswith(F.lit(q)))
+            # fuzzy prefix (reference: the levenshtein automaton's
+            # `.starts_with()` variant, search_field.rs:79-95 — matches
+            # any term having SOME prefix within `lev` of the query, e.g.
+            # "awesam*"~1 matches "awesome"). A matching prefix has length
+            # in [len(q)-lev, len(q)+lev], so the test is a bounded OR of
+            # thresholded levenshtein calls — JVM codegen, no Python.
+            lenq = len(lq)
+            conds: Column | None = None
+            for j in range(max(lenq - lev, 1), lenq + lev + 1):
+                c = F.levenshtein(F.substring(lterm, 1, j), F.lit(lq), lev) >= 0
+                conds = c if conds is None else (conds | c)
+            assert conds is not None
+            cand = d.where(F.length(lterm) >= F.lit(lenq - lev)).where(conds)
         distance = F.levenshtein(lterm, F.lit(lq))
         prefix_matches = lterm.startswith(F.lit(lq))
     else:

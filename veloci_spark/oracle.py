@@ -198,10 +198,21 @@ def matched_cte(part: SearchPart, name: str) -> str:
             pred = f"regexp_full_match(term, {pat})"
         score = _term_score_sql(lq, "FALSE")
     elif part.starts_with:
-        if part.ignore_case:
-            pred = f"substr(lower(term), 1, {len(lq)}) = {_q(lq)}"
+        lev = part.effective_levenshtein()
+        if lev == 0:
+            if part.ignore_case:
+                pred = f"substr(lower(term), 1, {len(lq)}) = {_q(lq)}"
+            else:
+                pred = f"substr(term, 1, {len(q)}) = {_q(q)}"
         else:
-            pred = f"substr(term, 1, {len(q)}) = {_q(q)}"
+            # fuzzy prefix: SOME prefix of the term within lev of the query
+            # (mirrors match_terms.py's bounded OR of thresholded distances)
+            lenq = len(lq)
+            alts = " OR ".join(
+                f"levenshtein(substr(lower(term), 1, {j}), {_q(lq)}) <= {lev}"
+                for j in range(max(lenq - lev, 1), lenq + lev + 1)
+            )
+            pred = f"length(lower(term)) >= {lenq - lev} AND ({alts})"
         score = _term_score_sql(lq, f"substr(lower(term), 1, {len(lq)}) = {_q(lq)}")
     else:
         lev = part.effective_levenshtein()

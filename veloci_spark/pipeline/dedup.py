@@ -252,6 +252,60 @@ FROM sums
 """
 
 
+def dedup_simhash_bits(
+    spark: SparkSession, sf_dir: str, n_bits: int = 64
+) -> DataFrame:
+    """Parameterized SimHash (up to 64 bits) as a '0'/'1' bit STRING —
+    width scales with corpus size (16 bits is too coarse for 100-TB
+    dedup) and the string form sidesteps signed-long overflow at bit 63.
+    Bit j's ±1 vote comes from the parity of hex digit (j mod 32) of
+    md5(tok) for j < 32 and of md5(tok || '#1') above — portable string
+    ops, identical in DuckDB."""
+    assert 1 <= n_bits <= 64
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = (
+        docs.select("doc_id", F.explode(words_expr("text")).alias("tok"))
+        .withColumn("h0", F.md5("tok"))
+        .withColumn("h1", F.md5(F.concat(F.col("tok"), F.lit("#1"))))
+    )
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    bit_cols = []
+    for j in range(n_bits):
+        c = F.substring("h0" if j < 32 else "h1", (j % 32) + 1, 1)
+        bit_cols.append(
+            F.sum(F.when(c.isin(*odd), 1).otherwise(-1)).alias(f"s{j}")
+        )
+    sums = toks.groupBy("doc_id").agg(*bit_cols)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_bits)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+def dedup_simhash_bits_sql(n_bits: int = 64) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    sums = ", ".join(
+        f"sum(CASE WHEN substr({'h0' if j < 32 else 'h1'}, {(j % 32) + 1}, 1) "
+        f"IN {odd} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_words('text')}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hashed AS (SELECT doc_id, md5(tok) AS h0, md5(tok || '#1') AS h1 FROM toks),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums
+"""
+
+
 # --------------------------------------------------- adjacent-pair jaccard
 
 def text_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +342,10 @@ def queries():
             spark, sf_dir, n_minhash=32, n_bands=8
         ),
         "dedup_simhash": dedup_simhash,
+        # production-width fingerprint (64-bit, as a bit string)
+        "dedup_simhash_64": lambda spark, sf_dir: dedup_simhash_bits(
+            spark, sf_dir, n_bits=64
+        ),
         "dedup_jaccard_adjacent": text_jaccard_adjacent,
     }
 
@@ -298,5 +356,6 @@ def oracles():
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
         "dedup_minhash_lsh_32_8": dedup_minhash_sql(n_minhash=32, n_bands=8),
         "dedup_simhash": DEDUP_SIMHASH_SQL,
+        "dedup_simhash_64": dedup_simhash_bits_sql(n_bits=64),
         "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
     }

@@ -282,9 +282,99 @@ def run_scaling(
     }
 
 
+def run_query_scaling(sf_dir: str) -> dict:
+    """Warm top-k latency vs corpus size: exhaustive OR vs block-max WAND
+    on the native index, exhaustive vs WAND BM25 on the code index —
+    evidence the pruned paths grow sublinearly with corpus size."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.bm25 import bm25_topk, bm25_wand_topk
+    from veloci_spark.build import build_index
+    from veloci_spark.code_corpus import CODE_CONFIG, code_corpus
+    from veloci_spark.entry_queries import DOC_CONFIG, _quantized_topk
+    from veloci_spark.executor import search
+    from veloci_spark.request import OrNode, Request, SearchPart
+    from veloci_spark.wand import wand_or_topk
+
+    or_node = OrNode(
+        (SearchPart(field="text", term="spark"), SearchPart(field="text", term="join"))
+    )
+    terms = ["spark", "join", "merge"]
+    out: dict = {}
+    for label, d in [("5k", sf_dir), ("200k", _scaled_corpus(sf_dir, 40))]:
+        spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+        try:
+            doc_idx = build_index(
+                spark,
+                spark.read.parquet(os.path.join(d, "documents.parquet")),
+                DOC_CONFIG,
+                f"/tmp/veloci_spark_qscale_docs_{label}",
+                resume=True,
+            )
+            code_idx = build_index(
+                spark,
+                code_corpus(spark, d),
+                CODE_CONFIG,
+                f"/tmp/veloci_spark_qscale_code_{label}",
+                resume=True,
+            )
+            wand_stats: dict = {}
+            bm25_stats: dict = {}
+            thunks = {
+                "or_exhaustive": lambda: _quantized_topk(
+                    search(doc_idx, Request(search=or_node)).all_hits, 20
+                ).collect(),
+                "or_wand": lambda: wand_or_topk(
+                    doc_idx, or_node, k=20, stats=wand_stats
+                ).collect(),
+                "bm25_exhaustive": lambda: bm25_topk(
+                    code_idx, "content", terms, 20
+                ).collect(),
+                "bm25_wand": lambda: bm25_wand_topk(
+                    code_idx, "content", terms, 20, stats=bm25_stats
+                ).collect(),
+            }
+            row = {}
+            for name, thunk in thunks.items():
+                thunk()  # warm
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    thunk()
+                    dt = time.time() - t0
+                    best = dt if best is None or dt < best else best
+                row[name] = round(best, 3)
+            row["or_blocks"] = f"{wand_stats['blocks_decoded']}/{wand_stats['blocks_total']}"
+            row["bm25_blocks"] = f"{bm25_stats['blocks_decoded']}/{bm25_stats['blocks_total']}"
+            out[label] = row
+        finally:
+            spark.stop()
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--query-scaling" in sys.argv:
+        res = run_query_scaling(sf_dir)
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Query scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                "Warm top-k latency (s, min of 2) and blocks decoded/matched vs "
+                "corpus size — exhaustive vs block-max pruned:\n\n"
+                "| corpus | OR exhaustive | OR wand | OR blocks (wand/total) | "
+                "BM25 exhaustive | BM25 wand | BM25 blocks (wand/total) |\n"
+                "|---|---|---|---|---|---|---|\n"
+            )
+            for label, row in res.items():
+                f.write(
+                    f"| {label} docs | {row['or_exhaustive']} | {row['or_wand']} | "
+                    f"{row['or_blocks']} | {row['bm25_exhaustive']} | "
+                    f"{row['bm25_wand']} | {row['bm25_blocks']} |\n"
+                )
+        return
     if "--scaling" in sys.argv or "--scaling-bm25" in sys.argv:
         job = "bm25" if "--scaling-bm25" in sys.argv else "native"
         res = run_scaling(

@@ -52,10 +52,51 @@ def main() -> None:
         "separated exact terms; 'and' = posting-list intersection; "
         "'-wand' variants use block-max pruning)",
     )
+    ap.add_argument(
+        "--suggest",
+        action="store_true",
+        help="autocomplete mode (the reference's POST /:db/suggest): "
+        "--query is the prefix, --fields restricts the scan",
+    )
+    ap.add_argument(
+        "--highlight",
+        action="store_true",
+        help="highlight entry point (search_field.rs:233-245): matched "
+        "text values of ONE --fields entry, snippet-highlighted",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("veloci-spark-query").getOrCreate()
     idx = Index(spark, args.index)
+
+    if args.suggest:
+        from veloci_spark.suggest import suggest
+
+        fields = args.fields.split(",") if args.fields else None
+        rows = suggest(
+            idx, args.query, fields=fields, top=args.top, skip=args.skip
+        ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        spark.stop()
+        return
+
+    if args.highlight:
+        from veloci_spark.request import SearchPart
+        from veloci_spark.suggest import highlight_entry
+
+        if not args.fields or len(args.fields.split(",")) != 1:
+            ap.error("--highlight requires exactly one --fields entry")
+        rows = highlight_entry(
+            idx,
+            SearchPart(field=args.fields, term=args.query, starts_with=True),
+            top=args.top,
+            skip=args.skip,
+        ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        spark.stop()
+        return
 
     if args.bm25:
         from veloci_spark import bm25

@@ -172,6 +172,20 @@ def test_and_wand_rank_identical(bm25_index, terms):
     assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
 
 
+def test_wand_prunes_on_skewed_blocks(bm25_index):
+    # "alpha" is block-skewed in CORPUS (tf=3 in block 0, tf<=2 elsewhere):
+    # with k=1 the first decoded block's exact score strictly beats every
+    # remaining block-max, so WAND must stop after ONE block of three
+    stats: dict = {}
+    rows = bm25_wand_topk(
+        bm25_index, "body", ["alpha"], 1, start_blocks=1, stats=stats
+    ).collect()
+    exact = bm25_topk(bm25_index, "body", ["alpha"], 1).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in exact]
+    assert stats["blocks_total"] == 3
+    assert stats["blocks_decoded"] == 1  # pruned, not full decode
+
+
 def test_wand_budget_exhaustion_falls_back_to_full(bm25_index):
     # max_iters=1 with 1 starting block cannot converge on 3 blocks →
     # must fall back to the full decode, not return a truncated set

@@ -330,6 +330,7 @@ def bm25_wand_topk(
     k: int,
     start_blocks: int = 8,
     max_iters: int = 8,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k, rank-identical to :func:`bm25_topk`.
 
@@ -364,6 +365,8 @@ def bm25_wand_topk(
         hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
         return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
 
+    n_blocks_total = block_ub.count() if stats is not None else None
+
     result_rows: Optional[list] = None
     m = start_blocks
     for _ in range(max_iters):
@@ -384,6 +387,11 @@ def bm25_wand_topk(
         m *= 4
     if result_rows is None:
         result_rows = _exact_topk(None)
+        m = n_blocks_total if n_blocks_total is not None else m
+
+    if stats is not None:
+        stats["blocks_total"] = int(n_blocks_total or 0)
+        stats["blocks_decoded"] = int(min(m, n_blocks_total or m))
 
     blocks.unpersist()
     block_ub.unpersist()

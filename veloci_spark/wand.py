@@ -42,6 +42,7 @@ def wand_or_topk(
     k: int,
     start_blocks: int = 8,
     max_iters: int = 8,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for an OR of leaf parts, rank-identical to
     the exhaustive executor path."""
@@ -135,6 +136,8 @@ def wand_or_topk(
         ).limit(k)
         return topk.collect()
 
+    n_blocks_total = block_ub.count() if stats is not None else None
+
     m = start_blocks
     result: Optional[DataFrame] = None
     for _ in range(max_iters):
@@ -169,6 +172,11 @@ def wand_or_topk(
         result = spark.createDataFrame(
             _exact_topk(None), "doc_id long, score double"
         )
+        m = n_blocks_total if n_blocks_total is not None else m
+
+    if stats is not None:
+        stats["blocks_total"] = int(n_blocks_total or 0)
+        stats["blocks_decoded"] = int(min(m, n_blocks_total or m))
 
     for _, terms, _ in block_frames:
         terms.unpersist()

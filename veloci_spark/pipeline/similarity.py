@@ -244,6 +244,97 @@ FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
 
 
+# --------------------------------------------------------------------- IVF
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """IVF-flat ANN top-k: a coarse quantizer of ``n_centroids``
+    (deterministically data-sampled: the first n_centroids vectors —
+    production swaps in k-means centroids, the dataflow is identical)
+    assigns every vector to its nearest centroid by cosine; the query
+    probes its ``nprobe`` nearest centroids and runs exact cosine only
+    inside those inverted lists.
+
+    Scale shape: assignment is a broadcast of n_centroids rows + a
+    per-vector window (partitioned by vec_id, never global); the probe
+    prunes the exact pass to ~nprobe/n_centroids of the corpus. The
+    inverted lists would be written bucketed-by-cid for a persisted
+    index; here the probe is a broadcast semi-join."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine_expr(F.col("embedding"), F.col("cvec")).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .orderBy(
+            F.desc(cosine_expr(F.col("cvec"), F.col("qvec"))), F.asc("cid")
+        )
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assign.join(F.broadcast(probe), "cid")
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias("cos_e4"),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 20) -> str:
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {n_centroids}
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid, {cos('e.embedding', 'c.cvec')} AS s
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY {cos('cvec', 'qvec')} DESC, cid ASC LIMIT {nprobe}
+)
+SELECT a.vec_id, {sql_e4(cos('a.embedding', 'q.qvec'))} AS cos_e4
+FROM assign a JOIN probe USING (cid), q
+ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -255,6 +346,7 @@ def queries():
             spark, sf_dir, n_bits=12
         ),
         "ann_multiprobe_topk": ann_multiprobe_topk,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -265,4 +357,5 @@ def oracles():
         "ann_bucketed_pairs": ann_pairs_sql(),
         "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
         "ann_multiprobe_topk": ann_multiprobe_sql(),
+        "ann_ivf_topk": ann_ivf_sql(),
     }

@@ -278,16 +278,17 @@ def bm25_and_wand_topk(
         .select("block_no", "ub")
         .persist()
     )
+    MAX_INLIST = 100_000
 
-    def _exact(cand: Optional[DataFrame]) -> list:
-        sel = blocks
+    def _exact(cand_ids: Optional[list]) -> list:
         # even the full fallback only decodes metadata-surviving blocks —
         # a block missing a term can't contribute an intersection doc
-        sel = sel.join(
-            F.broadcast(cand if cand is not None else block_ub.select("block_no")),
-            "block_no",
-            "left_semi",
-        )
+        if cand_ids is not None:
+            sel = blocks.where(F.col("block_no").isin(cand_ids))
+        else:
+            sel = blocks.join(
+                F.broadcast(block_ub.select("block_no")), "block_no", "left_semi"
+            )
         flat = decode_blocks_df(sel)
         hits = (
             flat.groupBy("doc_id")
@@ -300,16 +301,16 @@ def bm25_and_wand_topk(
     result_rows: Optional[list] = None
     m = start_blocks
     for _ in range(max_iters):
-        cand = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
-            .limit(m)
-            .select("block_no")
-            .persist()
+        if m > MAX_INLIST:
+            break
+        # one TakeOrderedAndProject yields candidates AND the threshold
+        # (the (m+1)-th ub in desc order is the max remaining bound)
+        ub_rows = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
         )
-        rows = _exact(cand)
-        remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
-        max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
-        cand.unpersist()
+        cand_ids = [r["block_no"] for r in ub_rows[:m]]
+        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
+        rows = _exact(cand_ids)
         kth = rows[-1]["score_e4"] if len(rows) >= k else None
         if max_remaining is None or (kth is not None and kth > max_remaining):
             result_rows = rows
@@ -351,16 +352,16 @@ def bm25_wand_topk(
     if not ids:
         return _empty_topk(spark)
     blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
-    block_ub = (
-        blocks.groupBy("block_no")
-        .agg(F.sum("max_score").alias("ub"))
-        .persist()
-    )
+    block_ub = blocks.groupBy("block_no").agg(F.sum("max_score").alias("ub"))
 
-    def _exact_topk(cand: Optional[DataFrame]) -> list:
+    # past this candidate count a literal IN-list stops paying; the full
+    # decode of the (already term-filtered) blocks is the cheaper plan
+    MAX_INLIST = 100_000
+
+    def _exact_topk(cand_ids: Optional[list]) -> list:
         sel = blocks
-        if cand is not None:
-            sel = sel.join(F.broadcast(cand), "block_no", "left_semi")
+        if cand_ids is not None:
+            sel = sel.where(F.col("block_no").isin(cand_ids))
         flat = decode_blocks_df(sel)
         hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
         return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
@@ -368,31 +369,37 @@ def bm25_wand_topk(
     n_blocks_total = block_ub.count() if stats is not None else None
 
     result_rows: Optional[list] = None
+    decoded: Optional[int] = None
     m = start_blocks
     for _ in range(max_iters):
-        cand = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
-            .limit(m)
-            .select("block_no")
-            .persist()
+        if m > MAX_INLIST:
+            break
+        # ONE TakeOrderedAndProject yields the m candidate block ids AND
+        # the threshold: rows are collected in ub-desc order, so the
+        # (m+1)-th row IS the max remaining upper bound — this replaces
+        # the candidate materialization + anti-join aggregation jobs, and
+        # the literal IN-list on block_no reaches the Parquet scan
+        ub_rows = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
         )
-        rows = _exact_topk(cand)
-        remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
-        max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
-        cand.unpersist()
+        cand_ids = [r["block_no"] for r in ub_rows[:m]]
+        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
+        rows = _exact_topk(cand_ids)
         kth = rows[-1]["score_e4"] if len(rows) >= k else None
         if max_remaining is None or (kth is not None and kth > max_remaining):
             result_rows = rows
+            decoded = len(cand_ids)
             break
         m *= 4
     if result_rows is None:
         result_rows = _exact_topk(None)
-        m = n_blocks_total if n_blocks_total is not None else m
+        decoded = n_blocks_total
 
     if stats is not None:
         stats["blocks_total"] = int(n_blocks_total or 0)
-        stats["blocks_decoded"] = int(min(m, n_blocks_total or m))
+        stats["blocks_decoded"] = int(
+            decoded if decoded is not None else (n_blocks_total or 0)
+        )
 
     blocks.unpersist()
-    block_ub.unpersist()
     return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")

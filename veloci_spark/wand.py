@@ -90,7 +90,7 @@ def wand_or_topk(
         .persist()
     )
 
-    def _exact_topk(cand: Optional[DataFrame]) -> list:
+    def _exact_topk(cand_ids: Optional[list]) -> list:
         """Exact OR top-k over the candidate block set (None = ALL blocks).
         Ranked by (score_e4 desc, doc_id desc) — the same quantized order
         the final consumer uses, so the retained doc set cannot drift from
@@ -99,9 +99,10 @@ def wand_or_topk(
         hit_frames = []
         for field, terms, blocks in block_frames:
             sel = blocks
-            if cand is not None:
-                # broadcast semi-join — scales past any IN-list size
-                sel = sel.join(F.broadcast(cand), "block_no", "left_semi")
+            if cand_ids is not None:
+                # literal IN-list: reaches the Parquet scan stats; bounded
+                # by MAX_INLIST before falling back to the full decode
+                sel = sel.where(F.col("block_no").isin(cand_ids))
             flat = decode_blocks_df(sel.select("term_id", "data"))
             joined = flat.join(
                 F.broadcast(terms.select("term_id", "term_score", "slot")), "term_id"
@@ -137,22 +138,23 @@ def wand_or_topk(
         return topk.collect()
 
     n_blocks_total = block_ub.count() if stats is not None else None
+    MAX_INLIST = 100_000
 
     m = start_blocks
     result: Optional[DataFrame] = None
     for _ in range(max_iters):
-        cand = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
-            .limit(m)
-            .select("block_no")
-            .persist()
+        if m > MAX_INLIST:
+            break
+        # ONE TakeOrderedAndProject yields the m candidate block ids AND
+        # the threshold: collected in ub-desc order, the (m+1)-th row IS
+        # the max remaining upper bound — replaces the candidate
+        # materialization and anti-join aggregation jobs per iteration
+        ub_rows = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
         )
-        rows = _exact_topk(cand)
-
-        # threshold check against undecoded blocks
-        remaining = block_ub.join(F.broadcast(cand), "block_no", "left_anti")
-        max_remaining = remaining.agg(F.max("ub").alias("m")).collect()[0]["m"]
-        cand.unpersist()
+        cand_ids = [r["block_no"] for r in ub_rows[:m]]
+        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
+        rows = _exact_topk(cand_ids)
         kth = rows[-1]["score"] if len(rows) >= k else None
         # compare in QUANTIZED space: an undecoded block whose ub quantizes
         # to the same e4 bucket as the kth hit could still hold a doc that
@@ -162,6 +164,7 @@ def wand_or_topk(
             kth is not None and py_score_e4(kth) > py_score_e4(max_remaining)
         ):
             result = spark.createDataFrame(rows, "doc_id long, score double")
+            m = len(cand_ids)
             break
         m *= 4
     if result is None:

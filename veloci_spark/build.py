@@ -334,24 +334,67 @@ def _build_flat_postings(
     return merged
 
 
-def _encode_blocks(flat: DataFrame, block_docs: int) -> DataFrame:
+def _encode_blocks(
+    flat: DataFrame,
+    block_docs: int,
+    dictionary: Optional[DataFrame] = None,
+    salt_rows_per_shard: int = 4_000_000,
+) -> DataFrame:
     """Doc-aligned, delta+varint-compressed posting blocks with block-max
     metadata; numpy-vectorized inside mapInPandas (Arrow batches).
 
-    One hash shuffle on (field, term_id) + a within-partition sort; the
-    encoded output is written directly (each task's output file is sorted
-    by (field, term_id), so Parquet row-group stats stay tight for
-    term_id point lookups without a second range shuffle — round 1 paid
-    an extra repartitionByRange of the encoded blocks here)."""
+    One hash shuffle on (field, term_id[, salt]) + a within-partition
+    sort; the encoded output is written directly (each task's output file
+    is sorted by (field, term_id), so Parquet row-group stats stay tight
+    for term_id point lookups without a second range shuffle — round 1
+    paid an extra repartitionByRange of the encoded blocks here).
+
+    Salted-key skew handling for stop-word-like hot terms: a bare hash
+    shuffle on (field, term_id) sends a ubiquitous term's ENTIRE posting
+    list to one task — at 10^12 docs that one task receives ~10^12 rows.
+    Terms whose dictionary ``num_occurences`` exceeds
+    ``salt_rows_per_shard`` therefore get ``salt = block_no % n_salts``
+    (n_salts = ceil(occurences / shard), capped 256) added to the shuffle
+    key via a broadcast join of the (tiny) hot-term set. Because the salt
+    is a pure function of block_no, every doc-aligned (term, block) group
+    still lands whole in one partition, so the encoded block rows are
+    bit-identical to the unsalted layout — only their placement across
+    tasks/files changes. The long tail (salt 0 constant) keeps exactly the
+    round-1 distribution and file-stat tightness."""
     with_block = flat.withColumn(
         "block_no", (F.col("doc_id") / F.lit(block_docs)).cast("long")
     )
-    # hash-shuffle on (field, term_id), then a within-partition sort groups
-    # each (field, term_id, block_no) contiguously; a group never exceeds
-    # block_docs entries, so skewed (stop-word-like) terms split into
-    # bounded rows.
-    arranged = with_block.repartition("field", "term_id").sortWithinPartitions(
-        "field", "term_id", "block_no", "doc_id"
+    if dictionary is not None:
+        hot = (
+            dictionary.where(F.col("num_occurences") > F.lit(salt_rows_per_shard))
+            .select(
+                "field",
+                "term_id",
+                F.least(
+                    F.ceil(F.col("num_occurences") / F.lit(salt_rows_per_shard)),
+                    F.lit(256),
+                ).alias("__n_salts"),
+            )
+        )
+        with_block = with_block.join(
+            F.broadcast(hot), ["field", "term_id"], "left"
+        ).withColumn(
+            "__salt",
+            F.when(
+                F.col("__n_salts").isNotNull(),
+                F.col("block_no") % F.col("__n_salts"),
+            ).otherwise(F.lit(0)),
+        )
+    else:
+        with_block = with_block.withColumn("__salt", F.lit(0))
+    # hash-shuffle on (field, term_id, salt), then a within-partition sort
+    # groups each (field, term_id, block_no) contiguously; a group never
+    # exceeds block_docs entries, so skewed (stop-word-like) terms split
+    # into bounded rows.
+    arranged = (
+        with_block.repartition("field", "term_id", "__salt")
+        .sortWithinPartitions("field", "term_id", "block_no", "doc_id")
+        .drop("__salt", "__n_salts")
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -627,7 +670,12 @@ def build_index(
         if need_post:
             t0 = time.time()
             flat = _build_flat_postings(toks, whole, dictionary)
-            blocks = _encode_blocks(flat, config.block_docs)
+            blocks = _encode_blocks(
+                flat,
+                config.block_docs,
+                dictionary=dictionary,
+                salt_rows_per_shard=config.salt_rows_per_shard,
+            )
             blocks.write.mode("overwrite").partitionBy("field").parquet(post_path)
             lineage.record("postings", out_path=post_path, wall_s=time.time() - t0)
 
@@ -650,7 +698,12 @@ def build_index(
 
             assert toks is not None
             flat25, bm25_stats = bm25_flat_postings(toks, dictionary, bm25_fields)
-            blocks25 = _encode_blocks(flat25, config.block_docs)
+            blocks25 = _encode_blocks(
+                flat25,
+                config.block_docs,
+                dictionary=dictionary,
+                salt_rows_per_shard=config.salt_rows_per_shard,
+            )
             blocks25.write.mode("overwrite").partitionBy("field").parquet(bm25_path)
             if hasattr(flat25, "_veloci_unpersist"):
                 flat25._veloci_unpersist()

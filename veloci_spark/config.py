@@ -91,6 +91,14 @@ class IndexConfig:
     #: number of range partitions for the dictionary sort at build time;
     #: None = use spark.sql.shuffle.partitions.
     dict_partitions: Optional[int] = None
+    #: salted-key skew handling for stop-word-like hot terms in the
+    #: posting-encode shuffle: a term whose dictionary ``num_occurences``
+    #: exceeds this gets its postings spread over
+    #: ceil(num_occurences / salt_rows_per_shard) shuffle keys (salt =
+    #: block_no % n_salts, so every doc-aligned block group still lands
+    #: whole in one partition). The default only engages on genuinely hot
+    #: terms (~4M+ postings); tests lower it to exercise the path.
+    salt_rows_per_shard: int = 4_000_000
 
     def field(self, name: str) -> FieldConfig:
         for f in self.fields:

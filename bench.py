@@ -84,6 +84,8 @@ def headline_queries(spark, sf_dir: str):
         "ft_explain_components",
         "code_bm25_topk",
         "code_bm25_wand",
+        "code_bm25_phrase",
+        "code_bm25f_wand",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_cosine_topk",

@@ -46,11 +46,19 @@ def main() -> None:
     ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
     ap.add_argument(
         "--bm25",
-        choices=["or", "and", "or-wand", "and-wand"],
+        choices=["or", "and", "or-wand", "and-wand", "phrase"],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
         "separated exact terms; 'and' = posting-list intersection; "
-        "'-wand' variants use block-max pruning)",
+        "'-wand' variants use block-max pruning; 'phrase' = exact "
+        "adjacent-token phrase via pair-chain prune + positional verify)",
+    )
+    ap.add_argument(
+        "--bm25f-weights",
+        default=None,
+        help="weighted multi-field BM25F, e.g. 'content=1,path=3' "
+        "(integer weights; overrides --fields; combine with --bm25 or/"
+        "or-wand for the exhaustive/pruned path)",
     )
     ap.add_argument(
         "--suggest",
@@ -101,16 +109,27 @@ def main() -> None:
     if args.bm25:
         from veloci_spark import bm25
 
-        if not args.fields or len(args.fields.split(",")) != 1:
-            ap.error("--bm25 requires exactly one --fields entry")
-        fn = {
-            "or": bm25.bm25_topk,
-            "and": bm25.bm25_and_topk,
-            "or-wand": bm25.bm25_wand_topk,
-            "and-wand": bm25.bm25_and_wand_topk,
-        }[args.bm25]
         terms = args.query.split()
-        rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
+        if args.bm25f_weights:
+            if args.bm25 not in ("or", "or-wand"):
+                ap.error("--bm25f-weights supports --bm25 or / or-wand only")
+            weights = {}
+            for part in args.bm25f_weights.split(","):
+                fld, _, w = part.partition("=")
+                weights[fld.strip()] = int(w or "1")
+            fn = bm25.bm25f_wand_topk if args.bm25 == "or-wand" else bm25.bm25f_topk
+            rows = fn(idx, weights, terms, args.top + args.skip).collect()
+        else:
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            fn = {
+                "or": bm25.bm25_topk,
+                "and": bm25.bm25_and_topk,
+                "or-wand": bm25.bm25_wand_topk,
+                "and-wand": bm25.bm25_and_wand_topk,
+                "phrase": bm25.bm25_phrase_topk,
+            }[args.bm25]
+            rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
         for r in rows[args.skip:]:
             print(json.dumps(r.asDict(), default=str))
         spark.stop()

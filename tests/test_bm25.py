@@ -205,3 +205,141 @@ def test_resume_skips_bm25_stage(spark, tmp_root, bm25_index):
     df = spark.createDataFrame(CORPUS, "doc_id long, body string")
     build_index(spark, df, cfg, out, resume=True)
     assert os.path.getmtime(marker) == mtime
+
+
+# ------------------------------------------------- phrase + BM25F engine
+
+PHRASE_CORPUS = [
+    # (doc_id, body, path)
+    (0, "merge sort join filter", "src/a.py"),
+    (1, "merge join x join filter", "src/b.rs"),   # pair-chain FALSE POSITIVE
+    #    ^ pairs (merge,join) and (join,filter) both exist, but the
+    #      trigram "merge join filter" is NOT contiguous
+    (2, "merge join filter scan", "lib/a.py"),      # true trigram match
+    (3, "scan merge join filter", "lib/merge.py"),  # true trigram match
+    (4, "join filter merge", "src/c.go"),           # pairs only partially
+    (5, "filter scan merge join", "x/y.js"),        # (merge,join) only
+    (6, "alpha beta gamma delta", "src/d.py"),
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(
+            FieldConfig("body", bm25=True, phrase_pairs=True),
+            FieldConfig("path", tokenize_on_chars=("/", "."), bm25=True),
+        ),
+        block_docs=2,  # multi-block: exercises block-max pruning
+    )
+    df = spark.createDataFrame(PHRASE_CORPUS, "doc_id long, body string, path string")
+    out = os.path.join(tmp_root, "bm25_phrase_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def _contiguous_docs(terms):
+    """Doc ids whose body token sequence contains `terms` contiguously."""
+    out = []
+    for i, body, _ in PHRASE_CORPUS:
+        toks = [t for t, sep in py_tokenize(body) if not sep]
+        if any(toks[j : j + len(terms)] == list(terms) for j in range(len(toks))):
+            out.append(i)
+    return sorted(out)
+
+
+def test_phrase_trigram_rejects_pair_chain_false_positive(phrase_index):
+    from veloci_spark.bm25 import bm25_phrase_topk
+
+    rows = bm25_phrase_topk(phrase_index, "body", ["merge", "join", "filter"], 10).collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == _contiguous_docs(["merge", "join", "filter"]) == [2, 3]
+    # doc 1 has both adjacent pairs but not the contiguous trigram
+    assert 1 not in got
+
+
+def test_phrase_two_terms_is_pair_table_exact(phrase_index):
+    from veloci_spark.bm25 import bm25_phrase_topk
+
+    rows = bm25_phrase_topk(phrase_index, "body", ["merge", "join"], 10).collect()
+    got = sorted(r["doc_id"] for r in rows)
+    assert got == _contiguous_docs(["merge", "join"])
+
+
+def test_phrase_absent_term_is_empty(phrase_index):
+    from veloci_spark.bm25 import bm25_phrase_topk
+
+    assert bm25_phrase_topk(phrase_index, "body", ["merge", "unobtainium"], 10).count() == 0
+
+
+def test_phrase_scores_are_bm25_sums(phrase_index):
+    """Phrase score = integer sum of the member terms' baked BM25 scores."""
+    from veloci_spark.bm25 import bm25_phrase_topk
+    from veloci_spark.index import decode_blocks_df
+
+    terms = ["merge", "join", "filter"]
+    rows = {r["doc_id"]: r["score_e4"] for r in
+            bm25_phrase_topk(phrase_index, "body", terms, 10).collect()}
+    dict_df = phrase_index.dictionary("body").where(F.col("term").isin(terms))
+    flat = phrase_index.bm25_postings_for("body", dict_df).collect()
+    for doc_id, score in rows.items():
+        expect = sum(r["score"] for r in flat if r["doc_id"] == doc_id)
+        assert score == expect
+
+
+def _naive_bm25f(terms, weights):
+    """Pure-python weighted multi-field recomputation over PHRASE_CORPUS."""
+    seps = {"body": None, "path": ("/", ".")}
+    total = {}
+    for field, w in weights.items():
+        runs = {
+            i: list(py_tokenize(txt, seps[field]) if seps[field] else py_tokenize(txt))
+            for i, body, path in PHRASE_CORPUS
+            for txt in [body if field == "body" else path]
+        }
+        docs = {
+            i: [t for t, sep in rs if not sep] for i, rs in runs.items() if len(rs) >= 2
+        }
+        n = len(docs)
+        if n == 0:
+            continue
+        avgdl = sum(len(t) for t in docs.values()) / n
+        for term in terms:
+            df = sum(1 for toks in docs.values() if term in toks)
+            if df == 0:
+                continue
+            for i, toks in docs.items():
+                tf = toks.count(term)
+                if tf:
+                    total[i] = total.get(i, 0) + w * py_bm25_e4(tf, df, len(toks), n, avgdl)
+    return total
+
+
+def test_bm25f_weighted_sum_matches_naive(phrase_index):
+    from veloci_spark.bm25 import bm25f_topk
+
+    terms = ["merge", "py"]
+    weights = {"body": 1, "path": 3}
+    rows = {r["doc_id"]: r["score_e4"]
+            for r in bm25f_topk(phrase_index, weights, terms, 100).collect()}
+    assert rows == _naive_bm25f(terms, weights)
+
+
+def test_bm25f_single_field_weight1_equals_bm25(phrase_index):
+    from veloci_spark.bm25 import bm25f_topk
+
+    a = bm25f_topk(phrase_index, {"body": 1}, ["merge", "join"], 10).collect()
+    b = bm25_topk(phrase_index, "body", ["merge", "join"], 10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25f_wand_rank_identical(phrase_index):
+    from veloci_spark.bm25 import bm25f_topk, bm25f_wand_topk
+
+    terms = ["merge", "py"]
+    weights = {"body": 1, "path": 3}
+    for k in (1, 3, 10):
+        exact = bm25f_topk(phrase_index, weights, terms, k).collect()
+        wand = bm25f_wand_topk(
+            phrase_index, weights, terms, k, start_blocks=1
+        ).collect()
+        assert [tuple(r) for r in wand] == [tuple(r) for r in exact]

@@ -403,3 +403,217 @@ def bm25_wand_topk(
 
     blocks.unpersist()
     return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")
+
+
+# --------------------------- phrase top-k -------------------------------
+
+def _term_id_map(index, field: str, terms: Sequence[str]) -> dict[str, int]:
+    """term → term_id for the (bounded) query term set; exact case, like
+    the reference's FST exact lookup."""
+    rows = (
+        index.dictionary(field)
+        .where(F.col("term").isin(*list(set(terms))))
+        .select("term", "term_id")
+        .collect()
+    )
+    return {r["term"]: int(r["term_id"]) for r in rows}
+
+
+def bm25_phrase_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
+    """Exact-phrase BM25 top-k: docs containing ``terms`` as ADJACENT
+    non-separator tokens (the reference's phrase-pair adjacency semantics,
+    /root/reference/src/create.rs:251-263, promoted from a boost to a
+    match predicate), scored as the integer BM25 sum over the phrase's
+    distinct terms.  Three bounded stages:
+
+    1. **pair-chain prune** — for each consecutive pair (t_i, t_{i+1}) a
+       semi-join against the phrase-pair table; term_id equality
+       predicates reach the Parquet scan, and a doc lacking ANY adjacent
+       pair is eliminated from metadata alone (no decode, no tokenize);
+    2. **exact positional verify** (n ≥ 3 only; for n = 2 the pair table
+       IS the exact answer) — re-tokenize only the CANDIDATE docs' stored
+       text JVM-side (regexp_extract_all → filter separator runs →
+       EXISTS over array slices) and keep docs where the n-gram occurs
+       contiguously.  Candidates are already pair-chain-bounded, so this
+       touches a vanishing fraction of the corpus;
+    3. **scoring** — decode only the phrase terms' BM25 blocks, semi-join
+       the verified docs BELOW the per-doc aggregation, integer-sum.
+
+    Scale shape: stages 1 and 3 are metadata/posting scans with pushed
+    equality predicates; stage 2 is whole-stage-codegen string work on a
+    candidate set, never the corpus.
+    """
+    from veloci_spark.index import decode_blocks_df
+    from veloci_spark.tokenize import is_separator_expr, tokenize_expr
+
+    spark = index.spark
+    n = len(terms)
+    assert n >= 2, "a phrase needs at least two tokens"
+    tmap = _term_id_map(index, field, terms)
+    if any(t not in tmap for t in terms):
+        return _empty_topk(spark)
+
+    # 1. pair-chain candidates (doc-level intersection of adjacent pairs)
+    cand: Optional[DataFrame] = None
+    for t1, t2 in zip(terms, terms[1:]):
+        pair_docs = (
+            index.phrase_pairs(field)
+            .where(
+                (F.col("term_id_1") == F.lit(tmap[t1]))
+                & (F.col("term_id_2") == F.lit(tmap[t2]))
+            )
+            .select("doc_id")
+        )
+        cand = pair_docs if cand is None else cand.join(pair_docs, "doc_id", "left_semi")
+    assert cand is not None
+    cand = cand.distinct()
+
+    # 2. exact positional verify on the candidate set (n >= 3 only)
+    if n >= 3:
+        conf = index.field_conf(field)
+        seps = tuple(conf.get("tokenize_on_chars") or ()) or None
+        from veloci_spark.config import DEFAULT_SEPARATORS
+
+        seps = seps if seps is not None else DEFAULT_SEPARATORS
+        text_col = F.col(field)
+        runs = tokenize_expr(text_col, seps)
+        toks_arr = F.filter(runs, lambda t: ~is_separator_expr(t, seps))
+        target = F.array(*[F.lit(t) for t in terms])
+        has_ngram = F.when(
+            (F.size(runs) >= 2) & (F.size(toks_arr) >= F.lit(n)),
+            F.exists(
+                F.sequence(F.lit(1), F.size(toks_arr) - F.lit(n - 1)),
+                lambda i: F.slice(toks_arr, i, n) == target,
+            ),
+        ).otherwise(F.lit(False))
+        cand = (
+            index.docstore()
+            .join(cand, "doc_id", "left_semi")
+            .where(has_ngram)
+            .select("doc_id")
+        )
+
+    # 3. BM25 scoring restricted to verified docs
+    ids = sorted({tmap[t] for t in terms})
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks).join(cand, "doc_id", "left_semi")
+    hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+# ------------------------- BM25F (multi-field) --------------------------
+
+def bm25f_topk(
+    index, field_weights: dict[str, int], terms: Sequence[str], k: int
+) -> DataFrame:
+    """Weighted multi-field BM25 ("BM25F" in the simple per-field-sum
+    form): score(d) = Σ_f w_f · Σ_t bm25_f(t, d), disjunctive over terms
+    and fields.  Weights are INTEGERS multiplying the e4-quantized
+    per-field scores, so the total stays an exact integer sum — engine,
+    block-max bounds, and the DuckDB oracle agree bit-for-bit with no
+    float-association ambiguity.
+
+    Each field's blocks are decoded independently (term ids are
+    per-field) with a literal term_id IN pushed to its partition-pruned
+    scan; the weighted flats union into ONE per-doc aggregation."""
+    from functools import reduce as _reduce
+
+    from veloci_spark.index import decode_blocks_df
+
+    parts = []
+    for fld in sorted(field_weights):
+        w = int(field_weights[fld])
+        ids = _matched_term_ids(index, fld, terms)
+        if not ids:
+            continue
+        blocks = index.bm25_blocks(fld).where(F.col("term_id").isin(ids))
+        parts.append(
+            decode_blocks_df(blocks).select(
+                "doc_id", (F.col("score") * F.lit(w)).alias("ws")
+            )
+        )
+    if not parts:
+        return _empty_topk(index.spark)
+    u = _reduce(DataFrame.unionByName, parts)
+    hits = u.groupBy("doc_id").agg(F.sum("ws").alias("score_e4"))
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+def bm25f_wand_topk(
+    index,
+    field_weights: dict[str, int],
+    terms: Sequence[str],
+    k: int,
+    start_blocks: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Block-max pruned BM25F, rank-identical to :func:`bm25f_topk`.
+
+    Doc-aligned blocks share ``block_no = doc_id // block_docs`` ACROSS
+    fields, so a per-block upper bound for the weighted multi-field sum
+    is computable from metadata alone: ub(block) = Σ_f Σ_t w_f ·
+    block_max_{f,t}.  Phase 2 decodes only candidate blocks in every
+    field; iterate until the kth exact integer score strictly beats the
+    max undecoded bound, else fall back to one full decode."""
+    from functools import reduce as _reduce
+
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    per_field: list[tuple[int, DataFrame]] = []
+    for fld in sorted(field_weights):
+        w = int(field_weights[fld])
+        ids = _matched_term_ids(index, fld, terms)
+        if not ids:
+            continue
+        blk = index.bm25_blocks(fld).where(F.col("term_id").isin(ids)).persist()
+        per_field.append((w, blk))
+    if not per_field:
+        return _empty_topk(spark)
+
+    ub_parts = [
+        blk.select("block_no", (F.col("max_score") * F.lit(w)).alias("wub"))
+        for w, blk in per_field
+    ]
+    block_ub = (
+        _reduce(DataFrame.unionByName, ub_parts)
+        .groupBy("block_no")
+        .agg(F.sum("wub").alias("ub"))
+    )
+    MAX_INLIST = 100_000
+
+    def _exact(cand_ids: Optional[list]) -> list:
+        flats = []
+        for w, blk in per_field:
+            sel = blk if cand_ids is None else blk.where(F.col("block_no").isin(cand_ids))
+            flats.append(
+                decode_blocks_df(sel).select(
+                    "doc_id", (F.col("score") * F.lit(w)).alias("ws")
+                )
+            )
+        u = _reduce(DataFrame.unionByName, flats)
+        hits = u.groupBy("doc_id").agg(F.sum("ws").alias("score_e4"))
+        return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+
+    result_rows: Optional[list] = None
+    m = start_blocks
+    for _ in range(max_iters):
+        if m > MAX_INLIST:
+            break
+        ub_rows = (
+            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
+        )
+        cand_ids = [r["block_no"] for r in ub_rows[:m]]
+        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
+        rows = _exact(cand_ids)
+        kth = rows[-1]["score_e4"] if len(rows) >= k else None
+        if max_remaining is None or (kth is not None and kth > max_remaining):
+            result_rows = rows
+            break
+        m *= 4
+    if result_rows is None:
+        result_rows = _exact(None)
+
+    for _, blk in per_field:
+        blk.unpersist()
+    return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")

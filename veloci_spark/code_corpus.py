@@ -33,8 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from veloci_spark.bm25 import (
     bm25_and_topk,
     bm25_and_wand_topk,
+    bm25_phrase_topk,
     bm25_topk,
     bm25_wand_topk,
+    bm25f_topk,
+    bm25f_wand_topk,
     sql_bm25_e4,
 )
 from veloci_spark.build import build_index
@@ -49,10 +52,14 @@ CODE_SEPARATORS: tuple[str, ...] = DEFAULT_SEPARATORS + (
     "/", "*", "+", "=", "&", "|", "!", "?", "#", "_",
 )
 
+PATH_SEPARATORS: tuple[str, ...] = ("/", ".")
+
 CODE_CONFIG = IndexConfig(
     fields=(
-        FieldConfig("content", tokenize_on_chars=CODE_SEPARATORS, bm25=True),
-        FieldConfig("path", tokenize_on_chars=("/", ".")),
+        FieldConfig(
+            "content", tokenize_on_chars=CODE_SEPARATORS, bm25=True, phrase_pairs=True
+        ),
+        FieldConfig("path", tokenize_on_chars=PATH_SEPARATORS, bm25=True),
         FieldConfig("lang"),
     ),
     block_docs=1024,
@@ -195,6 +202,62 @@ cbm25 AS (
   FROM ctfdf t JOIN cdoc_len l USING (doc_id) CROSS JOIN cstats s
 )"""
 
+# path-field BM25 mirror (separators "/" and "."); keyed by term STRING —
+# term ids are per-field in the engine, equality on the string is the
+# same relation
+_PPAT = _q(run_pattern(PATH_SEPARATORS))
+_PSEP = _q("^" + sep_class(PATH_SEPARATORS) + "$")
+
+PATH_BM25_CTE = f"""
+pruns AS (
+  SELECT doc_id, regexp_extract_all(path, {_PPAT}) AS r
+  FROM code WHERE path IS NOT NULL
+),
+ptoks AS (
+  SELECT doc_id, unnest(r) AS tok FROM pruns WHERE len(r) >= 2
+),
+pnonsep AS (
+  SELECT doc_id, tok FROM ptoks
+  WHERE NOT regexp_matches(substr(tok, 1, 1), {_PSEP})
+),
+pdoc_len AS (
+  SELECT doc_id, count(*) AS dl FROM pnonsep GROUP BY doc_id
+),
+pstats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM pdoc_len
+),
+ptf AS (
+  SELECT tok AS term, doc_id, count(*) AS tf FROM pnonsep GROUP BY tok, doc_id
+),
+ptfdf AS (
+  SELECT term, doc_id, tf,
+         count(*) OVER (PARTITION BY term) AS df
+  FROM ptf
+),
+pbm25 AS (
+  SELECT t.term, t.doc_id,
+         {sql_bm25_e4('t.tf', 't.df', 'l.dl', 's.n_docs', 's.avgdl')} AS score
+  FROM ptfdf t JOIN pdoc_len l USING (doc_id) CROSS JOIN pstats s
+)"""
+
+# content tokens WITH positions (run index), for exact phrase adjacency:
+# np ranks NON-separator runs, so np+1 = "adjacent ignoring separator
+# runs" — the engine's phrase-pair chain (build.py _build_phrase_pairs)
+CONTENT_POS_CTE = f"""
+cposr AS (
+  SELECT doc_id, regexp_extract_all(content, {_PAT}) AS r
+  FROM code WHERE content IS NOT NULL
+),
+cpos AS (
+  SELECT doc_id, unnest(r) AS tok, unnest(range(1, len(r) + 1)) AS pos
+  FROM cposr WHERE len(r) >= 2
+),
+cnsp AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+  FROM cpos WHERE NOT regexp_matches(substr(tok, 1, 1), {_SEP})
+)"""
+
 
 def _bm25_topk_sql(terms: list[str], k: int) -> str:
     in_list = ", ".join(_q(t) for t in terms)
@@ -223,7 +286,7 @@ def code_index(spark: SparkSession, sf_dir: str) -> Index:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(INDEX_CACHE_ROOT, f"code_v1_{tag}")
+    out = os.path.join(INDEX_CACHE_ROOT, f"code_v2_{tag}")
     idx = build_index(spark, code_corpus(spark, sf_dir), CODE_CONFIG, out, resume=True)
     _INDEX_CACHE[key] = idx
     return idx
@@ -330,6 +393,101 @@ def _q_bm25_and_wand(spark, sf_dir):
 
 _QUERIES["code_bm25_and_wand"] = _q_bm25_and_wand
 _ORACLES["code_bm25_and_wand"] = _bm25_and_sql(_AND_TERMS, 20)
+
+
+# ---- exact phrase (pair-chain prune + positional verify + BM25 score) ----
+
+_PHRASE_TERMS = ["part", "filter", "scan"]
+
+
+def _bm25_phrase_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    n = len(terms)
+    joins = []
+    conds = [f"a0.tok = {_q(terms[0])}"]
+    for i in range(1, n):
+        joins.append(
+            f"JOIN cnsp a{i} ON a0.doc_id = a{i}.doc_id AND a{i}.np = a0.np + {i}"
+        )
+        conds.append(f"a{i}.tok = {_q(terms[i])}")
+    return (
+        "WITH "
+        + CODE_CTE
+        + ","
+        + CONTENT_POS_CTE
+        + f""",
+phrase_docs AS (
+  SELECT DISTINCT a0.doc_id FROM cnsp a0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+)
+SELECT b.doc_id, sum(b.score) AS score_e4
+FROM cbm25 b JOIN cdict d USING (term_id)
+WHERE d.term IN ({in_list})
+  AND b.doc_id IN (SELECT doc_id FROM phrase_docs)
+GROUP BY b.doc_id
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_phrase(spark, sf_dir):
+    """Exact 3-token phrase: the pair-chain prunes from the phrase-pair
+    table's metadata, a JVM positional verify re-tokenizes only the
+    candidates, BM25 scores only the verified docs."""
+    idx = code_index(spark, sf_dir)
+    return bm25_phrase_topk(idx, "content", _PHRASE_TERMS, 20)
+
+
+_QUERIES["code_bm25_phrase"] = _q_bm25_phrase
+_ORACLES["code_bm25_phrase"] = _bm25_phrase_sql(_PHRASE_TERMS, 20)
+
+
+# ---- BM25F: weighted multi-field sum (content w=1, path w=3) ----
+
+_BM25F_TERMS = ["merge", "mod42"]
+_BM25F_WEIGHTS = {"content": 1, "path": 3}
+
+
+def _bm25f_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    wc = _BM25F_WEIGHTS["content"]
+    wp = _BM25F_WEIGHTS["path"]
+    return (
+        "WITH "
+        + CODE_CTE
+        + ","
+        + PATH_BM25_CTE
+        + f"""
+SELECT doc_id, sum(ws) AS score_e4 FROM (
+  SELECT b.doc_id, {wc} * b.score AS ws
+  FROM cbm25 b JOIN cdict d USING (term_id) WHERE d.term IN ({in_list})
+  UNION ALL
+  SELECT doc_id, {wp} * score AS ws
+  FROM pbm25 WHERE term IN ({in_list})
+)
+GROUP BY doc_id
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25f(spark, sf_dir):
+    idx = code_index(spark, sf_dir)
+    return bm25f_topk(idx, _BM25F_WEIGHTS, _BM25F_TERMS, 20)
+
+
+_QUERIES["code_bm25f_topk"] = _q_bm25f
+_ORACLES["code_bm25f_topk"] = _bm25f_sql(_BM25F_TERMS, 20)
+
+
+def _q_bm25f_wand(spark, sf_dir):
+    """Block-max pruned BM25F — same oracle as the exhaustive weighted
+    sum (rank identity); bounds are metadata-only weighted sums over the
+    doc-aligned block_no shared across fields."""
+    idx = code_index(spark, sf_dir)
+    return bm25f_wand_topk(idx, _BM25F_WEIGHTS, _BM25F_TERMS, 20, start_blocks=2)
+
+
+_QUERIES["code_bm25f_wand"] = _q_bm25f_wand
+_ORACLES["code_bm25f_wand"] = _bm25f_sql(_BM25F_TERMS, 20)
 
 
 def code_queries():

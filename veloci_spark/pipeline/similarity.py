@@ -335,9 +335,52 @@ ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
 
 
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_SIGN_BITS, tau_e4: int = 9000
+) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: the vec_ids to REMOVE under a
+    keep-first policy — for every bucketed pair with cosine >= τ the
+    greater id is a victim.  Same LSH-bounded candidate generation as
+    :func:`ann_bucketed_pairs` (no O(n²)); the survivor set is
+    ``embeddings ∖ result``."""
+    emb = _emb(spark, sf_dir)
+    withb = emb.select(
+        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    victims = (
+        pairs.where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return victims
+
+
+def dedup_embedding_sql(n_bits: int = N_SIGN_BITS, tau_e4: int = 9000) -> str:
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {sql_bucket('embedding', n_bits)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+  FROM withb a JOIN withb b USING (bucket) WHERE a.vec_id < b.vec_id
+)
+SELECT DISTINCT vec_b AS vec_id FROM pairs
+WHERE {sql_e4(_sql_dot('ea', 'eb') + ' / (sqrt(' + _sql_norm2('ea') + ') * sqrt(' + _sql_norm2('eb') + '))')} >= {tau_e4}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_lsh_buckets": ann_lsh_buckets,
         "ann_bucketed_pairs": ann_bucketed_pairs,
         # second parameter setting: more hyperplanes = more, smaller
@@ -353,6 +396,7 @@ def queries():
 def oracles():
     return {
         "ann_cosine_topk": ANN_COSINE_SQL,
+        "dedup_embedding_cosine": dedup_embedding_sql(),
         "ann_lsh_buckets": ann_buckets_sql(),
         "ann_bucketed_pairs": ann_pairs_sql(),
         "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),

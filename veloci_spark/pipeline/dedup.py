@@ -170,11 +170,12 @@ def dedup_minhash_lsh(
     )
 
 
-def dedup_minhash_sql(
+def _pairs_cte(
     n_minhash: int = N_MINHASH,
     n_bands: int = N_BANDS,
     shingle_n: int = SHINGLE_N,
 ) -> str:
+    """CTE chain ending in scored_pairs(doc_a, doc_b, jaccard_e4)."""
     rpb = n_minhash // n_bands
     band_cases = " ".join(
         "WHEN {b} THEN {concat}".format(
@@ -183,8 +184,7 @@ def dedup_minhash_sql(
         for b in range(n_bands)
     )
     return (
-        "WITH "
-        + _shingle_cte(n_minhash, shingle_n)
+        _shingle_cte(n_minhash, shingle_n)
         + f""",
 banded AS (
   SELECT doc_id, sh, md5('band' || b || ':' || CASE b
@@ -196,16 +196,125 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
   FROM banded a JOIN banded b USING (band_key)
   WHERE a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-  {sql_e4('CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / '
-          'CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)')} AS jaccard_e4
-FROM pairs
-"""
+),
+scored_pairs AS (
+  SELECT doc_a, doc_b,
+    {sql_e4('CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) / '
+            'CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)')} AS jaccard_e4
+  FROM pairs
+)"""
+    )
+
+
+def dedup_minhash_sql(
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    return (
+        "WITH "
+        + _pairs_cte(n_minhash, n_bands, shingle_n)
+        + "\nSELECT doc_a, doc_b, jaccard_e4 FROM scored_pairs\n"
     )
 
 
 DEDUP_MINHASH_SQL = dedup_minhash_sql()
+
+
+# ---------------------------------------------------- connected components
+
+TAU_COMPONENTS_E4 = 5000  # near-dup edge threshold: exact Jaccard >= 0.5
+
+
+def dedup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    tau_e4: int = TAU_COMPONENTS_E4,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components of the verified near-dup
+    graph (MinHash-LSH candidates with exact Jaccard >= τ), as
+    (doc_id, component_id = min doc_id reachable).  The keep-one-per-
+    cluster policy of large corpus dedup (SlimPajama/C4-style) is then
+    ``keep WHERE doc_id = component_id``.
+
+    Scale shape: min-label propagation — each round is one equi-join of
+    the (symmetric) edge list against the current labels plus a
+    map-side-combined min-aggregation, converging in O(graph diameter)
+    rounds (near-dup clusters are shallow: diameter is small in
+    practice; the large-star/small-star variant would bound it at
+    O(log n) with the same per-round dataflow).  The driver collects ONE
+    scalar per round (the changed-label count); lineage is truncated
+    with an eager localCheckpoint each round so plans stay O(1) deep.
+    Only docs participating in >= 1 near-dup pair appear; everything
+    else is its own trivial component by definition.
+    """
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard_e4") >= F.lit(tau_e4))
+        .select("doc_a", "doc_b")
+    )
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        msgs = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component_id")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_components_sql(
+    tau_e4: int = TAU_COMPONENTS_E4,
+    n_minhash: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = SHINGLE_N,
+) -> str:
+    """Independent recomputation: transitive closure via a recursive CTE
+    (min reachable node per vertex) — tractable at oracle scale."""
+    return (
+        "WITH RECURSIVE "
+        + _pairs_cte(n_minhash, n_bands, shingle_n)
+        + f""",
+nd AS (SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard_e4 >= {tau_e4}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM nd
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM nd
+),
+reach(src, node) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src
+"""
+    )
 
 
 # ------------------------------------------------------------------ simhash
@@ -347,6 +456,7 @@ def queries():
             spark, sf_dir, n_bits=64
         ),
         "dedup_jaccard_adjacent": text_jaccard_adjacent,
+        "dedup_components": dedup_components,
     }
 
 
@@ -358,4 +468,5 @@ def oracles():
         "dedup_simhash": DEDUP_SIMHASH_SQL,
         "dedup_simhash_64": dedup_simhash_bits_sql(n_bits=64),
         "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
+        "dedup_components": dedup_components_sql(),
     }

@@ -173,12 +173,155 @@ FROM s
 """
 
 
+# --------------------------------------------------- token-budget sampling
+
+TOKEN_BUDGET = 4000  # per-language token budget for the driver entry
+
+
+def sample_token_budget(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Deterministic per-language token-budget sampling: walk each
+    language's docs in doc_id order and keep documents while the running
+    token total stays within ``budget`` — the standard way a training-
+    data pipeline caps a source/language mixture at N tokens.
+
+    Scale shape: one windowed cumulative sum partitioned by lang ordered
+    by doc_id — a single range-shuffle; no collect, no iteration.  Skewed
+    languages are bounded by the budget itself (the window stops mattering
+    past the cutoff; with a SORTED ordering column Spark's window needs no
+    full-partition materialization beyond the running frame)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(words_expr("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return out.where(F.col("cum_tokens") <= F.lit(budget))
+
+
+def sample_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, len({sql_words('text')}) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM d
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
+"""
+
+
+# ------------------------------------------------------- bigram PMI mining
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def text_bigram_pmi(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent word bigrams by pointwise
+    mutual information, pmi = ln((c_ab/B) / ((c_a/U)·(c_b/U))), with a
+    min-count support filter (the classic phrase-mining signal for
+    tokenizer/vocab curation over a training corpus).
+
+    Scale shape: one tokenize pass → a per-doc lead() window for bigrams
+    (shuffles by doc_id, bounded partitions) → two map-side-combined
+    groupBys; the corpus totals are single-row aggregates cross-joined
+    back (broadcast), never collected to the driver."""
+    from pyspark.sql.window import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(words_expr("text")).alias("pos", "w1")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("w2", F.lead("w1").over(wnd))
+        .where(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    uni = toks.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c"))
+    uni_total = uni.agg(F.sum("c").alias("u_total"))
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    bi_total = bic.agg(F.sum("c_ab").alias("b_total"))
+    joined = (
+        bic.where(F.col("c_ab") >= F.lit(min_count))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(uni_total))
+        .crossJoin(F.broadcast(bi_total))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("b_total").cast("double"))
+        / (
+            (F.col("c_a").cast("double") / F.col("u_total").cast("double"))
+            * (F.col("c_b").cast("double") / F.col("u_total").cast("double"))
+        )
+    )
+    out = joined.select("w1", "w2", "c_ab", e4(pmi).alias("pmi_e4"))
+    return out.orderBy(
+        F.desc("pmi_e4"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
+
+
+def text_bigram_pmi_sql(min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K) -> str:
+    pmi = (
+        "ln((CAST(c_ab AS DOUBLE) / CAST(b_total AS DOUBLE)) / "
+        "((CAST(c_a AS DOUBLE) / CAST(u_total AS DOUBLE)) * "
+        "(CAST(c_b AS DOUBLE) / CAST(u_total AS DOUBLE))))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {sql_words('text')} AS w
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS w1, unnest(range(1, len(w) + 1)) AS pos FROM d
+),
+bi AS (
+  SELECT a.w1 AS w1, b.w1 AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT w1 AS w, count(*) AS c FROM toks GROUP BY w1),
+uni_total AS (SELECT sum(c) AS u_total FROM uni),
+bic AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+bi_total AS (SELECT sum(c_ab) AS b_total FROM bic),
+joined AS (
+  SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b, ut.u_total, bt.b_total
+  FROM bic b
+  JOIN uni ua ON b.w1 = ua.w
+  JOIN uni ub ON b.w2 = ub.w
+  CROSS JOIN uni_total ut CROSS JOIN bi_total bt
+  WHERE b.c_ab >= {min_count}
+)
+SELECT w1, w2, c_ab, {sql_e4(pmi)} AS pmi_e4
+FROM joined
+ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "text_token_count": token_count,
         "text_quality": text_quality,
         "text_lang_id": lang_id,
         "text_fingerprint": doc_fingerprint,
+        "sample_token_budget": sample_token_budget,
+        "text_bigram_pmi": text_bigram_pmi,
     }
 
 
@@ -188,4 +331,6 @@ def oracles():
         "text_quality": TEXT_QUALITY_SQL,
         "text_lang_id": LANG_ID_SQL,
         "text_fingerprint": FINGERPRINT_SQL,
+        "sample_token_budget": sample_token_budget_sql(),
+        "text_bigram_pmi": text_bigram_pmi_sql(),
     }

@@ -431,17 +431,19 @@ def bm25_phrase_topk(index, field: str, terms: Sequence[str], k: int) -> DataFra
        predicates reach the Parquet scan, and a doc lacking ANY adjacent
        pair is eliminated from metadata alone (no decode, no tokenize);
     2. **exact positional verify** (n ≥ 3 only; for n = 2 the pair table
-       IS the exact answer) — re-tokenize only the CANDIDATE docs' stored
-       text JVM-side (regexp_extract_all → filter separator runs →
-       EXISTS over array slices) and keep docs where the n-gram occurs
-       contiguously.  Candidates are already pair-chain-bounded, so this
-       touches a vanishing fraction of the corpus;
+       IS the exact answer) — a docstore scan pruned to the candidate
+       doc_ids (literal IN-list → Parquet row-group stats on the sorted
+       doc_id) re-tokenized in ONE Arrow-batched python pass that keeps
+       docs where the n-gram occurs contiguously.  Candidates are
+       pair-chain-bounded, so this touches a vanishing fraction of the
+       corpus (see the inline comment for why this is deliberately NOT
+       a JVM higher-order-function filter);
     3. **scoring** — decode only the phrase terms' BM25 blocks, semi-join
        the verified docs BELOW the per-doc aggregation, integer-sum.
 
     Scale shape: stages 1 and 3 are metadata/posting scans with pushed
-    equality predicates; stage 2 is whole-stage-codegen string work on a
-    candidate set, never the corpus.
+    equality predicates; stage 2 is bounded candidate work, never the
+    corpus.  Flat (non-nested) bm25 fields only.
     """
     from veloci_spark.index import decode_blocks_df
 

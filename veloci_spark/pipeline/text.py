@@ -314,6 +314,105 @@ ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+# -------------------------------------------- benchmark decontamination
+
+DECONTAM_N = 5       # shared-n-gram size (GPT-3/PaLM-style 8-13 in prod;
+                     # 5 here so the short synthetic docs produce grams)
+DECONTAM_MOD = 101   # doc_id % MOD == 0 → the deterministic "eval set"
+
+
+def decontam_ngram(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = DECONTAM_N,
+    mod: int = DECONTAM_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation set (the GPT-3 appendix-C /
+    PaLM-style n-gram-overlap decontamination step every training-data
+    pipeline runs before a dump is blessed).
+
+    The "eval set" here is synthesized deterministically as the docs
+    with doc_id % mod == 0 (~1%), mirroring production where the eval
+    suite is a tiny side input.
+
+    Scale shape: the eval gram set is tiny relative to the corpus →
+    **broadcast** inner join against the corpus's exploded distinct
+    grams, then one map-side-combined groupBy(doc_id). The 100-TB corpus
+    is never shuffled on gram; only (doc_id, n_shared) aggregates move."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", shingles_expr(words_expr("text"), n).alias("sh")
+    )
+    grams = d.select("doc_id", F.explode("sh").alias("g"))
+    bench = (
+        grams.where(F.col("doc_id") % mod == 0).select("g").distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % mod != 0)
+    hits = corpus.join(F.broadcast(bench), "g")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+def decontam_ngram_sql(n: int = DECONTAM_N, mod: int = DECONTAM_MOD) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {sql_shingles(sql_words('text'), n)} AS sh
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (SELECT doc_id, unnest(sh) AS g FROM d),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {mod} = 0),
+corpus AS (SELECT * FROM g WHERE doc_id % {mod} <> 0)
+SELECT doc_id, count(*) AS n_shared
+FROM corpus JOIN bench USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- data-mixture accounting
+
+def mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc/token counts and token-share of the corpus — the
+    mixture-weight accounting a training run needs per source/language
+    bucket before sampling ratios are chosen.
+
+    Scale shape: one tokenize pass → one groupBy(lang) (map-side
+    combined; #langs is tiny) → single-row total broadcast back."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(words_expr("text")).alias("n_tokens")
+    )
+    per = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    total = per.agg(F.sum("tokens").alias("total_tokens"))
+    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("lang", "n_docs", "tokens", e4(share).alias("token_share_e4"))
+        .orderBy("lang")
+    )
+
+
+MIX_PROPORTIONS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({sql_words('text')}) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+per AS (
+  SELECT lang, count(*) AS n_docs, sum(n_tokens) AS tokens
+  FROM d GROUP BY lang
+),
+tot AS (SELECT sum(tokens) AS total_tokens FROM per)
+SELECT lang, n_docs, CAST(tokens AS BIGINT) AS tokens,
+       {sql_e4('CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)')}
+         AS token_share_e4
+FROM per CROSS JOIN tot
+ORDER BY lang
+"""
+
+
 def queries():
     return {
         "text_token_count": token_count,
@@ -322,6 +421,8 @@ def queries():
         "text_fingerprint": doc_fingerprint,
         "sample_token_budget": sample_token_budget,
         "text_bigram_pmi": text_bigram_pmi,
+        "decontam_ngram": decontam_ngram,
+        "mix_proportions": mix_proportions,
     }
 
 
@@ -333,4 +434,6 @@ def oracles():
         "text_fingerprint": FINGERPRINT_SQL,
         "sample_token_budget": sample_token_budget_sql(),
         "text_bigram_pmi": text_bigram_pmi_sql(),
+        "decontam_ngram": decontam_ngram_sql(),
+        "mix_proportions": MIX_PROPORTIONS_SQL,
     }

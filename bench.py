@@ -93,6 +93,8 @@ def headline_queries(spark, sf_dir: str):
         "ann_multiprobe_topk",
         "text_quality",
         "text_fingerprint",
+        "decontam_ngram",
+        "mix_proportions",
     ]
     return {n: (lambda n=n: qs[n](spark, sf_dir)) for n in names}
 
@@ -354,6 +356,199 @@ def run_query_scaling(sf_dir: str) -> dict:
     return out
 
 
+def _zipf_corpus(n_docs: int = 200_000, vocab: int = 20_000, doc_tokens: int = 60) -> str:
+    """Deterministic Zipf-distributed corpus: token rank r is drawn
+    log-uniformly (r = floor(V^u), u = hash-uniform in [0,1)), giving
+    p(rank r) ∝ 1/r — the head-heavy term distribution of real text, and
+    the regime where block-max pruning actually engages (the driver's
+    synthetic documents draw every doc from the same ~46-word vocabulary
+    with near-identical block maxima — the adversarial flat case)."""
+    out = f"/tmp/veloci_spark_zipf_{n_docs}_{vocab}"
+    marker = os.path.join(out, "documents.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    spark = make_spark(8)
+    try:
+        from pyspark.sql import functions as F
+
+        docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+
+        def rank_word(i):
+            u = (
+                F.pmod(
+                    F.xxhash64(F.col("doc_id") * F.lit(1024) + i), F.lit(1_000_000)
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            )
+            r = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+            return F.concat(F.lit("w"), r.cast("string"))
+
+        tokens = F.transform(F.sequence(F.lit(1), F.lit(doc_tokens)), rank_word)
+        corpus = docs.select(
+            "doc_id",
+            F.array_join(tokens, " ").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        corpus.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+    finally:
+        spark.stop()
+    return out
+
+
+def run_wand_pruning(n_docs: int = 200_000) -> dict:
+    """Block-max pruning on a realistically skewed corpus: warm top-k
+    latency + blocks decoded/total for exhaustive vs WAND, native OR and
+    BM25, on the Zipf corpus where block maxima actually vary."""
+    from veloci_spark.bm25 import bm25_topk, bm25_wand_topk
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.entry_queries import _quantized_topk
+    from veloci_spark.executor import search
+    from veloci_spark.request import OrNode, Request, SearchPart
+    from veloci_spark.wand import wand_or_topk
+
+    d = _zipf_corpus(n_docs)
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", bm25=True), FieldConfig("lang")),
+        block_docs=1024,
+    )
+    spark = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    try:
+        idx = build_index(
+            spark,
+            spark.read.parquet(os.path.join(d, "documents.parquet")),
+            cfg,
+            f"/tmp/veloci_spark_zipfidx_{n_docs}",
+            resume=True,
+        )
+        # head + torso + rare term: the rare term's idf (BM25) / 3-distinct-
+        # term n-squared bonus (native) dominates the top-k, so blocks not
+        # containing it have upper bounds below the threshold -> pruned
+        or_node = OrNode(
+            (
+                SearchPart(field="text", term="w3"),
+                SearchPart(field="text", term="w211"),
+                SearchPart(field="text", term="w9000"),
+            )
+        )
+        terms = ["w3", "w211", "w9000"]
+        wand_stats: dict = {}
+        bm25_stats: dict = {}
+        thunks = {
+            "or_exhaustive": lambda: _quantized_topk(
+                search(idx, Request(search=or_node)).all_hits, 20
+            ).collect(),
+            "or_wand": lambda: wand_or_topk(
+                idx, or_node, k=20, stats=wand_stats
+            ).collect(),
+            "bm25_exhaustive": lambda: bm25_topk(idx, "text", terms, 20).collect(),
+            "bm25_wand": lambda: bm25_wand_topk(
+                idx, "text", terms, 20, stats=bm25_stats
+            ).collect(),
+        }
+        row: dict = {}
+        parity: dict = {}
+        for name, thunk in thunks.items():
+            res = thunk()  # warm + result for the rank-identity check
+            parity[name] = [(r[0], r[1]) for r in res]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                thunk()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            row[name] = round(best, 3)
+        row["or_blocks"] = f"{wand_stats['blocks_decoded']}/{wand_stats['blocks_total']}"
+        row["bm25_blocks"] = f"{bm25_stats['blocks_decoded']}/{bm25_stats['blocks_total']}"
+        row["or_rank_identical"] = [d for d, _ in parity["or_exhaustive"]] == [
+            d for d, _ in parity["or_wand"]
+        ]
+        row["bm25_rank_identical"] = parity["bm25_exhaustive"] == parity["bm25_wand"]
+        row["n_docs"] = n_docs
+        return row
+    finally:
+        spark.stop()
+
+
+def run_query_throughput_scaling(
+    sf_dir: str, low: int = 2, high: int = 8, replicate: int = 160
+) -> dict:
+    """Query-side N vs 4N: the same warm decode-heavy query batch on the
+    same on-disk indexes at two parallelism levels. The batch leans on
+    exhaustive decodes (every matched block Arrow-decoded) so the work
+    measured is the engine's scan/decode dataflow, not per-job overhead."""
+    from veloci_spark.bm25 import bm25_and_topk, bm25_topk
+    from veloci_spark.build import build_index
+    from veloci_spark.code_corpus import CODE_CONFIG, code_corpus
+    from veloci_spark.entry_queries import DOC_CONFIG, _quantized_topk
+    from veloci_spark.executor import search
+    from veloci_spark.request import OrNode, Request, SearchPart
+
+    d = _scaled_corpus(sf_dir, replicate)
+    doc_out = f"/tmp/veloci_spark_qtput_docs_k{replicate}"
+    code_out = f"/tmp/veloci_spark_qtput_code_k{replicate}"
+    # build the indexes ONCE (resume makes reruns free); query runs below
+    # only read them
+    spark = make_spark(high)
+    try:
+        build_index(
+            spark,
+            spark.read.parquet(os.path.join(d, "documents.parquet")),
+            DOC_CONFIG,
+            doc_out,
+            resume=True,
+        )
+        build_index(spark, code_corpus(spark, d), CODE_CONFIG, code_out, resume=True)
+    finally:
+        spark.stop()
+
+    def batch(spark) -> int:
+        from veloci_spark.index import Index
+
+        doc_idx = Index(spark, doc_out)
+        code_idx = Index(spark, code_out)
+        n = 0
+        for a, b in [("spark", "join"), ("merge", "scan"), ("query", "filter")]:
+            node = OrNode(
+                (SearchPart(field="text", term=a), SearchPart(field="text", term=b))
+            )
+            n += len(
+                _quantized_topk(search(doc_idx, Request(search=node)).all_hits, 20).collect()
+            )
+        for terms in [["spark", "join", "merge"], ["scan", "query", "filter"]]:
+            n += len(bm25_topk(code_idx, "content", terms, 20).collect())
+            n += len(bm25_and_topk(code_idx, "content", terms, 20).collect())
+        return n
+
+    results: dict = {}
+    for _round in range(2):
+        for cpus in (low, high):
+            spark = make_spark(cpus)
+            try:
+                batch(spark)  # warm: JIT, broadcast, file listing
+                t0 = time.time()
+                batch(spark)
+                sec = time.time() - t0
+            finally:
+                spark.stop()
+            if cpus not in results or sec < results[cpus]:
+                results[cpus] = sec
+    speedup = results[low] / results[high]
+    efficiency = speedup / (high / low)
+    return {
+        "job": "query-batch",
+        "sf_dir": d,
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_sec": round(results[low], 2),
+        "high_sec": round(results[high], 2),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -376,6 +571,42 @@ def main():
                     f"{row['or_blocks']} | {row['bm25_exhaustive']} | "
                     f"{row['bm25_wand']} | {row['bm25_blocks']} |\n"
                 )
+        return
+    if "--wand-pruning" in sys.argv:
+        res = run_wand_pruning(int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "200000")))
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## WAND pruning on Zipf corpus {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"{res['n_docs']} docs, Zipf(1) vocabulary (p(rank r) ∝ 1/r), query = "
+                "one head + two torso terms; warm s (min of 2):\n\n"
+                "| OR exhaustive | OR wand | OR blocks | OR rank-identical | "
+                "BM25 exhaustive | BM25 wand | BM25 blocks | BM25 rank-identical |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+                f"| {res['or_exhaustive']} | {res['or_wand']} | {res['or_blocks']} | "
+                f"{res['or_rank_identical']} | {res['bm25_exhaustive']} | "
+                f"{res['bm25_wand']} | {res['bm25_blocks']} | {res['bm25_rank_identical']} |\n"
+            )
+        return
+    if "--scaling-queries" in sys.argv:
+        res = run_query_throughput_scaling(
+            sf_dir, replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "160"))
+        )
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Query-throughput scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                "Same warm decode-heavy query batch (3 native OR + 2 BM25-OR + "
+                "2 BM25-AND top-20s), same on-disk indexes, two parallelism "
+                "levels:\n\n"
+                f"| config | batch wall (s) |\n|---|---|\n"
+                f"| local[{res['low_cpus']}] | {res['low_sec']} |\n"
+                f"| local[{res['high_cpus']}] | {res['high_sec']} |\n\n"
+                f"speedup {res['speedup']}x over {res['high_cpus'] // res['low_cpus']}x cores → "
+                f"**scaling efficiency {res['scaling_efficiency']}** (input {res['sf_dir']})\n"
+            )
         return
     if "--scaling" in sys.argv or "--scaling-bm25" in sys.argv:
         job = "bm25" if "--scaling-bm25" in sys.argv else "native"

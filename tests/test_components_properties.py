@@ -136,3 +136,47 @@ def test_phrase_matches_brute_force(spark, tmp_root, seed, n_phrase):
         ):
             want.append(i)
     assert got == sorted(want)
+
+
+# ------------------------------------------------ decontamination overlap
+
+def test_decontam_matches_brute_force(spark, tmp_root):
+    """decontam_ngram vs a pure-python n-gram set intersection on a
+    seeded random corpus written to a temp documents.parquet."""
+    import re
+
+    from veloci_spark.pipeline.common import WORD_PATTERN
+    from veloci_spark.pipeline.text import decontam_ngram
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "join", "scan", "merge"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 15))), "en")
+        for i in range(60)
+    ]
+    d = os.path.join(tmp_root, "decontam_prop")
+    spark.createDataFrame(corpus, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    n, mod = 3, 7
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in decontam_ngram(spark, d, n=n, mod=mod).collect()
+    }
+
+    def grams(text):
+        ws = re.findall(WORD_PATTERN, text)
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench = set()
+    for i, text, _ in corpus:
+        if i % mod == 0:
+            bench |= grams(text)
+    want = {}
+    for i, text, _ in corpus:
+        if i % mod != 0:
+            shared = len(grams(text) & bench)
+            if shared:
+                want[i] = shared
+    assert got == want

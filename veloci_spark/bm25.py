@@ -315,7 +315,12 @@ def bm25_and_wand_topk(
         if max_remaining is None or (kth is not None and kth > max_remaining):
             result_rows = rows
             break
-        m *= 4
+        if kth is not None:
+            # certificate-capped growth (see bm25_wand_topk)
+            needed = block_ub.where(F.col("ub") >= F.lit(int(kth))).count()
+            m = max(min(needed, m * 4), m + 1)
+        else:
+            m *= 4
     if result_rows is None:
         result_rows = _exact(None)
 
@@ -390,7 +395,16 @@ def bm25_wand_topk(
             result_rows = rows
             decoded = len(cand_ids)
             break
-        m *= 4
+        if kth is not None:
+            # certificate-capped growth: blocks with ub < kth can never
+            # place a doc in the top-k, so `needed` (one metadata count)
+            # caps the geometric schedule — early weak thresholds can't
+            # trigger an overshooting full decode, and each later, tighter
+            # kth shrinks the cap further; m+1 guarantees progress
+            needed = block_ub.where(F.col("ub") >= F.lit(int(kth))).count()
+            m = max(min(needed, m * 4), m + 1)
+        else:
+            m *= 4
     if result_rows is None:
         result_rows = _exact_topk(None)
         decoded = n_blocks_total
@@ -644,7 +658,12 @@ def bm25f_wand_topk(
         if max_remaining is None or (kth is not None and kth > max_remaining):
             result_rows = rows
             break
-        m *= 4
+        if kth is not None:
+            # certificate-capped growth (see bm25_wand_topk)
+            needed = block_ub.where(F.col("ub") >= F.lit(int(kth))).count()
+            m = max(min(needed, m * 4), m + 1)
+        else:
+            m *= 4
     if result_rows is None:
         result_rows = _exact(None)
 

@@ -10,8 +10,9 @@ document-at-a-time cursor loop doesn't apply, so we adapt it:
    every term's block for a doc range joins on block_no;
 2. phase 1 computes, from block-max METADATA ONLY (no decompression),
    an upper bound per block_no:
-       ub(block) = Σ_slots max_t(term_score_t · block_max_t / 100) · S²
-   where S = number of query term slots (the OR n_distinct² ceiling);
+       ub(block) = Σ_slots max_t(term_score_t · block_max_t / 100) · p²
+   where p = number of query term slots PRESENT in the block (the OR
+   n_distinct² ceiling for any doc of that block);
 3. phase 2 decodes only the blocks with the highest upper bounds and
    computes exact OR scores for their docs; the kth exact score is the
    threshold;
@@ -49,7 +50,6 @@ def wand_or_topk(
     parts = list(node.parts) if isinstance(node, OrNode) else [node]
     slots = sorted({p.term for p in parts})
     slot_of = {t: i for i, t in enumerate(slots)}
-    S = float(len(slots))
     spark = index.spark
 
     # matched terms per part, tagged with slot
@@ -82,11 +82,21 @@ def wand_or_topk(
     ubs = ub_frames[0]
     for u in ub_frames[1:]:
         ubs = ubs.unionAll(u)
+    # per-block bound uses the number of slots PRESENT in the block (p),
+    # not the query's slot count S: a doc in the block matches at most p
+    # distinct slots, so its score is ≤ Σ slot_max · p² — on skewed
+    # corpora the blocks missing a rare term drop from ·S² to ·p², which
+    # is what lets them prune below a threshold set by full-match docs
     block_ub = (
         ubs.groupBy("block_no", "slot")
         .agg(F.max("ub_part").alias("slot_ub"))
         .groupBy("block_no")
-        .agg((F.sum("slot_ub") * F.lit(S * S)).alias("ub"))
+        .agg(
+            (
+                F.sum("slot_ub")
+                * F.pow(F.count("slot_ub").cast("double"), F.lit(2.0))
+            ).alias("ub")
+        )
         .persist()
     )
 
@@ -166,7 +176,18 @@ def wand_or_topk(
             result = spark.createDataFrame(rows, "doc_id long, score double")
             m = len(cand_ids)
             break
-        m *= 4
+        if kth is not None:
+            # certificate-capped growth: blocks whose quantized bound
+            # falls below the kth quantized score can never place a doc in
+            # the top-k, so `needed` (one metadata count) caps the
+            # geometric schedule — no overshoot past the current
+            # certificate; m+1 guarantees progress
+            needed = block_ub.where(
+                score_e4(F.col("ub")) >= F.lit(py_score_e4(kth))
+            ).count()
+            m = max(min(needed, m * 4), m + 1)
+        else:
+            m *= 4
     if result is None:
         # iteration budget exhausted (plausible with many equal upper
         # bounds, e.g. stop-word terms at huge scale) — fall back to one

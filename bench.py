@@ -481,45 +481,47 @@ def run_query_throughput_scaling(
     measured is the engine's scan/decode dataflow, not per-job overhead."""
     from veloci_spark.bm25 import bm25_and_topk, bm25_topk
     from veloci_spark.build import build_index
-    from veloci_spark.code_corpus import CODE_CONFIG, code_corpus
-    from veloci_spark.entry_queries import DOC_CONFIG, _quantized_topk
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.entry_queries import _quantized_topk
     from veloci_spark.executor import search
     from veloci_spark.request import OrNode, Request, SearchPart
 
     d = _scaled_corpus(sf_dir, replicate)
-    doc_out = f"/tmp/veloci_spark_qtput_docs_k{replicate}"
-    code_out = f"/tmp/veloci_spark_qtput_code_k{replicate}"
-    # build the indexes ONCE (resume makes reruns free); query runs below
-    # only read them
+    doc_out = f"/tmp/veloci_spark_qtput_k{replicate}"
+    # one lean index serving both engines (native postings + baked BM25
+    # blocks on `text`) so a 4x-larger corpus stays affordable to build;
+    # built ONCE (resume makes reruns free), query runs below only read it
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", bm25=True), FieldConfig("lang")),
+        block_docs=1024,
+    )
     spark = make_spark(high)
     try:
         build_index(
             spark,
             spark.read.parquet(os.path.join(d, "documents.parquet")),
-            DOC_CONFIG,
+            cfg,
             doc_out,
             resume=True,
         )
-        build_index(spark, code_corpus(spark, d), CODE_CONFIG, code_out, resume=True)
     finally:
         spark.stop()
 
     def batch(spark) -> int:
         from veloci_spark.index import Index
 
-        doc_idx = Index(spark, doc_out)
-        code_idx = Index(spark, code_out)
+        idx = Index(spark, doc_out)
         n = 0
         for a, b in [("spark", "join"), ("merge", "scan"), ("query", "filter")]:
             node = OrNode(
                 (SearchPart(field="text", term=a), SearchPart(field="text", term=b))
             )
             n += len(
-                _quantized_topk(search(doc_idx, Request(search=node)).all_hits, 20).collect()
+                _quantized_topk(search(idx, Request(search=node)).all_hits, 20).collect()
             )
         for terms in [["spark", "join", "merge"], ["scan", "query", "filter"]]:
-            n += len(bm25_topk(code_idx, "content", terms, 20).collect())
-            n += len(bm25_and_topk(code_idx, "content", terms, 20).collect())
+            n += len(bm25_topk(idx, "text", terms, 20).collect())
+            n += len(bm25_and_topk(idx, "text", terms, 20).collect())
         return n
 
     results: dict = {}

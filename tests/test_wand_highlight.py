@@ -88,3 +88,40 @@ def test_highlight_whole_text_single_match():
     # single matched token equal to the whole text → whole text wrapped
     # (highlight_field.rs:100-102)
     assert highlight_text("myfun", {"myfun"}) == "<b>myfun</b>"
+
+
+def test_wand_prunes_blocks_missing_rare_slot(spark, tmp_root):
+    """Slot-present p² bounds + certificate-capped growth: on a corpus
+    where a rare term lives in ONE block, WAND must decode strictly
+    fewer blocks than exist, stay rank-identical to the exhaustive
+    path, and report the pruning in stats."""
+    import os
+
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.entry_queries import _quantized_topk
+
+    # 64 docs, block_docs=8 → 8 blocks; "common" everywhere, "rare"
+    # only in docs 0-3 (block 0); top-k docs must match both terms
+    rows = [
+        (i, ("common rare" if i < 4 else "common filler" + str(i % 7)))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    cfg = IndexConfig(fields=(FieldConfig("body"),), block_docs=8)
+    idx = build_index(
+        spark, df, cfg, os.path.join(tmp_root, "wand_prune_idx"), resume=False
+    )
+    node = OrNode(
+        (
+            SearchPart(field="body", term="common"),
+            SearchPart(field="body", term="rare"),
+        )
+    )
+    stats = {}
+    pruned = wand_or_topk(idx, node, k=3, start_blocks=1, stats=stats).collect()
+    exhaustive = _quantized_topk(
+        search(idx, Request(search=node)).all_hits, 3
+    ).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in exhaustive]
+    assert stats["blocks_total"] > stats["blocks_decoded"] >= 1, stats

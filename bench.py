@@ -8,11 +8,15 @@ on local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
    "queries": {...per-query sec...}, "sf": ...,
    "index_build_sec": ..., "docs_per_sec": ...}
 
---scaling mode: run the identical index-build job at two parallelism
-levels (local[8] vs local[32]) on the same input and report throughput
-at both plus scaling efficiency — the sandbox proxy for the N→4N
-executor criterion (no real cluster here). Appends results to
-BENCH/BASELINE.md.
+Other modes (each appends its table to BENCH/BASELINE.md):
+  --scaling / --scaling-bm25  identical index-build job at local[2] vs
+      local[8] (the N→4N proxy — this VM's vCPUs oversubscribe past 8,
+      see BENCH/BASELINE.md) on a replicated corpus; throughput at both
+      plus scaling efficiency
+  --scaling-queries  same warm query batch, same on-disk index, two
+      parallelism levels
+  --query-scaling    warm top-k latency + blocks decoded vs corpus size
+  --wand-pruning     block-max pruning on a Zipf(1)-vocabulary corpus
 """
 
 from __future__ import annotations

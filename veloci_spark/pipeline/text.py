@@ -1,15 +1,21 @@
 """Text analysis operators: token counting, quality scoring, language
 ID (stopword heuristic), document fingerprinting.
 
-Everything is a JVM-side column expression (no Python), with a DuckDB
-oracle mirror. Word tokens = non-separator runs of the engine tokenizer.
+Everything is a JVM-side column expression with a DuckDB oracle mirror
+(word tokens = non-separator runs of the engine tokenizer), except the
+decontamination gram extractor, which is an Arrow-batched pandas UDF —
+the engine tokenizer's own fast path — because the JVM shingle
+expression gets re-derived by Catalyst below the explode (see PLANS.md
+"pushdown trap"). No per-row Python rows cross the wire anywhere.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from veloci_spark.pipeline.common import (
+    WORD_PATTERN,
     e4,
     shingles_expr,
     sql_e4,
@@ -316,9 +322,40 @@ ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC LIMIT {k}
 
 # -------------------------------------------- benchmark decontamination
 
-DECONTAM_N = 5       # shared-n-gram size (GPT-3/PaLM-style 8-13 in prod;
-                     # 5 here so the short synthetic docs produce grams)
+DECONTAM_N = 4       # shared-n-gram size (GPT-3/PaLM-style 8-13 in prod;
+                     # 4 here so the short synthetic docs at the driver's
+                     # sf0.01 gate actually produce overlapping grams)
 DECONTAM_MOD = 101   # doc_id % MOD == 0 → the deterministic "eval set"
+
+
+def _grams_udf(n: int):
+    """Arrow-batched distinct word-n-gram extractor (one pass per row;
+    identical token semantics to sql_words / words_expr)."""
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType
+
+    pat = re.compile(WORD_PATTERN)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = pat.findall(t) if t is not None else []
+            if len(ws) >= n:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(ws[i : i + n])
+                            for i in range(len(ws) - n + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return grams
 
 
 def decontam_ngram(
@@ -340,10 +377,16 @@ def decontam_ngram(
     **broadcast** inner join against the corpus's exploded distinct
     grams, then one map-side-combined groupBy(doc_id). The 100-TB corpus
     is never shuffled on gram; only (doc_id, n_shared) aggregates move."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", shingles_expr(words_expr("text"), n).alias("sh")
+    # Gram extraction is an Arrow-batched pandas UDF, NOT the JVM
+    # shingles_expr: Catalyst pushes the explode's size()/isnotnull guard
+    # below the Generate and re-derives the whole tokenize+transform
+    # expression there (no CSE across lambda invocations — the same trap
+    # as the BM25 phrase verify, PLANS.md), which measured 37 s at sf0.1;
+    # the UDF is opaque to the optimizer, runs exactly once per row, and
+    # the Arrow path is the engine tokenizer's own fast path (0.9 s).
+    grams = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(_grams_udf(n)(F.col("text"))).alias("g")
     )
-    grams = d.select("doc_id", F.explode("sh").alias("g"))
     bench = (
         grams.where(F.col("doc_id") % mod == 0).select("g").distinct()
     )

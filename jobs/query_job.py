@@ -46,12 +46,13 @@ def main() -> None:
     ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
     ap.add_argument(
         "--bm25",
-        choices=["or", "and", "or-wand", "and-wand", "phrase"],
+        choices=["or", "and", "or-wand", "and-wand", "phrase", "explain"],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
         "separated exact terms; 'and' = posting-list intersection; "
         "'-wand' variants use block-max pruning; 'phrase' = exact "
-        "adjacent-token phrase via pair-chain prune + positional verify)",
+        "adjacent-token phrase via pair-chain prune + positional verify; "
+        "'explain' = per-term score provenance of the top-k)",
     )
     ap.add_argument(
         "--bm25f-weights",
@@ -128,6 +129,7 @@ def main() -> None:
                 "or-wand": bm25.bm25_wand_topk,
                 "and-wand": bm25.bm25_and_wand_topk,
                 "phrase": bm25.bm25_phrase_topk,
+                "explain": bm25.bm25_explain_topk,
             }[args.bm25]
             rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
         for r in rows[args.skip:]:

@@ -343,3 +343,21 @@ def test_bm25f_wand_rank_identical(phrase_index):
             phrase_index, weights, terms, k, start_blocks=1
         ).collect()
         assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
+
+
+def test_bm25_explain_provenance_sums_to_topk(spark, bm25_index):
+    """Explain rows partition each top-k doc's score: per-term integer
+    contributions sum exactly to score_e4, and the (doc, total) pairs
+    equal the plain top-k."""
+    from veloci_spark.bm25 import bm25_explain_topk, bm25_topk
+
+    terms = ["alpha", "beta"]
+    top = [(r["doc_id"], r["score_e4"]) for r in bm25_topk(bm25_index, "body", terms, 5).collect()]
+    rows = bm25_explain_topk(bm25_index, "body", terms, 5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], [0, r["score_e4"]])
+        by_doc[r["doc_id"]][0] += r["term_score_e4"]
+    assert set(by_doc) == {d for d, _ in top}
+    for d, total in top:
+        assert by_doc[d][0] == total == by_doc[d][1], (d, by_doc[d], total)

@@ -223,6 +223,53 @@ def bm25_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
     return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
 
 
+def bm25_explain_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
+    """Per-term score provenance for the exhaustive BM25 top-k — the BM25
+    analogue of the native engine's ``Request(explain=True)`` provenance
+    (executor._attach_explain): one row per (top-k doc, matched term)
+    with the term's integer contribution and the doc's total.
+
+    Scale shape: the top-k doc ids (bounded by k) are pushed as a literal
+    IN into the decoded-posting scan, and the (tiny) dictionary slice for
+    the query terms is broadcast — no extra shuffle beyond the top-k
+    aggregation itself."""
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    ids = _matched_term_ids(index, field, terms)
+    empty_schema = "doc_id long, term string, term_score_e4 long, score_e4 long"
+    if not ids:
+        return spark.createDataFrame([], empty_schema)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    top_rows = (
+        flat.groupBy("doc_id")
+        .agg(F.sum("score").alias("score_e4"))
+        .orderBy(F.desc("score_e4"), F.desc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    if not top_rows:
+        return spark.createDataFrame([], empty_schema)
+    totals = spark.createDataFrame(
+        [(r["doc_id"], r["score_e4"]) for r in top_rows], "doc_id long, score_e4 long"
+    )
+    names = index.dictionary(field).where(F.col("term_id").isin(ids)).select(
+        "term_id", "term"
+    )
+    per_term = (
+        flat.where(F.col("doc_id").isin([r["doc_id"] for r in top_rows]))
+        .join(F.broadcast(names), "term_id")
+        .join(F.broadcast(totals), "doc_id")
+        .select(
+            "doc_id", "term", F.col("score").alias("term_score_e4"), "score_e4"
+        )
+    )
+    return per_term.orderBy(
+        F.desc("score_e4"), F.desc("doc_id"), F.asc("term")
+    )
+
+
 def bm25_and_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
     """Conjunctive (posting-list INTERSECTION) BM25 top-k: only docs
     containing ALL terms; score = integer sum of per-term entries."""

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from veloci_spark.bm25 import (
     bm25_and_topk,
     bm25_and_wand_topk,
+    bm25_explain_topk,
     bm25_phrase_topk,
     bm25_topk,
     bm25_wand_topk,
@@ -355,6 +356,39 @@ def _q_bm25_wand(spark, sf_dir):
 
 _QUERIES["code_bm25_wand"] = _q_bm25_wand
 _ORACLES["code_bm25_wand"] = _bm25_topk_sql(_TOPK_TERMS, 20)
+
+
+def _bm25_explain_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(_q(t) for t in terms)
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+topk AS (
+  SELECT b.doc_id, sum(b.score) AS score_e4
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+  ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}
+)
+SELECT t.doc_id, d.term, b.score AS term_score_e4, t.score_e4
+FROM topk t
+JOIN cbm25 b ON b.doc_id = t.doc_id
+JOIN cdict d ON d.term_id = b.term_id
+WHERE d.term IN ({in_list})
+ORDER BY t.score_e4 DESC, t.doc_id DESC, d.term ASC"""
+    )
+
+
+def _q_bm25_explain(spark, sf_dir):
+    """Per-term BM25 provenance of the top-k (explain parity for the
+    BM25 engine; the native path's explain is `ft_explain_components`)."""
+    idx = code_index(spark, sf_dir)
+    return bm25_explain_topk(idx, "content", _TOPK_TERMS, 10)
+
+
+_QUERIES["code_bm25_explain"] = _q_bm25_explain
+_ORACLES["code_bm25_explain"] = _bm25_explain_sql(_TOPK_TERMS, 10)
 
 
 _AND_TERMS = ["spark", "join"]

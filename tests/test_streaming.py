@@ -110,3 +110,47 @@ def test_compact_matches_batch_build(spark, tmp_root, stream_dirs):
         for r in search(idx, req).all_hits.collect()
     )
     assert seg_hits == batch_hits
+
+
+def test_segmented_bm25_and_compaction_parity(spark, stream_dirs, tmp_root):
+    """Segments built with a bm25 field serve BM25 top-k across segments;
+    after compact() the scores equal a monolithic batch build (global
+    df/avgdl restored) — the same parity property as native scores."""
+    from veloci_spark.bm25 import bm25_topk
+    from veloci_spark.build import build_index
+
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", bm25=True), FieldConfig("lang")), block_docs=8
+    )
+    src, work = stream_dirs
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"text": "spark join stream", "lang": "en"},
+        {"text": "filter scan spark", "lang": "de"},
+        {"text": "join join filter", "lang": "en"},
+    ])
+    start_ingest(spark, src, work, SCHEMA)
+    assert build_segment(spark, work, cfg) is not None
+    _write_ndjson(os.path.join(src, "b.json"), [
+        {"text": "spark window join", "lang": "en"},
+        {"text": "scan merge", "lang": "en"},
+    ])
+    start_ingest(spark, src, work, SCHEMA)
+    assert build_segment(spark, work, cfg) is not None
+
+    seg = SegmentedIndex(spark, work)
+    live = seg.bm25_topk("text", ["spark", "join"], 10).collect()
+    # both waves are searchable before any compaction
+    assert {r["doc_id"] for r in live} == {0, 1, 2, 3}
+
+    compact(spark, work, cfg)
+    seg = SegmentedIndex(spark, work)
+    compacted = [tuple(r) for r in seg.bm25_topk("text", ["spark", "join"], 10).collect()]
+    mono_idx = build_index(
+        spark,
+        spark.read.parquet(os.path.join(work, "corpus")),
+        cfg,
+        os.path.join(tmp_root, "stream_bm25_mono"),
+        resume=False,
+    )
+    mono = [tuple(r) for r in bm25_topk(mono_idx, "text", ["spark", "join"], 10).collect()]
+    assert compacted == mono

@@ -193,3 +193,20 @@ class SegmentedIndex:
             .limit(request.top + request.skip)
             .offset(request.skip)
         )
+
+    def bm25_topk(self, field: str, terms, k: int) -> DataFrame:
+        """BM25 top-k across segments. Doc ranges are segment-disjoint,
+        so each doc's OR-sum is complete within its own segment and a
+        merge of per-segment top-ks is exact — the Lucene-style
+        per-segment search. Same honest caveat as native scores: df /
+        avgdl are SEGMENT-LOCAL until compact(); after compaction the
+        result is identical to a monolithic bm25_topk (tested)."""
+        from veloci_spark.bm25 import bm25_topk as _bm25_one
+
+        frames = [_bm25_one(ix, field, terms, k) for ix in self.indexes]
+        if not frames:
+            return self.spark.createDataFrame([], "doc_id long, score_e4 long")
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionAll(fr)
+        return u.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)

@@ -139,7 +139,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         from veloci_spark.code_corpus import code_index
 
         shutil.rmtree(
-            os.path.join("/tmp/veloci_spark_bench_cache", f"code_v1_{tag}"),
+            os.path.join("/tmp/veloci_spark_bench_cache", f"code_v2_{tag}"),
             ignore_errors=True,
         )
         t0 = time.time()

@@ -130,14 +130,23 @@ def bm25_flat_postings(
         .select("field", "doc_id", "tok")
     )
     dict_for_tok = dictionary.select("field", F.col("term").alias("tok"), "term_id")
-    # ONE pass over the (huge) token stream; everything downstream derives
-    # from the (small) tf aggregate, which is persisted
     tf = (
         nonsep.join(dict_for_tok, ["field", "tok"])
         .groupBy("field", "term_id", "doc_id")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
+    return bm25_from_tf(tf)
+
+
+def bm25_from_tf(tf: DataFrame) -> tuple[DataFrame, dict[str, dict]]:
+    """BM25 scores + corpus stats from a precomputed ``(field, term_id,
+    doc_id, tf)`` frame (tf = non-separator occurrence count, tf >= 1).
+
+    ``build_index`` derives tf from the per-value token aggregate SHARED
+    with the native posting build — one dictionary join + one shuffle for
+    both engines; this function only re-aggregates that small frame.
+    """
+    tf = tf.persist()
     # dl = Σ_t tf(t, d) EXACTLY: every non-separator token is a dictionary
     # term, so doc length needs no second tokenize pass — it's a small
     # re-aggregation of tf (the round-2 scaling profile showed the bm25

@@ -273,19 +273,50 @@ def _build_dictionary(
     return out
 
 
+def _token_value_agg(
+    toks: DataFrame, dictionary: DataFrame, with_tf: bool = False
+) -> DataFrame:
+    """(field, term_id, doc_id, ordkey, best_pos, num_occurences,
+    num_tokens[, tf_part]) — ONE dictionary join + one shuffle shared by
+    the native posting build and, via ``tf_part`` (non-separator
+    occurrence count per value), the BM25 build. Sharing this frame is
+    what lets a native+BM25 index pay the token-stream join once instead
+    of once per engine (the round-2-continuation profile showed the two
+    stages each spending ~200 s of a 493 s build re-doing it at 3.2M
+    docs)."""
+    dict_for_tok = dictionary.select(
+        "field", F.col("term").alias("tok"), "term_id", "num_occurences"
+    )
+    aggs = [
+        F.min("pos").alias("best_pos"),
+        F.first("num_occurences").alias("num_occurences"),
+        F.first("num_tokens").alias("num_tokens"),
+    ]
+    if with_tf:
+        aggs.append(
+            F.sum(F.when(F.col("is_sep"), 0).otherwise(1)).alias("tf_part")
+        )
+    return (
+        toks.join(dict_for_tok, ["field", "tok"])
+        .groupBy("field", "term_id", "doc_id", "ordkey")
+        .agg(*aggs)
+    )
+
+
 def _build_flat_postings(
-    toks: Optional[DataFrame], whole: DataFrame, dictionary: DataFrame
+    value_agg: Optional[DataFrame], whole: DataFrame, dictionary: DataFrame
 ) -> DataFrame:
     """(field, term_id, doc_id, score) — the logical posting list.
 
     Token entries: per (term, doc, VALUE) keep the best (lowest) position
     with the value's own length norm
     (/root/reference/src/create/calculate_score.rs:6-31 runs per text
-    value). Whole-text entries: exact score per occurrence
-    (/root/reference/src/create.rs:216-221). Merge per (term, anchor):
-    max + capped multi-hit bonus (/root/reference/src/create.rs:389-448)
-    — a doc whose array holds the token in 3 elements gets 3 entries in,
-    one merged entry out.
+    value) — the per-value aggregate arrives precomputed from
+    :func:`_token_value_agg`. Whole-text entries: exact score per
+    occurrence (/root/reference/src/create.rs:216-221). Merge per (term,
+    anchor): max + capped multi-hit bonus
+    (/root/reference/src/create.rs:389-448) — a doc whose array holds the
+    token in 3 elements gets 3 entries in, one merged entry out.
     """
     dict_for_text = dictionary.select(
         "field", F.col("term").alias("text"), "term_id", "num_occurences"
@@ -297,26 +328,14 @@ def _build_flat_postings(
         exact_text_score_expr(F.col("num_occurences")).alias("score"),
     )
     entries = text_entries
-    if toks is not None:
-        dict_for_tok = dictionary.select(
-            "field", F.col("term").alias("tok"), "term_id", "num_occurences"
-        )
-        token_entries = (
-            toks.join(dict_for_tok, ["field", "tok"])
-            .groupBy("field", "term_id", "doc_id", "ordkey")
-            .agg(
-                F.min("pos").alias("best_pos"),
-                F.first("num_occurences").alias("num_occurences"),
-                F.first("num_tokens").alias("num_tokens"),
-            )
-            .select(
-                "field",
-                "term_id",
-                "doc_id",
-                token_score_expr(
-                    F.col("best_pos"), F.col("num_occurences"), F.col("num_tokens")
-                ).alias("score"),
-            )
+    if value_agg is not None:
+        token_entries = value_agg.select(
+            "field",
+            "term_id",
+            "doc_id",
+            token_score_expr(
+                F.col("best_pos"), F.col("num_occurences"), F.col("num_tokens")
+            ).alias("score"),
         )
         entries = token_entries.unionAll(text_entries)
     merged = (
@@ -667,9 +686,24 @@ def build_index(
             lineage.record("dictionary", out_path=dict_path, wall_s=time.time() - t0)
         dictionary = spark.read.parquet(dict_path)
 
+        # shared per-value token aggregate: one dictionary join + one
+        # shuffle feeds BOTH the native posting scores and (tf_part) the
+        # BM25 tf/df/dl derivation. With both consumers live it is
+        # spilled to executor-local disk once instead of recomputing the
+        # tokenize+join chain per engine.
+        value_agg: Optional[DataFrame] = None
+        value_agg_persisted = False
+        if (need_post or need_bm25) and toks is not None:
+            value_agg = _token_value_agg(toks, dictionary, with_tf=need_bm25)
+            if need_post and need_bm25:
+                from pyspark import StorageLevel
+
+                value_agg = value_agg.persist(StorageLevel.DISK_ONLY)
+                value_agg_persisted = True
+
         if need_post:
             t0 = time.time()
-            flat = _build_flat_postings(toks, whole, dictionary)
+            flat = _build_flat_postings(value_agg, whole, dictionary)
             blocks = _encode_blocks(
                 flat,
                 config.block_docs,
@@ -694,10 +728,16 @@ def build_index(
 
         if need_bm25:
             t0 = time.time()
-            from veloci_spark.bm25 import bm25_flat_postings
+            from veloci_spark.bm25 import bm25_from_tf
 
-            assert toks is not None
-            flat25, bm25_stats = bm25_flat_postings(toks, dictionary, bm25_fields)
+            assert value_agg is not None
+            tf = (
+                value_agg.where(F.col("field").isin(*list(bm25_fields)))
+                .groupBy("field", "term_id", "doc_id")
+                .agg(F.sum("tf_part").alias("tf"))
+                .where(F.col("tf") > 0)
+            )
+            flat25, bm25_stats = bm25_from_tf(tf)
             blocks25 = _encode_blocks(
                 flat25,
                 config.block_docs,
@@ -710,6 +750,9 @@ def build_index(
             with open(os.path.join(out_dir, "bm25_stats.json"), "w") as f:
                 json.dump(bm25_stats, f, indent=2)
             lineage.record("bm25", out_path=bm25_path, wall_s=time.time() - t0, stats=bm25_stats)
+
+        if value_agg_persisted:
+            value_agg.unpersist()
 
         if need_texts:
             t0 = time.time()

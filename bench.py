@@ -16,6 +16,8 @@ Other modes (each appends its table to BENCH/BASELINE.md):
   --scaling-queries  same warm query batch, same on-disk index, two
       parallelism levels
   --query-scaling    warm top-k latency + blocks decoded vs corpus size
+  --scaling-decode   isolated posting-decode kernel at two parallelism
+      levels (separates the width-scaling kernel from fixed shuffle cost)
   --wand-pruning     block-max pruning on a Zipf(1)-vocabulary corpus
 """
 
@@ -555,6 +557,80 @@ def run_query_throughput_scaling(
     }
 
 
+def run_decode_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 640) -> dict:
+    """Isolated posting-decode kernel at two parallelism levels: the same
+    matched-term exhaustive decode (Arrow/numpy varint kernel) with and
+    without the downstream aggregation — separates the width-scaling
+    kernel from the fixed-cost shuffle that dilutes small-corpus batch
+    numbers (see the query-side analysis in BENCH/BASELINE.md)."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.bm25 import _matched_term_ids
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+    from veloci_spark.index import Index, decode_blocks_df
+
+    d = _scaled_corpus(sf_dir, replicate)
+    out = f"/tmp/veloci_spark_qtput_k{replicate}"
+    cfg = IndexConfig(
+        fields=(FieldConfig("text", bm25=True), FieldConfig("lang")),
+        block_docs=1024,
+    )
+    spark = make_spark(high)
+    try:
+        build_index(
+            spark,
+            spark.read.parquet(os.path.join(d, "documents.parquet")),
+            cfg,
+            out,
+            resume=True,
+        )
+    finally:
+        spark.stop()
+
+    res: dict = {}
+    for _round in range(2):
+        for cpus in (low, high):
+            spark = make_spark(cpus)
+            try:
+                idx = Index(spark, out)
+                ids = _matched_term_ids(idx, "text", ["spark", "join", "merge"])
+                blocks = idx.bm25_blocks("text").where(F.col("term_id").isin(ids))
+
+                def decode_only():
+                    decode_blocks_df(blocks).count()
+
+                def decode_agg():
+                    (
+                        decode_blocks_df(blocks)
+                        .groupBy("doc_id")
+                        .agg(F.sum("score").alias("s"))
+                        .orderBy(F.desc("s"))
+                        .limit(20)
+                        .collect()
+                    )
+
+                for name, thunk in [("decode", decode_only), ("decode_agg", decode_agg)]:
+                    thunk()  # warm
+                    best = None
+                    for _ in range(2):
+                        t0 = time.time()
+                        thunk()
+                        dt = time.time() - t0
+                        best = dt if best is None or dt < best else best
+                    key = f"{name}_{cpus}"
+                    if key not in res or best < res[key]:
+                        res[key] = round(best, 2)
+            finally:
+                spark.stop()
+    for name in ("decode", "decode_agg"):
+        res[f"{name}_efficiency"] = round(
+            (res[f"{name}_{low}"] / res[f"{name}_{high}"]) / (high / low), 3
+        )
+    res.update({"low_cpus": low, "high_cpus": high, "sf_dir": d})
+    return res
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -577,6 +653,30 @@ def main():
                     f"{row['or_blocks']} | {row['bm25_exhaustive']} | "
                     f"{row['bm25_wand']} | {row['bm25_blocks']} |\n"
                 )
+        return
+    if "--scaling-decode" in sys.argv:
+        # default replicate is 640 (3.2M docs): below that the matched
+        # posting volume is small enough that per-job fixed overhead, not
+        # the kernel, is what gets measured
+        res = run_decode_scaling(
+            sf_dir, replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "640"))
+        )
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Decode-kernel scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                "Isolated exhaustive decode of the matched posting blocks "
+                "(Arrow/numpy varint kernel), with and without the downstream "
+                "agg+top-k, warm min of 2 per config:\n\n"
+                "| phase | "
+                f"local[{res['low_cpus']}] (s) | local[{res['high_cpus']}] (s) | efficiency |\n"
+                "|---|---|---|---|\n"
+                f"| decode only | {res['decode_2']} | {res['decode_8']} | "
+                f"**{res['decode_efficiency']}** |\n"
+                f"| decode + agg + top-k | {res['decode_agg_2']} | {res['decode_agg_8']} | "
+                f"{res['decode_agg_efficiency']} |\n"
+            )
         return
     if "--wand-pruning" in sys.argv:
         res = run_wand_pruning(int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "200000")))

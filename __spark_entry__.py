@@ -42,14 +42,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (the driver's correctness window), registered
+    north-rule-first: the code-corpus BM25 engine, then the fulltext
+    engine, then the LLM-pipeline operators.  Parameter-variant /
+    redundant entries live in extra_queries() and are gated by pytest's
+    driver-gate replica (tests/test_oracle_parity.py) instead."""
     from veloci_spark.code_corpus import code_queries
     from veloci_spark.entry_queries import fulltext_queries
     from veloci_spark.pipeline.entry import pipeline_queries
 
     out = {}
+    out.update(code_queries())
     out.update(fulltext_queries())
     out.update(pipeline_queries())
-    out.update(code_queries())
     return out
 
 
@@ -59,7 +64,29 @@ def oracle_sql() -> dict[str, str]:
     from veloci_spark.pipeline.entry import pipeline_oracles
 
     out = {}
+    out.update(code_oracles())
     out.update(fulltext_oracles())
     out.update(pipeline_oracles())
-    out.update(code_oracles())
+    return out
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Pytest-only entries: parameter variants and standalone versions of
+    fused driver entries.  Same contract as queries()."""
+    from veloci_spark.entry_queries import fulltext_extra_queries
+    from veloci_spark.pipeline.entry import pipeline_extra_queries
+
+    out = {}
+    out.update(fulltext_extra_queries())
+    out.update(pipeline_extra_queries())
+    return out
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    from veloci_spark.entry_queries import fulltext_extra_oracles
+    from veloci_spark.pipeline.entry import pipeline_extra_oracles
+
+    out = {}
+    out.update(fulltext_extra_oracles())
+    out.update(pipeline_extra_oracles())
     return out

@@ -97,8 +97,7 @@ def headline_queries(spark, sf_dir: str):
         "ann_cosine_topk",
         "ann_bucketed_pairs",
         "ann_multiprobe_topk",
-        "text_quality",
-        "text_fingerprint",
+        "text_features",
         "decontam_ngram",
         "mix_proportions",
     ]
@@ -672,9 +671,11 @@ def main():
                 "| phase | "
                 f"local[{res['low_cpus']}] (s) | local[{res['high_cpus']}] (s) | efficiency |\n"
                 "|---|---|---|---|\n"
-                f"| decode only | {res['decode_2']} | {res['decode_8']} | "
+                f"| decode only | {res['decode_%d' % res['low_cpus']]} | "
+                f"{res['decode_%d' % res['high_cpus']]} | "
                 f"**{res['decode_efficiency']}** |\n"
-                f"| decode + agg + top-k | {res['decode_agg_2']} | {res['decode_agg_8']} | "
+                f"| decode + agg + top-k | {res['decode_agg_%d' % res['low_cpus']]} | "
+                f"{res['decode_agg_%d' % res['high_cpus']]} | "
                 f"{res['decode_agg_efficiency']} |\n"
             )
         return

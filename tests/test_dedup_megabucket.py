@@ -1,0 +1,63 @@
+"""Mega-bucket guard for MinHash-LSH (VERDICT r2 #5): m byte-identical
+documents must NOT produce O(m²·bands) candidate rows in the band
+self-join. With the exact-dup pre-collapse, candidate GENERATION runs on
+one representative per md5-group, so m identical docs yield ZERO
+rep-level candidate pairs — while the fanned-out output still contains
+all C(m,2) implied jaccard-1.0 pairs (the output contract the DuckDB
+oracle checks is unchanged).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.dedup import (
+    _lsh_candidate_pairs,
+    _with_shingles,
+    dedup_minhash_lsh,
+)
+
+M = 1000
+TEXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    """A documents.parquet of M identical docs plus 2 distinct ones."""
+    root = tmp_path_factory.mktemp("megabucket")
+    rows = [(i, TEXT, "en") for i in range(M)]
+    rows.append((M, "a completely different text about spark shuffles here", "en"))
+    rows.append((M + 1, "another unrelated document mentioning nothing shared", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_candidate_generation_is_o_groups(spark, dup_dir):
+    """The band self-join over pre-collapsed reps sees 3 docs (1 rep for
+    the dup group + 2 distinct), so candidates are bounded by C(3,2)=3 —
+    not the ~500k pairs the uncollapsed m=1000 group would emit."""
+    docs = spark.read.parquet(f"{dup_dir}/documents.parquet")
+    # pre-collapse exactly as dedup_minhash_lsh does
+    hashed = docs.select("doc_id", F.md5("text").alias("_h"))
+    reps = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    sh = _with_shingles(rep_docs)
+    n_candidates = _lsh_candidate_pairs(sh).count()
+    assert n_candidates <= 3, n_candidates
+
+    # sanity: WITHOUT collapse the same corpus floods the band join
+    sh_all = _with_shingles(docs)
+    n_uncollapsed = _lsh_candidate_pairs(sh_all).count()
+    assert n_uncollapsed >= M * (M - 1) // 2
+
+
+def test_fanout_preserves_pair_contract(spark, dup_dir):
+    """The public output still contains every within-group pair at
+    jaccard 1.0 (C(M,2) of them) and nothing between unrelated docs."""
+    out = dedup_minhash_lsh(spark, dup_dir).persist()
+    within = out.where((F.col("doc_a") < M) & (F.col("doc_b") < M))
+    assert within.count() == M * (M - 1) // 2
+    assert within.where(F.col("jaccard_e4") != 10000).count() == 0
+    # the two distinct docs share no shingles with anything
+    assert out.where((F.col("doc_a") >= M) | (F.col("doc_b") >= M)).count() == 0
+    out.unpersist()

@@ -37,18 +37,25 @@ def _rows(rows):
     return sorted(tuple(_norm(v) for v in r) for r in rows)
 
 
-def all_query_names():
+def _all_queries():
     import __spark_entry__ as entry
 
-    return sorted(entry.queries().keys())
+    q = dict(entry.queries())
+    q.update(entry.extra_queries())  # pytest-only variants get the same gate
+    o = dict(entry.oracle_sql())
+    o.update(entry.extra_oracle_sql())
+    return q, o
+
+
+def all_query_names():
+    q, _ = _all_queries()
+    return sorted(q.keys())
 
 
 @pytest.mark.parametrize("name", all_query_names())
 def test_query_matches_oracle(spark, ddb, name):
-    import __spark_entry__ as entry
-
-    q = entry.queries()[name]
-    oracles = entry.oracle_sql()
+    queries, oracles = _all_queries()
+    q = queries[name]
     sdf = q(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns

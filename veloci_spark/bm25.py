@@ -28,8 +28,9 @@ before encoding, so
 - block-max upper bounds are exact integer sums, making the WAND
   threshold test exact rather than epsilon-guarded.
 
-Scale shape: tf is one groupBy (map-side combined), df a window count
-over the tf shuffle's own (field, term_id) partitioning, dl one groupBy;
+Scale shape: tf is one groupBy (map-side combined), df a map-side-
+combined groupBy joined back (skew-splittable — see bm25_from_tf), dl
+one groupBy;
 block encode reuses build._encode_blocks (one hash shuffle, doc-aligned
 blocks bound stop-word skew).  Query-side decode is the same
 numpy-in-Arrow pass as native postings; no per-row Python anywhere.
@@ -41,7 +42,6 @@ import math
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 K1 = 1.2
 B = 0.75
@@ -120,9 +120,9 @@ def bm25_flat_postings(
     """(field, term_id, doc_id, score[bm25 e4 int]) over ``bm25_fields``
     plus per-field corpus stats {field: {n_docs, avgdl}}.
 
-    One groupBy for tf, a partitioned window (NOT global) for df on the
-    same (field, term_id) clustering, one groupBy for doc lengths, one
-    join back on (field, doc_id).  The stats collect is per-field tiny.
+    One groupBy for tf, a map-side-combined groupBy+join-back for df,
+    one groupBy for doc lengths, one join back on (field, doc_id).  The
+    stats collect is per-field tiny.
     """
     nonsep = (
         toks.where(F.col("field").isin(*list(bm25_fields)))
@@ -162,11 +162,21 @@ def bm25_from_tf(tf: DataFrame) -> tuple[DataFrame, dict[str, dict]]:
         for r in stats_rows
     }
 
-    # df: tf rows are unique per (field, term_id, doc_id), so a partition
-    # count over the groupBy's own clustering = document frequency — no
-    # second self-join shuffle
-    w = Window.partitionBy("field", "term_id")
-    with_df = tf.withColumn("df", F.count("*").over(w))
+    # df: tf rows are unique per (field, term_id, doc_id), so counting
+    # rows per (field, term_id) = document frequency.  This is a
+    # groupBy + join-back rather than a window: a window partitioned by
+    # (field, term_id) forces a stop-word term's ENTIRE tf row set onto
+    # one task, and AQE cannot skew-split window partitions — at 10^12
+    # docs that is one task receiving ~10^12 rows.  The groupBy is
+    # map-side combined (partial_count per input partition before the
+    # shuffle, so a hot term contributes ONE row per input partition, not
+    # one per occurrence), and the join-back is a plain equi-join: AQE
+    # broadcasts df_counts when the dictionary is small, and when it is
+    # not (10^9-term code dictionaries are too big to broadcast) AQE's
+    # skew-join splits a hot term's probe partition across tasks —
+    # something no window plan allows.
+    df_counts = tf.groupBy("field", "term_id").agg(F.count("*").alias("df"))
+    with_df = tf.join(df_counts, ["field", "term_id"])
 
     n_expr: Optional[Column] = None
     avg_expr: Optional[Column] = None

@@ -92,12 +92,15 @@ def _run_request(
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+# pytest-only entries (kept out of the driver's 50-entry window)
+_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_EXTRA_ORACLES: dict[str, str] = {}
 
 
-def _register(name, spark_fn, oracle: str | None):
-    _QUERIES[name] = spark_fn
+def _register(name, spark_fn, oracle: str | None, extra: bool = False):
+    (_EXTRA_QUERIES if extra else _QUERIES)[name] = spark_fn
     if oracle is not None:
-        _ORACLES[name] = oracle
+        (_EXTRA_ORACLES if extra else _ORACLES)[name] = oracle
 
 
 def _with_cte(*ctes: str) -> str:
@@ -154,7 +157,7 @@ def _mk_exact(term: str, top: int = 20):
 fn, sql = _mk_exact("spark")
 _register("ft_exact_token", fn, sql)
 fn, sql = _mk_exact("filter")
-_register("ft_exact_token_2", fn, sql)
+_register("ft_exact_token_2", fn, sql, extra=True)
 
 
 # ---- fuzzy ------------------------------------------------------------------
@@ -872,8 +875,20 @@ def fulltext_queries():
 
 
 def fulltext_oracles():
+    return _finalize_oracles(_ORACLES)
+
+
+def fulltext_extra_queries():
+    return dict(_EXTRA_QUERIES)
+
+
+def fulltext_extra_oracles():
+    return _finalize_oracles(_EXTRA_ORACLES)
+
+
+def _finalize_oracles(oracles: dict[str, str]) -> dict[str, str]:
     from veloci_spark.oracle import _q
     from veloci_spark.tokenize import sep_class
 
     seppat = _q("^" + sep_class() + "$")
-    return {k: v.replace("{SEPPAT}", seppat) for k, v in _ORACLES.items()}
+    return {k: v.replace("{SEPPAT}", seppat) for k, v in oracles.items()}

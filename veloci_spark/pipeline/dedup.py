@@ -128,10 +128,82 @@ def dedup_minhash_lsh(
     re-joins the shingle table for exact verification. Carrying arrays
     through the band join would re-evaluate the tokenize/minhash
     expression tree on every join output row (40× recompute observed)
-    and shuffle shingle payloads quadratically."""
+    and shuffle shingle payloads quadratically.
+
+    Exact-dup pre-collapse (mega-bucket guard): m byte-identical docs
+    (licenses, vendored files — ubiquitous in code corpora) share EVERY
+    band key, so banding them directly makes the self-join emit
+    O(m²·bands) candidate rows. Instead, docs are first grouped by
+    md5(text) and only the min-doc_id REPRESENTATIVE of each group is
+    shingled/banded; the verified rep-pair set is then fanned back out
+    to group members (identical text ⇒ identical shingles ⇒ identical
+    band keys and jaccard, so the fan-out reproduces the original pair
+    set exactly — within-group pairs are jaccard 1.0 by construction).
+    Candidate GENERATION is thus O(groups), and the only O(m²) left is
+    the final within-group pair emission, which is output-size-bound
+    (consumers wanting keep-one-per-cluster should read the (doc_id,
+    rep) group table instead of the explicit pair list)."""
     assert n_minhash % n_bands == 0, "n_minhash must divide into bands"
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    # (doc_id, rep): md5-exact groups, rep = min doc_id of the group.
+    # groupBy + join-back, NOT a window over the hash: a window would
+    # put an m-member dup group on one task (the very skew this
+    # pre-collapse exists to kill); the groupBy is map-side combined and
+    # the join-back is AQE skew-splittable.
+    hashed = docs.select("doc_id", F.md5("text").alias("_h"))
+    rep_per_hash = hashed.groupBy("_h").agg(F.min("doc_id").alias("rep"))
+    groups = hashed.join(rep_per_hash, "_h").select("doc_id", "rep").persist()
+    reps = docs.join(
+        groups.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    sh_docs = _with_shingles(reps, shingle_n).persist()
+    rep_pairs = _lsh_candidate_pairs(sh_docs, n_minhash, n_bands).persist()
+    sh_a = sh_docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = rep_pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    scored_reps = verified.select(
+        F.col("doc_a").alias("rep_a"),
+        F.col("doc_b").alias("rep_b"),
+        e4(inter / union).alias("jaccard_e4"),
+    )
+    # Fan cross-group rep pairs out to all members of both groups.
+    mem_a = groups.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("ma"))
+    mem_b = groups.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        scored_reps.join(mem_a, "rep_a")
+        .join(mem_b, "rep_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard_e4",
+        )
+    )
+    # Within-group pairs: jaccard 1.0, but only for groups whose text
+    # actually shingles (empty-shingle docs never entered the bands).
+    sh_groups = groups.join(
+        sh_docs.select(F.col("doc_id").alias("rep")), "rep", "left_semi"
+    )
+    wa = sh_groups.select("rep", F.col("doc_id").alias("doc_a"))
+    wb = sh_groups.select("rep", F.col("doc_id").alias("doc_b"))
+    within = (
+        wa.join(wb, "rep")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(10000).cast("long").alias("jaccard_e4"))
+    )
+    return cross.unionAll(within)
+
+
+def _lsh_candidate_pairs(
+    sh_docs: DataFrame, n_minhash: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b) from a (doc_id, sh)
+    frame. Factored out so tests can assert candidate COUNTS (the
+    mega-bucket guard) independently of the verification fan-out."""
     rpb = n_minhash // n_bands
-    sh_docs = _with_shingles(_docs(spark, sf_dir), shingle_n).persist()
     mh = _minhash_cols(sh_docs, n_minhash).drop("sh")
     bands = []
     for b in range(n_bands):
@@ -152,21 +224,11 @@ def dedup_minhash_lsh(
     banded = banded.persist()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     b_ = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
-    pairs = (
+    return (
         a.join(b_, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-    )
-    sh_a = sh_docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = pairs.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return verified.select(
-        "doc_a",
-        "doc_b",
-        e4(inter / union).alias("jaccard_e4"),
     )
 
 
@@ -445,17 +507,7 @@ def queries():
     return {
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        # second parameter setting (more hashes, wider bands = 4 rows per
-        # band): the knob that trades recall vs candidate volume at scale
-        "dedup_minhash_lsh_32_8": lambda spark, sf_dir: dedup_minhash_lsh(
-            spark, sf_dir, n_minhash=32, n_bands=8
-        ),
         "dedup_simhash": dedup_simhash,
-        # production-width fingerprint (64-bit, as a bit string)
-        "dedup_simhash_64": lambda spark, sf_dir: dedup_simhash_bits(
-            spark, sf_dir, n_bits=64
-        ),
-        "dedup_jaccard_adjacent": text_jaccard_adjacent,
         "dedup_components": dedup_components,
     }
 
@@ -464,9 +516,31 @@ def oracles():
     return {
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
-        "dedup_minhash_lsh_32_8": dedup_minhash_sql(n_minhash=32, n_bands=8),
         "dedup_simhash": DEDUP_SIMHASH_SQL,
+        "dedup_components": dedup_components_sql(),
+    }
+
+
+def extra_queries():
+    """Pytest-only parameter variants (moved out of the driver registry
+    to fit its 50-entry correctness window — VERDICT r2)."""
+    return {
+        # second parameter setting (more hashes, wider bands = 4 rows per
+        # band): the knob that trades recall vs candidate volume at scale
+        "dedup_minhash_lsh_32_8": lambda spark, sf_dir: dedup_minhash_lsh(
+            spark, sf_dir, n_minhash=32, n_bands=8
+        ),
+        # production-width fingerprint (64-bit, as a bit string)
+        "dedup_simhash_64": lambda spark, sf_dir: dedup_simhash_bits(
+            spark, sf_dir, n_bits=64
+        ),
+        "dedup_jaccard_adjacent": text_jaccard_adjacent,
+    }
+
+
+def extra_oracles():
+    return {
+        "dedup_minhash_lsh_32_8": dedup_minhash_sql(n_minhash=32, n_bands=8),
         "dedup_simhash_64": dedup_simhash_bits_sql(n_bits=64),
         "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
-        "dedup_components": dedup_components_sql(),
     }

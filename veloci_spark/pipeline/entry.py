@@ -21,3 +21,19 @@ def pipeline_oracles():
     out.update(text.oracles())
     out.update(multimodal.oracles())
     return out
+
+
+def pipeline_extra_queries():
+    out = {}
+    out.update(dedup.extra_queries())
+    out.update(similarity.extra_queries())
+    out.update(text.extra_queries())
+    return out
+
+
+def pipeline_extra_oracles():
+    out = {}
+    out.update(dedup.extra_oracles())
+    out.update(similarity.extra_oracles())
+    out.update(text.extra_oracles())
+    return out

@@ -200,27 +200,31 @@ def sample_token_budget(
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.size(words_expr("text")).alias("n_tokens")
+        "doc_id",
+        "lang",
+        # long on both sides: DuckDB len() is BIGINT, Spark size() is INT
+        F.size(words_expr("text")).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    out = docs.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
     return out.where(F.col("cum_tokens") <= F.lit(budget))
 
 
 def sample_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
     return f"""
 WITH d AS (
-  SELECT doc_id, lang, len({sql_words('text')}) AS n_tokens
+  SELECT doc_id, lang, CAST(len({sql_words('text')}) AS BIGINT) AS n_tokens
   FROM documents WHERE text IS NOT NULL
 ),
 c AS (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
            AS cum_tokens
   FROM d
 )
@@ -363,6 +367,7 @@ def decontam_ngram(
     sf_dir: str,
     n: int = DECONTAM_N,
     mod: int = DECONTAM_MOD,
+    max_broadcast_grams: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word n-gram with an evaluation set (the GPT-3 appendix-C /
@@ -371,12 +376,21 @@ def decontam_ngram(
 
     The "eval set" here is synthesized deterministically as the docs
     with doc_id % mod == 0 (~1%), mirroring production where the eval
-    suite is a tiny side input.
+    suite is a tiny side input.  CAVEAT: because this synthetic eval set
+    is a FIXED FRACTION of the corpus, its gram count grows with corpus
+    size — unlike a real eval suite (HellaSwag/MMLU/… ≈ 10^5 grams,
+    genuinely broadcastable at any corpus scale).  The operator therefore
+    sizes the bench side first (a bounded ``limit(k+1).count()`` over the
+    cached grams) and falls back to a shuffle hash join when it exceeds
+    ``max_broadcast_grams`` — so the plan stays valid even when the side
+    input is not tiny.
 
-    Scale shape: the eval gram set is tiny relative to the corpus →
-    **broadcast** inner join against the corpus's exploded distinct
-    grams, then one map-side-combined groupBy(doc_id). The 100-TB corpus
-    is never shuffled on gram; only (doc_id, n_shared) aggregates move."""
+    Scale shape (real eval suite): the eval gram set is tiny relative to
+    the corpus → **broadcast** inner join against the corpus's exploded
+    distinct grams, then one map-side-combined groupBy(doc_id).  The
+    100-TB corpus is never shuffled on gram; only (doc_id, n_shared)
+    aggregates move.  Oversized bench → one gram-keyed shuffle join,
+    still followed by the same map-side-combined aggregate."""
     # Gram extraction is an Arrow-batched pandas UDF, NOT the JVM
     # shingles_expr: Catalyst pushes the explode's size()/isnotnull guard
     # below the Generate and re-derives the whole tokenize+transform
@@ -387,11 +401,21 @@ def decontam_ngram(
     grams = _docs(spark, sf_dir).select(
         "doc_id", F.explode(_grams_udf(n)(F.col("text"))).alias("g")
     )
+    # Both the bench and corpus branches derive from `grams`; without a
+    # persist the pandas-UDF tokenization of the full corpus would run
+    # TWICE (once per branch) — ADVICE r2.  The cache also pays for the
+    # bench-size probe below.
+    grams = grams.persist()
     bench = (
         grams.where(F.col("doc_id") % mod == 0).select("g").distinct()
     )
     corpus = grams.where(F.col("doc_id") % mod != 0)
-    hits = corpus.join(F.broadcast(bench), "g")
+    # Broadcast only when the bench side is genuinely small; the probe is
+    # bounded (stops scanning once the cap is exceeded).
+    bench_small = (
+        bench.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
+    )
+    hits = corpus.join(F.broadcast(bench) if bench_small else bench, "g")
     return (
         hits.groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
@@ -411,6 +435,91 @@ corpus AS (SELECT * FROM g WHERE doc_id % {mod} <> 0)
 SELECT doc_id, count(*) AS n_shared
 FROM corpus JOIN bench USING (g)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------- combined text features
+
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four cheap per-document text operators in ONE pass: token
+    count, lang-ID (stopword overlap), winnowing fingerprint, and the
+    quality ratios/score.  One scan, pure column expressions, no
+    shuffle at all — exactly how a production pipeline runs them (the
+    operators share the tokenize, so fusing them is also the faster
+    plan).  Registered as one driver entry so the four operators fit a
+    single row of the driver's correctness window; the standalone
+    variants stay available (and pytest-covered) for à-la-carte use.
+
+    Quality ratio columns use −1 as the "no tokens" sentinel so the
+    frame stays filter-free and type-stable."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", words_expr("text").alias("w"))
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size("w")
+    word_chars = F.aggregate(
+        F.transform("w", lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    ).cast("double")
+    en = _stop_count(F.col("w"), ENGLISH)
+    de = _stop_count(F.col("w"), GERMAN)
+    guess = (
+        F.when((en == 0) & (de == 0), F.lit("unknown"))
+        .when(en >= de, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    sh = shingles_expr(F.col("w"), FP_SHINGLE)
+    fp = F.when(
+        F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    ).otherwise(F.md5("text"))
+    sep_ratio = (n_chars - word_chars) / n_chars
+    stop_ratio = en.cast("double") / n_tokens.cast("double")
+    quality = (
+        stop_ratio * F.lit(0.5)
+        + (F.lit(1.0) - sep_ratio) * F.lit(0.3)
+        + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(100.0) * F.lit(0.2)
+    )
+    guard = lambda c: F.when(n_tokens > 0, c).otherwise(F.lit(-1)).cast("long")
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        guess.alias("lang_guess"),
+        fp.alias("fingerprint"),
+        guard(e4(sep_ratio)).alias("sep_ratio_e4"),
+        guard(e4(stop_ratio)).alias("stop_ratio_e4"),
+        guard(e4(quality)).alias("quality_e4"),
+    )
+
+
+def text_features_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {sql_words('text')} AS w
+  FROM documents WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, text, w,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    len(w) AS n_tokens,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) AS word_chars,
+    CAST(len(list_filter(w, x -> list_contains({_sql_stoplist(ENGLISH)}, lower(x)))) AS DOUBLE) AS en,
+    CAST(len(list_filter(w, x -> list_contains({_sql_stoplist(GERMAN)}, lower(x)))) AS DOUBLE) AS de,
+    {sql_shingles('w', FP_SHINGLE)} AS sh
+  FROM d
+)
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(en AS BIGINT) AS en_hits,
+  CAST(de AS BIGINT) AS de_hits,
+  CASE WHEN en = 0 AND de = 0 THEN 'unknown'
+       WHEN en >= de THEN 'en' ELSE 'de' END AS lang_guess,
+  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, x -> md5(x)))
+       ELSE md5(text) END AS fingerprint,
+  CASE WHEN n_tokens > 0 THEN {sql_e4('(n_chars - word_chars) / n_chars')} ELSE -1 END AS sep_ratio_e4,
+  CASE WHEN n_tokens > 0 THEN {sql_e4('en / CAST(n_tokens AS DOUBLE)')} ELSE -1 END AS stop_ratio_e4,
+  CASE WHEN n_tokens > 0 THEN {sql_e4('en / CAST(n_tokens AS DOUBLE) * 0.5 + (1.0 - (n_chars - word_chars) / n_chars) * 0.3 + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.2')} ELSE -1 END AS quality_e4
+FROM m
 """
 
 
@@ -458,10 +567,11 @@ ORDER BY lang
 
 def queries():
     return {
-        "text_token_count": token_count,
-        "text_quality": text_quality,
-        "text_lang_id": lang_id,
-        "text_fingerprint": doc_fingerprint,
+        # token count + quality + lang-ID + fingerprint fused into one
+        # driver entry (one oracle value-checks all four operators) so
+        # the registry fits the driver's 50-entry correctness window;
+        # the standalone variants live in extra_queries() (pytest gate).
+        "text_features": text_features,
         "sample_token_budget": sample_token_budget,
         "text_bigram_pmi": text_bigram_pmi,
         "decontam_ngram": decontam_ngram,
@@ -471,12 +581,29 @@ def queries():
 
 def oracles():
     return {
-        "text_token_count": TOKEN_COUNT_SQL,
-        "text_quality": TEXT_QUALITY_SQL,
-        "text_lang_id": LANG_ID_SQL,
-        "text_fingerprint": FINGERPRINT_SQL,
+        "text_features": text_features_sql(),
         "sample_token_budget": sample_token_budget_sql(),
         "text_bigram_pmi": text_bigram_pmi_sql(),
         "decontam_ngram": decontam_ngram_sql(),
         "mix_proportions": MIX_PROPORTIONS_SQL,
+    }
+
+
+def extra_queries():
+    """Pytest-only entries: the standalone variants of the fused
+    text_features driver entry."""
+    return {
+        "text_token_count": token_count,
+        "text_quality": text_quality,
+        "text_lang_id": lang_id,
+        "text_fingerprint": doc_fingerprint,
+    }
+
+
+def extra_oracles():
+    return {
+        "text_token_count": TOKEN_COUNT_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "text_lang_id": LANG_ID_SQL,
+        "text_fingerprint": FINGERPRINT_SQL,
     }

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from veloci_spark import FieldConfig, IndexConfig, build_index
 from veloci_spark.executor import search
 from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.parser import ParserOptions
 
 QG_DOCS = [
     {"commonness": 123456, "ent_seq": "99999", "tags": ["nice", "cool"]},
@@ -109,11 +110,86 @@ def test_attributed_search(qg_index):  # :182-190
 
 
 def test_disabled_attributed_search(qg_index):  # :192-204
-    # parser disabled → the literal "ent_seq:99999" is searched on all
-    # fields and hits the tags[] value of doc 1337
+    # no_attributes → the literal "ent_seq:99999" is searched on all
+    # fields and hits the tags[] value of doc 1337 (the reference sets
+    # QueryParserOptions{no_attributes} for exactly this query)
+    hits = _run(
+        qg_index,
+        search_term="ent_seq:99999",
+        parser_options=ParserOptions(no_attributes=True),
+    )
+    assert len(hits) == 1
+    assert hits[0]["ent_seq"] == "1337"
+
+
+def test_parser_disabled_literal_search(qg_index):
+    # the stronger literal mode keeps matching too (back-compat surface)
     hits = _run(qg_index, search_term="ent_seq:99999", parser_disabled=True)
     assert len(hits) == 1
     assert hits[0]["ent_seq"] == "1337"
+
+
+# --- per-flag ParserOptions (QueryParserOptions, query_generator.rs:18-36),
+# each flag asserted independently --------------------------------------------
+
+def test_no_levensthein_flag(qg_index):
+    # "nice~1" with the flag: '~' is a term char → no tag is literally
+    # "nice~1", auto-lev(6 chars)=1 would still catch "nice"?  No: the
+    # dictionary distance nice→nice~1 is 2 (two appends), so nothing hits.
+    from veloci_spark.generator import generate_request as gr
+    from veloci_spark.request import leaves
+
+    req = gr(
+        qg_index,
+        QueryGeneratorParameters(
+            search_term="nice~1",
+            parser_options=ParserOptions(no_levensthein=True),
+        ),
+    )
+    terms = {(p.term, p.levenshtein) for p in leaves(req.search)}
+    assert all(t == "nice~1" for t, _ in terms)
+    # without the flag the suffix is parsed as an explicit distance
+    req2 = gr(qg_index, QueryGeneratorParameters(search_term="nice~1"))
+    terms2 = {(p.term, p.levenshtein) for p in leaves(req2.search)}
+    assert all(t == "nice" and lev == 1 for t, lev in terms2)
+
+
+def test_no_parentheses_flag(qg_index):
+    from veloci_spark.generator import generate_request as gr
+    from veloci_spark.request import leaves
+
+    req = gr(
+        qg_index,
+        QueryGeneratorParameters(
+            search_term="(nice)",
+            parser_options=ParserOptions(no_parentheses=True),
+        ),
+    )
+    assert {p.term for p in leaves(req.search)} == {r"\(nice\)"} or {
+        p.term for p in leaves(req.search)
+    } == {"(nice)"}
+    # without the flag the parens group and vanish
+    req2 = gr(qg_index, QueryGeneratorParameters(search_term="(nice)"))
+    assert {p.term for p in leaves(req2.search)} == {"nice"}
+
+
+def test_all_flags_code_paste(qg_index):
+    # test_code_search.rs:124-136 shape: a pasted code fragment with all
+    # three flags lexes purely on whitespace
+    from veloci_spark.generator import generate_request as gr
+    from veloci_spark.request import leaves
+
+    req = gr(
+        qg_index,
+        QueryGeneratorParameters(
+            search_term="myfun(param1: Type1)~x",
+            parser_options=ParserOptions(
+                no_parentheses=True, no_attributes=True, no_levensthein=True
+            ),
+        ),
+    )
+    terms = {p.term for p in leaves(req.search)}
+    assert terms == {"myfun(param1:", "Type1)~x"}
 
 
 def test_or_connect(qg_index):  # :207-216

@@ -17,7 +17,7 @@ from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
 from veloci_spark.index import Index
-from veloci_spark.parser import UserBinary, UserLeaf, parse_query
+from veloci_spark.parser import ParserOptions, UserBinary, UserLeaf, parse_query
 from veloci_spark.request import (
     AndNode,
     BoostPart,
@@ -59,6 +59,13 @@ class QueryGeneratorParameters:
     #: disable the DSL parser: the whole search_term is one literal token
     #: (tests/all/test_code_search.rs parser-disabled literal queries)
     parser_disabled: bool = False
+    #: per-flag lexer gating (QueryParserOptions,
+    #: query_generator.rs:18-36): no_parentheses / no_attributes /
+    #: no_levensthein demote their special characters to term chars
+    parser_options: Optional[ParserOptions] = None
+    #: separate options for the filter string (filter_parser_options,
+    #: query_generator.rs:80); defaults to parser_options when unset
+    filter_parser_options: Optional[ParserOptions] = None
 
 
 def auto_levenshtein(term: str, auto_limit: int, wildcard: bool) -> int:
@@ -175,10 +182,11 @@ def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
     else:
         fields = all_fields
 
+    popts = params.parser_options or ParserOptions()
     if params.parser_disabled:
         ast: object = UserLeaf(term=params.search_term)
     else:
-        ast = parse_query(params.search_term)
+        ast = parse_query(params.search_term, popts)
 
     search = _expand(ast, fields, params)
     if search is None:
@@ -193,7 +201,9 @@ def generate_request(index: Index, params: QueryGeneratorParameters) -> Request:
 
     filter_node: Optional[Node] = None
     if params.filter:
-        fast = parse_query(params.filter)
+        fast = parse_query(
+            params.filter, params.filter_parser_options or popts
+        )
         filter_node = _expand(fast, fields, params)
         if filter_node is not None:
             filter_node = simplify(filter_node)

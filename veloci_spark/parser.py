@@ -39,6 +39,19 @@ class UserBinary:
 UserAst = object  # UserLeaf | UserBinary
 
 
+@dataclass(frozen=True)
+class ParserOptions:
+    """Per-flag lexer gating, mirroring query_parser::Options
+    (/root/reference/query_parser/src/lib.rs:44-54, applied in
+    lexer.rs:24-39): each flag demotes its special character(s) to plain
+    term characters.  ``no_attributes`` additionally disables the
+    ``attr:term`` split, ``no_levensthein`` the ``term~N`` suffix."""
+
+    no_parentheses: bool = False
+    no_attributes: bool = False
+    no_levensthein: bool = False
+
+
 _TOKEN_RE = re.compile(
     r"""
     \s*(
@@ -51,12 +64,24 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+# no_parentheses: ( and ) are ordinary term characters (lexer.rs:24-25)
+_TOKEN_RE_NO_PARENS = re.compile(
+    r"""
+    \s*(
+        "[^"]*"       |
+        [^\s]+
+    )
+    """,
+    re.VERBOSE,
+)
 
-def _lex(q: str) -> list[str]:
+
+def _lex(q: str, options: ParserOptions = ParserOptions()) -> list[str]:
+    token_re = _TOKEN_RE_NO_PARENS if options.no_parentheses else _TOKEN_RE
     out = []
     pos = 0
     while pos < len(q):
-        m = _TOKEN_RE.match(q, pos)
+        m = token_re.match(q, pos)
         if not m:
             break
         out.append(m.group(1))
@@ -65,8 +90,9 @@ def _lex(q: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(self, tokens: list[str], options: ParserOptions = ParserOptions()):
         self.toks = tokens
+        self.options = options
         self.i = 0
 
     def peek(self) -> Optional[str]:
@@ -116,12 +142,17 @@ class _Parser:
     def parse_leaf(self) -> UserAst:
         tok = self.next()
         attr = None
-        # attr:term / attr:(...)
-        m = re.match(r"^([\w.\[\]]+):(.*)$", tok)
+        # attr:term / attr:(...) — ':' is a plain char under no_attributes
+        # (lexer.rs:39, 200)
+        m = None
+        if not self.options.no_attributes:
+            m = re.match(r"^([\w.\[\]]+):(.*)$", tok)
         if m and m.group(2) != "":
             attr = m.group(1)
             rest = m.group(2)
-            if rest == "(" or rest.startswith("("):
+            if not self.options.no_parentheses and (
+                rest == "(" or rest.startswith("(")
+            ):
                 # attr:(...) — re-lex the remainder plus following tokens
                 sub_tokens = []
                 if rest != "(":
@@ -137,7 +168,7 @@ class _Parser:
                             break
                     if depth > 0:
                         sub_tokens.append(t2)
-                sub = _Parser(sub_tokens).parse_or()
+                sub = _Parser(sub_tokens, self.options).parse_or()
                 return _attach_attr(sub, attr)
             tok = rest
         elif m and m.group(2) == "" and self.peek() == "(":
@@ -154,7 +185,10 @@ class _Parser:
             tok = tok[1:-1]
 
         lev = None
-        m2 = re.match(r"^(.*)~(\d+)$", tok)
+        m2 = None
+        if not self.options.no_levensthein:
+            # '~' is a plain term char under no_levensthein (lexer.rs:28, 38)
+            m2 = re.match(r"^(.*)~(\d+)$", tok)
         if m2 and not quoted:
             tok, lev = m2.group(1), int(m2.group(2))
         return UserLeaf(term=tok, levenshtein=lev, quoted=quoted, attr=attr)
@@ -167,8 +201,8 @@ def _attach_attr(node: UserAst, attr: str) -> UserAst:
     return UserBinary(node.op, _attach_attr(node.left, attr), _attach_attr(node.right, attr))
 
 
-def parse_query(q: str) -> UserAst:
-    tokens = _lex(q)
+def parse_query(q: str, options: ParserOptions = ParserOptions()) -> UserAst:
+    tokens = _lex(q, options)
     if not tokens:
         raise ValueError("empty query")
-    return _Parser(tokens).parse_or()
+    return _Parser(tokens, options).parse_or()

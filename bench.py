@@ -630,6 +630,51 @@ def run_decode_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int 
     return res
 
 
+def run_leaf_cache(sf_dir: str, cpus: int) -> dict:
+    """Cross-request leaf-LRU effect: the same OR-of-terms request run
+    repeatedly against one Index handle. First run resolves
+    dictionary+decode per leaf; repeats reuse the persisted raw leaf
+    aggregates (reference lru_cache semantics, persistence.rs:66)."""
+    os.environ["VELOCI_SPARK_INDEX_CACHE"] = "/tmp/veloci_spark_bench_cache"
+    spark = make_spark(cpus)
+    try:
+        from veloci_spark.entry_queries import documents_index, _run_request
+        from veloci_spark.request import OrNode, Request, SearchPart
+
+        idx = documents_index(spark, sf_dir)
+        req = Request(
+            search=OrNode(
+                tuple(
+                    SearchPart(field="text", term=t)
+                    for t in ("spark", "join", "filter")
+                )
+            )
+        )
+
+        def run():
+            t0 = time.time()
+            _run_request(spark, sf_dir, req, top=20).collect()
+            return round(time.time() - t0, 3)
+
+        idx.leaf_cache.clear()
+        cold = run()
+        warm = [run() for _ in range(3)]
+        res = {
+            "cold_sec": cold,
+            "warm_secs": warm,
+            "warm_best_sec": min(warm),
+            "speedup": round(cold / min(warm), 2),
+            "lru_hits": idx.leaf_cache.hits,
+            "lru_misses": idx.leaf_cache.misses,
+            "cpus": cpus,
+            "sf_dir": sf_dir,
+        }
+        idx.leaf_cache.clear()
+        return res
+    finally:
+        spark.stop()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -694,6 +739,23 @@ def main():
                 f"| {res['or_exhaustive']} | {res['or_wand']} | {res['or_blocks']} | "
                 f"{res['or_rank_identical']} | {res['bm25_exhaustive']} | "
                 f"{res['bm25_wand']} | {res['bm25_blocks']} | {res['bm25_rank_identical']} |\n"
+            )
+        return
+    if "--leaf-cache" in sys.argv:
+        res = run_leaf_cache(sf_dir, cpus)
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Leaf-LRU warm-repeat run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                "Same 3-term OR top-20 against one Index handle; repeats reuse "
+                "the persisted raw leaf aggregates (cross-request LRU, "
+                "reference persistence.rs:66-67):\n\n"
+                f"| run | latency (s) |\n|---|---|\n"
+                f"| cold | {res['cold_sec']} |\n"
+                f"| warm best of 3 | {res['warm_best_sec']} |\n\n"
+                f"speedup {res['speedup']}x, LRU {res['lru_hits']} hits / "
+                f"{res['lru_misses']} misses (local[{res['cpus']}], {res['sf_dir']})\n"
             )
         return
     if "--scaling-queries" in sys.argv:

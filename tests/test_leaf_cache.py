@@ -1,0 +1,86 @@
+"""Cross-request leaf LRU (reference persistence.rs:66-67 lru_cache /
+term_boost_cache): repeated queries against the same Index reuse the
+persisted raw leaf aggregate; filtered queries stay correct whether they
+hit a warm entry (post-agg semi-join) or resolve cold (pushed-down
+semi-join); eviction unpersists.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import veloci_spark as vs
+from veloci_spark.index import LeafLru
+from veloci_spark.request import OrNode, Request, SearchPart
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_root):
+    import os
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = vs.IndexConfig(
+        fields=(vs.FieldConfig("text"), vs.FieldConfig("lang")), block_docs=128
+    )
+    return vs.build_index(
+        spark, corpus, cfg, os.path.join(tmp_root, "leafcache_idx"), resume=False
+    )
+
+
+def _req(term="spark", filter_=None):
+    return Request(search=SearchPart(field="text", term=term), filter=filter_)
+
+
+def test_warm_query_hits_cache(idx):
+    idx.leaf_cache.clear()
+    h0, m0 = idx.leaf_cache.hits, idx.leaf_cache.misses
+    r1 = vs.search(idx, _req()).all_hits.collect()
+    assert idx.leaf_cache.misses == m0 + 1
+    r2 = vs.search(idx, _req()).all_hits.collect()
+    assert idx.leaf_cache.hits == h0 + 1
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_filtered_query_correct_warm_and_cold(idx):
+    filt = SearchPart(field="lang", term="en")
+    # cold: filter pushed below the agg (cache not consulted/populated)
+    idx.leaf_cache.clear()
+    cold = sorted(map(tuple, vs.search(idx, _req(filter_=filt)).all_hits.collect()))
+    # cold filtered: the cache is consulted (miss) but NOT populated —
+    # the pushed-down filtered aggregate is not a reusable raw leaf
+    assert idx.leaf_cache.hits == 0 and idx.leaf_cache.misses == 1
+    # warm the unfiltered leaf, then run the same filtered query: the
+    # executor semi-joins the cached aggregate post-agg — score-identical
+    vs.search(idx, _req()).all_hits.collect()
+    warm = sorted(map(tuple, vs.search(idx, _req(filter_=filt)).all_hits.collect()))
+    assert idx.leaf_cache.hits >= 1
+    assert cold == warm
+
+
+def test_boost_variants_share_raw_entry(idx):
+    from veloci_spark.request import BoostPart
+
+    idx.leaf_cache.clear()
+    vs.search(idx, _req()).all_hits.collect()
+    boosted = SearchPart(
+        field="text", term="spark", boosts=(BoostPart(path="n_chars", boost_fun="Add"),)
+    )
+    vs.search(idx, Request(search=boosted)).all_hits.collect()
+    # boost-stripped key ⇒ the boosted query reuses the raw aggregate
+    assert idx.leaf_cache.hits >= 1
+
+
+def test_lru_capacity_and_ttl(spark):
+    lru = LeafLru(capacity=2, ttl_sec=3600.0)
+    a = spark.range(1).persist()
+    b = spark.range(2)
+    c = spark.range(3)
+    lru.put("a", a)
+    lru.put("b", b)
+    lru.put("c", c)  # evicts "a"
+    assert lru.get("a") is None
+    assert lru.get("b") is not None and lru.get("c") is not None
+    # TTL expiry
+    lru2 = LeafLru(capacity=2, ttl_sec=-1.0)
+    lru2.put("x", spark.range(1))
+    assert lru2.get("x") is None
+    lru.clear()

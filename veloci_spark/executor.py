@@ -19,6 +19,8 @@ doesn't do them automatically:
 
 from __future__ import annotations
 
+import dataclasses
+
 from dataclasses import dataclass, field as dc_field
 from typing import Optional
 
@@ -103,20 +105,40 @@ class _Executor:
         key = part
         if key in self._leaf_cache:
             return self._leaf_cache[key]
-        terms = match_terms(self.index, part)
-        postings = self.index.postings_for(part.field, terms)
-        if self._filter_ids is not None:
-            # filter pushdown below the aggregation (search_field.rs:423);
-            # plain semi-join — AQE decides broadcast vs shuffle, like the
-            # reference's Set-vs-Vec fallback for >100k filter ids
-            # (filter_result.rs:10-18)
-            postings = postings.join(self._filter_ids, "doc_id", "left_semi")
-        joined = postings.join(F.broadcast(terms), "term_id")
-        hits = joined.groupBy("doc_id").agg(
-            F.max(
-                F.col("term_score") * (F.col("score").cast("double") / F.lit(100.0))
-            ).alias("score")
-        )
+        # Cross-request LRU (reference lru_cache, persistence.rs:66): the
+        # cacheable unit is the raw post-agg leaf WITHOUT boosts (applied
+        # below) and WITHOUT the filter — and only consulted when no
+        # filter is being pushed below the agg, so cold filtered queries
+        # keep the pushed-down plan (the agg sees fewer rows) while warm
+        # repeat queries skip dictionary+decode entirely.  Filtering the
+        # cached aggregate post-agg WOULD be score-identical (the filter
+        # removes whole doc_ids; per-doc max is unchanged), so a warm
+        # entry is still usable under a filter.
+        raw_key = dataclasses.replace(part, boosts=())
+        raw = self.index.leaf_cache.get(raw_key)
+        if raw is None:
+            terms = match_terms(self.index, part)
+            postings = self.index.postings_for(part.field, terms)
+            filtered = postings
+            if self._filter_ids is not None:
+                # filter pushdown below the aggregation
+                # (search_field.rs:423); plain semi-join — AQE decides
+                # broadcast vs shuffle, like the reference's Set-vs-Vec
+                # fallback for >100k filter ids (filter_result.rs:10-18)
+                filtered = postings.join(self._filter_ids, "doc_id", "left_semi")
+            joined = filtered.join(F.broadcast(terms), "term_id")
+            hits = joined.groupBy("doc_id").agg(
+                F.max(
+                    F.col("term_score")
+                    * (F.col("score").cast("double") / F.lit(100.0))
+                ).alias("score")
+            )
+            if self._filter_ids is None:
+                hits = self.index.leaf_cache.put(raw_key, hits)
+        else:
+            hits = raw
+            if self._filter_ids is not None:
+                hits = hits.join(self._filter_ids, "doc_id", "left_semi")
         for bp in self._matching_nested_boosts(part):
             hits = self.apply_nested_boost(part, hits, bp)
         # per-leaf boosts (options.boost on the search part): part of the

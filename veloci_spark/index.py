@@ -21,6 +21,64 @@ from veloci_spark.codec import decode_block
 FLAT_SCHEMA = "term_id long, doc_id long, score long"
 
 
+class LeafLru:
+    """Cross-request LRU of resolved leaf DataFrames — the Spark analogue
+    of the reference's per-field ``lru_cache`` / 1-h-TTL
+    ``term_boost_cache`` (persistence.rs:66-67, 375-376; boost.rs uses
+    the same shape).  Values are ``.persist()``-ed frames; eviction
+    (capacity or TTL) unpersists them, so executor memory is bounded by
+    ``capacity`` leaf aggregates.
+
+    Same defaults as the reference: capacity 10, TTL 3600 s."""
+
+    def __init__(self, capacity: int = 10, ttl_sec: float = 3600.0):
+        from collections import OrderedDict
+
+        self.capacity = capacity
+        self.ttl_sec = ttl_sec
+        self._d: "OrderedDict[object, tuple[DataFrame, float]]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _now(self) -> float:
+        import time
+
+        return time.monotonic()
+
+    def get(self, key) -> DataFrame | None:
+        ent = self._d.get(key)
+        if ent is None:
+            self.misses += 1
+            return None
+        df, expiry = ent
+        if self._now() > expiry:
+            del self._d[key]
+            df.unpersist()
+            self.misses += 1
+            return None
+        self._d.move_to_end(key)
+        self.hits += 1
+        return df
+
+    def put(self, key, df: DataFrame) -> DataFrame:
+        if self.capacity <= 0:
+            return df
+        df = df.persist()
+        self._d[key] = (df, self._now() + self.ttl_sec)
+        self._d.move_to_end(key)
+        while len(self._d) > self.capacity:
+            _, (old, _exp) = self._d.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def clear(self) -> None:
+        while self._d:
+            _, (old, _exp) = self._d.popitem()
+            old.unpersist()
+        self.hits = 0
+        self.misses = 0
+
+
 class Index:
     """Unified v2 layout: one table per index kind at the root, written
     ``partitionBy("field")`` — a per-field read is a partition-pruned scan
@@ -38,6 +96,9 @@ class Index:
             )
         self.block_docs: int = self.manifest["block_docs"]
         self._cache: dict[str, DataFrame] = {}
+        # cross-request resolved-leaf cache (reference Persistence LRUs);
+        # consulted by the executor for unfiltered leaf aggregates
+        self.leaf_cache = LeafLru()
 
     # ------------------------------------------------------------- tables
     def field_names(self) -> list[str]:

@@ -181,7 +181,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
                 .collect()[0][0]
             )
 
-        total = round(build_sec + sum(per_query.values()), 3)
+        # `value` = Σ of every COLD build (documents + nested + code; each
+        # preceded by an rmtree of its output dir, so no resume cache can
+        # be hit) + the warm per-query minimums.  Keeping all three builds
+        # in the total makes the headline internally consistent
+        # (VERDICT r2 #6: the round-2 value omitted the nested/code
+        # builds, so Σ parts exceeded it).
+        total = round(
+            build_sec + nested_build_sec + code_build_sec
+            + sum(per_query.values()),
+            3,
+        )
         sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
         return {
             "metric": "index_build_plus_query_wall",
@@ -192,6 +202,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             "index_build_sec": round(build_sec, 3),
             "nested_index_build_sec": round(nested_build_sec, 3),
             "code_index_build_sec": round(code_build_sec, 3),
+            "build_mode": "cold (rmtree before each build; no resume cache)",
             "docs_per_sec": round(n_docs / build_sec, 1),
             "ann_bucket_max_occupancy": occupancy,
             "n_docs": n_docs,

@@ -1,0 +1,179 @@
+"""REST-shim round-trips of the reference server's documented request
+JSONs (rocket_server.rs:110-446; request shapes from
+/root/reference/tests/all/tests.rs — `search_req` trees, skip, select,
+why_found — and query_generator.rs parameter JSON). Drives
+VelociApp.handle directly (rocket local-client style, no socket).
+"""
+
+import os
+
+import pytest
+
+import veloci_spark as vs
+from veloci_spark.server import VelociApp
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_root):
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = vs.IndexConfig(
+        fields=(
+            vs.FieldConfig("text", store_texts=True),
+            vs.FieldConfig("lang"),
+        ),
+        block_docs=128,
+    )
+    path = os.path.join(tmp_root, "server_idx")
+    vs.build_index(spark, corpus, cfg, path, resume=False)
+    return VelociApp(spark, {"docs": path})
+
+
+def test_version(app):
+    assert app.handle("GET", "/version") == (200, "0.8")
+
+
+def test_post_search_single_leaf(app):
+    # tests.rs:441-446 shape
+    status, res = app.handle(
+        "POST",
+        "/docs/search",
+        body={
+            "search_req": {"search": {"terms": ["spark"], "path": "text"}},
+            "top": 5,
+        },
+    )
+    assert status == 200
+    assert set(res) >= {"execution_time_ns", "num_hits", "data"}
+    assert res["num_hits"] > 0 and len(res["data"]) <= 5
+    first = res["data"][0]
+    assert set(first) >= {"doc", "hit"}
+    assert set(first["hit"]) == {"id", "score"}
+    assert "text" in first["doc"] and "lang" in first["doc"]
+
+
+def test_post_search_or_tree_and_skip(app):
+    # tests.rs:369-380 (or tree) + :309-316 (skip beyond result set)
+    body = {
+        "search_req": {
+            "or": {
+                "queries": [
+                    {"search": {"terms": ["spark"], "path": "text"}},
+                    {"search": {"terms": ["join"], "path": "text"}},
+                ]
+            }
+        },
+        "top": 5,
+    }
+    status, res = app.handle("POST", "/docs/search", body=body)
+    assert status == 200 and res["num_hits"] > 0
+    status, res2 = app.handle(
+        "POST", "/docs/search", body={**body, "skip": 100000}
+    )
+    assert status == 200 and res2["data"] == []
+
+
+def test_post_search_select(app):
+    status, res = app.handle(
+        "POST",
+        "/docs/search",
+        body={
+            "search_req": {"search": {"terms": ["spark"], "path": "text"}},
+            "select": ["lang"],
+            "top": 3,
+        },
+    )
+    assert status == 200
+    assert all(set(d["doc"]) == {"lang"} for d in res["data"])
+
+
+def test_post_search_why_found_and_facets(app):
+    status, res = app.handle(
+        "POST",
+        "/docs/search",
+        body={
+            "search_req": {"search": {"terms": ["spark"], "path": "text"}},
+            "why_found": True,
+            "facets": [{"field": "lang"}],
+            "top": 3,
+        },
+    )
+    assert status == 200
+    assert "facets" in res and "lang" in res["facets"]
+    assert all(isinstance(pair[1], int) for pair in res["facets"]["lang"])
+    wf = res["data"][0].get("why_found")
+    assert wf and "text" in wf
+    assert any("<b>" in s for s in wf["text"])
+
+
+def test_get_search_query_params(app):
+    status, res = app.handle(
+        "GET", "/docs/search", query={"query": "spark", "top": "5"}
+    )
+    assert status == 200 and res["num_hits"] > 0
+
+
+def test_get_search_boost_fields_parse_error(app):
+    status, res = app.handle(
+        "GET",
+        "/docs/search",
+        query={"query": "spark", "boost_fields": "text->notafloat"},
+    )
+    assert status == 400
+    assert "float" in res["error"]
+
+
+def test_post_search_query_params(app):
+    status, res = app.handle(
+        "POST",
+        "/docs/search_query_params",
+        body={
+            "search_term": "spark OR join",
+            "top": 5,
+            "parser_options": {"no_attributes": True},
+        },
+    )
+    assert status == 200 and res["num_hits"] > 0
+
+
+def test_suggest_post_and_get(app):
+    status, res = app.handle(
+        "POST",
+        "/docs/suggest",
+        body={"suggest": [{"terms": ["sp"], "path": "text"}], "top": 5},
+    )
+    assert status == 200 and res
+    # SuggestFieldResult shape: [text, score, term_id]
+    assert all(
+        len(t) == 3 and isinstance(t[0], str) and isinstance(t[2], int)
+        for t in res
+    )
+    status, res_get = app.handle(
+        "GET", "/docs/suggest", query={"query": "sp", "top": "5"}
+    )
+    assert status == 200 and [t[0] for t in res_get] == [t[0] for t in res]
+    # only suggest allowed in the suggest function (search_field.rs:198)
+    status, err = app.handle("POST", "/docs/suggest", body={})
+    assert status == 400
+
+
+def test_highlight_post(app):
+    status, res = app.handle(
+        "POST", "/docs/highlight", body={"terms": ["spark"], "path": "text"}
+    )
+    assert status == 200 and res
+    assert all(len(t) == 3 for t in res)
+    assert any("<b>" in t[2] for t in res)
+
+
+def test_get_doc_by_id(app):
+    status, doc = app.handle("GET", "/docs/_id/3")
+    assert status == 200 and "text" in doc and "doc_id" not in doc
+    status, err = app.handle("GET", "/docs/_id/999999")
+    assert status == 400
+
+
+def test_unknown_db_and_route(app):
+    status, err = app.handle("GET", "/nope/search", query={"query": "x"})
+    assert status == 400
+    status, err = app.handle("GET", "/badpath")
+    assert status == 400

@@ -1,0 +1,475 @@
+"""HTTP-shaped thin surface: the reference rocket server's request /
+response schema (/root/reference/server/rocket_server.rs:110-446) mapped
+onto the engine's generate_request / search / suggest / highlight.
+
+Parity target is the WIRE SCHEMA, not serving scale — on a cluster the
+API surface is spark-submit jobs (jobs/); this shim exists so a client
+of the reference's REST endpoints can speak the same JSON to a
+driver-local port:
+
+- ``GET  /version``
+- ``POST /<db>/search``                 body = search::Request JSON tree
+- ``GET  /<db>/search?query=…``         QueryParams → query generator
+- ``POST /<db>/search_query_params``    body = SearchQueryGeneratorParameters
+- ``POST /<db>/suggest`` / ``GET /<db>/suggest?query=…``
+- ``POST /<db>/highlight``              body = RequestSearchPart
+- ``GET  /<db>/_id/<id>``               doc store row
+- ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
+
+Responses mirror SearchResultWithDoc / SuggestFieldResult
+(search_result_with_doc.rs:5-31, search_field.rs:158):
+``{"execution_time_ns", "num_hits", "data": [{"doc", "hit": {"id",
+"score"}, "why_found"?, "explain"?}], "facets"?}`` and
+``[[text, score, term_id], …]``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession, functions as F
+
+from veloci_spark.executor import search
+from veloci_spark.generator import QueryGeneratorParameters, generate_request
+from veloci_spark.index import Index
+from veloci_spark.parser import ParserOptions
+from veloci_spark.request import (
+    AndNode,
+    BoostPart,
+    FacetRequest,
+    Node,
+    OrNode,
+    PhraseBoost,
+    Request,
+    SearchPart,
+)
+
+
+class HttpError(Exception):
+    def __init__(self, status: int, msg: str):
+        super().__init__(msg)
+        self.status = status
+        self.msg = msg
+
+
+# ------------------------- request JSON -> Request -------------------------
+
+def _boost_part_from_json(d: dict) -> BoostPart:
+    """RequestBoostPart serde shape (boost_request.rs:1-33)."""
+    return BoostPart(
+        path=d["path"],
+        boost_fun=d.get("boost_fun", "Log10"),
+        param=float(d.get("param", 0.0)),
+        skip_when_score=tuple(d.get("skip_when_score") or ()),
+        expression=d.get("expression"),
+    )
+
+
+def _search_part_from_json(d: dict, opts: Optional[dict] = None) -> SearchPart:
+    """RequestSearchPart serde shape (search_request.rs:127-170)."""
+    tv = d.get("token_value")
+    boosts = tuple(
+        _boost_part_from_json(b) for b in (opts or {}).get("boost") or ()
+    )
+    return SearchPart(
+        field=d["path"],
+        term=d["terms"][0],
+        levenshtein=d.get("levenshtein_distance"),
+        starts_with=bool(d.get("starts_with", False)),
+        is_regex=bool(d.get("is_regex", False)),
+        ignore_case=bool(d.get("ignore_case", True)),
+        boost=d.get("boost"),
+        top=(opts or {}).get("top"),
+        skip=(opts or {}).get("skip"),
+        token_value=_boost_part_from_json(tv) if tv else None,
+        boosts=boosts,
+    )
+
+
+def _tree_from_json(d: dict) -> Node:
+    """SearchRequest serde enum: {"or"|"and": {"queries": […],
+    "options"?}, } | {"search": RequestSearchPart}."""
+    if "search" in d:
+        return _search_part_from_json(d["search"])
+    for key, ctor in (("or", OrNode), ("and", AndNode)):
+        if key in d:
+            tree = d[key]
+            parts = tuple(_tree_from_json(q) for q in tree["queries"])
+            opts = tree.get("options")
+            if opts:
+                parts = tuple(
+                    _apply_tree_options(p, opts) for p in parts
+                )
+            return ctor(parts)
+    raise HttpError(400, f"unknown SearchRequest node: {sorted(d)}")
+
+
+def _apply_tree_options(node: Node, opts: dict) -> Node:
+    import dataclasses
+
+    if isinstance(node, SearchPart):
+        extra = tuple(_boost_part_from_json(b) for b in opts.get("boost") or ())
+        return dataclasses.replace(
+            node,
+            top=node.top if node.top is not None else opts.get("top"),
+            skip=node.skip if node.skip is not None else opts.get("skip"),
+            boosts=node.boosts + extra,
+        )
+    return node
+
+
+def request_from_json(d: dict) -> Request:
+    """search::Request serde shape (request/mod.rs:14-88)."""
+    search_node = (
+        _tree_from_json(d["search_req"]) if d.get("search_req") else None
+    )
+    filter_node = _tree_from_json(d["filter"]) if d.get("filter") else None
+    phrase_boosts = []
+    for pb in d.get("phrase_boosts") or ():
+        s1, s2 = pb["search1"], pb["search2"]
+        phrase_boosts.append(
+            PhraseBoost(
+                field=s1["path"],
+                term1=s1["terms"][0],
+                term2=s2["terms"][0],
+                levenshtein1=s1.get("levenshtein_distance"),
+                levenshtein2=s2.get("levenshtein_distance"),
+            )
+        )
+    return Request(
+        search=search_node,
+        filter=filter_node,
+        boost=tuple(_boost_part_from_json(b) for b in d.get("boost") or ()),
+        boost_term=tuple(
+            _search_part_from_json(p) for p in d.get("boost_term") or ()
+        ),
+        phrase_boosts=tuple(phrase_boosts),
+        facets=tuple(
+            FacetRequest(field=f["field"], top=f.get("top", 10))
+            for f in d.get("facets") or ()
+        ),
+        top=d.get("top", 10),
+        skip=d.get("skip", 0),
+        text_locality=bool(d.get("text_locality", False)),
+        why_found=bool(d.get("why_found", False)),
+        explain=bool(d.get("explain", False)),
+        select=tuple(d["select"]) if d.get("select") else None,
+    )
+
+
+# --------------------- generator params JSON / QueryParams ------------------
+
+def _parser_options_from_json(d: Optional[dict]) -> Optional[ParserOptions]:
+    if not d:
+        return None
+    return ParserOptions(
+        no_parentheses=bool(d.get("no_parentheses", False)),
+        no_attributes=bool(d.get("no_attributes", False)),
+        no_levensthein=bool(d.get("no_levensthein", False)),
+    )
+
+
+def generator_params_from_json(d: dict) -> QueryGeneratorParameters:
+    """SearchQueryGeneratorParameters serde shape
+    (query_generator.rs:47-83)."""
+    return QueryGeneratorParameters(
+        search_term=d["search_term"],
+        fields=d.get("fields"),
+        boost_fields=d.get("boost_fields") or {},
+        boost_terms=d.get("boost_terms") or {},
+        levenshtein=d.get("levenshtein"),
+        levenshtein_auto_limit=d.get("levenshtein_auto_limit", 1),
+        ignore_case=d.get("ignore_case", True),
+        phrase_pairs=bool(d.get("phrase_pairs", False)),
+        facets=d.get("facets"),
+        facetlimit=d.get("facetlimit") or 10,
+        filter=d.get("filter"),
+        select=d.get("select"),
+        why_found=bool(d.get("why_found", False)),
+        text_locality=bool(d.get("text_locality", False)),
+        explain=bool(d.get("explain", False)),
+        top=d.get("top") or 10,
+        skip=d.get("skip") or 0,
+        stopword_lists=tuple(d.get("stopword_lists") or ()),
+        parser_options=_parser_options_from_json(d.get("parser_options")),
+        filter_parser_options=_parser_options_from_json(
+            d.get("filter_parser_options")
+        ),
+    )
+
+
+def _split_csv(v: Optional[str]) -> Optional[list[str]]:
+    return v.split(",") if v else None
+
+
+def generator_params_from_query_params(q: dict) -> QueryGeneratorParameters:
+    """GET ?query=… QueryParams (rocket_server.rs:64-88, 180-245):
+    comma-separated lists, ``field->factor`` boost pairs."""
+
+    def _boost_map(v: Optional[str], default: Optional[float] = None) -> dict:
+        out: dict[str, float] = {}
+        for el in _split_csv(v) or ():
+            name, _, factor = el.partition("->")
+            if factor:
+                try:
+                    out[name] = float(factor)
+                except ValueError:
+                    raise HttpError(400, "Could not parse boost value as float")
+            elif default is not None:
+                out[name] = default
+            else:
+                raise HttpError(400, f"missing ->factor in {el!r}")
+        return out
+
+    def _flag(name: str) -> bool:
+        return str(q.get(name, "")).lower() == "true"
+
+    if "query" not in q:
+        raise HttpError(400, "missing query parameter")
+    return QueryGeneratorParameters(
+        search_term=q["query"],
+        fields=_split_csv(q.get("fields")),
+        boost_fields=_boost_map(q.get("boost_fields")),
+        boost_terms=_boost_map(q.get("boost_terms"), default=2.0),
+        levenshtein=int(q["levenshtein"]) if q.get("levenshtein") else None,
+        levenshtein_auto_limit=int(q.get("levenshtein_auto_limit") or 1),
+        phrase_pairs=_flag("phrase_pairs"),
+        facets=_split_csv(q.get("facets")),
+        facetlimit=int(q.get("facetlimit") or 10),
+        filter=q.get("filter"),
+        select=_split_csv(q.get("select")),
+        why_found=_flag("why_found"),
+        text_locality=_flag("text_locality"),
+        explain=_flag("explain"),
+        top=int(q.get("top") or 10),
+        skip=int(q.get("skip") or 0),
+        stopword_lists=tuple(_split_csv(q.get("stopword_lists")) or ()),
+    )
+
+
+# ------------------------------ result JSON -------------------------------
+
+def _row_to_doc(row: dict, meta_cols: set[str]) -> dict:
+    return {k: v for k, v in row.items() if k not in meta_cols}
+
+
+def search_result_to_json(
+    index: Index, request: Request, t0_ns: int
+) -> dict:
+    res = search(index, request)
+    hits = res.hits
+    if request.select is None:
+        # reference always returns the document (to_search_result); join
+        # the full doc store for the columns not already carried (e.g. a
+        # why_found pass fetches its source fields itself)
+        missing = [
+            c for c in index.docstore().columns
+            if c != "doc_id" and c not in hits.columns
+        ]
+        if missing:
+            hits = (
+                hits.join(
+                    index.docstore().select("doc_id", *missing), "doc_id"
+                )
+                .orderBy(F.desc("score"), F.desc("doc_id"))
+            )
+    rows = [r.asDict(recursive=True) for r in hits.collect()]
+    meta = {"doc_id", "score", "explain"} | {
+        c for c in hits.columns if c.startswith("why_found_")
+    }
+    data = []
+    for r in rows:
+        ent: dict[str, Any] = {
+            "doc": _row_to_doc(r, meta),
+            "hit": {"id": int(r["doc_id"]), "score": float(r["score"])},
+        }
+        wf = {
+            c[len("why_found_"):]: (
+                v if isinstance(v := r[c], list) else [v]
+            )
+            for c in r
+            if c.startswith("why_found_") and r[c] is not None
+        }
+        if wf:
+            ent["why_found"] = wf
+        if r.get("explain") is not None:
+            ent["explain"] = r["explain"]
+        data.append(ent)
+    out: dict[str, Any] = {
+        "execution_time_ns": time.monotonic_ns() - t0_ns,
+        "num_hits": res.all_hits.count(),
+        "data": data,
+    }
+    if res.facets:
+        out["facets"] = {
+            f: [[row["value"], row["count"]] for row in df.collect()]
+            for f, df in res.facets.items()
+        }
+    return out
+
+
+# --------------------------------- app ------------------------------------
+
+class VelociApp:
+    """Route dispatch, socket-free (the HTTP wrapper below is optional —
+    tests drive ``handle`` directly, like rocket's local client)."""
+
+    def __init__(self, spark: SparkSession, databases: dict[str, str]):
+        self.spark = spark
+        self.db_paths = dict(databases)
+        self._dbs: dict[str, Index] = {}
+
+    def ensure_database(self, db: str) -> Index:
+        if db not in self._dbs:
+            if db not in self.db_paths:
+                raise HttpError(400, f"unknown database {db!r}")
+            self._dbs[db] = Index(self.spark, self.db_paths[db])
+        return self._dbs[db]
+
+    def handle(
+        self,
+        method: str,
+        path: str,
+        query: Optional[dict] = None,
+        body: Optional[dict] = None,
+    ) -> tuple[int, Any]:
+        query = query or {}
+        try:
+            return 200, self._route(method, path, query, body)
+        except HttpError as e:
+            return e.status, {"error": e.msg}
+        except (ValueError, KeyError) as e:
+            return 400, {"error": f"query_generation failed: {e}"}
+
+    def _route(self, method: str, path: str, query: dict, body) -> Any:
+        if method == "GET" and path == "/version":
+            return "0.8"
+        m = re.match(r"^/([^/]+)/(.+)$", path)
+        if not m:
+            raise HttpError(400, f"unknown route {path}")
+        db, rest = m.group(1), m.group(2)
+        idx = self.ensure_database(db)
+        t0 = time.monotonic_ns()
+        if rest == "search" and method == "POST":
+            return search_result_to_json(idx, request_from_json(body), t0)
+        if rest == "search" and method == "GET":
+            params = generator_params_from_query_params(query)
+            return search_result_to_json(idx, generate_request(idx, params), t0)
+        if rest == "search_query_params" and method == "POST":
+            params = generator_params_from_json(body)
+            return search_result_to_json(idx, generate_request(idx, params), t0)
+        if rest == "suggest":
+            return self._suggest(idx, method, query, body)
+        if rest == "highlight" and method == "POST":
+            from veloci_spark.suggest import highlight_entry
+
+            part = _search_part_from_json(body)
+            return [
+                [r["text"], float(r["score"]), r["highlighted"]]
+                for r in highlight_entry(idx, part).collect()
+            ]
+        m_id = re.match(r"^_id/(\d+)$", rest)
+        if m_id and method == "GET":
+            doc_id = int(m_id.group(1))
+            rows = idx.docstore().where(F.col("doc_id") == doc_id).collect()
+            if not rows:
+                raise HttpError(400, f"doc {doc_id} not found")
+            return {
+                k: v
+                for k, v in rows[0].asDict(recursive=True).items()
+                if k != "doc_id"
+            }
+        m_ins = re.match(r"^inspect/([^/]+)/(\d+)$", rest)
+        if m_ins and method == "GET":
+            field, vid = m_ins.group(1), int(m_ins.group(2))
+            tt = (
+                idx.token_texts(field)
+                .where(F.col("term_id") == vid)
+                .select("text_id")
+                .collect()
+            )
+            return [int(r["text_id"]) for r in tt]
+        raise HttpError(400, f"unknown route {method} {path}")
+
+    def _suggest(self, idx: Index, method: str, query: dict, body) -> list:
+        from veloci_spark.suggest import suggest as suggest_fn
+
+        if method == "POST":
+            parts = [
+                _search_part_from_json(p) for p in (body or {}).get("suggest") or ()
+            ]
+            if not parts:
+                raise HttpError(400, "only suggest allowed in suggest function")
+            term = parts[0].term
+            fields = [p.field for p in parts]
+            lev = parts[0].levenshtein
+            top, skip = (body.get("top") or 10), (body.get("skip") or 0)
+        else:
+            if "query" not in query:
+                raise HttpError(400, "missing query parameter")
+            term = query["query"]
+            fields = _split_csv(query.get("fields")) or None
+            lev = int(query["levenshtein"]) if query.get("levenshtein") else None
+            top, skip = int(query.get("top") or 10), int(query.get("skip") or 0)
+        rows = suggest_fn(
+            idx, term, fields=fields, levenshtein=lev, top=top, skip=skip
+        ).collect()
+        # SuggestFieldResult = Vec<(text, score, term_id)>; the merged
+        # term_id is the min over the queried fields' dictionaries
+        dicts = None
+        for f in fields or idx.field_names():
+            d = idx.dictionary(f).select("term", "term_id")
+            dicts = d if dicts is None else dicts.unionAll(d)
+        tid = {
+            r["term"]: int(r["tid"])
+            for r in dicts.groupBy("term")
+            .agg(F.min("term_id").alias("tid"))
+            .join(
+                self.spark.createDataFrame(
+                    [(r["text"],) for r in rows] or [("",)], "term string"
+                ),
+                "term",
+                "left_semi",
+            )
+            .collect()
+        }
+        return [
+            [r["text"], float(r["score"]), tid.get(r["text"], 0)] for r in rows
+        ]
+
+
+def serve(app: VelociApp, port: int = 3000):  # pragma: no cover - manual
+    """Minimal stdlib HTTP wrapper around ``VelociApp.handle``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlsplit
+
+    class H(BaseHTTPRequestHandler):
+        def _respond(self, method):
+            u = urlsplit(self.path)
+            q = dict(parse_qsl(u.query))
+            body = None
+            n = int(self.headers.get("Content-Length") or 0)
+            if n:
+                body = json.loads(self.rfile.read(n))
+            status, obj = app.handle(method, u.path, q, body)
+            payload = json.dumps(obj, default=str).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            self._respond("GET")
+
+        def do_POST(self):
+            self._respond("POST")
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), H)
+    srv.serve_forever()

@@ -226,6 +226,24 @@ def test_select_fields(jm_index):  # tests.rs:439-453
     assert list(rows[0]["tags[]"]) == ["nice"]
 
 
+def test_select_fields_stringified(jm_index):
+    """read_document.rs:8-59 byte parity mode: every reconstructed leaf is
+    the stored text — numbers come back as strings at every nesting level
+    (the deviation table's native-types default stays the default)."""
+    res = search(
+        jm_index,
+        Request(
+            search=SearchPart("kanji[].text", "意慾"),
+            select=("commonness", "kanji[].commonness", "ent_seq"),
+            select_stringify=True,
+        ),
+    )
+    rows = res.hits.collect()
+    assert rows[0]["ent_seq"] == "1587700"
+    assert rows[0]["commonness"] == "500"  # stringified like the reference
+    assert all(isinstance(v, str) for v in rows[0]["kanji[].commonness"])
+
+
 def test_two_tokens_to_the_same_anchor(jm_index):  # tests.rs:456-469
     hits = _docs(
         jm_index,

@@ -628,6 +628,25 @@ def _attach_explain(
     return out.drop(*drop).orderBy(F.desc("score"), F.desc("doc_id"))
 
 
+
+def _stringify_col(col: Column, dt) -> Column:
+    """Leaf-stringification of an arbitrarily nested column
+    (read_document.rs:8-59: every reconstructed value is the stored
+    text, so scalars come back as strings at every nesting level)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    if isinstance(dt, ArrayType):
+        return F.transform(col, lambda x: _stringify_col(x, dt.elementType))
+    if isinstance(dt, StructType):
+        return F.struct(
+            *[
+                _stringify_col(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+    return col.cast("string")
+
+
 def search(index: Index, request: Request) -> SearchResult:
     ex = _Executor(index, request)
 
@@ -751,6 +770,15 @@ def search(index: Index, request: Request) -> SearchResult:
             .select("doc_id", "score", *carry, *sel_cols)
             .orderBy(F.desc("score"), F.desc("doc_id"))
         )
+        if request.select_stringify:
+            # read_document.rs parity: every reconstructed leaf is the
+            # stored text — recurse arrays/structs, cast leaves to string
+            for s in request.select:
+                # backtick-quote: select names like "kanji[].commonness"
+                # are flat column names, not struct field references
+                topk = topk.withColumn(
+                    s, _stringify_col(F.col(f"`{s}`"), topk.schema[s].dataType)
+                )
 
     # why_found: highlighted snippets for the selected text fields on the
     # top-k rows only (search.rs:220-224, why_found.rs:11-49)

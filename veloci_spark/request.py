@@ -125,6 +125,13 @@ class Request:
     explain: bool = False
     #: columns to project from the doc store for the result rows
     select: Optional[tuple[str, ...]] = None
+    #: byte parity with the reference's document reconstruction
+    #: (read_document.rs:8-59 returns every leaf as the stored TEXT, so
+    #: numbers come back as "500"): cast every selected leaf — including
+    #: inside arrays/structs — to string. Off by default (native Spark
+    #: types are the documented deviation; the reference flags its own
+    #: stringification as a TODO).
+    select_stringify: bool = False
 
 
 def simplify(node: Node) -> Node:

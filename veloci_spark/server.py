@@ -157,6 +157,7 @@ def request_from_json(d: dict) -> Request:
         why_found=bool(d.get("why_found", False)),
         explain=bool(d.get("explain", False)),
         select=tuple(d["select"]) if d.get("select") else None,
+        select_stringify=bool(d.get("select_stringify", False)),
     )
 
 

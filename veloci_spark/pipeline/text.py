@@ -523,6 +523,107 @@ FROM m
 """
 
 
+# --------------------------------------------- repetition quality (Gopher)
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1): the
+    fraction of duplicate lines and the fraction of word bigrams taken
+    by the single most frequent bigram — the standard signals for
+    boilerplate / spam / degenerate repetition in a pretraining corpus.
+
+    Output: (doc_id, n_lines, dup_line_frac_e4, top_bigram_frac_e4);
+    −1 sentinels when a denominator is 0 (no lines / <1 bigram).
+
+    Scale shape: the line metric is a pure column expression (no
+    shuffle); the bigram mode is explode → two map-side-combined
+    groupBys keyed by (doc_id[, bigram]) — doc_id-keyed aggregation
+    never concentrates (each doc's bigrams are bounded by its length),
+    so there is no hot-key risk at any corpus size."""
+    d = _docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double")
+        / n_lines.cast("double"),
+    ).otherwise(None)
+    base = d.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.when(dup_line_frac.isNotNull(), e4(dup_line_frac))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("dup_line_frac_e4"),
+        words_expr("text").alias("w"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at("w", i + 1),
+                                          F.element_at("w", i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    per_doc = per_bg.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("total_c").cast("double")
+    return (
+        base.select("doc_id", "n_lines", "dup_line_frac_e4")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac_e4",
+            F.when(F.col("total_c").isNotNull(), e4(top_frac))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("top_bigram_frac_e4"),
+        )
+    )
+
+
+def text_repetition_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, {sql_words('text')} AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents WHERE text IS NOT NULL
+),
+base AS (
+  SELECT doc_id, w,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CASE WHEN len(lines) > 0 THEN
+      {sql_e4('1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)')}
+    ELSE -1 END AS dup_line_frac_e4
+  FROM d
+),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END) AS bg
+  FROM base
+),
+per_bg AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+per_doc AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS total_c FROM per_bg GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_lines, b.dup_line_frac_e4,
+  CASE WHEN p.total_c IS NOT NULL THEN
+    {sql_e4('CAST(p.top_c AS DOUBLE) / CAST(p.total_c AS DOUBLE)')}
+  ELSE -1 END AS top_bigram_frac_e4
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+"""
+
+
 # ------------------------------------------------- data-mixture accounting
 
 def mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,12 +692,14 @@ def oracles():
 
 def extra_queries():
     """Pytest-only entries: the standalone variants of the fused
-    text_features driver entry."""
+    text_features driver entry, plus operators added after the driver
+    window filled (same parity gate via tests/test_oracle_parity.py)."""
     return {
         "text_token_count": token_count,
         "text_quality": text_quality,
         "text_lang_id": lang_id,
         "text_fingerprint": doc_fingerprint,
+        "text_repetition": text_repetition,
     }
 
 
@@ -606,4 +709,5 @@ def extra_oracles():
         "text_quality": TEXT_QUALITY_SQL,
         "text_lang_id": LANG_ID_SQL,
         "text_fingerprint": FINGERPRINT_SQL,
+        "text_repetition": text_repetition_sql(),
     }

@@ -185,33 +185,74 @@ TOKEN_BUDGET = 4000  # per-language token budget for the driver entry
 
 
 def sample_token_budget(
-    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Deterministic per-language token-budget sampling: walk each
     language's docs in doc_id order and keep documents while the running
     token total stays within ``budget`` — the standard way a training-
     data pipeline caps a source/language mixture at N tokens.
 
-    Scale shape: one windowed cumulative sum partitioned by lang ordered
-    by doc_id — a single range-shuffle; no collect, no iteration.  Skewed
-    languages are bounded by the budget itself (the window stops mattering
-    past the cutoff; with a SORTED ordering column Spark's window needs no
-    full-partition materialization beyond the running frame)."""
-    from pyspark.sql.window import Window
+    Scale shape: a DISTRIBUTED PREFIX SUM, not a lang-partitioned window
+    (a window over `lang` pins a 90 %-of-corpus language's entire sorted
+    row set to ONE task — the same hot-key trap as the BM25 df window,
+    and AQE cannot split it).  Two phases over deterministic doc_id
+    range buckets (bucket = doc_id's position in [min_id, max_id] cut
+    into ``n_buckets`` — no sampling-based RangePartitioner, so every
+    job re-derives identical buckets):
 
+    1. per-(lang, bucket) token totals — map-side-combined groupBy,
+       collected to the driver (#langs × n_buckets rows, tiny) and
+       turned into per-bucket offsets via a python cumulative sum;
+    2. per-(lang, bucket) local cumsum + broadcast offset in one
+       applyInPandas — each group is bounded by the bucket width, never
+       by the language's share of the corpus.
+
+    Values are identical to the single-window formulation (the per-lang
+    order by doc_id is total); the driver oracle stays a window because
+    DuckDB-at-sf0.01 has no skew to dodge."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
         # long on both sides: DuckDB len() is BIGINT, Spark size() is INT
         F.size(words_expr("text")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo is None:
+        return docs.withColumn("cum_tokens", F.lit(None).cast("long")).where(
+            F.lit(False)
+        )
+    span = int(hi) - int(lo) + 1
+    bucket = ((F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast(
+        "int"
     )
-    out = docs.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-    return out.where(F.col("cum_tokens") <= F.lit(budget))
+    b = docs.withColumn("bucket", bucket)
+    partials = (
+        b.groupBy("lang", "bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in partials:
+        by_lang.setdefault(r["lang"], []).append((r["bucket"], int(r["t"])))
+    offsets: dict[tuple[str, int], int] = {}
+    for lang, lst in by_lang.items():
+        run = 0
+        for bk, t in sorted(lst):
+            offsets[(lang, bk)] = run
+            run += t
+
+    def _cum(key, pdf):
+        lang, bk = key
+        pdf = pdf.sort_values("doc_id")
+        pdf["cum_tokens"] = (
+            pdf["n_tokens"].cumsum() + offsets.get((lang, int(bk)), 0)
+        ).astype("int64")
+        return pdf[pdf["cum_tokens"] <= budget][
+            ["doc_id", "lang", "n_tokens", "cum_tokens"]
+        ]
+
+    return b.groupBy("lang", "bucket").applyInPandas(
+        _cum, "doc_id long, lang string, n_tokens long, cum_tokens long"
+    )
 
 
 def sample_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:

@@ -32,11 +32,16 @@ class LeafLru:
     Same defaults as the reference: capacity 10, TTL 3600 s."""
 
     def __init__(self, capacity: int = 10, ttl_sec: float = 3600.0):
+        import threading
         from collections import OrderedDict
 
         self.capacity = capacity
         self.ttl_sec = ttl_sec
         self._d: "OrderedDict[object, tuple[DataFrame, float]]" = OrderedDict()
+        # the REST shim serves via ThreadingHTTPServer: concurrent
+        # requests hit one LRU, so map mutation + counters are locked
+        # (unpersist calls happen outside the critical section)
+        self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
 
@@ -46,37 +51,51 @@ class LeafLru:
         return time.monotonic()
 
     def get(self, key) -> DataFrame | None:
-        ent = self._d.get(key)
-        if ent is None:
+        expired = None
+        with self._lock:
+            ent = self._d.get(key)
+            if ent is not None:
+                df, expiry = ent
+                if self._now() > expiry:
+                    del self._d[key]
+                    expired = df
+                else:
+                    self._d.move_to_end(key)
+                    self.hits += 1
+                    return df
             self.misses += 1
-            return None
-        df, expiry = ent
-        if self._now() > expiry:
-            del self._d[key]
-            df.unpersist()
-            self.misses += 1
-            return None
-        self._d.move_to_end(key)
-        self.hits += 1
-        return df
+        if expired is not None:
+            expired.unpersist()
+        return None
 
     def put(self, key, df: DataFrame) -> DataFrame:
         if self.capacity <= 0:
             return df
         df = df.persist()
-        self._d[key] = (df, self._now() + self.ttl_sec)
-        self._d.move_to_end(key)
-        while len(self._d) > self.capacity:
-            _, (old, _exp) = self._d.popitem(last=False)
+        evicted = []
+        with self._lock:
+            old = self._d.get(key)
+            if old is not None and old[0] is not df:
+                # two concurrent misses on the same key: keep the later
+                # frame, release the overwritten one's storage
+                evicted.append(old[0])
+            self._d[key] = (df, self._now() + self.ttl_sec)
+            self._d.move_to_end(key)
+            while len(self._d) > self.capacity:
+                _, (victim, _exp) = self._d.popitem(last=False)
+                evicted.append(victim)
+        for old in evicted:
             old.unpersist()
         return df
 
     def clear(self) -> None:
-        while self._d:
-            _, (old, _exp) = self._d.popitem()
+        with self._lock:
+            entries = list(self._d.values())
+            self._d.clear()
+            self.hits = 0
+            self.misses = 0
+        for old, _exp in entries:
             old.unpersist()
-        self.hits = 0
-        self.misses = 0
 
 
 class Index:

@@ -131,7 +131,9 @@ class _Parser:
 
     def parse_primary(self) -> UserAst:
         t = self.peek()
-        if t == "(":
+        # under no_parentheses a standalone "(" is a literal term, not a
+        # group opener (lexer.rs:24-25 demotes it to a term char)
+        if t == "(" and not self.options.no_parentheses:
             self.next()
             inner = self.parse_or(stop_at_paren=True)
             if self.peek() == ")":

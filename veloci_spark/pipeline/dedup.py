@@ -194,7 +194,18 @@ def dedup_minhash_lsh(
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.lit(10000).cast("long").alias("jaccard_e4"))
     )
-    return cross.unionAll(within)
+    out = cross.unionAll(within)
+
+    def _unpersist():
+        groups.unpersist()
+        sh_docs.unpersist()
+        rep_pairs.unpersist()
+
+    # disposal handle (same pattern as bm25_from_tf): callers that
+    # materialize the result into their own persisted frame should free
+    # the intermediates instead of letting them pile up per invocation
+    out._veloci_unpersist = _unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def _lsh_candidate_pairs(
@@ -311,9 +322,9 @@ def dedup_components(
     Only docs participating in >= 1 near-dup pair appear; everything
     else is its own trivial component by definition.
     """
+    mh = dedup_minhash_lsh(spark, sf_dir)
     pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .where(F.col("jaccard_e4") >= F.lit(tau_e4))
+        mh.where(F.col("jaccard_e4") >= F.lit(tau_e4))
         .select("doc_a", "doc_b")
     )
     half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -322,6 +333,8 @@ def dedup_components(
         .distinct()
         .persist()
     )
+    edges.count()  # materialize, then free the minhash intermediates
+    mh._veloci_unpersist()  # type: ignore[attr-defined]
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

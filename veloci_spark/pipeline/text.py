@@ -216,7 +216,8 @@ def sample_token_budget(
         "lang",
         # long on both sides: DuckDB len() is BIGINT, Spark size() is INT
         F.size(words_expr("text")).cast("long").alias("n_tokens"),
-    )
+    ).persist()  # three consumers below; without this the corpus would
+    # be tokenized once per pass (the decontam_ngram lesson, ADVICE r2)
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     if lo is None:
         return docs.withColumn("cum_tokens", F.lit(None).cast("long")).where(
@@ -373,9 +374,10 @@ DECONTAM_N = 4       # shared-n-gram size (GPT-3/PaLM-style 8-13 in prod;
 DECONTAM_MOD = 101   # doc_id % MOD == 0 → the deterministic "eval set"
 
 
-def _grams_udf(n: int):
-    """Arrow-batched distinct word-n-gram extractor (one pass per row;
-    identical token semantics to sql_words / words_expr)."""
+def _grams_udf(n: int, distinct: bool = True):
+    """Arrow-batched word-n-gram extractor (one pass per row; identical
+    token semantics to sql_words / words_expr).  ``distinct=False``
+    keeps duplicates (needed for mode/frequency counting)."""
     import re
 
     from pyspark.sql.types import ArrayType, StringType
@@ -388,13 +390,11 @@ def _grams_udf(n: int):
         for t in texts:
             ws = pat.findall(t) if t is not None else []
             if len(ws) >= n:
+                gs = (
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
                 out.append(
-                    list(
-                        dict.fromkeys(
-                            " ".join(ws[i : i + n])
-                            for i in range(len(ws) - n + 1)
-                        )
-                    )
+                    list(dict.fromkeys(gs)) if distinct else list(gs)
                 )
             else:
                 out.append([])
@@ -596,20 +596,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .cast("long")
         .alias("dup_line_frac_e4"),
-        words_expr("text").alias("w"),
     )
-    bigrams = base.select(
+    # bigram extraction is the SAME Arrow pandas UDF shape as
+    # decontam_ngram (non-distinct variant): a JVM transform feeding the
+    # explode would get its tokenize re-derived below the Generate
+    # (PLANS.md pushdown trap, measured 40x)
+    bigrams = d.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - 2),
-                    lambda i: F.concat_ws(" ", F.element_at("w", i + 1),
-                                          F.element_at("w", i + 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("bg"),
+        F.explode(_grams_udf(2, distinct=False)(F.col("text"))).alias("bg"),
     )
     per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
     per_doc = per_bg.groupBy("doc_id").agg(

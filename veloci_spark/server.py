@@ -118,7 +118,10 @@ def _apply_tree_options(node: Node, opts: dict) -> Node:
             skip=node.skip if node.skip is not None else opts.get("skip"),
             boosts=node.boosts + extra,
         )
-    return node
+    # options on an or/and node reach the leaves of NESTED subtrees too
+    return type(node)(
+        tuple(_apply_tree_options(p, opts) for p in node.parts)
+    )
 
 
 def request_from_json(d: dict) -> Request:

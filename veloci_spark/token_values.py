@@ -38,6 +38,10 @@ def add_token_values(
     out = os.path.join(index.path, "token_values")
     resolved.write.mode("overwrite").partitionBy("field").parquet(out)
     index._cache.pop("token_values", None)
+    # resolved-leaf aggregates may have BAKED IN the previous token-value
+    # boosts (applied to term scores before the per-doc max) — a stale
+    # LRU entry would serve the old table for up to the TTL
+    index.leaf_cache.clear()
 
 
 def token_values_table(index: Index, field: str) -> DataFrame:

@@ -1,0 +1,49 @@
+"""Paragraph-level dedup on a dup-rich synthetic corpus (the sf fixtures
+contain no repeated spans, so this operator gets its own corpus + DuckDB
+parity instead of a vacuous 0==0 fixture row)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.dedup import DEDUP_PARAGRAPHS_SQL, dedup_paragraphs
+
+DOCS = [
+    (0, "alpha beta\nshared license header\nunique zero", "en"),
+    (1, "shared license header\ngamma delta", "en"),
+    (2, "unique two\nshared license header\n\n  \nepsilon", "en"),
+    (3, "totally distinct content here", "en"),
+    (4, "gamma delta\ngamma delta", "en"),  # intra-doc repeat counts too
+]
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("paradedup")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_paragraph_dedup_matches_duckdb(spark, dup_dir):
+    got = {
+        r["span_hash"]: (r["n_occurrences"], r["keep_doc_id"], r["keep_pos"])
+        for r in dedup_paragraphs(spark, dup_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        h: (n, kd, kp)
+        for h, n, kd, kp in con.execute(DEDUP_PARAGRAPHS_SQL).fetchall()
+    }
+    assert got == want
+    # semantic spot checks: the license header occurs 3x, kept at (0, 1);
+    # "gamma delta" occurs 3x (doc 1 once + doc 4 twice), kept at (1, 1)
+    assert len(got) == 2
+    occ = sorted(v[0] for v in got.values())
+    assert occ == [3, 3]
+    keeps = sorted((v[1], v[2]) for v in got.values())
+    assert keeps == [(0, 1), (1, 1)]

@@ -392,6 +392,92 @@ SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src
     )
 
 
+# --------------------------------------------------------- keep/remove list
+
+def dedup_keep_list(
+    spark: SparkSession, sf_dir: str, tau_e4: int = TAU_COMPONENTS_E4
+) -> DataFrame:
+    """The CONSUMABLE output of near-dup dedup: the doc_ids to REMOVE
+    under keep-one-per-cluster (SlimPajama/C4 policy — keep the min
+    doc_id of each connected near-dup component, drop the rest).
+    Survivors = documents ∖ result; emitting the remove side keeps the
+    result small (clusters are rare relative to the corpus).
+
+    Scale shape: exactly dedup_components (bounded label-propagation
+    rounds) plus one filter — nothing new shuffles."""
+    labels = dedup_components(spark, sf_dir, tau_e4=tau_e4)
+    return labels.where(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id", "component_id"
+    )
+
+
+def dedup_keep_list_sql(tau_e4: int = TAU_COMPONENTS_E4) -> str:
+    return (
+        "WITH x AS (" + dedup_components_sql(tau_e4).strip() + ")\n"
+        "SELECT doc_id, component_id FROM x WHERE doc_id <> component_id"
+    )
+
+
+# --------------------------------------------------------- paragraph dedup
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PARAGRAPH dedup (C4-style \"deduplicate at the
+    three-sentence/paragraph span level\"): explode documents into
+    paragraphs (newline-separated spans; blank spans dropped), hash each,
+    and report every span text occurring in more than one PLACE with its
+    occurrence count and the keeper position (min (doc_id, pos)).
+    Downstream removal = drop spans matching (hash) where
+    (doc_id, pos) != (keep_doc_id, keep_pos).
+
+    Scale shape: one explode (no shuffle) → one map-side-combined
+    groupBy(md5). Identical-paragraph skew is impossible to concentrate:
+    the groupBy key IS the duplicate, and the combine collapses each
+    partition's copies to one row before the shuffle."""
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    spans = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\\n")).alias("pos", "span"),
+    ).where(F.trim(F.col("span")) != "")
+    hashed = spans.select(
+        "doc_id", "pos", F.md5(F.col("span")).alias("span_hash")
+    )
+    return (
+        hashed.groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .select(
+            "span_hash",
+            "n_occurrences",
+            F.col("_keep.doc_id").alias("keep_doc_id"),
+            F.col("_keep.pos").alias("keep_pos"),
+        )
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = """
+WITH spans AS (
+  SELECT doc_id, (u.i - 1) AS pos, u.s AS span
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, chr(10))) AS s,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS i) u
+  WHERE text IS NOT NULL
+),
+nonblank AS (SELECT * FROM spans WHERE trim(span) <> ''),
+hashed AS (SELECT doc_id, pos, md5(span) AS span_hash FROM nonblank),
+grouped AS (
+  SELECT span_hash, count(*) AS n_occurrences,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS keep
+  FROM hashed GROUP BY span_hash
+)
+SELECT span_hash, n_occurrences,
+       keep.doc_id AS keep_doc_id, keep.pos AS keep_pos
+FROM grouped WHERE n_occurrences > 1
+"""
+
+
 # ------------------------------------------------------------------ simhash
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,6 +634,12 @@ def extra_queries():
             spark, sf_dir, n_bits=64
         ),
         "dedup_jaccard_adjacent": text_jaccard_adjacent,
+        "dedup_keep_list": dedup_keep_list,
+        # dedup_paragraphs is NOT fixture-registered: the sf corpora
+        # contain no repeated spans, so an sf oracle row would be the
+        # vacuous 0==0 green VERDICT r2 flagged; it gets its own
+        # dup-rich synthetic corpus + DuckDB parity in
+        # tests/test_paragraph_dedup.py instead.
     }
 
 
@@ -556,4 +648,5 @@ def extra_oracles():
         "dedup_minhash_lsh_32_8": dedup_minhash_sql(n_minhash=32, n_bands=8),
         "dedup_simhash_64": dedup_simhash_bits_sql(n_bits=64),
         "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
+        "dedup_keep_list": dedup_keep_list_sql(),
     }

@@ -52,8 +52,11 @@ FROM documents WHERE text IS NOT NULL
 # ---------------------------------------------------------------- quality
 
 def _stop_count(words, stopset):
-    lst = F.array(*[F.lit(w) for w in sorted(stopset)])
-    return F.size(F.filter(words, lambda w: F.array_contains(lst, F.lower(w))))
+    # isin over a literal list compiles to Catalyst InSet (hash lookup)
+    # once the list passes the optimizer threshold — O(1) per token vs
+    # the O(|stoplist|) array_contains scan this used before
+    members = sorted(stopset)
+    return F.size(F.filter(words, lambda w: F.lower(w).isin(members)))
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

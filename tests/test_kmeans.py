@@ -1,0 +1,54 @@
+"""Distributed Lloyd's k-means vs an identical-arithmetic numpy
+reference: same deterministic init (first k by vec_id), same Euclidean
+metric, same min-cid tie-break, same mean update — centroids must agree
+to float tolerance after every tested iteration count."""
+
+import numpy as np
+import pytest
+
+from veloci_spark.pipeline.similarity import kmeans_centroids
+
+SF = "/root/testdata/sf0.001"
+
+
+def _numpy_kmeans(vecs: np.ndarray, k: int, iters: int) -> np.ndarray:
+    cents = vecs[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        # pairwise squared distances; ties -> lower cid (argmin default)
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+@pytest.mark.parametrize("iters", [0, 1, 3])
+def test_kmeans_matches_numpy(spark, iters):
+    vecs = np.array(
+        [
+            list(r["embedding"])
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    want = _numpy_kmeans(vecs, k=8, iters=iters)
+    got_rows = kmeans_centroids(spark, SF, k=8, iters=iters).collect()
+    got = np.array(
+        [list(r["centroid"]) for r in sorted(got_rows, key=lambda r: r["cid"])]
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_with_trained_centroids_runs(spark):
+    from veloci_spark.pipeline.similarity import ann_ivf_topk
+
+    rows = ann_ivf_topk(spark, SF, n_centroids=8, nprobe=3, k=10,
+                        train_iters=2).collect()
+    assert 0 < len(rows) <= 10
+    # query vector 0 must rank itself first (cos = 1.0)
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_e4"] == 10000

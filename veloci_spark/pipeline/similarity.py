@@ -263,6 +263,7 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     k: int = 20,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN top-k: a coarse quantizer of ``n_centroids``
     (deterministically data-sampled: the first n_centroids vectors —
@@ -279,9 +280,20 @@ def ann_ivf_topk(
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir)
-    cents = emb.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    if train_iters > 0:
+        # production path: Lloyd-trained coarse quantizer (numpy-parity
+        # verified in tests/test_kmeans.py). The DuckDB oracle covers the
+        # deterministic train_iters=0 sampling; the trained variant is
+        # pytest-gated instead.
+        cents = kmeans_centroids(
+            spark, sf_dir, k=n_centroids, iters=train_iters
+        ).select(
+            "cid", F.col("centroid").cast("array<float>").alias("cvec")
+        )
+    else:
+        cents = emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
 
     scored = emb.crossJoin(F.broadcast(cents)).select(
@@ -344,6 +356,83 @@ SELECT a.vec_id, {sql_e4(cos('a.embedding', 'q.qvec'))} AS cos_e4
 FROM assign a JOIN probe USING (cid), q
 ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
+
+
+# ------------------------------------------------------------ k-means train
+
+def kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding table — the
+    TRAINING step of a production IVF index (ann_ivf_topk's coarse
+    quantizer; its data-sampled centroids are the iters=0 special case).
+    Deterministic: init = the first ``k`` vectors by vec_id; assignment
+    ties break toward the lower centroid id; Euclidean metric.
+
+    Scale shape per iteration: assignment is a broadcast of k rows +
+    a min(struct(d2, cid)) aggregate keyed by vec_id (an unskewed key —
+    every group has exactly k rows; no window, no hot key); the mean
+    update is posexplode(dim) → one map-side-combined groupBy(cid, dim)
+    → a k×dim collect to the driver, which re-broadcasts the new
+    centroids. Iterations are driver-bounded
+    (typically ≤ 10); nothing grows with corpus size except the one
+    bounded groupBy. Returns (cid, centroid array<double>).
+
+    Verified against an identical-arithmetic numpy reference in
+    tests/test_kmeans.py (exact same init/ties/means)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        cent_rows = [(i, cents[i]) for i in range(len(cents))]
+        cdf = spark.createDataFrame(cent_rows, "cid int, cvec array<double>")
+        d2 = F.aggregate(
+            F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("_m"),
+                F.first("v").alias("v"),
+            )
+            .select(F.col("_m.cid").alias("cid"), "v")
+        )
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cid.setdefault(r["cid"], [0.0] * dim)[r["dim"]] = r["sx"]
+            counts[r["cid"]] = r["n"]
+        cents = [
+            [sx / counts[c] for sx in by_cid[c]] if c in by_cid else cents[c]
+            for c in range(len(cents))
+        ]
+    return spark.createDataFrame(
+        [(i, cents[i]) for i in range(len(cents))],
+        "cid int, centroid array<double>",
+    )
 
 
 def dedup_embedding_cosine(

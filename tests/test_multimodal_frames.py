@@ -1,0 +1,76 @@
+"""Resize + frame-sample plumbing: the kernels are REAL numpy (only the
+codec decode is a stub); outputs are recomputed in pure python for
+parity on a sample of documents."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from veloci_spark.pipeline.multimodal import (
+    FRAME_BYTES,
+    decode_image_stub,
+    extract_thumbnails,
+    multimodal_frames,
+    resize_nearest,
+    synthesize_payloads,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_resize_nearest_kernel():
+    px = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    out = resize_nearest(px, 3, 2)
+    assert out.shape == (2, 3, 3)
+    # nearest-neighbor: out[y,x] = px[y*5//2 clipped, x*7//3 clipped]
+    for y in range(2):
+        for x in range(3):
+            assert (out[y, x] == px[min(y * 5 // 2, 4), min(x * 7 // 3, 6)]).all()
+    # upscale keeps corner pixels
+    up = resize_nearest(px, 14, 10)
+    assert up.shape == (10, 14, 3)
+    assert (up[0, 0] == px[0, 0]).all()
+
+
+def test_thumbnails_batch_shape(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    rows = extract_thumbnails(synthesize_payloads(docs)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["thumb"]) == 16
+        assert all(0.0 <= v <= 1.0 for v in r["thumb"])
+        # mean column consistent with the vector
+        assert r["thumb_mean_x100"] == int(
+            np.floor(float(np.mean(np.array(r["thumb"], dtype=np.float32))) * 100)
+        )
+
+
+def test_frame_sampling_matches_python(spark):
+    out = multimodal_frames(spark, SF)
+    rows = [r.asDict() for r in out.collect()]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .where("text is not null")
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in list(docs.items())[:25]:
+        n = doc_id % 7 + 2
+        payload = b"".join(
+            hashlib.md5((text + str(i)).encode()).digest() for i in range(1, n + 1)
+        )
+        want = []
+        for i in range(0, n, 2):
+            fr = np.frombuffer(
+                payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES], dtype=np.uint8
+            )
+            want.append((i, n, int(np.floor(float(fr.mean()) * 100))))
+        got = sorted(
+            (r["frame_idx"], r["n_frames"], r["frame_mean_x100"])
+            for r in by_doc[doc_id]
+        )
+        assert got == sorted(want), doc_id

@@ -100,6 +100,122 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- resize (real)
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize (pure numpy — no image libs needed;
+    only the codec decode is a stub). (h, w, c) → (out_h, out_w, c)."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys[:, None], xs[None, :], :]
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, thumb_mean_x100 long, "
+    "thumb array<float>"
+)
+
+THUMB_W = 4
+THUMB_H = 4
+
+
+def extract_thumbnails(
+    docs_with_payload: DataFrame, out_w: int = THUMB_W, out_h: int = THUMB_H
+) -> DataFrame:
+    """decode (stub) → resize (real numpy kernel) → per-thumbnail mean
+    vector, one Arrow batch pass.  The standard image-preprocessing
+    shape for a vision training pipeline: bytes in, fixed-size float
+    tensors out, one mapInPandas."""
+
+    def _thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image_stub(bytes(payload))
+                h, w, _ = px.shape
+                th = resize_nearest(px, out_w, out_h).astype(np.float32)
+                flat = (th.mean(axis=2) / 255.0).ravel()
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(np.floor(float(flat.mean()) * 100.0)),
+                        [float(x) for x in flat],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "thumb_mean_x100", "thumb"],
+            )
+
+    return docs_with_payload.mapInPandas(_thumbs, schema=RESIZED_SCHEMA)
+
+
+# ------------------------------------------------- video frame sampling
+
+FRAME_BYTES = 16
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, frame_mean_x100 long"
+)
+
+
+def synthesize_video_payloads(docs: DataFrame, n_frames_mod: int = 7) -> DataFrame:
+    """Deterministic fake 'video': n frames (doc_id % mod + 2) of
+    FRAME_BYTES each, derived from repeated md5 rounds of the text —
+    stands in for an encoded stream; schema/batch plumbing identical to
+    reading real bytes from object storage."""
+    reps = (F.col("doc_id") % n_frames_mod + 2).cast("int")
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            F.sequence(F.lit(1), reps),
+            F.lit(b""),
+            lambda acc, i: F.concat(acc, F.unhex(F.md5(F.concat(F.col("text"), i.cast("string"))))),
+        ).alias("payload"),
+    ).where(F.length("payload") > 0)
+
+
+def sample_frames(video_df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling: split each payload into FRAME_BYTES frames, keep
+    every ``stride``-th, one output row per kept frame (1→n mapInPandas —
+    the fan-out shape video preprocessing needs; a real decoder swaps the
+    byte-slicing for ffmpeg frame extraction)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // FRAME_BYTES
+                for i in range(0, n, stride):
+                    fr = np.frombuffer(
+                        b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES], dtype=np.uint8
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            n,
+                            int(np.floor(float(fr.mean()) * 100.0)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "frame_mean_x100"],
+            )
+
+    return video_df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return sample_frames(synthesize_video_payloads(docs))
+
+
 def queries():
     return {"multimodal_meta": multimodal_meta}
 

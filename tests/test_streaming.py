@@ -154,3 +154,65 @@ def test_segmented_bm25_and_compaction_parity(spark, stream_dirs, tmp_root):
     )
     mono = [tuple(r) for r in bm25_topk(mono_idx, "text", ["spark", "join"], 10).collect()]
     assert compacted == mono
+
+
+# ----------------------- stateful dedup + watermark windows (round 3)
+
+def test_stateful_dedup_stream(spark, stream_dirs):
+    import os
+
+    from veloci_spark.streaming import start_dedup_stream
+
+    src, work = stream_dirs
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"text": "spark join stream", "lang": "en"},
+        {"text": "spark join stream", "lang": "en"},   # dup within batch
+        {"text": "filter scan", "lang": "de"},
+    ])
+    out = start_dedup_stream(spark, src, work, SCHEMA)
+    first = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in first) == ["filter scan", "spark join stream"]
+
+    # second run: one repeat (suppressed by persisted state), one new
+    _write_ndjson(os.path.join(src, "b.json"), [
+        {"text": "spark join stream", "lang": "en"},
+        {"text": "brand new text", "lang": "en"},
+    ])
+    start_dedup_stream(spark, src, work, SCHEMA)
+    all_rows = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in all_rows) == [
+        "brand new text", "filter scan", "spark join stream",
+    ]
+
+
+def test_windowed_counts_with_watermark(spark, stream_dirs):
+    import os
+
+    from veloci_spark.streaming import start_windowed_counts
+
+    src, work = stream_dirs
+    schema = "text string, lang string, ts string"
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"text": "a", "lang": "en", "ts": "2026-01-01 00:01:00"},
+        {"text": "b", "lang": "en", "ts": "2026-01-01 00:02:00"},
+        {"text": "c", "lang": "de", "ts": "2026-01-01 00:03:00"},
+    ])
+    out = start_windowed_counts(spark, src, work, schema)
+    # append mode: nothing final yet (watermark has not passed window end)
+    import glob
+
+    def rows():
+        if not glob.glob(os.path.join(out, "*.parquet")):
+            return []
+        return spark.read.parquet(out).collect()
+
+    assert rows() == []
+
+    # an event far past the watermark horizon finalizes the first window
+    _write_ndjson(os.path.join(src, "b.json"), [
+        {"text": "d", "lang": "en", "ts": "2026-01-01 01:00:00"},
+    ])
+    start_windowed_counts(spark, src, work, schema)
+    got = {(str(r["window_start"]), r["lang"]): r["n_events"] for r in rows()}
+    assert got[("2026-01-01 00:00:00", "en")] == 2
+    assert got[("2026-01-01 00:00:00", "de")] == 1

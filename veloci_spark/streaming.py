@@ -210,3 +210,124 @@ class SegmentedIndex:
         for fr in frames[1:]:
             u = u.unionAll(fr)
         return u.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+# --------------------------------------------- stateful streaming dedup
+
+DEDUP_OUT_SCHEMA = "content_hash string, text string, lang string"
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema: str,
+    n_shards: int = 16,
+):
+    """Streaming exact-dedup with applyInPandasWithState: emit only the
+    FIRST occurrence of each content hash across the whole stream's
+    lifetime (state survives restarts via the checkpoint — re-running
+    over new files never re-emits an already-seen text).
+
+    Scale shape: state is sharded by a hash prefix (``n_shards`` state
+    keys, each holding its shard's seen-hash list), so state is
+    distributed and no executor holds the full seen set; per microbatch
+    each shard group sees only its own rows.  This is the custom
+    stateful operator pattern (applyInPandasWithState) for anything the
+    built-in streaming aggregations can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    os.makedirs(work_dir, exist_ok=True)
+    out_dir = os.path.join(work_dir, "dedup_out")
+    ckpt = os.path.join(work_dir, "_dedup_checkpoint")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withColumn("content_hash", F.md5("text"))
+        .withColumn(
+            "shard", (F.conv(F.substring("content_hash", 1, 4), 16, 10) % n_shards)
+        )
+    )
+
+    out_cols = ["content_hash", "text", "lang"]
+
+    def _dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out_frames = []
+        for pdf in pdfs:
+            # batch-local first occurrence, then filter already-seen
+            pdf = pdf.drop_duplicates(subset=["content_hash"])
+            fresh = pdf[~pdf["content_hash"].isin(seen)]
+            if len(fresh):
+                out_frames.append(fresh[out_cols])
+                seen.update(fresh["content_hash"])
+        state.update((sorted(seen),))
+        if out_frames:
+            yield pd.concat(out_frames)
+
+    q = (
+        stream.groupBy("shard")
+        .applyInPandasWithState(
+            _dedup,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+# ------------------------------------- watermark + windowed aggregation
+
+def start_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema: str,
+    window_sec: int = 300,
+    watermark: str = "10 minutes",
+):
+    """Late-data-tolerant per-(window, lang) event counts: event-time
+    window aggregation + watermark, append mode — a window's final count
+    is emitted exactly once, when the watermark (max event time seen −
+    allowed lateness) passes the window end.  The standard Structured
+    Streaming shape for streaming rollups; re-run with availableNow as
+    new files land and finalized windows append to the parquet sink."""
+    os.makedirs(work_dir, exist_ok=True)
+    out_dir = os.path.join(work_dir, "windows_out")
+    ckpt = os.path.join(work_dir, "_windows_checkpoint")
+
+    agg = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{window_sec} seconds"), F.col("lang"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "lang",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir

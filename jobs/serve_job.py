@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""spark-submit entry point: serve built indexes over the reference
+server's REST schema (driver-local port; see veloci_spark/server.py).
+
+    spark-submit --py-files veloci_spark.zip jobs/serve_job.py \
+        --db docs=/tmp/idx [--db code=/tmp/code_idx] --port 3000
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--db",
+        action="append",
+        required=True,
+        metavar="NAME=PATH",
+        help="database name=index path (repeatable)",
+    )
+    ap.add_argument("--port", type=int, default=3000)
+    args = ap.parse_args()
+
+    dbs = {}
+    for spec in args.db:
+        name, _, path = spec.partition("=")
+        if not path:
+            ap.error(f"--db expects NAME=PATH, got {spec!r}")
+        dbs[name] = path
+
+    from pyspark.sql import SparkSession
+
+    from veloci_spark.server import VelociApp, serve
+
+    spark = SparkSession.builder.appName("veloci_spark-serve").getOrCreate()
+    app = VelociApp(spark, dbs)
+    print(f"serving {sorted(dbs)} on 127.0.0.1:{args.port}", flush=True)
+    serve(app, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

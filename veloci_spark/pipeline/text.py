@@ -662,6 +662,62 @@ FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
 
+# ------------------------------------------- stratified mixture sampling
+
+MIX_WEIGHTS = {"en": 0.5, "de": 0.25}  # driver-entry default targets
+
+
+def sample_mixture(
+    spark: SparkSession, sf_dir: str, weights: dict | None = None,
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic stratified sampling to target mixture weights: keep
+    each doc with per-language probability ``weights[lang]`` (languages
+    absent from the map keep everything), decided by a content-free
+    reproducible coin — the first 8 md5 hex digits of (salt, doc_id)
+    scaled to [0,1). The downsampling step a training pipeline runs
+    after mix_proportions chooses the ratios.
+
+    Scale shape: one scan, pure column expressions, zero shuffles; the
+    keep decision is embarrassingly parallel and reproducible across
+    runs/cluster sizes (no RNG state, no sampleBy seed drift)."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    coin = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt),
+                                             F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(16 ** 8))
+    )
+    w_expr = None
+    for lang, w in sorted(weights.items()):
+        cond = F.col("lang") == F.lit(lang)
+        w_expr = (
+            F.when(cond, F.lit(float(w)))
+            if w_expr is None
+            else w_expr.when(cond, F.lit(float(w)))
+        )
+    w_expr = w_expr.otherwise(F.lit(1.0)) if w_expr is not None else F.lit(1.0)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return d.where(coin < w_expr).orderBy("doc_id")
+
+
+def sample_mixture_sql(weights: dict | None = None, salt: str = "mix1") -> str:
+    weights = MIX_WEIGHTS if weights is None else weights
+    cases = " ".join(
+        f"WHEN lang = {sql_quote(l)} THEN {float(w)!r}"
+        for l, w in sorted(weights.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substring(md5({sql_quote(salt)} || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+      / CAST({16 ** 8} AS DOUBLE) AS coin,
+    CASE {cases} ELSE 1.0 END AS w
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, lang FROM d WHERE coin < w ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- data-mixture accounting
 
 def mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,6 +794,7 @@ def extra_queries():
         "text_lang_id": lang_id,
         "text_fingerprint": doc_fingerprint,
         "text_repetition": text_repetition,
+        "sample_mixture": sample_mixture,
     }
 
 
@@ -748,4 +805,5 @@ def extra_oracles():
         "text_lang_id": LANG_ID_SQL,
         "text_fingerprint": FINGERPRINT_SQL,
         "text_repetition": text_repetition_sql(),
+        "sample_mixture": sample_mixture_sql(),
     }

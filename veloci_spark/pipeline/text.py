@@ -182,6 +182,43 @@ FROM s
 """
 
 
+# ------------------------------------------- BPE-ish token counting
+
+# GPT-2-style pre-tokenizer, SIMPLIFIED to a lookahead-free subset so the
+# Java-regex (Spark) and RE2 (DuckDB) engines agree exactly: contraction
+# suffixes, optional-space letter runs, optional-space digit runs,
+# optional-space punctuation runs, whitespace runs. (The real GPT-2
+# pattern's \s+(?!\S) needs negative lookahead, which RE2 lacks.)
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex next to the
+    whitespace word count — the pair a budget/mixture pipeline actually
+    uses (model tokens ≈ BPE pieces, not words). Pure-whitespace pieces
+    are excluded from the BPE count.
+
+    Scale shape: one scan, two regexp_extract_all column expressions,
+    zero shuffles."""
+    pieces = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    non_ws = F.filter(pieces, lambda p: F.trim(p) != "")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(non_ws).cast("long").alias("n_bpe_tokens"),
+        F.size(words_expr("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_extract_all(text, {sql_quote(BPE_PATTERN)}),
+                       p -> trim(p) <> ''))
+       AS BIGINT) AS n_bpe_tokens,
+  CAST(len({sql_words('text')}) AS BIGINT) AS n_ws_tokens
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 # --------------------------------------------------- token-budget sampling
 
 TOKEN_BUDGET = 4000  # per-language token budget for the driver entry
@@ -795,6 +832,7 @@ def extra_queries():
         "text_fingerprint": doc_fingerprint,
         "text_repetition": text_repetition,
         "sample_mixture": sample_mixture,
+        "text_token_count_bpe": token_count_bpe,
     }
 
 
@@ -806,4 +844,5 @@ def extra_oracles():
         "text_fingerprint": FINGERPRINT_SQL,
         "text_repetition": text_repetition_sql(),
         "sample_mixture": sample_mixture_sql(),
+        "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
     }

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -46,8 +47,6 @@ class LeafLru:
         self.misses = 0
 
     def _now(self) -> float:
-        import time
-
         return time.monotonic()
 
     def get(self, key) -> DataFrame | None:

@@ -199,6 +199,7 @@ def dedup_minhash_lsh(
     def _unpersist():
         groups.unpersist()
         sh_docs.unpersist()
+        rep_pairs._veloci_unpersist()  # the banded frame inside the helper
         rep_pairs.unpersist()
 
     # disposal handle (same pattern as bm25_from_tf): callers that
@@ -235,12 +236,14 @@ def _lsh_candidate_pairs(
     banded = banded.persist()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     b_ = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
-    return (
+    out = (
         a.join(b_, "band_key")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    out._veloci_unpersist = banded.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def _pairs_cte(

@@ -386,6 +386,9 @@ def kmeans_centroids(
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    if iters > 0:
+        # every iteration re-reads the table for assignment + mean update
+        emb = emb.persist()
     init = (
         emb.orderBy("vec_id")
         .limit(k)
@@ -429,6 +432,10 @@ def kmeans_centroids(
             [sx / counts[c] for sx in by_cid[c]] if c in by_cid else cents[c]
             for c in range(len(cents))
         ]
+    if iters > 0:
+        # the result is driver-side data, not a derivation of emb — safe
+        # to free the cached table before returning
+        emb.unpersist()
     return spark.createDataFrame(
         [(i, cents[i]) for i in range(len(cents))],
         "cid int, centroid array<double>",

@@ -422,24 +422,23 @@ class VelociApp:
             idx, term, fields=fields, levenshtein=lev, top=top, skip=skip
         ).collect()
         # SuggestFieldResult = Vec<(text, score, term_id)>; the merged
-        # term_id is the min over the queried fields' dictionaries
+        # term_id is the min over the queried fields' dictionaries.
+        # Filter to the k suggestion texts FIRST (dictionary-stat
+        # pushdown), then aggregate the handful of surviving rows.
+        texts = [r["text"] for r in rows]
         dicts = None
         for f in fields or idx.field_names():
             d = idx.dictionary(f).select("term", "term_id")
             dicts = d if dicts is None else dicts.unionAll(d)
-        tid = {
-            r["term"]: int(r["tid"])
-            for r in dicts.groupBy("term")
-            .agg(F.min("term_id").alias("tid"))
-            .join(
-                self.spark.createDataFrame(
-                    [(r["text"],) for r in rows] or [("",)], "term string"
-                ),
-                "term",
-                "left_semi",
-            )
-            .collect()
-        }
+        tid = {}
+        if texts:
+            tid = {
+                r["term"]: int(r["tid"])
+                for r in dicts.where(F.col("term").isin(texts))
+                .groupBy("term")
+                .agg(F.min("term_id").alias("tid"))
+                .collect()
+            }
         return [
             [r["text"], float(r["score"]), tid.get(r["text"], 0)] for r in rows
         ]

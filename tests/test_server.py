@@ -177,3 +177,15 @@ def test_unknown_db_and_route(app):
     assert status == 400
     status, err = app.handle("GET", "/badpath")
     assert status == 400
+
+
+def test_explain_plan_route(app):
+    # rocket_server.rs:251-263 — same params body, returns the plan
+    # rendering instead of executing
+    status, dot = app.handle(
+        "POST",
+        "/docs/search_query_params/explain_plan",
+        body={"search_term": "spark join", "top": 5},
+    )
+    assert status == 200 and isinstance(dot, str)
+    assert "digraph" in dot and "spark" in dot

@@ -11,6 +11,7 @@ driver-local port:
 - ``POST /<db>/search``                 body = search::Request JSON tree
 - ``GET  /<db>/search?query=…``         QueryParams → query generator
 - ``POST /<db>/search_query_params``    body = SearchQueryGeneratorParameters
+- ``POST /<db>/search_query_params/explain_plan``  same body → plan DAG (dot)
 - ``POST /<db>/suggest`` / ``GET /<db>/suggest?query=…``
 - ``POST /<db>/highlight``              body = RequestSearchPart
 - ``GET  /<db>/_id/<id>``               doc store row
@@ -365,6 +366,13 @@ class VelociApp:
         if rest == "search_query_params" and method == "POST":
             params = generator_params_from_json(body)
             return search_result_to_json(idx, generate_request(idx, params), t0)
+        if rest == "search_query_params/explain_plan" and method == "POST":
+            # rocket_server.rs:251-263: generate the request, return the
+            # engine plan rendering instead of executing it
+            from veloci_spark.plan_render import render_plan
+
+            params = generator_params_from_json(body)
+            return render_plan(generate_request(idx, params))
         if rest == "suggest":
             return self._suggest(idx, method, query, body)
         if rest == "highlight" and method == "POST":

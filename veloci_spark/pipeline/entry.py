@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from veloci_spark.pipeline import dedup, multimodal, similarity, text
+from veloci_spark.pipeline import dedup, events, multimodal, similarity, text
 
 
 def pipeline_queries():
@@ -28,6 +28,7 @@ def pipeline_extra_queries():
     out.update(dedup.extra_queries())
     out.update(similarity.extra_queries())
     out.update(text.extra_queries())
+    out.update(events.extra_queries())
     return out
 
 
@@ -36,4 +37,5 @@ def pipeline_extra_oracles():
     out.update(dedup.extra_oracles())
     out.update(similarity.extra_oracles())
     out.update(text.extra_oracles())
+    out.update(events.extra_oracles())
     return out

@@ -1,0 +1,139 @@
+"""Event-stream batch operators over the `events` fixture table
+(event_id, ts, user_id, event_type, value, props): sessionization and
+tumbling-window rollups — the standard event-analytics pair next to the
+streaming module's watermarked windows.
+
+Timestamps are compared as epoch seconds (BIGINT) on both engines so
+timezone/printing differences can never affect the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.pipeline.common import e4, sql_e4
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def sessionize(
+    spark: SparkSession, sf_dir: str, gap_sec: int = SESSION_GAP_SEC
+) -> DataFrame:
+    """Per-user sessions under a ``gap_sec`` inactivity rule:
+    (user_id, session_no, session_start/end epoch, n_events,
+    total_value_e4), session_no numbered per user in time order.
+
+    Scale shape: one per-user window (lag + running sum over
+    (ts, event_id)) then a map-side-combined groupBy.  The window key is
+    user_id — inherently required (sessionization is a per-user ordered
+    scan) and bounded by a single user's event count, not by corpus
+    size; a pathological mega-user would be handled like the token-
+    budget prefix sum (deterministic time-range buckets), not needed at
+    fixture scale."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gap = F.when(
+        F.col("ts_s") - F.lag("ts_s").over(w) > gap_sec, F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_no", F.sum("new_sess").over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+            F.count("*").alias("n_events"),
+            e4(F.sum("value")).alias("total_value_e4"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def sessionize_sql(gap_sec: int = SESSION_GAP_SEC) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER w > {gap_sec} THEN 1 ELSE 0 END
+           AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       min(ts_s) AS session_start, max(ts_s) AS session_end,
+       count(*) AS n_events,
+       {sql_e4('sum(value)')} AS total_value_e4
+FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+ROLLUP_WINDOW_SEC = 3600  # 1h tumbling windows
+
+
+def event_rollup(
+    spark: SparkSession, sf_dir: str, window_sec: int = ROLLUP_WINDOW_SEC
+) -> DataFrame:
+    """Tumbling-window per-event-type rollup: (window_start epoch,
+    event_type, n_events, total_value_e4) — the batch twin of
+    streaming.start_windowed_counts.
+
+    Scale shape: one map-side-combined groupBy on (window, type); window
+    start is a pure arithmetic bucket of the epoch, so the key space is
+    dense and unskewed."""
+    ev = _events(spark, sf_dir).select(
+        (F.floor(F.unix_timestamp("ts") / window_sec) * window_sec)
+        .cast("long")
+        .alias("window_start"),
+        "event_type",
+        "value",
+    )
+    return (
+        ev.groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            e4(F.sum("value")).alias("total_value_e4"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def event_rollup_sql(window_sec: int = ROLLUP_WINDOW_SEC) -> str:
+    return f"""
+SELECT CAST(floor(floor(epoch(ts)) / {window_sec}) * {window_sec} AS BIGINT)
+         AS window_start,
+       event_type, count(*) AS n_events,
+       {sql_e4('sum(value)')} AS total_value_e4
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def extra_queries():
+    return {
+        "events_sessionize": sessionize,
+        "events_rollup": event_rollup,
+    }
+
+
+def extra_oracles():
+    return {
+        "events_sessionize": sessionize_sql(),
+        "events_rollup": event_rollup_sql(),
+    }

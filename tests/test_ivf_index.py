@@ -1,0 +1,61 @@
+"""Persisted IVF index: the partitionBy(cid) inverted lists must give
+the SAME top-k as the in-memory ann_ivf_topk path, and the probed query
+must actually partition-prune (PartitionFilters on cid, not a full
+scan)."""
+
+import io
+import contextlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.similarity import (
+    ann_ivf_topk,
+    build_ivf_index,
+    ivf_index_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, tmp_root):
+    out = os.path.join(tmp_root, "ivf_index")
+    return build_ivf_index(spark, SF, out, n_centroids=8)
+
+
+def _qvec(spark):
+    row = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .where(F.col("vec_id") == 0)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def test_persisted_matches_in_memory(spark, ivf_dir):
+    want = [
+        (r["vec_id"], r["cos_e4"])
+        for r in ann_ivf_topk(spark, SF, n_centroids=8, nprobe=3, k=10).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cos_e4"])
+        for r in ivf_index_topk(spark, ivf_dir, _qvec(spark), nprobe=3, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_probed_scan_partition_prunes(spark, ivf_dir):
+    df = ivf_index_topk(spark, ivf_dir, _qvec(spark), nprobe=3, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the cid IN (...) filter must reach the scan as a partition filter
+    assert "PartitionFilters" in plan
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cid" in l and "[]" not in l.replace("[],", "x") for l in pf_lines), pf_lines
+    # and the lists directory is physically partitioned by cid
+    parts = [d for d in os.listdir(f"{ivf_dir}/lists") if d.startswith("cid=")]
+    assert len(parts) >= 2

@@ -442,6 +442,92 @@ def kmeans_centroids(
     )
 
 
+# -------------------------------------------------------- persisted IVF
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_centroids: int = 16,
+    train_iters: int = 0,
+) -> str:
+    """Materialize an IVF index: the vector→centroid assignment written
+    ``partitionBy("cid")`` (one directory per inverted list) plus a
+    centroids table.  At scale this is THE point of IVF — a query
+    probing nprobe lists reads only those parquet partitions (directory
+    pruning; the scan never touches the other ~(1 - nprobe/n_centroids)
+    of the corpus), exactly like the engine's partitionBy(field) index
+    tables."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir)
+    if train_iters > 0:
+        cents = kmeans_centroids(
+            spark, sf_dir, k=n_centroids, iters=train_iters
+        ).select("cid", F.col("centroid").cast("array<float>").alias("cvec"))
+    else:
+        cents = emb.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine_expr(F.col("embedding"), F.col("cvec")).alias("s"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cid", "vec_id", "embedding")
+    )
+    assign.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{out_dir}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    return out_dir
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    qvec,
+    nprobe: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids against ``qvec`` (a
+    python list — tiny driver-side compute), then scan ONLY the probed
+    lists via a literal ``cid IN (...)`` partition filter — the
+    .explain shows PartitionFilters pruning the un-probed directories,
+    so I/O is ~nprobe/n_centroids of the index regardless of corpus
+    size."""
+    cents = spark.read.parquet(f"{index_dir}/centroids").collect()
+    import math
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den
+
+    ranked = sorted(
+        ((cos(list(r["cvec"]), qvec), -r["cid"]) for r in cents), reverse=True
+    )
+    probe = [int(-negcid) for _s, negcid in ranked[:nprobe]]
+    lists = spark.read.parquet(f"{index_dir}/lists").where(
+        F.col("cid").isin(probe)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<float>")
+    return (
+        lists.select(
+            "vec_id", e4(cosine_expr(F.col("embedding"), qlit)).alias("cos_e4")
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, n_bits: int = N_SIGN_BITS,
     tau_e4: int = PAIR_TAU_E4,

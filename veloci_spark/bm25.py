@@ -43,6 +43,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from veloci_spark.wand import collect_block_ubs, wand_driver_loop
+
 K1 = 1.2
 B = 0.75
 # literal (k1+1): embedded as the SAME decimal literal in the Spark plan
@@ -344,7 +346,6 @@ def bm25_and_wand_topk(
         .select("block_no", "ub")
         .persist()
     )
-    MAX_INLIST = 100_000
 
     def _exact(cand_ids: Optional[list]) -> list:
         # even the full fallback only decodes metadata-surviving blocks —
@@ -364,29 +365,16 @@ def bm25_and_wand_topk(
         )
         return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
 
-    result_rows: Optional[list] = None
-    m = start_blocks
-    for _ in range(max_iters):
-        if m > MAX_INLIST:
-            break
-        # one TakeOrderedAndProject yields candidates AND the threshold
-        # (the (m+1)-th ub in desc order is the max remaining bound)
-        ub_rows = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
-        )
-        cand_ids = [r["block_no"] for r in ub_rows[:m]]
-        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
-        rows = _exact(cand_ids)
-        kth = rows[-1]["score_e4"] if len(rows) >= k else None
-        if max_remaining is None or (kth is not None and kth > max_remaining):
-            result_rows = rows
-            break
-        if kth is not None:
-            # certificate-capped growth (see bm25_wand_topk)
-            needed = block_ub.where(F.col("ub") >= F.lit(int(kth))).count()
-            m = max(min(needed, m * 4), m + 1)
-        else:
-            m *= 4
+    ub_rows, truncated = collect_block_ubs(block_ub)
+    result_rows, _decoded = wand_driver_loop(
+        ub_rows,
+        truncated,
+        k,
+        _exact,
+        lambda r: r["score_e4"],
+        start_blocks=start_blocks,
+        max_iters=max_iters,
+    )
     if result_rows is None:
         result_rows = _exact(None)
 
@@ -425,55 +413,35 @@ def bm25_wand_topk(
     blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
     block_ub = blocks.groupBy("block_no").agg(F.sum("max_score").alias("ub"))
 
-    # past this candidate count a literal IN-list stops paying; the full
-    # decode of the (already term-filtered) blocks is the cheaper plan
-    MAX_INLIST = 100_000
-
     def _exact_topk(cand_ids: Optional[list]) -> list:
         sel = blocks
         if cand_ids is not None:
+            # literal IN-list on block_no reaches the Parquet scan stats
             sel = sel.where(F.col("block_no").isin(cand_ids))
         flat = decode_blocks_df(sel)
         hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
         return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
 
-    n_blocks_total = block_ub.count() if stats is not None else None
+    # one bounded metadata collect feeds the whole loop (candidates,
+    # max-remaining bound and certificate cap are driver-side array
+    # reads); each iteration then costs exactly one decode job
+    ub_rows, truncated = collect_block_ubs(block_ub)
+    n_blocks_total = None
+    if stats is not None:
+        n_blocks_total = block_ub.count() if truncated else len(ub_rows)
 
-    result_rows: Optional[list] = None
-    decoded: Optional[int] = None
-    m = start_blocks
-    for _ in range(max_iters):
-        if m > MAX_INLIST:
-            break
-        # ONE TakeOrderedAndProject yields the m candidate block ids AND
-        # the threshold: rows are collected in ub-desc order, so the
-        # (m+1)-th row IS the max remaining upper bound — this replaces
-        # the candidate materialization + anti-join aggregation jobs, and
-        # the literal IN-list on block_no reaches the Parquet scan
-        ub_rows = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
-        )
-        cand_ids = [r["block_no"] for r in ub_rows[:m]]
-        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
-        rows = _exact_topk(cand_ids)
-        kth = rows[-1]["score_e4"] if len(rows) >= k else None
-        if max_remaining is None or (kth is not None and kth > max_remaining):
-            result_rows = rows
-            decoded = len(cand_ids)
-            break
-        if kth is not None:
-            # certificate-capped growth: blocks with ub < kth can never
-            # place a doc in the top-k, so `needed` (one metadata count)
-            # caps the geometric schedule — early weak thresholds can't
-            # trigger an overshooting full decode, and each later, tighter
-            # kth shrinks the cap further; m+1 guarantees progress
-            needed = block_ub.where(F.col("ub") >= F.lit(int(kth))).count()
-            m = max(min(needed, m * 4), m + 1)
-        else:
-            m *= 4
+    result_rows, decoded = wand_driver_loop(
+        ub_rows,
+        truncated,
+        k,
+        _exact_topk,
+        lambda r: r["score_e4"],
+        start_blocks=start_blocks,
+        max_iters=max_iters,
+    )
     if result_rows is None:
         result_rows = _exact_topk(None)
-        decoded = n_blocks_total
+        decoded = n_blocks_total if n_blocks_total is not None else len(ub_rows)
 
     if stats is not None:
         stats["blocks_total"] = int(n_blocks_total or 0)
@@ -694,7 +662,6 @@ def bm25f_wand_topk(
         .groupBy("block_no")
         .agg(F.sum("wub").alias("ub"))
     )
-    MAX_INLIST = 100_000
 
     def _exact(cand_ids: Optional[list]) -> list:
         flats = []
@@ -709,27 +676,16 @@ def bm25f_wand_topk(
         hits = u.groupBy("doc_id").agg(F.sum("ws").alias("score_e4"))
         return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
 
-    result_rows: Optional[list] = None
-    m = start_blocks
-    for _ in range(max_iters):
-        if m > MAX_INLIST:
-            break
-        ub_rows = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
-        )
-        cand_ids = [r["block_no"] for r in ub_rows[:m]]
-        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
-        rows = _exact(cand_ids)
-        kth = rows[-1]["score_e4"] if len(rows) >= k else None
-        if max_remaining is None or (kth is not None and kth > max_remaining):
-            result_rows = rows
-            break
-        if kth is not None:
-            # certificate-capped growth (see bm25_wand_topk)
-            needed = block_ub.where(F.col("ub") >= F.lit(int(kth))).count()
-            m = max(min(needed, m * 4), m + 1)
-        else:
-            m *= 4
+    ub_rows, truncated = collect_block_ubs(block_ub)
+    result_rows, _decoded = wand_driver_loop(
+        ub_rows,
+        truncated,
+        k,
+        _exact,
+        lambda r: r["score_e4"],
+        start_blocks=start_blocks,
+        max_iters=max_iters,
+    )
     if result_rows is None:
         result_rows = _exact(None)
 

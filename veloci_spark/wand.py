@@ -36,6 +36,97 @@ from veloci_spark.match_terms import match_terms
 from veloci_spark.request import OrNode, SearchPart
 from veloci_spark.scoring import py_score_e4, score_e4
 
+# past this candidate count a literal IN-list stops paying; the full
+# decode of the (already term-filtered) blocks is the cheaper plan
+MAX_INLIST = 100_000
+
+
+def collect_block_ubs(
+    block_ub: DataFrame, max_inlist: int = MAX_INLIST
+) -> tuple[list, bool]:
+    """ONE metadata job for the whole WAND loop: the top (max_inlist+1)
+    ``(block_no, ub)`` rows in (ub desc, block_no asc) order.  Returns
+    ``(rows, truncated)``.
+
+    Every subsequent loop decision — candidate ids, the max-remaining
+    bound (the row after the candidate window), the certificate cap —
+    is a driver-side read of this array, so each iteration costs exactly
+    ONE Spark job (the candidate decode) instead of the three jobs the
+    per-iteration ``limit(m+1).collect()`` + certificate ``count()``
+    version dispatched.  The rows are ~16 B each (≤ ~1.6 MB driver-side
+    at the cap), and TakeOrderedAndProject computes per-partition top-N
+    map-side, so the collect stays metadata-cheap even when a stop-word
+    term touches 10^9 blocks; past the cap the loop falls back to the
+    full decode exactly as before."""
+    rows = (
+        block_ub.orderBy(F.desc("ub"), F.asc("block_no"))
+        .limit(max_inlist + 1)
+        .collect()
+    )
+    return rows, len(rows) > max_inlist
+
+
+def wand_driver_loop(
+    ub_rows: list,
+    truncated: bool,
+    k: int,
+    exact_fn,
+    score_of,
+    start_blocks: int = 8,
+    max_iters: int = 8,
+    quantize=None,
+    max_inlist: int = MAX_INLIST,
+) -> tuple[Optional[list], Optional[int]]:
+    """Driver-side block-max iteration shared by all four WAND paths
+    (OR / BM25 / BM25-AND / BM25F).  ``ub_rows`` is the pre-collected
+    desc-sorted bound list from :func:`collect_block_ubs`; ``exact_fn``
+    maps a candidate block-id list to collected exact top-k rows (the
+    one Spark job per iteration); ``score_of`` extracts the score from a
+    result row; ``quantize`` maps scores/bounds into the space the
+    stop-condition compares in (identity for integer BM25 scores, e4
+    quantization for the float OR path).
+
+    Returns ``(result_rows, decoded_blocks)`` or ``(None, None)`` when
+    the caller must run its full-decode fallback (budget exhausted or
+    certificate exceeds the collected window)."""
+    q = quantize if quantize is not None else (lambda x: x)
+    m = start_blocks
+    for _ in range(max_iters):
+        if m > max_inlist:
+            break
+        cand = ub_rows[:m]
+        cand_ids = [r["block_no"] for r in cand]
+        # the row AFTER the candidate window IS the max remaining upper
+        # bound (desc order); None ⇒ every block is already a candidate
+        max_remaining = (
+            ub_rows[len(cand)]["ub"] if len(ub_rows) > len(cand) else None
+        )
+        rows = exact_fn(cand_ids)
+        kth = score_of(rows[-1]) if len(rows) >= k else None
+        if max_remaining is None or (
+            kth is not None and q(kth) > q(max_remaining)
+        ):
+            return rows, len(cand_ids)
+        if kth is not None:
+            # certificate-capped growth, now a driver-side scan: blocks
+            # whose quantized bound falls below the kth quantized score
+            # can never place a doc in the top-k.  If the certificate
+            # extends past a truncated window, the true count is unknown
+            # — force m past the cap so the full-decode fallback runs.
+            qk = q(kth)
+            needed = 0
+            for r in ub_rows:
+                if q(r["ub"]) >= qk:
+                    needed += 1
+                else:
+                    break
+            if truncated and needed >= len(ub_rows):
+                needed = max_inlist + 1
+            m = max(min(needed, m * 4), m + 1)
+        else:
+            m *= 4
+    return None, None
+
 
 def wand_or_topk(
     index: Index,
@@ -130,65 +221,65 @@ def wand_or_topk(
         hits = hit_frames[0]
         for h in hit_frames[1:]:
             hits = hits.unionAll(h)
-        per_slot = hits.groupBy("doc_id", "slot").agg(F.max("s").alias("slot_max"))
-        exact = per_slot.groupBy("doc_id").agg(
-            (
-                F.sum("slot_max")
-                * F.pow(
-                    F.sum(
-                        F.when(F.col("slot_max") >= F.lit(1e-5), 1).otherwise(0)
-                    ).cast("double"),
-                    F.lit(2.0),
-                )
-            ).alias("score")
+        # ONE shuffle instead of two: the slot count is the query's term
+        # count (driver-known, small), so per-slot maxes become columns
+        # of a single conditional aggregation on doc_id — the former
+        # groupBy(doc_id, slot) → groupBy(doc_id) pair re-shuffled the
+        # (already small) per-slot rows a second time
+        n_slots = len(slots)
+        per_doc = hits.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("slot") == i, F.col("s"))).alias(f"m{i}")
+                for i in range(n_slots)
+            ]
+        )
+        slot_cols = [
+            F.coalesce(F.col(f"m{i}"), F.lit(0.0)) for i in range(n_slots)
+        ]
+        total = slot_cols[0]
+        for c in slot_cols[1:]:
+            total = total + c
+        present = [
+            F.when(c >= F.lit(1e-5), 1).otherwise(0) for c in slot_cols
+        ]
+        n_present = present[0]
+        for c in present[1:]:
+            n_present = n_present + c
+        exact = per_doc.select(
+            "doc_id",
+            (total * F.pow(n_present.cast("double"), F.lit(2.0))).alias(
+                "score"
+            ),
         )
         topk = exact.orderBy(
             F.desc(score_e4(F.col("score"))), F.desc("doc_id")
         ).limit(k)
         return topk.collect()
 
-    n_blocks_total = block_ub.count() if stats is not None else None
-    MAX_INLIST = 100_000
+    # ONE bounded metadata collect feeds the whole loop; each iteration
+    # then dispatches exactly one Spark job (the candidate decode).  The
+    # stop-condition compares in QUANTIZED space: an undecoded block
+    # whose ub quantizes to the same e4 bucket as the kth hit could
+    # still hold a doc that wins the (score_e4, doc_id desc) tie-break.
+    ub_rows, truncated = collect_block_ubs(block_ub)
+    n_blocks_total = None
+    if stats is not None:
+        n_blocks_total = block_ub.count() if truncated else len(ub_rows)
 
-    m = start_blocks
-    result: Optional[DataFrame] = None
-    for _ in range(max_iters):
-        if m > MAX_INLIST:
-            break
-        # ONE TakeOrderedAndProject yields the m candidate block ids AND
-        # the threshold: collected in ub-desc order, the (m+1)-th row IS
-        # the max remaining upper bound — replaces the candidate
-        # materialization and anti-join aggregation jobs per iteration
-        ub_rows = (
-            block_ub.orderBy(F.desc("ub"), F.asc("block_no")).limit(m + 1).collect()
-        )
-        cand_ids = [r["block_no"] for r in ub_rows[:m]]
-        max_remaining = ub_rows[m]["ub"] if len(ub_rows) > m else None
-        rows = _exact_topk(cand_ids)
-        kth = rows[-1]["score"] if len(rows) >= k else None
-        # compare in QUANTIZED space: an undecoded block whose ub quantizes
-        # to the same e4 bucket as the kth hit could still hold a doc that
-        # wins the (score_e4, doc_id desc) tie-break, so we stop only when
-        # the remaining upper bound falls strictly below the kth e4 value
-        if max_remaining is None or (
-            kth is not None and py_score_e4(kth) > py_score_e4(max_remaining)
-        ):
-            result = spark.createDataFrame(rows, "doc_id long, score double")
-            m = len(cand_ids)
-            break
-        if kth is not None:
-            # certificate-capped growth: blocks whose quantized bound
-            # falls below the kth quantized score can never place a doc in
-            # the top-k, so `needed` (one metadata count) caps the
-            # geometric schedule — no overshoot past the current
-            # certificate; m+1 guarantees progress
-            needed = block_ub.where(
-                score_e4(F.col("ub")) >= F.lit(py_score_e4(kth))
-            ).count()
-            m = max(min(needed, m * 4), m + 1)
-        else:
-            m *= 4
-    if result is None:
+    rows, decoded = wand_driver_loop(
+        ub_rows,
+        truncated,
+        k,
+        _exact_topk,
+        lambda r: r["score"],
+        start_blocks=start_blocks,
+        max_iters=max_iters,
+        quantize=py_score_e4,
+    )
+    if rows is not None:
+        result = spark.createDataFrame(rows, "doc_id long, score double")
+        m = decoded
+    else:
         # iteration budget exhausted (plausible with many equal upper
         # bounds, e.g. stop-word terms at huge scale) — fall back to one
         # final FULL decode so no doc from an undecoded block is silently
@@ -196,7 +287,7 @@ def wand_or_topk(
         result = spark.createDataFrame(
             _exact_topk(None), "doc_id long, score double"
         )
-        m = n_blocks_total if n_blocks_total is not None else m
+        m = n_blocks_total if n_blocks_total is not None else len(ub_rows)
 
     if stats is not None:
         stats["blocks_total"] = int(n_blocks_total or 0)

@@ -723,7 +723,7 @@ def main():
                 f"\n## Decode-kernel scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
                 "Isolated exhaustive decode of the matched posting blocks "
                 "(Arrow/numpy varint kernel), with and without the downstream "
-                "agg+top-k, warm min of 2 per config:\n\n"
+                f"agg+top-k, warm min of 2 per config (corpus {res['sf_dir']}):\n\n"
                 "| phase | "
                 f"local[{res['low_cpus']}] (s) | local[{res['high_cpus']}] (s) | efficiency |\n"
                 "|---|---|---|---|\n"

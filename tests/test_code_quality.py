@@ -1,0 +1,63 @@
+"""Detector-level checks for the StarCoder-style code-quality filters.
+
+The synthetic corpus exercises the line-length/alnum metrics but never
+contains an auto-generation marker or an embedded data blob; these
+crafted rows prove those detectors actually fire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.code_quality import (
+    MAX_LINE_LEN,
+    _keep_col,
+    _metrics_cols,
+)
+
+
+def _run(spark, contents):
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(contents)], "doc_id long, content string"
+    )
+    m = _metrics_cols(F.col("content"))
+    out = df.select(
+        "doc_id", *[c.alias(k) for k, c in m.items()]
+    ).withColumn("keep", _keep_col({k: F.col(k) for k in m}))
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_autogen_marker_drops_file(spark):
+    rows = _run(
+        spark,
+        [
+            "# This file is AUTO-GENERATED, do not edit\nx = 1\n",
+            "def f():\n    return 1\n",
+        ],
+    )
+    assert rows[0]["autogen"] == 1 and rows[0]["keep"] == 0
+    assert rows[1]["autogen"] == 0 and rows[1]["keep"] == 1
+
+
+def test_blob_fraction_counts_only_long_runs(spark):
+    blob = "A" * 100
+    rows = _run(
+        spark,
+        [
+            f"data = '{blob}'\n",
+            "short = 'QUJD'\n",  # 4 base64 chars: below the 64 threshold
+        ],
+    )
+    total = len(f"data = '{blob}'\n")
+    assert rows[0]["blob_e4"] == int(round(100 / total * 10000))
+    assert rows[1]["blob_e4"] == 0
+
+
+def test_line_length_metrics_and_threshold(spark):
+    long_line = "x" * (MAX_LINE_LEN + 1)
+    rows = _run(spark, [f"ok = 1\n{long_line}", "a = 1\nbb = 2\n"])
+    assert rows[0]["max_line_len"] == MAX_LINE_LEN + 1
+    assert rows[0]["keep"] == 0
+    assert rows[1]["n_lines"] == 3  # trailing newline yields an empty line
+    assert rows[1]["max_line_len"] == 6
+    assert rows[1]["keep"] == 1

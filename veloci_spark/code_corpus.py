@@ -133,7 +133,9 @@ def code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAT = _q(run_pattern(CODE_SEPARATORS))
 _SEP = _q("^" + sep_class(CODE_SEPARATORS) + "$")
 
-CODE_CTE = f"""
+#: just the corpus derivation (code0/code1/code) — reusable by oracles
+#: that consume the code table without the tokenizer CTEs
+CODE_BASE_CTE = f"""
 code0 AS (
   SELECT doc_id, text,
          CASE WHEN doc_id % 4 = 0 THEN 'py'
@@ -157,7 +159,9 @@ code AS (
          '// ' || path || chr(10) || 'fn doc_' || CAST(doc_id AS VARCHAR) ||
            '() {{ /* ' || text || ' */ }}' AS content
   FROM code1
-),
+)"""
+
+CODE_CTE = f"""{CODE_BASE_CTE},
 cruns AS (
   SELECT doc_id, regexp_extract_all(content, {_PAT}) AS r
   FROM code WHERE content IS NOT NULL

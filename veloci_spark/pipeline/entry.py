@@ -2,7 +2,14 @@
 
 from __future__ import annotations
 
-from veloci_spark.pipeline import dedup, events, multimodal, similarity, text
+from veloci_spark.pipeline import (
+    code_quality,
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    text,
+)
 
 
 def pipeline_queries():
@@ -29,6 +36,7 @@ def pipeline_extra_queries():
     out.update(similarity.extra_queries())
     out.update(text.extra_queries())
     out.update(events.extra_queries())
+    out.update(code_quality.extra_queries())
     return out
 
 
@@ -38,4 +46,5 @@ def pipeline_extra_oracles():
     out.update(similarity.extra_oracles())
     out.update(text.extra_oracles())
     out.update(events.extra_oracles())
+    out.update(code_quality.extra_oracles())
     return out

@@ -1,0 +1,91 @@
+"""BigCode-style PII/secret redaction for source-code corpora.
+
+The redaction step every published code-corpus pipeline runs before
+release (BigCode/StarCoder PII pass, CodeParrot secrets filter):
+replace emails, IPv4 addresses, AWS-access-key-shaped tokens and long
+hex secrets with typed placeholder tags, and report per-file detection
+counts so the pipeline can quarantine outliers (a file with hundreds of
+keys is a credential dump, not code).
+
+Scale shape: a single chained ``regexp_replace`` projection — one scan,
+zero shuffles, whole-stage codegen. Counts come from
+``regexp_extract_all`` sizes in the same projection, so detection and
+redaction share one pass.
+
+Every pattern is RE2-safe (no lookahead/backreferences) so the same
+regex string runs on Spark (Java regex) and DuckDB (RE2) — parity is
+asserted in tests/test_redact.py on a crafted secret-rich corpus (the
+synthetic fixtures contain no secrets; same precedent as
+dedup_paragraphs).
+
+Pattern notes:
+- emails: conservative RFC-lite (word chars, dots, +, -) — the BigCode
+  PII pass uses the same shape;
+- AWS access keys: the documented fixed prefixes + 16 uppercase
+  base-32 chars (AKIA/ASIA/ABIA/ACCA);
+- hex secrets: standalone runs of ≥ 32 hex chars (sha1/sha256-sized
+  constants; git SHAs inside words are not matched because of the
+  boundary classes);
+- IPv4: dotted quads with 1-3 digit octets; no range check (matching
+  the published filters, which accept 999.1.1.1 as a hit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+EMAIL = r"[A-Za-z0-9][A-Za-z0-9.+_-]*@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}"
+IPV4 = r"(^|[^0-9.])([0-9]{1,3}\.){3}[0-9]{1,3}($|[^0-9.])"
+AWS_KEY = r"(AKIA|ASIA|ABIA|ACCA)[A-Z0-9]{16}"
+HEX_SECRET = r"(^|[^0-9a-fA-F])[0-9a-fA-F]{32,}($|[^0-9a-fA-F])"
+
+#: (name, pattern, replacement) in application order. IPV4/HEX consume a
+#: one-char guard on each side; the replacement re-emits it via $1/$3
+#: (Spark) — the SQL variant uses \1/\3 (DuckDB RE2 syntax).
+RULES: tuple[tuple[str, str, str, str], ...] = (
+    ("email", EMAIL, "<EMAIL>", "<EMAIL>"),
+    ("aws_key", AWS_KEY, "<AWS_KEY>", "<AWS_KEY>"),
+    ("hex_secret", HEX_SECRET, "$1<HEX_SECRET>$2", r"\1<HEX_SECRET>\2"),
+    ("ipv4", IPV4, "$1<IP>$3", r"\1<IP>\3"),
+)
+
+
+def redact_cols(content: Column) -> dict[str, Column]:
+    """``n_<rule>`` count columns + the fully redacted ``content``."""
+    out: dict[str, Column] = {}
+    red = content
+    for name, pat, repl, _ in RULES:
+        out[f"n_{name}"] = F.size(
+            F.regexp_extract_all(content, F.lit(pat), 0)
+        ).cast("int")
+        red = F.regexp_replace(red, pat, repl)
+    out["content"] = red
+    return out
+
+
+def redact_secrets(df: DataFrame, text_col: str = "content") -> DataFrame:
+    """Per-file counts + redacted text; preserves all other columns."""
+    cols = redact_cols(F.col(text_col))
+    others = [c for c in df.columns if c != text_col]
+    return df.select(
+        *others,
+        *[c.alias(k) for k, c in cols.items() if k != "content"],
+        cols["content"].alias(text_col),
+    )
+
+
+def redact_secrets_sql(source: str = "corpus", text_col: str = "content") -> str:
+    """DuckDB recomputation over the same source relation (counts via
+    regexp_extract_all lengths, redaction via chained regexp_replace
+    with the 'g' flag — Spark replaces globally by default)."""
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _, _ in RULES
+    )
+    red = text_col
+    for _, pat, _, sql_repl in RULES:
+        red = f"regexp_replace({red}, '{pat}', '{sql_repl}', 'g')"
+    return (
+        f"SELECT * EXCLUDE ({text_col}),\n       {counts},\n"
+        f"       {red} AS {text_col}\nFROM {source}"
+    )

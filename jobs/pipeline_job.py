@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the full training-data curation pipeline.
+
+Composes the pipeline operators into the pass every published code/text
+corpus runs before a dump is blessed (StarCoder/BigCode, C4,
+SlimPajama):
+
+    1. quality   — StarCoder filter battery (line stats, alnum fraction,
+                   blob fraction, autogen) → keep decision per file
+    2. redact    — BigCode secrets/PII pass on the kept files
+    3. exact     — md5 exact dedup (keep min doc_id per group)
+    4. neardup   — MinHash-LSH + connected components, keep-one-per-
+                   cluster remove list
+    5. decontam  — (optional, --eval) drop files sharing a word n-gram
+                   with the eval set
+    6. bless     — final corpus + per-language mixture report
+
+Usage:
+    zip -r veloci_spark.zip veloci_spark
+    spark-submit --py-files veloci_spark.zip jobs/pipeline_job.py \
+        --input s3://bucket/corpus/ --output s3://bucket/blessed/v1/ \
+        --text-col content --lang-col lang --id-col doc_id \
+        [--eval s3://bucket/eval_suite/] [--table catalog.db.tbl]
+
+Every stage checkpoints to Parquet under --output with a _SUCCESS
+marker and a _lineage.jsonl record (same machinery as the index
+builder, build.py), so a re-submitted job resumes after the last
+completed stage. Stage dataflow is scale-shaped throughout: the
+quality/redact stages are single-scan projections; exact dedup is one
+map-side-combined groupBy; near-dup candidate generation is banded
+(never all-pairs) with the exact-dup mega-bucket pre-collapse; the
+decontam eval grams are broadcast (tiny side input) so the corpus is
+never shuffled on gram.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# local runs: make the repo root importable (on a cluster the package
+# arrives via spark-submit --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.build import _done, _Lineage
+from veloci_spark.pipeline.code_quality import _keep_col, _metrics_cols
+from veloci_spark.pipeline.dedup import dedup_keep_list
+from veloci_spark.pipeline.redact import redact_secrets
+from veloci_spark.pipeline.text import DECONTAM_N, _grams_udf
+
+
+def _stage(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, name)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    eval_df: DataFrame | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the curation pipeline; returns the report dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = _Lineage(out_dir)
+    report: dict = {"stages": {}}
+
+    norm = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("content"),
+    )
+
+    # ---- 1. quality --------------------------------------------------
+    q_path = _stage(out_dir, "quality")
+    if not (resume and _done(q_path)):
+        t0 = time.time()
+        m = _metrics_cols(F.col("content"))
+        frame = norm.select(
+            "doc_id", "lang", "content", *[c.alias(k) for k, c in m.items()]
+        ).withColumn("keep", _keep_col({k: F.col(k) for k in m}))
+        frame.write.mode("overwrite").parquet(q_path)
+        lineage.record("quality", out_path=q_path, wall_s=time.time() - t0)
+    quality = spark.read.parquet(q_path)
+    kept = quality.where(F.col("keep") == 1)
+
+    # ---- 2. redact ---------------------------------------------------
+    r_path = _stage(out_dir, "redacted")
+    if not (resume and _done(r_path)):
+        t0 = time.time()
+        redact_secrets(
+            kept.select("doc_id", "lang", "content"), "content"
+        ).write.mode("overwrite").parquet(r_path)
+        lineage.record("redact", out_path=r_path, wall_s=time.time() - t0)
+    redacted = spark.read.parquet(r_path)
+
+    # ---- 3. exact dedup ----------------------------------------------
+    e_path = _stage(out_dir, "exact_survivors")
+    if not (resume and _done(e_path)):
+        t0 = time.time()
+        # keep the min doc_id of every byte-identical group; groupBy +
+        # join-back (map-side combined, AQE-splittable), never a window
+        # over the hash
+        reps = (
+            redacted.groupBy(F.md5("content").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        redacted.join(reps, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(e_path)
+        lineage.record("exact_dedup", out_path=e_path, wall_s=time.time() - t0)
+    exact = spark.read.parquet(e_path)
+
+    # ---- 4. near-dup remove list -------------------------------------
+    n_path = _stage(out_dir, "neardup_remove")
+    if not (resume and _done(n_path)):
+        t0 = time.time()
+        remove = dedup_keep_list(
+            spark,
+            sf_dir="",  # unused: docs supplied directly
+            docs=exact.select("doc_id", F.col("content").alias("text")),
+        )
+        remove.write.mode("overwrite").parquet(n_path)
+        lineage.record("neardup", out_path=n_path, wall_s=time.time() - t0)
+    remove = spark.read.parquet(n_path)
+    surv = exact.join(
+        remove.select("doc_id"), "doc_id", "left_anti"
+    )
+
+    # ---- 5. decontam (optional) --------------------------------------
+    if eval_df is not None:
+        d_path = _stage(out_dir, "decontam_flagged")
+        if not (resume and _done(d_path)):
+            t0 = time.time()
+            grams = _grams_udf(DECONTAM_N)
+            bench = (
+                eval_df.select(
+                    F.explode(grams(F.col("text"))).alias("g")
+                ).distinct()
+            )
+            corpus_grams = surv.select(
+                "doc_id", F.explode(grams(F.col("content"))).alias("g")
+            )
+            flagged = (
+                corpus_grams.join(F.broadcast(bench), "g")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_shared"))
+            )
+            flagged.write.mode("overwrite").parquet(d_path)
+            lineage.record(
+                "decontam", out_path=d_path, wall_s=time.time() - t0
+            )
+        flagged = spark.read.parquet(d_path)
+        surv = surv.join(flagged.select("doc_id"), "doc_id", "left_anti")
+
+    # ---- 6. bless + report -------------------------------------------
+    b_path = _stage(out_dir, "blessed")
+    if not (resume and _done(b_path)):
+        t0 = time.time()
+        surv.write.mode("overwrite").parquet(b_path)
+        lineage.record("bless", out_path=b_path, wall_s=time.time() - t0)
+    blessed = spark.read.parquet(b_path)
+
+    # bounded driver-side numbers only: one count per stage + per-lang rows
+    counts = {
+        "input": norm.count(),
+        "quality_kept": kept.count(),
+        "exact_survivors": exact.count(),
+        "neardup_removed": remove.count(),
+        "blessed": blessed.count(),
+    }
+    mix = {
+        r["lang"]: r["n"]
+        for r in blessed.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    report["stages"] = counts
+    report["mixture"] = mix
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    lineage.record("report", **counts)
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="corpus path (parquet)")
+    ap.add_argument("--table", help="catalog table name (e.g. Iceberg)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--eval", help="eval-suite parquet with a text column")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("veloci-spark-pipeline").getOrCreate()
+    corpus = (
+        spark.read.table(args.table)
+        if args.table
+        else spark.read.parquet(args.input)
+    )
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    report = run_pipeline(
+        spark,
+        corpus,
+        args.output,
+        text_col=args.text_col,
+        lang_col=args.lang_col,
+        id_col=args.id_col,
+        eval_df=eval_df,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""End-to-end curation pipeline job (jobs/pipeline_job.py) on sf0.001.
+
+Checks stage composition (counts consistent with the individual
+operators), the decontam drop, report contents, and checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from pipeline_job import run_pipeline  # noqa: E402
+
+from veloci_spark.code_corpus import code_corpus  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_root):
+    out = os.path.join(tmp_root, "pipeline_out")
+    corpus = code_corpus(spark, SF_DIR)
+    # eval suite = the raw text of two corpus docs -> they must be
+    # decontam-flagged (if they survive the earlier stages)
+    eval_df = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .where(F.col("doc_id").isin([3, 7]))
+        .select("text")
+    )
+    report = run_pipeline(
+        spark, corpus, out, eval_df=eval_df, resume=False
+    )
+    return out, report
+
+
+def test_stage_counts_consistent(spark, result):
+    out, report = result
+    c = report["stages"]
+    assert c["input"] == 500
+    # quality keep count matches the standalone operator
+    from veloci_spark.pipeline.code_quality import code_quality
+
+    expected_kept = (
+        code_quality(spark, SF_DIR).agg(F.sum("keep")).collect()[0][0]
+    )
+    assert c["quality_kept"] == expected_kept
+    assert 0 < c["exact_survivors"] <= c["quality_kept"]
+    assert c["blessed"] <= c["exact_survivors"] - 0
+    assert sum(report["mixture"].values()) == c["blessed"]
+
+
+def test_outputs_written(result):
+    out, _ = result
+    for stage in (
+        "quality",
+        "redacted",
+        "exact_survivors",
+        "neardup_remove",
+        "decontam_flagged",
+        "blessed",
+    ):
+        assert os.path.exists(os.path.join(out, stage, "_SUCCESS")), stage
+    assert os.path.exists(os.path.join(out, "report.json"))
+    assert os.path.exists(os.path.join(out, "_lineage.jsonl"))
+    stages = [
+        json.loads(l)["stage"]
+        for l in open(os.path.join(out, "_lineage.jsonl"))
+    ]
+    assert stages[:2] == ["quality", "redact"]
+
+
+def test_decontam_drops_eval_overlap(spark, result):
+    out, _ = result
+    flagged = spark.read.parquet(os.path.join(out, "decontam_flagged"))
+    blessed = spark.read.parquet(os.path.join(out, "blessed"))
+    fids = {r["doc_id"] for r in flagged.collect()}
+    assert fids  # the planted eval docs overlap themselves
+    bids = {r["doc_id"] for r in blessed.select("doc_id").collect()}
+    assert not (fids & bids)
+
+
+def test_resume_skips_completed_stages(spark, result):
+    out, report = result
+    mtime = os.path.getmtime(
+        os.path.join(out, "quality", "_SUCCESS")
+    )
+    corpus = code_corpus(spark, SF_DIR)
+    report2 = run_pipeline(spark, corpus, out, resume=True)
+    # same blessed count (decontam stage resumes from its checkpoint
+    # even though eval_df is not re-supplied... it is None now, so the
+    # blessed stage is resumed, not recomputed)
+    assert report2["stages"]["blessed"] == report["stages"]["blessed"]
+    assert os.path.getmtime(
+        os.path.join(out, "quality", "_SUCCESS")
+    ) == mtime

@@ -118,6 +118,7 @@ def dedup_minhash_lsh(
     n_minhash: int = N_MINHASH,
     n_bands: int = N_BANDS,
     shingle_n: int = SHINGLE_N,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, with exact
     Jaccard on each candidate. Returns (doc_a, doc_b, jaccard_e4).
@@ -144,7 +145,9 @@ def dedup_minhash_lsh(
     (consumers wanting keep-one-per-cluster should read the (doc_id,
     rep) group table instead of the explicit pair list)."""
     assert n_minhash % n_bands == 0, "n_minhash must divide into bands"
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    docs = docs.where(F.col("text").isNotNull())
     # (doc_id, rep): md5-exact groups, rep = min doc_id of the group.
     # groupBy + join-back, NOT a window over the hash: a window would
     # put an m-member dup group on one task (the very skew this
@@ -307,6 +310,7 @@ def dedup_components(
     sf_dir: str,
     tau_e4: int = TAU_COMPONENTS_E4,
     max_rounds: int = 50,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS: connected components of the verified near-dup
     graph (MinHash-LSH candidates with exact Jaccard >= τ), as
@@ -325,7 +329,7 @@ def dedup_components(
     Only docs participating in >= 1 near-dup pair appear; everything
     else is its own trivial component by definition.
     """
-    mh = dedup_minhash_lsh(spark, sf_dir)
+    mh = dedup_minhash_lsh(spark, sf_dir, docs=docs)
     pairs = (
         mh.where(F.col("jaccard_e4") >= F.lit(tau_e4))
         .select("doc_a", "doc_b")
@@ -398,7 +402,10 @@ SELECT src AS doc_id, min(node) AS component_id FROM reach GROUP BY src
 # --------------------------------------------------------- keep/remove list
 
 def dedup_keep_list(
-    spark: SparkSession, sf_dir: str, tau_e4: int = TAU_COMPONENTS_E4
+    spark: SparkSession,
+    sf_dir: str,
+    tau_e4: int = TAU_COMPONENTS_E4,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The CONSUMABLE output of near-dup dedup: the doc_ids to REMOVE
     under keep-one-per-cluster (SlimPajama/C4 policy — keep the min
@@ -408,7 +415,7 @@ def dedup_keep_list(
 
     Scale shape: exactly dedup_components (bounded label-propagation
     rounds) plus one filter — nothing new shuffles."""
-    labels = dedup_components(spark, sf_dir, tau_e4=tau_e4)
+    labels = dedup_components(spark, sf_dir, tau_e4=tau_e4, docs=docs)
     return labels.where(F.col("doc_id") != F.col("component_id")).select(
         "doc_id", "component_id"
     )

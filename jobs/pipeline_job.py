@@ -52,7 +52,7 @@ from veloci_spark.build import _done, _Lineage
 from veloci_spark.pipeline.code_quality import _keep_col, _metrics_cols
 from veloci_spark.pipeline.dedup import dedup_keep_list
 from veloci_spark.pipeline.redact import redact_secrets
-from veloci_spark.pipeline.text import DECONTAM_N, _grams_udf
+from veloci_spark.pipeline.text import decontam_flags
 
 
 def _stage(out_dir: str, name: str) -> str:
@@ -142,21 +142,15 @@ def run_pipeline(
         d_path = _stage(out_dir, "decontam_flagged")
         if not (resume and _done(d_path)):
             t0 = time.time()
-            grams = _grams_udf(DECONTAM_N)
-            bench = (
-                eval_df.select(
-                    F.explode(grams(F.col("text"))).alias("g")
-                ).distinct()
-            )
-            corpus_grams = surv.select(
-                "doc_id", F.explode(grams(F.col("content"))).alias("g")
-            )
-            flagged = (
-                corpus_grams.join(F.broadcast(bench), "g")
-                .groupBy("doc_id")
-                .agg(F.count("*").alias("n_shared"))
+            # shared kernel: broadcasts the eval grams only when they fit
+            # (bounded probe), else a gram-keyed shuffle join — same
+            # guard as decontam_ngram
+            flagged = decontam_flags(
+                surv.select("doc_id", F.col("content").alias("text")),
+                eval_df.select("text"),
             )
             flagged.write.mode("overwrite").parquet(d_path)
+            flagged._veloci_unpersist()  # type: ignore[attr-defined]
             lineage.record(
                 "decontam", out_path=d_path, wall_s=time.time() - t0
             )

@@ -20,6 +20,12 @@ CORPUS = [
     (5, "py", "a@b.co c@d.org 192.168.0.254\n"),
     (6, "rs", "// git sha ref: deadbeef (short, not a secret)\n"),
     (7, "go", "tag := \"v1.2.3\" // not an ip\n"),
+    # regression rows: guard-consumption adjacency + sentence-final IP
+    (8, "txt", "a" * 32 + "\n" + "b" * 32 + "\n"),
+    (9, "txt", "a 1.2.3.4 5.6.7.8 b\n"),
+    (10, "txt", "server is 1.2.3.4."),
+    (11, "py", "deadbeefdeadbeefdeadbeefdeadbeef@example.com\n"),
+    (12, "go", "pin to 1.2.3.4.5 please\n"),
 ]
 
 
@@ -78,3 +84,21 @@ def test_detections_and_redaction(spark, crafted):
     assert rows[6]["n_hex_secret"] == 0
     assert rows[6]["content"] == CORPUS[6][2]
     assert rows[7]["n_ipv4"] == 0
+    # one secret per line: EVERY line is redacted, not every other one
+    # (the old trailing guard consumed the '\n' separating them)
+    assert rows[8]["n_hex_secret"] == 2
+    assert "a" * 32 not in rows[8]["content"]
+    assert "b" * 32 not in rows[8]["content"]
+    # adjacent IPs separated by one space: both redacted (second pass)
+    assert rows[9]["n_ipv4"] == 2
+    assert rows[9]["content"] == "a <IP> <IP> b\n"
+    # sentence-final IP is matched, trailing '.' preserved
+    assert rows[10]["n_ipv4"] == 1
+    assert rows[10]["content"] == "server is <IP>."
+    # all-hex email local part: counted once, under the rule that
+    # redacted it (email) — counts agree with the chained replacement
+    assert rows[11]["n_email"] == 1 and rows[11]["n_hex_secret"] == 0
+    assert rows[11]["content"] == "<EMAIL>\n"
+    # a longer dotted run is still not an IP
+    assert rows[12]["n_ipv4"] == 0
+    assert rows[12]["content"] == CORPUS[12][2]

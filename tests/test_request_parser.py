@@ -137,3 +137,22 @@ def test_phrase_pairs_quoted():
     from veloci_spark.parser import parse_query
 
     assert ast_phrase_pairs(parse_query('"q w" e')) == {("q w", "e")}
+
+
+def test_no_parentheses_gates_detached_attr_group():
+    # 'attr:' followed by a STANDALONE '(' token: under no_parentheses
+    # the paren must stay a literal term (lexer.rs:24-25 demotes it to a
+    # plain term char), not open an attribute group — this branch was
+    # gated later than the attached 'attr:(...)' form
+    from veloci_spark.parser import ParserOptions, parse_query
+
+    def terms(ast):
+        if isinstance(ast, UserLeaf):
+            return {ast.term}
+        return terms(ast.left) | terms(ast.right)
+
+    gated = parse_query("tag: ( nice bar )", ParserOptions(no_parentheses=True))
+    assert terms(gated) == {"tag:", "(", "nice", "bar", ")"}
+    # without the flag the same input is an attribute group
+    grouped = parse_query("tag: ( nice bar )")
+    assert terms(grouped) == {"nice", "bar"}

@@ -173,7 +173,12 @@ class _Parser:
                 sub = _Parser(sub_tokens, self.options).parse_or()
                 return _attach_attr(sub, attr)
             tok = rest
-        elif m and m.group(2) == "" and self.peek() == "(":
+        elif (
+            not self.options.no_parentheses
+            and m
+            and m.group(2) == ""
+            and self.peek() == "("
+        ):
             attr = m.group(1)
             self.next()
             inner = self.parse_or(stop_at_paren=True)

@@ -8,9 +8,12 @@ counts so the pipeline can quarantine outliers (a file with hundreds of
 keys is a credential dump, not code).
 
 Scale shape: a single chained ``regexp_replace`` projection — one scan,
-zero shuffles, whole-stage codegen. Counts come from
-``regexp_extract_all`` sizes in the same projection, so detection and
-redaction share one pass.
+zero shuffles, whole-stage codegen. Counts are the number of typed tags
+in the FINAL redacted text, so they are exactly consistent with what the
+chained replacement actually removed (an overlapping secret consumed by
+an earlier rule — e.g. an all-hex email local part — is counted once,
+under the rule that redacted it). Known limitation: content that already
+contains a literal tag string (``<EMAIL>`` etc.) inflates that count.
 
 Every pattern is RE2-safe (no lookahead/backreferences) so the same
 regex string runs on Spark (Java regex) and DuckDB (RE2) — parity is
@@ -25,9 +28,19 @@ Pattern notes:
   base-32 chars (AKIA/ASIA/ABIA/ACCA);
 - hex secrets: standalone runs of ≥ 32 hex chars (sha1/sha256-sized
   constants; git SHAs inside words are not matched because of the
-  boundary classes);
+  leading boundary class — and no trailing guard is needed: ``{32,}``
+  is greedy, so the character after a match is non-hex by construction,
+  and not consuming it keeps it available as the NEXT secret's leading
+  guard (one hex dump line per secret redacts every line, not every
+  other line);
 - IPv4: dotted quads with 1-3 digit octets; no range check (matching
-  the published filters, which accept 999.1.1.1 as a hit).
+  the published filters, which accept 999.1.1.1 as a hit). The trailing
+  guard also accepts a sentence-final '.' (end-of-text or followed by a
+  non-digit/non-dot), while a longer dotted run like '1.2.3.4.5' stays
+  unmatched. Because the trailing guard consumes the separator, two
+  adjacent IPs ('1.2.3.4 5.6.7.8') need a second replace pass — misses
+  only occur directly after a same-pass match, so two passes always
+  converge.
 """
 
 from __future__ import annotations
@@ -35,30 +48,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 EMAIL = r"[A-Za-z0-9][A-Za-z0-9.+_-]*@[A-Za-z0-9][A-Za-z0-9.-]*\.[A-Za-z]{2,}"
-IPV4 = r"(^|[^0-9.])([0-9]{1,3}\.){3}[0-9]{1,3}($|[^0-9.])"
+IPV4 = r"(^|[^0-9.])([0-9]{1,3}\.){3}[0-9]{1,3}($|[^0-9.]|\.$|\.[^0-9.])"
 AWS_KEY = r"(AKIA|ASIA|ABIA|ACCA)[A-Z0-9]{16}"
-HEX_SECRET = r"(^|[^0-9a-fA-F])[0-9a-fA-F]{32,}($|[^0-9a-fA-F])"
+HEX_SECRET = r"(^|[^0-9a-fA-F])[0-9a-fA-F]{32,}"
 
-#: (name, pattern, replacement) in application order. IPV4/HEX consume a
-#: one-char guard on each side; the replacement re-emits it via $1/$3
-#: (Spark) — the SQL variant uses \1/\3 (DuckDB RE2 syntax).
-RULES: tuple[tuple[str, str, str, str], ...] = (
-    ("email", EMAIL, "<EMAIL>", "<EMAIL>"),
-    ("aws_key", AWS_KEY, "<AWS_KEY>", "<AWS_KEY>"),
-    ("hex_secret", HEX_SECRET, "$1<HEX_SECRET>$2", r"\1<HEX_SECRET>\2"),
-    ("ipv4", IPV4, "$1<IP>$3", r"\1<IP>\3"),
+#: (name, pattern, spark_repl, sql_repl, tag, passes) in application
+#: order. Guard groups are re-emitted via $n (Spark) / \n (DuckDB RE2).
+#: ``passes=2`` re-runs the replace to catch matches whose leading guard
+#: char was consumed by the preceding match's trailing guard.
+RULES: tuple[tuple[str, str, str, str, str, int], ...] = (
+    ("email", EMAIL, "<EMAIL>", "<EMAIL>", "<EMAIL>", 1),
+    ("aws_key", AWS_KEY, "<AWS_KEY>", "<AWS_KEY>", "<AWS_KEY>", 1),
+    ("hex_secret", HEX_SECRET, "$1<HEX_SECRET>", r"\1<HEX_SECRET>",
+     "<HEX_SECRET>", 1),
+    ("ipv4", IPV4, "$1<IP>$3", r"\1<IP>\3", "<IP>", 2),
 )
 
 
 def redact_cols(content: Column) -> dict[str, Column]:
-    """``n_<rule>`` count columns + the fully redacted ``content``."""
-    out: dict[str, Column] = {}
+    """``n_<rule>`` count columns + the fully redacted ``content``.
+
+    Counts are tag occurrences in the redacted output, so they agree
+    with the chained replacement by construction."""
     red = content
-    for name, pat, repl, _ in RULES:
+    for _, pat, repl, _, _, passes in RULES:
+        for _ in range(passes):
+            red = F.regexp_replace(red, pat, repl)
+    out: dict[str, Column] = {}
+    for name, _, _, _, tag, _ in RULES:
         out[f"n_{name}"] = F.size(
-            F.regexp_extract_all(content, F.lit(pat), 0)
+            F.regexp_extract_all(red, F.lit(tag), 0)
         ).cast("int")
-        red = F.regexp_replace(red, pat, repl)
     out["content"] = red
     return out
 
@@ -75,17 +95,20 @@ def redact_secrets(df: DataFrame, text_col: str = "content") -> DataFrame:
 
 
 def redact_secrets_sql(source: str = "corpus", text_col: str = "content") -> str:
-    """DuckDB recomputation over the same source relation (counts via
-    regexp_extract_all lengths, redaction via chained regexp_replace
-    with the 'g' flag — Spark replaces globally by default)."""
-    counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS INT) AS n_{name}"
-        for name, pat, _, _ in RULES
-    )
+    """DuckDB recomputation over the same source relation (redaction via
+    chained regexp_replace with the 'g' flag — Spark replaces globally
+    by default; counts via tag occurrences in the redacted text, same
+    as the Spark side)."""
     red = text_col
-    for _, pat, _, sql_repl in RULES:
-        red = f"regexp_replace({red}, '{pat}', '{sql_repl}', 'g')"
+    for _, pat, _, sql_repl, _, passes in RULES:
+        for _ in range(passes):
+            red = f"regexp_replace({red}, '{pat}', '{sql_repl}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(__red, '{tag}')) AS INT) AS n_{name}"
+        for name, _, _, _, tag, _ in RULES
+    )
     return (
-        f"SELECT * EXCLUDE ({text_col}),\n       {counts},\n"
-        f"       {red} AS {text_col}\nFROM {source}"
+        f"SELECT * EXCLUDE (__red),\n       {counts},\n"
+        f"       __red AS {text_col}\nFROM (\n"
+        f"  SELECT * EXCLUDE ({text_col}), {red} AS __red FROM {source}\n)"
     )

@@ -291,9 +291,15 @@ def sample_token_budget(
             ["doc_id", "lang", "n_tokens", "cum_tokens"]
         ]
 
-    return b.groupBy("lang", "bucket").applyInPandas(
+    out = b.groupBy("lang", "bucket").applyInPandas(
         _cum, "doc_id long, lang string, n_tokens long, cum_tokens long"
     )
+    # disposal handle (same pattern as bm25_from_tf / dedup_minhash_lsh):
+    # the persisted tokenized frame feeds both the offset pass above and
+    # the lazy result, so it cannot be freed eagerly here — callers that
+    # materialize the result should release it
+    out._veloci_unpersist = docs.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def sample_token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
@@ -441,6 +447,38 @@ def _grams_udf(n: int, distinct: bool = True):
         return pd.Series(out)
 
     return grams
+
+
+def decontam_flags(
+    docs: DataFrame,
+    bench_texts: DataFrame,
+    n: int = DECONTAM_N,
+    max_broadcast_grams: int = 5_000_000,
+) -> DataFrame:
+    """Generic decontamination kernel: (doc_id, n_shared) for every doc
+    in ``docs`` (doc_id, text) sharing ≥ 1 word n-gram with any row of
+    ``bench_texts`` (text).  Broadcasts the (distinct) eval grams when
+    they fit under ``max_broadcast_grams`` — the probe is a bounded
+    ``limit(k+1).count()`` — and falls back to a gram-keyed shuffle
+    join otherwise, so a pathologically large eval suite degrades to a
+    valid plan instead of an oversized broadcast.  Shared by the fixture
+    operator below and jobs/pipeline_job.py."""
+    grams_udf = _grams_udf(n)
+    bench = (
+        bench_texts.select(F.explode(grams_udf(F.col("text"))).alias("g"))
+        .distinct()
+        .persist()
+    )
+    bench_small = (
+        bench.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
+    )
+    corpus = docs.select(
+        "doc_id", F.explode(grams_udf(F.col("text"))).alias("g")
+    )
+    hits = corpus.join(F.broadcast(bench) if bench_small else bench, "g")
+    out = hits.groupBy("doc_id").agg(F.count("*").alias("n_shared"))
+    out._veloci_unpersist = bench.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def decontam_ngram(

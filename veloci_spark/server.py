@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 from typing import Any, Optional
 
@@ -326,13 +327,18 @@ class VelociApp:
         self.spark = spark
         self.db_paths = dict(databases)
         self._dbs: dict[str, Index] = {}
+        # serve() uses ThreadingHTTPServer: two concurrent first requests
+        # for one db must not each build an Index (duplicate manifest
+        # reads; the loser's warmed LeafLru would be orphaned)
+        self._dbs_lock = threading.Lock()
 
     def ensure_database(self, db: str) -> Index:
-        if db not in self._dbs:
-            if db not in self.db_paths:
-                raise HttpError(400, f"unknown database {db!r}")
-            self._dbs[db] = Index(self.spark, self.db_paths[db])
-        return self._dbs[db]
+        with self._dbs_lock:
+            if db not in self._dbs:
+                if db not in self.db_paths:
+                    raise HttpError(400, f"unknown database {db!r}")
+                self._dbs[db] = Index(self.spark, self.db_paths[db])
+            return self._dbs[db]
 
     def handle(
         self,

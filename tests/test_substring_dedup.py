@@ -1,0 +1,103 @@
+"""Exact-substring dedup (duplicated l-token span removal) on a
+dup-rich synthetic corpus + DuckDB parity, following the
+dedup_paragraphs precedent (the production l=50 finds nothing in the
+short sf fixtures; the fixture registry entry uses l=6 and is gated by
+test_oracle_parity)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.dedup import (
+    apply_substring_removal,
+    dedup_substring,
+    dedup_substring_sql,
+    substring_spans,
+)
+
+L = 4
+
+# token-level picture (l=4):
+#  doc 0: the shared span appears first -> keeper, nothing removed
+#  doc 1: same 6-token span mid-doc -> one merged interval of 3 grams
+#  doc 2: the span twice IN ONE DOC -> first copy is a duplicate of
+#         doc 0's keeper too; both copies removed
+#  doc 3: clean
+SHARED = "big shared block of copied tokens"
+DOCS = [
+    (0, f"{SHARED} unique zero tail words here", "en"),
+    (1, f"one leading filler {SHARED} trailing bits", "en"),
+    (2, f"{SHARED} and again {SHARED}", "en"),
+    (3, "totally different content with no duplicate window at all", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("substrdedup")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return str(root)
+
+
+def test_matches_duckdb(spark, dup_dir):
+    got = [tuple(r) for r in dedup_substring(spark, dup_dir, l=L).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{dup_dir}/documents.parquet/*.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(dedup_substring_sql(l=L)).fetchall()]
+    assert got == want
+    assert len(got) > 0
+
+
+def test_spans_semantics(spark, dup_dir):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in dedup_substring(spark, dup_dir, l=L).collect()
+    }
+    # doc 0 holds the keeper occurrence -> no interval
+    assert not any(d == 0 for d, _, _ in spans)
+    # doc 1: the 6 shared tokens start at token 3 -> grams at 3,4,5
+    # merge to one interval [3, 9)
+    assert spans[(1, 3, 9)] == 3
+    # doc 2: first copy at 0 (grams 0,1,2 -> [0,6)); second copy at 8
+    # (grams 8,9,10 -> [8,14)); 'and again' gap keeps them separate
+    assert spans[(2, 0, 6)] == 3
+    assert spans[(2, 8, 14)] == 3
+    # doc 3 clean
+    assert not any(d == 3 for d, _, _ in spans)
+
+
+def test_removal_eliminates_duplicates(spark, dup_dir):
+    docs = spark.read.parquet(f"{dup_dir}/documents.parquet")
+    spans = substring_spans(docs, l=L)
+    cleaned = apply_substring_removal(docs, spans)
+    rows = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    # keeper doc unchanged; clean doc unchanged
+    assert rows[0] == DOCS[0][1]
+    assert rows[3] == DOCS[3][1]
+    # duplicated spans are gone from the non-keeper docs
+    assert SHARED not in rows[1]
+    assert SHARED not in rows[2]
+    # the surrounding text survives
+    assert "one leading filler" in rows[1]
+    assert "trailing bits" in rows[1]
+    assert "and again" in rows[2]
+    # re-running the span finder on the cleaned corpus finds nothing:
+    # exactly one copy of the shared window remains corpus-wide
+    assert substring_spans(cleaned, l=L).count() == 0
+
+
+def test_within_doc_only_repeat(spark):
+    # a span repeated only inside one doc is still a duplicate; the
+    # first occurrence is the keeper
+    df = spark.createDataFrame(
+        [(7, "a b c d x y z a b c d", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = [tuple(r) for r in substring_spans(df, l=4).collect()]
+    assert got == [(7, 7, 11, 1)]

@@ -17,9 +17,13 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from veloci_spark.pipeline.common import (
+    WORD_PATTERN,
     e4,
     shingles_expr,
     sql_e4,
@@ -488,6 +492,230 @@ FROM grouped WHERE n_occurrences > 1
 """
 
 
+# -------------------------------------------------------- substring dedup
+
+#: Duplicated-span window in TOKENS. 50 is the published setting
+#: (exact-substring dedup removes duplicate spans >= 50 BPE tokens);
+#: tests use a smaller l so short synthetic docs produce spans.
+SUBSTR_L = 50
+
+
+def _pos_grams_udf(l: int):
+    """Arrow-batched positional l-gram hasher: for each text, every
+    token position i emits (i, md5 of the space-joined l-token window
+    at i). md5-over-strings keeps the hash engine-portable (module
+    docstring); production swaps in a Karp-Rabin rolling hash, which
+    makes the window pass O(tokens) instead of O(tokens x l) — the
+    dataflow downstream is identical either way."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    pat = re.compile(WORD_PATTERN)
+    schema = ArrayType(
+        StructType(
+            [StructField("pos", IntegerType()), StructField("h", StringType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def pos_grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = pat.findall(t) if t is not None else []
+            out.append(
+                [
+                    (
+                        i,
+                        hashlib.md5(
+                            " ".join(ws[i : i + l]).encode("utf-8")
+                        ).hexdigest(),
+                    )
+                    for i in range(len(ws) - l + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return pos_grams
+
+
+def substring_spans(docs: DataFrame, l: int = SUBSTR_L) -> DataFrame:
+    """Exact-substring dedup (the "deduplicating training data" span
+    pass): find every maximal token range that duplicates an l-token
+    window seen elsewhere in the corpus (cross-doc OR a repeat within
+    one doc), keep the globally first occurrence (min (doc_id, pos) per
+    window hash), and return the merged removal intervals
+    (doc_id, span_start, span_end, n_grams) — token-indexed, end
+    exclusive. Downstream removal = apply_substring_removal.
+
+    Scale shape: one Arrow window-hash pass (no shuffle) → one
+    map-side-combined groupBy(h) — the key IS the duplicate, so
+    identical-span skew collapses in the combiner, same argument as
+    dedup_paragraphs → one shuffle join of occurrences against the
+    duplicated-hash set (both sides hash-partitioned on h; the dup set
+    is NOT broadcast — at corpus scale it grows with the corpus) → a
+    per-doc gaps-and-islands window merge. The only windows are
+    partitioned by doc_id, bounded by per-doc token count (the
+    bounded-window inventory, PLANS.md)."""
+    occ = docs.select(
+        "doc_id", F.explode(_pos_grams_udf(l)(F.col("text"))).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    keep = (
+        occ.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        )
+        .where(F.col("n_occ") > 1)
+        .select(
+            "h",
+            F.col("_keep.doc_id").alias("keep_doc_id"),
+            F.col("_keep.pos").alias("keep_pos"),
+        )
+    )
+    dup = (
+        occ.join(keep, "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("keep_doc_id"))
+                & (F.col("pos") == F.col("keep_pos"))
+            )
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup.withColumn("prev_pos", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_pos").isNull()
+                | (F.col("pos") > F.col("prev_pos") + l),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + l).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def dedup_substring(
+    spark: SparkSession, sf_dir: str, l: int = SUBSTR_L
+) -> DataFrame:
+    return substring_spans(
+        _docs(spark, sf_dir).where(F.col("text").isNotNull()), l
+    )
+
+
+def dedup_substring_sql(l: int = SUBSTR_L) -> str:
+    """DuckDB recomputation: same window hash (md5 over the space-joined
+    l-token slice), keeper, and gaps-and-islands merge."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_words('text')} AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         md5(array_to_string(ws[i:i+{l - 1}], ' ')) AS h
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(ws) - {l} + 2)) AS i
+  ) u
+  WHERE len(ws) >= {l}
+),
+keep AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS keep
+  FROM occ GROUP BY h HAVING count(*) > 1
+),
+dup AS (
+  SELECT DISTINCT o.doc_id, o.pos
+  FROM occ o JOIN keep k USING (h)
+  WHERE NOT (o.doc_id = k.keep.doc_id AND o.pos = k.keep.pos)
+),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_pos IS NULL OR pos > prev_pos + {l}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagged
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {l} AS BIGINT) AS span_end,
+       count(*) AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+def apply_substring_removal(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cut the removal intervals out of the text: for each doc, delete
+    the characters from the start of token[span_start] through the end
+    of token[span_end - 1] (the separator run INSIDE a cut is removed
+    with it; the runs on either side survive, so a cut can leave
+    doubled separators — same behavior as byte-range removal in the
+    published pass). Docs with no spans pass through unchanged.
+
+    Scale shape: spans aggregate to one small row per affected doc
+    (collect_list over the handful of intervals), left join on doc_id,
+    one Arrow pass to cut."""
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
+    )
+
+    pat = re.compile(WORD_PATTERN)
+
+    @F.pandas_udf("string")
+    def cut(texts: pd.Series, cuts: pd.Series) -> pd.Series:
+        out = []
+        for t, cs in zip(texts, cuts):
+            if t is None or cs is None or len(cs) == 0:
+                out.append(t)
+                continue
+            # right-to-left so earlier char offsets stay valid (spans
+            # are disjoint: islands were merged)
+            toks = list(pat.finditer(t))
+            for c in sorted(
+                cs, key=lambda x: x["span_start"], reverse=True
+            ):
+                s, e = int(c["span_start"]), int(c["span_end"])
+                if s >= len(toks):
+                    continue
+                e = min(e, len(toks))
+                t = t[: toks[s].start()] + t[toks[e - 1].end():]
+            out.append(t)
+        return pd.Series(out)
+
+    joined = docs.join(agg, "doc_id", "left")
+    return joined.withColumn(
+        text_col, cut(F.col(text_col), F.col("_cuts"))
+    ).drop("_cuts")
+
+
 # ------------------------------------------------------------------ simhash
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +873,12 @@ def extra_queries():
         ),
         "dedup_jaccard_adjacent": text_jaccard_adjacent,
         "dedup_keep_list": dedup_keep_list,
+        # l=6 (not the production 50) so the short fixture docs — drawn
+        # from a ~46-word vocabulary — actually contain duplicated
+        # windows; the non-vacuity rule of VERDICT r2
+        "dedup_substring": lambda spark, sf_dir: dedup_substring(
+            spark, sf_dir, l=6
+        ),
         # dedup_paragraphs is NOT fixture-registered: the sf corpora
         # contain no repeated spans, so an sf oracle row would be the
         # vacuous 0==0 green VERDICT r2 flagged; it gets its own
@@ -659,4 +893,5 @@ def extra_oracles():
         "dedup_simhash_64": dedup_simhash_bits_sql(n_bits=64),
         "dedup_jaccard_adjacent": JACCARD_ADJ_SQL,
         "dedup_keep_list": dedup_keep_list_sql(),
+        "dedup_substring": dedup_substring_sql(l=6),
     }

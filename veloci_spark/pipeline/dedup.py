@@ -567,6 +567,11 @@ def substring_spans(docs: DataFrame, l: int = SUBSTR_L) -> DataFrame:
     occ = docs.select(
         "doc_id", F.explode(_pos_grams_udf(l)(F.col("text"))).alias("g")
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    # occ feeds BOTH the keeper aggregation and the join back — without
+    # a persist the Arrow window-hash pass runs twice over the corpus
+    # (plan audit: 2x ArrowEvalPython; same diamond as decontam_ngram,
+    # ADVICE r2). MEMORY_AND_DISK: ~44 B/token, spills rather than OOMs.
+    occ = occ.persist()
     keep = (
         occ.groupBy("h")
         .agg(
@@ -604,7 +609,7 @@ def substring_spans(docs: DataFrame, l: int = SUBSTR_L) -> DataFrame:
         )
         .withColumn("island", F.sum("new_island").over(w))
     )
-    return (
+    out = (
         islands.groupBy("doc_id", "island")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -614,6 +619,10 @@ def substring_spans(docs: DataFrame, l: int = SUBSTR_L) -> DataFrame:
         .select("doc_id", "span_start", "span_end", "n_grams")
         .orderBy("doc_id", "span_start")
     )
+    # disposal handle (house pattern): callers that materialize the
+    # result should release the cached occurrence frame
+    out._veloci_unpersist = occ.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def dedup_substring(

@@ -1,0 +1,59 @@
+"""Sequence-packing semantics: the distributed prefix sum must produce
+the exact concat-and-chunk layout (DuckDB window parity is gated by
+test_oracle_parity's `pack_sequences` entry)."""
+
+import pytest
+
+from veloci_spark.pipeline.text import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def pack_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("packseq")
+    # token counts: 3, 5, 0 (empty), 4, 7  -> offsets 0,3,8,8,12
+    docs = [
+        (0, "a b c", "en"),
+        (1, "d e f g h", "en"),
+        (2, "", "en"),
+        (3, "i j k l", "en"),
+        (4, "m n o p q r s", "en"),
+        (5, None, "en"),  # null text dropped entirely
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return str(root)
+
+
+def test_layout(spark, pack_dir):
+    out = pack_sequences(spark, pack_dir, seq_len=8, n_buckets=3)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    out._veloci_unpersist()
+    assert set(rows) == {0, 1, 2, 3, 4}  # null-text doc dropped
+    # global offsets in doc_id order
+    assert [rows[i]["tok_start"] for i in range(5)] == [0, 3, 8, 8, 12]
+    # doc 1 (tokens 3..7) fits sequence 0; doc 3 (8..11) opens seq 1
+    assert rows[1]["seq_id"] == 0 and rows[1]["n_seqs"] == 1
+    assert rows[3]["seq_id"] == 1 and rows[3]["seq_offset"] == 0
+    # doc 4 (tokens 12..18) straddles sequences 1 and 2
+    assert rows[4]["seq_id"] == 1 and rows[4]["seq_offset"] == 4
+    assert rows[4]["n_seqs"] == 2
+    # empty doc occupies nothing
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_seqs"] == 0
+    # packing invariant: offsets are the exclusive prefix sum
+    total = 0
+    for i in range(5):
+        assert rows[i]["tok_start"] == total
+        total += rows[i]["n_tokens"]
+
+
+def test_bucket_count_invariance(spark, pack_dir):
+    a = pack_sequences(spark, pack_dir, seq_len=8, n_buckets=1)
+    b = pack_sequences(spark, pack_dir, seq_len=8, n_buckets=64)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    a._veloci_unpersist()
+    b._veloci_unpersist()
+    assert ra == rb

@@ -320,6 +320,113 @@ SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
 """
 
 
+# --------------------------------------------------- sequence packing
+
+SEQ_LEN = 2048  # training sequence length in tokens
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout: documents concatenated in doc_id order, cut into fixed
+    ``seq_len``-token training sequences; a doc may straddle a
+    boundary).  Emits per doc the global token offset and its position
+    in the packed layout: (doc_id, n_tokens, tok_start, seq_id,
+    seq_offset, n_seqs) where seq_id = tok_start // seq_len,
+    seq_offset = tok_start % seq_len, and n_seqs is how many sequences
+    the doc spans (0 for an empty doc).
+
+    Scale shape: the same DISTRIBUTED PREFIX SUM as
+    sample_token_budget — a global ``Window.orderBy(doc_id)`` would pin
+    the whole corpus to one task.  Phase 1: per-bucket token totals
+    (deterministic doc_id range buckets), collected (n_buckets rows)
+    and folded into offsets on the driver.  Phase 2: one local cumsum
+    per bucket, each bounded by the bucket width."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(words_expr("text")).cast("long").alias("n_tokens"),
+        )
+        .persist()  # feeds the offset pass and the result (house rule)
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, tok_start long, seq_id long, "
+            "seq_offset long, n_seqs long",
+        )
+    span = int(hi) - int(lo) + 1
+    bucket = (
+        (F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)
+    ).cast("int")
+    b = docs.withColumn("bucket", bucket)
+    partials = b.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for bk, t in sorted((r["bucket"], int(r["t"])) for r in partials):
+        offsets[bk] = run
+        run += t
+
+    def _pack(key, pdf):
+        (bk,) = key
+        pdf = pdf.sort_values("doc_id")
+        start = pdf["n_tokens"].cumsum() - pdf["n_tokens"] + offsets.get(
+            int(bk), 0
+        )
+        pdf["tok_start"] = start.astype("int64")
+        pdf["seq_id"] = (pdf["tok_start"] // seq_len).astype("int64")
+        pdf["seq_offset"] = (pdf["tok_start"] % seq_len).astype("int64")
+        last = pdf["tok_start"] + pdf["n_tokens"] - 1
+        pdf["n_seqs"] = (
+            (last // seq_len) - pdf["seq_id"] + 1
+        ).where(pdf["n_tokens"] > 0, 0).astype("int64")
+        return pdf[
+            ["doc_id", "n_tokens", "tok_start", "seq_id", "seq_offset",
+             "n_seqs"]
+        ]
+
+    out = b.groupBy("bucket").applyInPandas(
+        _pack,
+        "doc_id long, n_tokens long, tok_start long, seq_id long, "
+        "seq_offset long, n_seqs long",
+    )
+    out._veloci_unpersist = docs.unpersist  # type: ignore[attr-defined]
+    return out
+
+
+def pack_sequences_sql(seq_len: int = SEQ_LEN) -> str:
+    """Oracle: single global window (fine at oracle scale; the Spark
+    side dodges the unsplittable window — sample_token_budget note)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({sql_words('text')}) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM d
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {seq_len} AS seq_id,
+       tok_start % {seq_len} AS seq_offset,
+       CASE WHEN n_tokens > 0
+            THEN (tok_start + n_tokens - 1) // {seq_len}
+                 - tok_start // {seq_len} + 1
+            ELSE 0 END AS n_seqs
+FROM c
+"""
+
+
 # ------------------------------------------------------- bigram PMI mining
 
 PMI_MIN_COUNT = 5
@@ -871,6 +978,7 @@ def extra_queries():
         "text_repetition": text_repetition,
         "sample_mixture": sample_mixture,
         "text_token_count_bpe": token_count_bpe,
+        "pack_sequences": pack_sequences,
     }
 
 
@@ -883,4 +991,5 @@ def extra_oracles():
         "text_repetition": text_repetition_sql(),
         "sample_mixture": sample_mixture_sql(),
         "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
+        "pack_sequences": pack_sequences_sql(),
     }

@@ -13,7 +13,11 @@ SlimPajama):
                    cluster remove list
     5. decontam  — (optional, --eval) drop files sharing a word n-gram
                    with the eval set
-    6. bless     — final corpus + per-language mixture report
+    6. substr    — (optional, --substr-l) exact-substring dedup: cut
+                   duplicated l-token spans from the surviving text
+    7. bless     — final corpus + per-language mixture report
+    8. pack      — (optional, --seq-len) concat-and-chunk training-
+                   sequence layout over the blessed corpus
 
 Usage:
     zip -r veloci_spark.zip veloci_spark
@@ -50,9 +54,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from veloci_spark.build import _done, _Lineage
 from veloci_spark.pipeline.code_quality import _keep_col, _metrics_cols
-from veloci_spark.pipeline.dedup import dedup_keep_list
+from veloci_spark.pipeline.dedup import (
+    apply_substring_removal,
+    dedup_keep_list,
+    substring_spans,
+)
 from veloci_spark.pipeline.redact import redact_secrets
-from veloci_spark.pipeline.text import decontam_flags
+from veloci_spark.pipeline.text import decontam_flags, pack_sequences_frame
 
 
 def _stage(out_dir: str, name: str) -> str:
@@ -67,6 +75,8 @@ def run_pipeline(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     eval_df: DataFrame | None = None,
+    substr_l: int | None = None,
+    pack_seq_len: int | None = None,
     resume: bool = True,
 ) -> dict:
     """Run (or resume) the curation pipeline; returns the report dict."""
@@ -157,13 +167,43 @@ def run_pipeline(
         flagged = spark.read.parquet(d_path)
         surv = surv.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
-    # ---- 6. bless + report -------------------------------------------
+    # ---- 6. exact-substring dedup (optional) -------------------------
+    if substr_l:
+        s_path = _stage(out_dir, "substr_cleaned")
+        if not (resume and _done(s_path)):
+            t0 = time.time()
+            as_text = surv.withColumnRenamed("content", "text")
+            spans = substring_spans(as_text, l=substr_l)
+            cleaned = apply_substring_removal(as_text, spans)
+            cleaned.withColumnRenamed("text", "content").write.mode(
+                "overwrite"
+            ).parquet(s_path)
+            spans._veloci_unpersist()  # type: ignore[attr-defined]
+            lineage.record("substr", out_path=s_path, wall_s=time.time() - t0)
+        surv = spark.read.parquet(s_path)
+
+    # ---- 7. bless + report -------------------------------------------
     b_path = _stage(out_dir, "blessed")
     if not (resume and _done(b_path)):
         t0 = time.time()
         surv.write.mode("overwrite").parquet(b_path)
         lineage.record("bless", out_path=b_path, wall_s=time.time() - t0)
     blessed = spark.read.parquet(b_path)
+
+    # ---- 8. training-sequence packing (optional) ---------------------
+    if pack_seq_len:
+        p_path = _stage(out_dir, "packed")
+        if not (resume and _done(p_path)):
+            t0 = time.time()
+            packed = pack_sequences_frame(
+                blessed.select(
+                    "doc_id", F.col("content").alias("text")
+                ),
+                seq_len=pack_seq_len,
+            )
+            packed.write.mode("overwrite").parquet(p_path)
+            packed._veloci_unpersist()  # type: ignore[attr-defined]
+            lineage.record("pack", out_path=p_path, wall_s=time.time() - t0)
 
     # bounded driver-side numbers only: one count per stage + per-lang rows
     counts = {
@@ -173,6 +213,14 @@ def run_pipeline(
         "neardup_removed": remove.count(),
         "blessed": blessed.count(),
     }
+    if pack_seq_len:
+        packed = spark.read.parquet(_stage(out_dir, "packed"))
+        counts["n_sequences"] = int(
+            packed.agg(
+                (F.max(F.col("seq_id") + F.col("n_seqs"))).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
     mix = {
         r["lang"]: r["n"]
         for r in blessed.groupBy("lang")
@@ -196,6 +244,17 @@ def main() -> None:
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--eval", help="eval-suite parquet with a text column")
+    ap.add_argument(
+        "--substr-l",
+        type=int,
+        help="exact-substring dedup span length in tokens (off when unset; "
+        "published setting: 50)",
+    )
+    ap.add_argument(
+        "--seq-len",
+        type=int,
+        help="emit the packed training-sequence layout at this length",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -214,6 +273,8 @@ def main() -> None:
         lang_col=args.lang_col,
         id_col=args.id_col,
         eval_df=eval_df,
+        substr_l=args.substr_l,
+        pack_seq_len=args.seq_len,
         resume=not args.no_resume,
     )
     print(json.dumps(report))

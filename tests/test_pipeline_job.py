@@ -99,3 +99,34 @@ def test_resume_skips_completed_stages(spark, result):
     assert os.path.getmtime(
         os.path.join(out, "quality", "_SUCCESS")
     ) == mtime
+
+
+def test_substr_and_pack_stages(spark, tmp_root):
+    out = os.path.join(tmp_root, "pipeline_out_pack")
+    corpus = code_corpus(spark, SF_DIR)
+    report = run_pipeline(
+        spark, corpus, out, substr_l=6, pack_seq_len=64, resume=False
+    )
+    assert os.path.exists(os.path.join(out, "substr_cleaned", "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "packed", "_SUCCESS"))
+    # span-level dedup held: no duplicated 6-token window remains in
+    # the blessed corpus (exactly one copy of each survives)
+    from veloci_spark.pipeline.dedup import substring_spans
+
+    blessed = spark.read.parquet(os.path.join(out, "blessed"))
+    respans = substring_spans(
+        blessed.select("doc_id", F.col("content").alias("text")), l=6
+    )
+    assert respans.count() == 0
+    respans._veloci_unpersist()
+    # packed layout: exclusive prefix sum over blessed docs in doc_id
+    # order, and the report's sequence count matches the layout end
+    packed = {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.parquet(os.path.join(out, "packed")).collect()
+    }
+    total = 0
+    for did in sorted(packed):
+        assert packed[did]["tok_start"] == total
+        total += packed[did]["n_tokens"]
+    assert report["stages"]["n_sequences"] == (total + 63) // 64 or total == 0

@@ -325,20 +325,19 @@ SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= {budget}
 SEQ_LEN = 2048  # training sequence length in tokens
 
 
-def pack_sequences(
-    spark: SparkSession,
-    sf_dir: str,
+def pack_sequences_frame(
+    docs_text: DataFrame,
     seq_len: int = SEQ_LEN,
     n_buckets: int = 64,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style pretraining
     layout: documents concatenated in doc_id order, cut into fixed
     ``seq_len``-token training sequences; a doc may straddle a
-    boundary).  Emits per doc the global token offset and its position
-    in the packed layout: (doc_id, n_tokens, tok_start, seq_id,
-    seq_offset, n_seqs) where seq_id = tok_start // seq_len,
-    seq_offset = tok_start % seq_len, and n_seqs is how many sequences
-    the doc spans (0 for an empty doc).
+    boundary) over a (doc_id, text) frame.  Emits per doc the global
+    token offset and its position in the packed layout: (doc_id,
+    n_tokens, tok_start, seq_id, seq_offset, n_seqs) where seq_id =
+    tok_start // seq_len, seq_offset = tok_start % seq_len, and n_seqs
+    is how many sequences the doc spans (0 for an empty doc).
 
     Scale shape: the same DISTRIBUTED PREFIX SUM as
     sample_token_budget — a global ``Window.orderBy(doc_id)`` would pin
@@ -346,9 +345,9 @@ def pack_sequences(
     (deterministic doc_id range buckets), collected (n_buckets rows)
     and folded into offsets on the driver.  Phase 2: one local cumsum
     per bucket, each bounded by the bucket width."""
+    spark = docs_text.sparkSession
     docs = (
-        _docs(spark, sf_dir)
-        .where(F.col("text").isNotNull())
+        docs_text.where(F.col("text").isNotNull())
         .select(
             "doc_id",
             F.size(words_expr("text")).cast("long").alias("n_tokens"),
@@ -399,6 +398,15 @@ def pack_sequences(
     )
     out._veloci_unpersist = docs.unpersist  # type: ignore[attr-defined]
     return out
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    n_buckets: int = 64,
+) -> DataFrame:
+    return pack_sequences_frame(_docs(spark, sf_dir), seq_len, n_buckets)
 
 
 def pack_sequences_sql(seq_len: int = SEQ_LEN) -> str:

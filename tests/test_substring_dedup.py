@@ -101,3 +101,64 @@ def test_within_doc_only_repeat(spark):
     )
     got = [tuple(r) for r in substring_spans(df, l=4).collect()]
     assert got == [(7, 7, 11, 1)]
+
+
+# ------------------------------------------------- brute-force property
+
+def _brute_spans(docs, l):
+    """Pure-python reference: window-hash occurrences, keep the global
+    first per window, merge the rest into intervals per doc."""
+    import re
+
+    from veloci_spark.pipeline.common import WORD_PATTERN
+
+    pat = re.compile(WORD_PATTERN)
+    occ = {}  # gram -> sorted list of (doc_id, pos)
+    toks = {d: pat.findall(t or "") for d, t in docs}
+    for d, t in docs:
+        ws = toks[d]
+        for i in range(len(ws) - l + 1):
+            occ.setdefault(" ".join(ws[i : i + l]), []).append((d, i))
+    dup = {}
+    for places in occ.values():
+        if len(places) > 1:
+            keeper = min(places)
+            for d, p in places:
+                if (d, p) != keeper:
+                    dup.setdefault(d, set()).add(p)
+    out = []
+    for d, ps in dup.items():
+        ps = sorted(ps)
+        start, prev, n = ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p > prev + l:
+                out.append((d, start, prev + l, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        out.append((d, start, prev + l, n))
+    return sorted(out)
+
+
+def test_random_corpora_match_brute_force(spark):
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    for trial in range(4):
+        l = rng.choice([3, 4, 5])
+        docs = [
+            (
+                d,
+                " ".join(
+                    rng.choice(vocab)
+                    for _ in range(rng.randrange(0, 30))
+                ),
+            )
+            for d in range(rng.randrange(5, 15))
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spans = substring_spans(df, l=l)
+        got = sorted(tuple(r) for r in spans.collect())
+        spans._veloci_unpersist()
+        assert got == _brute_spans(docs, l), (trial, l, docs)

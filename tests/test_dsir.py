@@ -1,0 +1,44 @@
+"""DSIR importance-weight semantics (DuckDB parity is gated by
+test_oracle_parity's `dsir_weights` entry): docs resembling the target
+distribution must score higher than docs that don't."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.text import dsir_weights
+
+
+@pytest.fixture(scope="module")
+def dsir_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsir")
+    # target subset = doc_id % 5 == 0 -> "formal" vocabulary; the rest
+    # split between formal-ish and junk
+    docs = []
+    for d in range(40):
+        if d % 5 == 0:
+            text = "the quick brown fox jumps over the lazy dog again"
+        elif d % 2 == 0:
+            text = "the quick brown fox naps under the old dog today"
+        else:
+            text = "zz9 qq8 xx7 vv6 kk5 jj4 hh3 gg2 ff1 ee0"
+        docs.append((d, text, "en"))
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return str(root)
+
+
+def test_target_like_docs_score_higher(spark, dsir_dir):
+    out = dsir_weights(spark, dsir_dir, mod=5)
+    rows = {r["doc_id"]: r["logw_e4"] for r in out.collect()}
+    out._veloci_unpersist()
+    assert len(rows) == 40
+    formal_like = [rows[d] for d in range(40) if d % 5 != 0 and d % 2 == 0]
+    junk = [rows[d] for d in range(40) if d % 5 != 0 and d % 2 == 1]
+    # every formal-ish doc outweighs every junk doc
+    assert min(formal_like) > max(junk)
+    # target members themselves score highest of all
+    target = [rows[d] for d in range(40) if d % 5 == 0]
+    assert min(target) >= max(formal_like)

@@ -672,6 +672,161 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------ DSIR importance weights (selection)
+
+DSIR_BUCKETS = 4096   # hashed feature space (the published method uses
+                      # ~10^4 hashed unigram+bigram buckets)
+DSIR_MOD = 31         # deterministic "target" subset for the fixture
+                      # entry: doc_id % MOD == 0, mirroring how the
+                      # decontam fixture synthesizes its eval set
+DSIR_SMOOTH = 1.0
+
+
+def _dsir_feat_udf(n_buckets: int):
+    """Arrow-batched hashed-feature extractor: unigrams + bigrams of the
+    standard word tokenization, each hashed to a bucket id via the first
+    8 md5 hex digits (the engine-portable hash, sample_mixture
+    precedent). Duplicates kept — importance weights use counts."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    pat = re.compile(WORD_PATTERN)
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % (
+            n_buckets
+        )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def feats(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = pat.findall(t) if t is not None else []
+            fs = [bucket(w) for w in ws]
+            fs += [
+                bucket(ws[i] + " " + ws[i + 1]) for i in range(len(ws) - 1)
+            ]
+            out.append(fs)
+        return pd.Series(out)
+
+    return feats
+
+
+def dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    mod: int = DSIR_MOD,
+    smoothing: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR): per-doc log
+    importance weight log p_target(doc)/p_raw(doc) under hashed-n-gram
+    bag-of-features models of a target distribution vs the raw corpus.
+    Downstream, docs are resampled proportionally to exp(weight) to
+    tilt the mixture toward the target domain; here the fixture target
+    is the deterministic doc_id % mod == 0 subset (decontam precedent).
+
+    Output: (doc_id, n_feats, logw_e4) — the weight quantized e4 (PMI
+    precedent for cross-engine float parity).
+
+    Scale shape: one Arrow feature pass per doc (no shuffle), two
+    map-side-combined groupBy(bucket) count tables of n_buckets rows
+    each — BROADCAST back (the feature space is fixed and tiny, unlike
+    the decontam gram set), totals collected driver-side — then one
+    doc-keyed aggregation. The corpus is never shuffled on a feature
+    key; only (doc_id, partial sums) move."""
+    feats = _dsir_feat_udf(n_buckets)
+    f = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(feats(F.col("text"))).alias("b")
+    )
+    # the exploded features feed the target counts, the raw counts and
+    # the per-doc sum — persist or the Arrow pass runs three times
+    f = f.persist()
+    raw = f.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt = (
+        f.where(F.col("doc_id") % mod == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    n_raw, = f.agg(F.count("*")).collect()[0]
+    n_tgt, = f.where(F.col("doc_id") % mod == 0).agg(F.count("*")).collect()[0]
+    denom_raw = float(n_raw) + smoothing * n_buckets
+    denom_tgt = float(n_tgt) + smoothing * n_buckets
+    log_ratio = F.log(
+        (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(denom_tgt)
+    ) - F.log(
+        (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(smoothing))
+        / F.lit(denom_raw)
+    )
+    out = (
+        f.join(F.broadcast(raw), "b", "left")
+        .join(F.broadcast(tgt), "b", "left")
+        .select("doc_id", log_ratio.alias("lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            e4(F.sum("lr")).alias("logw_e4"),
+        )
+        .orderBy("doc_id")
+    )
+    out._veloci_unpersist = f.unpersist  # type: ignore[attr-defined]
+    return out
+
+
+def dsir_weights_sql(
+    n_buckets: int = DSIR_BUCKETS,
+    mod: int = DSIR_MOD,
+    smoothing: float = DSIR_SMOOTH,
+) -> str:
+    """Oracle: same features (unigrams + non-distinct bigram shingles),
+    same md5-prefix bucket hash, window-free recomputation."""
+    ws = sql_words("text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {ws} AS ws FROM documents WHERE text IS NOT NULL
+),
+grams AS (
+  SELECT doc_id,
+         list_concat(
+           ws,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+           ELSE [] END
+         ) AS gs
+  FROM d
+),
+feats AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(md5(u.g), 1, 8) AS UBIGINT)
+              % {n_buckets} AS INT) AS b
+  FROM grams, LATERAL (SELECT unnest(gs) AS g) u
+),
+raw AS (SELECT b, count(*) AS c_raw FROM feats GROUP BY b),
+tgt AS (SELECT b, count(*) AS c_tgt FROM feats
+        WHERE doc_id % {mod} = 0 GROUP BY b),
+tot AS (
+  SELECT (SELECT count(*) FROM feats) AS n_raw,
+         (SELECT count(*) FROM feats WHERE doc_id % {mod} = 0) AS n_tgt
+),
+scored AS (
+  SELECT f.doc_id,
+         ln((COALESCE(t.c_tgt, 0) + {smoothing!r})
+            / (tot.n_tgt + {smoothing!r} * {n_buckets}))
+         - ln((COALESCE(r.c_raw, 0) + {smoothing!r})
+              / (tot.n_raw + {smoothing!r} * {n_buckets})) AS lr
+  FROM feats f
+  LEFT JOIN raw r USING (b)
+  LEFT JOIN tgt t USING (b)
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_feats, {sql_e4('sum(lr)')} AS logw_e4
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # -------------------------------------------------- combined text features
 
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,6 +1142,7 @@ def extra_queries():
         "sample_mixture": sample_mixture,
         "text_token_count_bpe": token_count_bpe,
         "pack_sequences": pack_sequences,
+        "dsir_weights": dsir_weights,
     }
 
 
@@ -1000,4 +1156,5 @@ def extra_oracles():
         "sample_mixture": sample_mixture_sql(),
         "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
         "pack_sequences": pack_sequences_sql(),
+        "dsir_weights": dsir_weights_sql(),
     }

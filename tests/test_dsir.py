@@ -42,3 +42,33 @@ def test_target_like_docs_score_higher(spark, dsir_dir):
     # target members themselves score highest of all
     target = [rows[d] for d in range(40) if d % 5 == 0]
     assert min(target) >= max(formal_like)
+
+
+def test_lm_perplexity_orders_and_handles_short_docs(spark, dsir_dir):
+    from veloci_spark.pipeline.text import lm_perplexity
+
+    out = lm_perplexity(spark, dsir_dir, mod=5)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    out._veloci_unpersist()
+    assert len(rows) == 40
+    # fluent (reference-like) docs get lower mean NLL than junk docs
+    formal = [rows[d]["nll_e4"] for d in range(40) if d % 5 != 0 and d % 2 == 0]
+    junk = [rows[d]["nll_e4"] for d in range(40) if d % 5 != 0 and d % 2 == 1]
+    assert max(formal) < min(junk)
+
+
+def test_lm_perplexity_short_doc_null(spark, tmp_path_factory):
+    from veloci_spark.pipeline.text import lm_perplexity
+
+    root = tmp_path_factory.mktemp("lmshort")
+    spark.createDataFrame(
+        [(0, "solo", "en"), (1, "two words here now", "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    out = lm_perplexity(spark, str(root), mod=1)  # every doc is reference
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    out._veloci_unpersist()
+    assert rows[0]["n_bigrams"] == 0 and rows[0]["nll_e4"] is None
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["nll_e4"] is not None

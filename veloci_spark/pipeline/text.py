@@ -827,6 +827,169 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------- LM-perplexity quality filter (CCNet)
+
+LM_BUCKETS = 1024   # hashed vocabulary (KenLM uses the raw vocab; the
+                    # hashed space bounds the context table at B rows
+                    # and the bigram table at ref-corpus size)
+LM_MOD = 31         # deterministic reference subset (fixture), same
+                    # shape as DSIR/decontam
+LM_SMOOTH = 0.1
+LM_MAX_BROADCAST = 5_000_000
+
+
+def _lm_pairs_udf(n_buckets: int):
+    """Arrow-batched bigram-bucket extractor: (context, word) hashed
+    bucket-id pairs for every adjacent token pair (md5-prefix hash,
+    sample_mixture precedent)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    pat = re.compile(WORD_PATTERN)
+    schema = ArrayType(
+        StructType(
+            [StructField("v", IntegerType()), StructField("w", IntegerType())]
+        )
+    )
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % (
+            n_buckets
+        )
+
+    @F.pandas_udf(schema)
+    def pairs(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = pat.findall(t) if t is not None else []
+            bs = [bucket(w) for w in ws]
+            out.append([(bs[i - 1], bs[i]) for i in range(1, len(bs))])
+        return pd.Series(out)
+
+    return pairs
+
+
+def lm_perplexity(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = LM_BUCKETS,
+    mod: int = LM_MOD,
+    smoothing: float = LM_SMOOTH,
+    max_broadcast: int = LM_MAX_BROADCAST,
+) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document by its
+    perplexity under an add-k-smoothed bigram language model trained on
+    a reference subset (CCNet trains KenLM 5-grams on Wikipedia and
+    keeps the low-perplexity head/middle of the distribution; this is
+    the same selection signal over a hashed-vocabulary bigram model).
+    Fixture reference subset = doc_id % mod == 0 (DSIR precedent).
+
+    Output: (doc_id, n_bigrams, nll_e4) — mean negative log-likelihood
+    per bigram, quantized e4 (log of it is log-perplexity; monotone, so
+    thresholding either is equivalent). Docs with < 2 tokens are
+    emitted with n_bigrams = 0 and NULL nll_e4.
+
+    Scale shape: one Arrow pair pass (no shuffle), two
+    map-side-combined groupBys for the LM tables — the context table is
+    ≤ n_buckets rows (always broadcast); the bigram table is bounded by
+    the reference corpus and broadcast only under ``max_broadcast``
+    (bounded limit-probe, decontam precedent), else a bucket-keyed
+    shuffle join — then one doc-keyed aggregation."""
+    pairs = _lm_pairs_udf(n_buckets)
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    p = docs.select(
+        "doc_id", F.explode(pairs(F.col("text"))).alias("g")
+    ).select("doc_id", F.col("g.v").alias("v"), F.col("g.w").alias("w"))
+    p = p.persist()  # feeds LM training and scoring
+    ref = p.where(F.col("doc_id") % mod == 0)
+    big = ref.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
+    ctx = ref.groupBy("v").agg(F.count("*").alias("c_v"))
+    big = big.persist()
+    big_small = big.limit(max_broadcast + 1).count() <= max_broadcast
+    nll = -F.log(
+        (F.coalesce(F.col("c_vw"), F.lit(0)) + F.lit(smoothing))
+        / (F.coalesce(F.col("c_v"), F.lit(0)) + F.lit(smoothing * n_buckets))
+    )
+    scored = (
+        p.join(F.broadcast(big) if big_small else big, ["v", "w"], "left")
+        .join(F.broadcast(ctx), "v", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            e4(F.avg(nll)).alias("nll_e4"),
+        )
+    )
+    # docs with < 2 tokens produce no pairs: emit them with 0 bigrams
+    # (left join against the doc list, null-filled)
+    out = (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "nll_e4",
+        )
+        .orderBy("doc_id")
+    )
+
+    def _unpersist():
+        p.unpersist()
+        big.unpersist()
+
+    out._veloci_unpersist = _unpersist  # type: ignore[attr-defined]
+    return out
+
+
+def lm_perplexity_sql(
+    n_buckets: int = LM_BUCKETS,
+    mod: int = LM_MOD,
+    smoothing: float = LM_SMOOTH,
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {sql_words('text')} AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id,
+         list_transform(ws, x -> CAST(
+           CAST('0x' || substring(md5(x), 1, 8) AS UBIGINT)
+           % {n_buckets} AS INT)) AS bs
+  FROM d
+),
+pairs AS (
+  SELECT doc_id, bs[i] AS v, bs[i+1] AS w
+  FROM b, LATERAL (SELECT unnest(range(1, len(bs))) AS i) u
+),
+big AS (SELECT v, w, count(*) AS c_vw FROM pairs
+        WHERE doc_id % {mod} = 0 GROUP BY v, w),
+ctx AS (SELECT v, count(*) AS c_v FROM pairs
+        WHERE doc_id % {mod} = 0 GROUP BY v),
+scored AS (
+  SELECT p.doc_id,
+         -ln((COALESCE(big.c_vw, 0) + {smoothing!r})
+             / (COALESCE(ctx.c_v, 0) + {smoothing * n_buckets!r})) AS nll
+  FROM pairs p
+  LEFT JOIN big USING (v, w)
+  LEFT JOIN ctx USING (v)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, {sql_e4('avg(nll)')} AS nll_e4
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.nll_e4
+FROM d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # -------------------------------------------------- combined text features
 
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,6 +1306,7 @@ def extra_queries():
         "text_token_count_bpe": token_count_bpe,
         "pack_sequences": pack_sequences,
         "dsir_weights": dsir_weights,
+        "lm_perplexity": lm_perplexity,
     }
 
 
@@ -1157,4 +1321,5 @@ def extra_oracles():
         "text_token_count_bpe": TOKEN_COUNT_BPE_SQL,
         "pack_sequences": pack_sequences_sql(),
         "dsir_weights": dsir_weights_sql(),
+        "lm_perplexity": lm_perplexity_sql(),
     }

@@ -1,0 +1,82 @@
+"""BPE merge learning: the distributed loop must produce exactly the
+merge list of the classic single-machine algorithm (same tie-break:
+max summed frequency, then lexicographically smallest joined key)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.text import _BPE_SEP, BPE_EOW, bpe_train
+
+
+def _brute_bpe(word_freqs: dict, n_merges: int):
+    syms = {w: list(w) + [BPE_EOW] for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                k = s[i] + _BPE_SEP + s[i + 1]
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best.split(_BPE_SEP, 1)
+        merges.append((rank, a, b))
+        new = a + b
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bpe")
+    docs = [
+        (0, "low low low low low lower lower newest newest", "en"),
+        (1, "newest newest newest newest widest widest widest", "en"),
+        (2, "low lower newest widest wider", "en"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return str(root)
+
+
+def test_matches_reference_algorithm(spark, bpe_dir):
+    got = [
+        (r["rank"], r["left"], r["right"])
+        for r in bpe_train(spark, bpe_dir, n_merges=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    wf = {
+        r["w"]: r["c"]
+        for r in spark.read.parquet(f"{bpe_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    want = _brute_bpe(wf, 10)
+    assert got == want
+    # the classic corpus learns the expected early merges: 'es' then
+    # 'est' dominate (newest/widest), and low/lower share 'lo'+'w'
+    learned = {(l, r) for _, l, r in got}
+    assert ("e", "s") in learned and ("es", "t") in learned
+    assert got[0] == (0, "e", "s")
+
+
+def test_no_caches_leak(spark, bpe_dir):
+    bpe_train(spark, bpe_dir, n_merges=3)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

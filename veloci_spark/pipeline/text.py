@@ -827,6 +827,121 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------- BPE tokenizer training
+
+BPE_MERGES = 20
+BPE_EOW = "</w>"
+_BPE_SEP = "\x1f"  # pair-key separator; ties break on the joined string
+
+
+def _bpe_init_udf():
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def init_syms(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: list(w) + [BPE_EOW])
+
+    return init_syms
+
+
+def _bpe_pairs_udf():
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def pairs(syms: pd.Series) -> pd.Series:
+        return syms.map(
+            lambda s: [
+                s[i] + _BPE_SEP + s[i + 1] for i in range(len(s) - 1)
+            ]
+        )
+
+    return pairs
+
+
+def _bpe_merge_udf(a: str, b: str):
+    """Factory scope freezes (a, b) per merge — the UDF must not see
+    later loop iterations' values if an evicted partition recomputes."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    new = a + b
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def m(s):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(m)
+
+    return apply_merge
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Distributed BPE tokenizer training (the byte-pair-encoding merge
+    learning of Sennrich et al. / every GPT-style tokenizer): learn the
+    top ``n_merges`` merge rules from corpus word frequencies.  Returns
+    (rank, left, right) — the ordered merge list a tokenizer applies.
+
+    Determinism: the best pair per round is (max summed frequency, then
+    lexicographically smallest joined ``left\\x1fright`` key); words
+    carry a ``</w>`` end-of-word sentinel symbol.
+
+    Scale shape: the corpus-scale work is ONE map-side-combined
+    groupBy(word) frequency count; the merge loop then runs over the
+    word-frequency table (vocabulary-sized, corpus-size-independent) —
+    per round one Arrow pair pass + a pair-keyed map-side-combined
+    aggregation whose top-1 is a TakeOrderedAndProject collect, and one
+    Arrow merge-apply pass re-persisted (previous round unpersisted).
+    Rounds are driver-bounded (n_merges).  Iterative ⇒ no SQL oracle;
+    exact-parity against a pure-python reference in
+    tests/test_bpe.py (kmeans_centroids precedent)."""
+    wf = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.explode(words_expr("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = wf.select(
+        _bpe_init_udf()(F.col("w")).alias("syms"), "freq"
+    ).persist()
+    cur.count()
+    pairs = _bpe_pairs_udf()
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        top = (
+            cur.select(F.explode(pairs(F.col("syms"))).alias("p"), "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["p"].split(_BPE_SEP, 1)
+        merges.append((rank, a, b))
+        nxt = cur.select(
+            _bpe_merge_udf(a, b)(F.col("syms")).alias("syms"), "freq"
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string"
+    )
+
+
 # --------------------------------- LM-perplexity quality filter (CCNet)
 
 LM_BUCKETS = 1024   # hashed vocabulary (KenLM uses the raw vocab; the
@@ -1307,6 +1422,11 @@ def extra_queries():
         "pack_sequences": pack_sequences,
         "dsir_weights": dsir_weights,
         "lm_perplexity": lm_perplexity,
+        # iterative (driver-bounded merge loop) => rows-only contract,
+        # exact parity vs a python reference in tests/test_bpe.py
+        "bpe_train": lambda spark, sf_dir: bpe_train(
+            spark, sf_dir, n_merges=8
+        ),
     }
 
 

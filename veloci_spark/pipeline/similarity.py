@@ -104,10 +104,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- brute force
 
-def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    """Top-k by cosine similarity to the vec_id=0 embedding."""
+def ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20, query_vec_id: int = 0
+) -> DataFrame:
+    """Top-k by cosine similarity to the ``query_vec_id`` embedding
+    (the fixture oracle pins vec_id=0)."""
     emb = _emb(spark, sf_dir)
-    q = emb.where(F.col("vec_id") == 0).select(
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
     )
     joined = emb.crossJoin(F.broadcast(q))
@@ -213,8 +216,9 @@ def ann_multiprobe_topk(
     sf_dir: str,
     n_bits: int = N_SIGN_BITS,
     k: int = 20,
+    query_vec_id: int = 0,
 ) -> DataFrame:
-    """ANN top-k for the vec_id=0 query probing its own bucket plus all
+    """ANN top-k for the ``query_vec_id`` query probing its own bucket plus all
     Hamming-1 neighbor buckets, then exact cosine inside the candidate
     set. At scale: 1 broadcast row + a bucket-pruned scan — candidates
     shrink by ~(n_bits+1)/2^n_bits of the corpus."""
@@ -222,7 +226,7 @@ def ann_multiprobe_topk(
     withb = emb.select(
         "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
     )
-    q = withb.where(F.col("vec_id") == 0).select(
+    q = withb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
     )
     cand = withb.crossJoin(F.broadcast(q)).where(
@@ -264,6 +268,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     k: int = 20,
     train_iters: int = 0,
+    query_vec_id: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN top-k: a coarse quantizer of ``n_centroids``
     (deterministically data-sampled: the first n_centroids vectors —
@@ -294,7 +299,9 @@ def ann_ivf_topk(
         cents = emb.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
         )
-    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
 
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",

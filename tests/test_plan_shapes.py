@@ -1,0 +1,110 @@
+"""Physical-plan regression pins for the scale-critical properties the
+round-2/3 audits fixed (PLANS.md): hot-key windows replaced by prefix
+sums or groupBy+join-back, small sides explicitly broadcast, and
+diamond-shaped dataflows cached so Arrow passes run once. These assert
+plan STRUCTURE, not timing, so a refactor that silently reintroduces a
+global window or a double scan fails fast.
+
+Only robust properties are asserted: hinted broadcasts (F.broadcast is
+honored regardless of AQE), Window absence, and InMemoryTableScan
+presence. Join strategies of UN-hinted joins are left alone — AQE may
+legitimately pick broadcast at fixture scale."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------ window-free prefix sums
+
+@pytest.mark.parametrize(
+    "opname",
+    ["sample_token_budget", "pack_sequences"],
+)
+def test_prefix_sum_ops_have_no_window(spark, opname):
+    # both were designed as distributed two-phase prefix sums precisely
+    # to avoid an unsplittable Window over (lang) / the whole corpus
+    import veloci_spark.pipeline.text as text
+
+    out = getattr(text, opname)(spark, SF_DIR)
+    try:
+        assert "Window" not in _plan(out)
+    finally:
+        if hasattr(out, "_veloci_unpersist"):
+            out._veloci_unpersist()
+
+
+def test_dedup_group_ops_have_no_window(spark):
+    # the groupBy key IS the duplicate: identical-content skew collapses
+    # in the map-side combiner, never in a sorted window partition
+    from veloci_spark.pipeline.dedup import dedup_exact, dedup_simhash
+
+    assert "Window" not in _plan(dedup_exact(spark, SF_DIR))
+    assert "Window" not in _plan(dedup_simhash(spark, SF_DIR))
+
+
+# --------------------------------------------------- broadcast small sides
+
+def test_dsir_broadcasts_bucket_tables(spark):
+    from veloci_spark.pipeline.text import dsir_weights
+
+    out = dsir_weights(spark, SF_DIR)
+    try:
+        p = _plan(out)
+        assert p.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in p
+    finally:
+        out._veloci_unpersist()
+
+
+def test_lm_perplexity_broadcasts_lm_tables(spark):
+    from veloci_spark.pipeline.text import lm_perplexity
+
+    out = lm_perplexity(spark, SF_DIR)
+    try:
+        p = _plan(out)
+        # both LM count tables are broadcast; the one shuffle join left
+        # is the doc-keyed short-doc backfill (corpus-sized both sides,
+        # unskewed equi-key — the correct shape at scale)
+        assert p.count("BroadcastHashJoin") >= 2
+        assert p.count("SortMergeJoin") <= 1
+    finally:
+        out._veloci_unpersist()
+
+
+def test_decontam_broadcasts_small_bench(spark):
+    from veloci_spark.pipeline.text import decontam_ngram
+
+    # fixture eval set is far under max_broadcast_grams -> hinted
+    # broadcast join; the corpus is never shuffled on gram
+    assert "BroadcastHashJoin" in _plan(decontam_ngram(spark, SF_DIR))
+
+
+# ------------------------------------------------- diamond caches (1 pass)
+
+def test_substring_spans_reads_cache_in_both_branches(spark):
+    from veloci_spark.pipeline.dedup import dedup_substring
+
+    out = dedup_substring(spark, SF_DIR, l=6)
+    try:
+        # occurrence frame cached: keeper agg AND join-back read the
+        # cache instead of re-running the Arrow window-hash pass
+        assert _plan(out).count("InMemoryTableScan") >= 2
+    finally:
+        out._veloci_unpersist()
+
+
+def test_dsir_reads_cache_in_all_branches(spark):
+    from veloci_spark.pipeline.text import dsir_weights
+
+    out = dsir_weights(spark, SF_DIR)
+    try:
+        assert _plan(out).count("InMemoryTableScan") >= 3
+    finally:
+        out._veloci_unpersist()

@@ -20,6 +20,8 @@ Other modes (each appends its table to BENCH/BASELINE.md):
       levels (separates the width-scaling kernel from fixed shuffle cost)
   --wand-pruning     block-max pruning on a Zipf(1)-vocabulary corpus
   --ann-recall       recall@k of the pruned ANN paths vs brute force
+  --dedup-recall     MinHash-LSH candidate recall vs exact Jaccard on a
+      mutation-ladder corpus (measured S-curve vs banding theory)
 """
 
 from __future__ import annotations
@@ -706,6 +708,135 @@ def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> 
         spark.stop()
 
 
+def run_dedup_recall(
+    cpus: int, n_base: int = 600, doc_tokens: int = 60
+) -> dict:
+    """MinHash-LSH candidate recall vs EXACT Jaccard, measured on the
+    shipping dedup operator over a mutation-ladder corpus: each base doc
+    gets one mutated copy at a token-replacement rate drawn from
+    {0.02, 0.1, 0.2, 0.35}, so planted pairs span the whole similarity
+    range instead of clustering at j≈1 like the sf fixtures. Recall is
+    reported per MEASURED-jaccard band against the banding theory
+    P(candidate) = 1-(1-j^r)^b at the band midpoint."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.dedup import (
+        SHINGLE_N,
+        _with_shingles,
+        dedup_minhash_lsh,
+    )
+
+    spark = make_spark(cpus)
+    try:
+        vocab = 2000
+        base = spark.range(n_base).withColumnRenamed("id", "doc_id")
+
+        def rank_word(doc, i):
+            u = (
+                F.pmod(F.xxhash64(doc * F.lit(1024) + i), F.lit(1_000_000))
+                .cast("double") / F.lit(1_000_000.0)
+            )
+            r = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+            return F.concat(F.lit("w"), r.cast("string"))
+
+        toks = F.transform(
+            F.sequence(F.lit(1), F.lit(doc_tokens)),
+            lambda i: rank_word(F.col("doc_id"), i),
+        )
+        bases = base.select(
+            "doc_id", F.array_join(toks, " ").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        # one mutated copy per base: replacement coin + junk token are
+        # both deterministic in (doc_id, position)
+        rates = [0.02, 0.1, 0.2, 0.35]
+        rate = F.element_at(
+            F.array(*[F.lit(r) for r in rates]),
+            (F.col("doc_id") % len(rates) + 1).cast("int"),
+        )
+        # mutated text computed BEFORE re-aliasing doc_id: a later select
+        # expression's F.col("doc_id") would otherwise resolve to the
+        # lateral alias (+1M) and regenerate unrelated tokens
+        mut_text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(doc_tokens)),
+                lambda i: F.when(
+                    (
+                        F.pmod(
+                            F.xxhash64(
+                                F.col("doc_id") * F.lit(7919) + F.lit(13) * i
+                            ),
+                            F.lit(1_000_000),
+                        ).cast("double") / F.lit(1_000_000.0)
+                    ) < rate,
+                    F.concat(F.lit("junk"), F.xxhash64(
+                        F.col("doc_id") * F.lit(31) + i).cast("string")),
+                ).otherwise(rank_word(F.col("doc_id"), i)),
+            ),
+            " ",
+        )
+        muts = bases.withColumn("_mut", mut_text).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.col("_mut").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        corpus = bases.unionAll(muts).persist()
+        corpus.count()
+        # exact jaccard of every planted (base, base+1M) pair
+        sh = _with_shingles(corpus, SHINGLE_N)
+        a = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sa"))
+        b = sh.select(
+            (F.col("doc_id") - 1_000_000).alias("da"), F.col("sh").alias("sb")
+        )
+        planted = a.join(b, "da").select(
+            "da",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("j"),
+        ).collect()
+        truth = {int(r["da"]): float(r["j"]) for r in planted}
+
+        bands = [(0.1, 0.3), (0.3, 0.5), (0.5, 0.7), (0.7, 0.9), (0.9, 1.01)]
+        res: dict = {"n_base": n_base, "cpus": cpus, "settings": {}}
+        for n_mh, n_bands in [(8, 4), (32, 8), (16, 8)]:
+            pairs_df = dedup_minhash_lsh(
+                spark, sf_dir="", n_minhash=n_mh, n_bands=n_bands, docs=corpus
+            )
+            cand = {
+                (r["doc_a"], r["doc_b"])
+                for r in pairs_df.select("doc_a", "doc_b").collect()
+            }
+            pairs_df._veloci_unpersist()
+            r_rows = n_mh // n_bands
+            per_band = {}
+            for lo, hi in bands:
+                in_band = [
+                    d for d, j in truth.items() if lo <= j < hi
+                ]
+                if not in_band:
+                    continue
+                found = sum(
+                    1 for d in in_band if (d, d + 1_000_000) in cand
+                )
+                mid = (lo + min(hi, 1.0)) / 2
+                theory = 1 - (1 - mid ** r_rows) ** n_bands
+                per_band[f"{lo:.1f}-{min(hi, 1.0):.1f}"] = {
+                    "n": len(in_band),
+                    "recall": round(found / len(in_band), 3),
+                    "theory_mid": round(theory, 3),
+                }
+            res["settings"][f"mh{n_mh}_b{n_bands}"] = {
+                "r_rows": r_rows,
+                "candidates": len(cand),
+                "bands": per_band,
+            }
+        corpus.unpersist()
+        return res
+    finally:
+        spark.stop()
+
+
 def run_leaf_cache(sf_dir: str, cpus: int) -> dict:
     """Cross-request leaf-LRU effect: the same OR-of-terms request run
     repeatedly against one Index handle. First run resolves
@@ -816,6 +947,33 @@ def main():
                 f"{res['or_rank_identical']} | {res['bm25_exhaustive']} | "
                 f"{res['bm25_wand']} | {res['bm25_blocks']} | {res['bm25_rank_identical']} |\n"
             )
+        return
+    if "--dedup-recall" in sys.argv:
+        res = run_dedup_recall(cpus)
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## MinHash-LSH recall run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"Candidate recall of the shipping dedup_minhash_lsh operator "
+                f"vs EXACT shingle Jaccard on a mutation-ladder corpus "
+                f"({res['n_base']} planted pairs spanning j≈0.1–1.0; "
+                f"local[{res['cpus']}]); theory = 1-(1-j^r)^b at the band "
+                "midpoint:\n\n"
+            )
+            for name, s in res["settings"].items():
+                f.write(
+                    f"**{name}** (r={s['r_rows']}, "
+                    f"{s['candidates']} candidate pairs):\n\n"
+                    "| jaccard band | pairs | measured recall | theory |\n"
+                    "|---|---|---|---|\n"
+                )
+                for band, row in s["bands"].items():
+                    f.write(
+                        f"| {band} | {row['n']} | {row['recall']} | "
+                        f"{row['theory_mid']} |\n"
+                    )
+                f.write("\n")
         return
     if "--ann-recall" in sys.argv:
         res = run_ann_recall(sf_dir, cpus)

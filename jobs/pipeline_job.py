@@ -79,8 +79,52 @@ def run_pipeline(
     pack_seq_len: int | None = None,
     resume: bool = True,
 ) -> dict:
-    """Run (or resume) the curation pipeline; returns the report dict."""
+    """Run (or resume) the curation pipeline; returns the report dict.
+
+    Resume safety: the stage CONFIGURATION (columns, which optional
+    stages are on, their parameters) is fingerprinted to
+    pipeline_config.json in out_dir. Re-running the same out_dir with a
+    different configuration disables resume for the whole run —
+    otherwise e.g. adding --substr-l to a finished out_dir would compute
+    the substring pass and then silently read the stale pre-substring
+    bless checkpoint."""
     os.makedirs(out_dir, exist_ok=True)
+    has_eval = eval_df is not None
+    cfg = {
+        "text_col": text_col,
+        "lang_col": lang_col,
+        "id_col": id_col,
+        "has_eval": has_eval,
+        "substr_l": substr_l,
+        "pack_seq_len": pack_seq_len,
+    }
+    cfg_path = os.path.join(out_dir, "pipeline_config.json")
+    use_decontam_checkpoint = False
+    if resume and os.path.exists(cfg_path):
+        with open(cfg_path) as fh:
+            recorded = json.load(fh)
+        if {k: v for k, v in recorded.items() if k != "has_eval"} != {
+            k: v for k, v in cfg.items() if k != "has_eval"
+        }:
+            resume = False
+        elif recorded.get("has_eval") and not has_eval:
+            # resuming a decontaminated pipeline without re-supplying
+            # --eval is fine IF the flag checkpoint exists (it is read,
+            # never recomputed); otherwise the filter can't be rebuilt
+            if _done(_stage(out_dir, "decontam_flagged")):
+                use_decontam_checkpoint = True
+                cfg["has_eval"] = True  # pipeline still decontaminated
+            else:
+                raise ValueError(
+                    "out_dir was configured with an eval suite but its "
+                    "decontam checkpoint is incomplete; re-supply --eval "
+                    "or use --no-resume"
+                )
+        elif has_eval and not recorded.get("has_eval"):
+            resume = False  # decontam is a NEW stage: stale bless would
+            # otherwise be read un-filtered
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh, indent=2, sort_keys=True)
     lineage = _Lineage(out_dir)
     report: dict = {"stages": {}}
 
@@ -148,7 +192,7 @@ def run_pipeline(
     )
 
     # ---- 5. decontam (optional) --------------------------------------
-    if eval_df is not None:
+    if eval_df is not None or use_decontam_checkpoint:
         d_path = _stage(out_dir, "decontam_flagged")
         if not (resume and _done(d_path)):
             t0 = time.time()

@@ -78,5 +78,8 @@ def test_matches_reference_algorithm(spark, bpe_dir):
 
 
 def test_no_caches_leak(spark, bpe_dir):
+    # delta-based: the session is shared across test modules, so assert
+    # bpe_train adds nothing rather than that the world is empty
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     bpe_train(spark, bpe_dir, n_merges=3)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before

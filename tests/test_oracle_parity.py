@@ -59,6 +59,9 @@ def test_query_matches_oracle(spark, ddb, name):
     sdf = q(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
+    if hasattr(sdf, "_veloci_unpersist"):
+        sdf._veloci_unpersist()  # release operator caches across the
+        # ~70 parametrized runs sharing one session
 
     if name not in oracles:
         # rows-only contract

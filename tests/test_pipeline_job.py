@@ -130,3 +130,23 @@ def test_substr_and_pack_stages(spark, tmp_root):
         assert packed[did]["tok_start"] == total
         total += packed[did]["n_tokens"]
     assert report["stages"]["n_sequences"] == (total + 63) // 64 or total == 0
+
+
+def test_changed_config_invalidates_resume(spark, tmp_root):
+    out = os.path.join(tmp_root, "pipeline_out_cfgguard")
+    corpus = code_corpus(spark, SF_DIR)
+    run_pipeline(spark, corpus, out, resume=False)
+    bless_mtime = os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
+    # re-running the SAME config resumes (bless untouched)
+    run_pipeline(spark, corpus, out, resume=True)
+    assert os.path.getmtime(
+        os.path.join(out, "blessed", "_SUCCESS")
+    ) == bless_mtime
+    # enabling --substr-l changes the stage set: resume must be
+    # invalidated so bless is NOT read from the stale pre-substring
+    # checkpoint
+    run_pipeline(spark, corpus, out, substr_l=6, resume=True)
+    assert os.path.exists(os.path.join(out, "substr_cleaned", "_SUCCESS"))
+    assert os.path.getmtime(
+        os.path.join(out, "blessed", "_SUCCESS")
+    ) > bless_mtime

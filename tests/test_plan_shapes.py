@@ -100,11 +100,15 @@ def test_substring_spans_reads_cache_in_both_branches(spark):
         out._veloci_unpersist()
 
 
-def test_dsir_reads_cache_in_all_branches(spark):
+def test_dsir_final_plan_scans_cache_once(spark):
     from veloci_spark.pipeline.text import dsir_weights
 
     out = dsir_weights(spark, SF_DIR)
     try:
-        assert _plan(out).count("InMemoryTableScan") >= 3
+        # the bucket count tables were collected eagerly (they are
+        # <= n_buckets rows), so the final plan is ONE cached-feature
+        # scan joined against two literal local frames — not three
+        # separate passes over the corpus-sized cache
+        assert _plan(out).count("InMemoryTableScan") == 1
     finally:
         out._veloci_unpersist()

@@ -43,22 +43,28 @@ def dup_dir(spark, tmp_path_factory):
 
 
 def test_matches_duckdb(spark, dup_dir):
-    got = [tuple(r) for r in dedup_substring(spark, dup_dir, l=L).collect()]
+    df = dedup_substring(spark, dup_dir, l=L)
+    got = sorted(tuple(r) for r in df.collect())
+    df._veloci_unpersist()
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{dup_dir}/documents.parquet/*.parquet')"
     )
-    want = [tuple(r) for r in con.execute(dedup_substring_sql(l=L)).fetchall()]
+    want = sorted(
+        tuple(r) for r in con.execute(dedup_substring_sql(l=L)).fetchall()
+    )
     assert got == want
     assert len(got) > 0
 
 
 def test_spans_semantics(spark, dup_dir):
+    df = dedup_substring(spark, dup_dir, l=L)
     spans = {
         (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
-        for r in dedup_substring(spark, dup_dir, l=L).collect()
+        for r in df.collect()
     }
+    df._veloci_unpersist()
     # doc 0 holds the keeper occurrence -> no interval
     assert not any(d == 0 for d, _, _ in spans)
     # doc 1: the 6 shared tokens start at token 3 -> grams at 3,4,5
@@ -77,6 +83,7 @@ def test_removal_eliminates_duplicates(spark, dup_dir):
     spans = substring_spans(docs, l=L)
     cleaned = apply_substring_removal(docs, spans)
     rows = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    spans._veloci_unpersist()
     # keeper doc unchanged; clean doc unchanged
     assert rows[0] == DOCS[0][1]
     assert rows[3] == DOCS[3][1]
@@ -89,7 +96,9 @@ def test_removal_eliminates_duplicates(spark, dup_dir):
     assert "and again" in rows[2]
     # re-running the span finder on the cleaned corpus finds nothing:
     # exactly one copy of the shared window remains corpus-wide
-    assert substring_spans(cleaned, l=L).count() == 0
+    rescan = substring_spans(cleaned, l=L)
+    assert rescan.count() == 0
+    rescan._veloci_unpersist()
 
 
 def test_within_doc_only_repeat(spark):
@@ -99,7 +108,9 @@ def test_within_doc_only_repeat(spark):
         [(7, "a b c d x y z a b c d", "en")],
         "doc_id long, text string, lang string",
     )
-    got = [tuple(r) for r in substring_spans(df, l=4).collect()]
+    spans = substring_spans(df, l=4)
+    got = [tuple(r) for r in spans.collect()]
+    spans._veloci_unpersist()
     assert got == [(7, 7, 11, 1)]
 
 

@@ -609,6 +609,10 @@ def substring_spans(docs: DataFrame, l: int = SUBSTR_L) -> DataFrame:
         )
         .withColumn("island", F.sum("new_island").over(w))
     )
+    # NO global orderBy: every consumer either re-shuffles on doc_id
+    # (apply_substring_removal) or sorts driver-side (the parity gate),
+    # and a corpus-scale range-partition sort would be a pure extra
+    # shuffle at the 100-TB target
     out = (
         islands.groupBy("doc_id", "island")
         .agg(
@@ -617,7 +621,6 @@ def substring_spans(docs: DataFrame, l: int = SUBSTR_L) -> DataFrame:
             F.count("*").alias("n_grams"),
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
-        .orderBy("doc_id", "span_start")
     )
     # disposal handle (house pattern): callers that materialize the
     # result should release the cached occurrence frame

@@ -356,11 +356,15 @@ def pack_sequences_frame(
     )
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
     if lo is None:
-        return spark.createDataFrame(
+        docs.unpersist()  # nothing downstream will read the cache
+        empty = spark.createDataFrame(
             [],
             "doc_id long, n_tokens long, tok_start long, seq_id long, "
             "seq_offset long, n_seqs long",
         )
+        # keep the disposal-handle contract callers rely on
+        empty._veloci_unpersist = lambda: None  # type: ignore[attr-defined]
+        return empty
     span = int(hi) - int(lo) + 1
     bucket = (
         (F.col("doc_id") - F.lit(int(lo))) * n_buckets / F.lit(span)
@@ -682,31 +686,36 @@ DSIR_MOD = 31         # deterministic "target" subset for the fixture
 DSIR_SMOOTH = 1.0
 
 
+def _hash_bucket(s: str, n_buckets: int) -> int:
+    """Engine-portable feature hash: first 8 md5 hex digits mod
+    n_buckets (identical to the DuckDB '0x'||substr(md5,...) cast and
+    the sample_mixture coin). Shared by the DSIR and LM feature UDFs —
+    the hash must change in ONE place or the two operators (and their
+    oracles) silently diverge."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
 def _dsir_feat_udf(n_buckets: int):
     """Arrow-batched hashed-feature extractor: unigrams + bigrams of the
-    standard word tokenization, each hashed to a bucket id via the first
-    8 md5 hex digits (the engine-portable hash, sample_mixture
-    precedent). Duplicates kept — importance weights use counts."""
-    import hashlib
+    standard word tokenization, hashed via _hash_bucket. Duplicates
+    kept — importance weights use counts."""
     import re
 
     from pyspark.sql.types import ArrayType, IntegerType
 
     pat = re.compile(WORD_PATTERN)
 
-    def bucket(s: str) -> int:
-        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % (
-            n_buckets
-        )
-
     @F.pandas_udf(ArrayType(IntegerType()))
     def feats(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             ws = pat.findall(t) if t is not None else []
-            fs = [bucket(w) for w in ws]
+            fs = [_hash_bucket(w, n_buckets) for w in ws]
             fs += [
-                bucket(ws[i] + " " + ws[i + 1]) for i in range(len(ws) - 1)
+                _hash_bucket(ws[i] + " " + ws[i + 1], n_buckets)
+                for i in range(len(ws) - 1)
             ]
             out.append(fs)
         return pd.Series(out)
@@ -741,17 +750,29 @@ def dsir_weights(
     f = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(feats(F.col("text"))).alias("b")
     )
-    # the exploded features feed the target counts, the raw counts and
-    # the per-doc sum — persist or the Arrow pass runs three times
+    # the exploded features feed the count tables and the per-doc sum —
+    # persist or the Arrow pass runs per consumer
     f = f.persist()
-    raw = f.groupBy("b").agg(F.count("*").alias("c_raw"))
-    tgt = (
+    # both count tables are <= n_buckets rows: collect them ONCE (two
+    # cache scans total) and derive the totals driver-side instead of
+    # issuing two extra full-cache count jobs
+    raw_rows = (
+        f.groupBy("b").agg(F.count("*").alias("c_raw")).collect()
+    )
+    tgt_rows = (
         f.where(F.col("doc_id") % mod == 0)
         .groupBy("b")
         .agg(F.count("*").alias("c_tgt"))
+        .collect()
     )
-    n_raw, = f.agg(F.count("*")).collect()[0]
-    n_tgt, = f.where(F.col("doc_id") % mod == 0).agg(F.count("*")).collect()[0]
+    raw = spark.createDataFrame(
+        [(r["b"], r["c_raw"]) for r in raw_rows], "b int, c_raw long"
+    )
+    tgt = spark.createDataFrame(
+        [(r["b"], r["c_tgt"]) for r in tgt_rows], "b int, c_tgt long"
+    )
+    n_raw = sum(r["c_raw"] for r in raw_rows)
+    n_tgt = sum(r["c_tgt"] for r in tgt_rows)
     denom_raw = float(n_raw) + smoothing * n_buckets
     denom_tgt = float(n_tgt) + smoothing * n_buckets
     log_ratio = F.log(
@@ -955,9 +976,7 @@ LM_MAX_BROADCAST = 5_000_000
 
 def _lm_pairs_udf(n_buckets: int):
     """Arrow-batched bigram-bucket extractor: (context, word) hashed
-    bucket-id pairs for every adjacent token pair (md5-prefix hash,
-    sample_mixture precedent)."""
-    import hashlib
+    bucket-id pairs for every adjacent token pair (_hash_bucket)."""
     import re
 
     from pyspark.sql.types import (
@@ -974,17 +993,12 @@ def _lm_pairs_udf(n_buckets: int):
         )
     )
 
-    def bucket(s: str) -> int:
-        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % (
-            n_buckets
-        )
-
     @F.pandas_udf(schema)
     def pairs(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
             ws = pat.findall(t) if t is not None else []
-            bs = [bucket(w) for w in ws]
+            bs = [_hash_bucket(w, n_buckets) for w in ws]
             out.append([(bs[i - 1], bs[i]) for i in range(1, len(bs))])
         return pd.Series(out)
 

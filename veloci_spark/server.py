@@ -333,6 +333,12 @@ class VelociApp:
         self._dbs_lock = threading.Lock()
 
     def ensure_database(self, db: str) -> Index:
+        # lock-free fast path: dict reads are atomic under the GIL and
+        # entries are never replaced, so warm hits (and requests for
+        # OTHER databases) never contend with a slow first build
+        idx = self._dbs.get(db)
+        if idx is not None:
+            return idx
         with self._dbs_lock:
             if db not in self._dbs:
                 if db not in self.db_paths:

@@ -22,6 +22,8 @@ Other modes (each appends its table to BENCH/BASELINE.md):
   --ann-recall       recall@k of the pruned ANN paths vs brute force
   --dedup-recall     MinHash-LSH candidate recall vs exact Jaccard on a
       mutation-ladder corpus (measured S-curve vs banding theory)
+  --scaling-substr   the exact-substring dedup pass at two parallelism
+      levels on the Zipf corpus
 """
 
 from __future__ import annotations
@@ -570,6 +572,44 @@ def run_query_throughput_scaling(
     }
 
 
+def run_substr_scaling(low: int = 2, high: int = 8, n_docs: int = 200_000) -> dict:
+    """The exact-substring dedup pass (the continuation round's new
+    corpus-scale operator) at two parallelism levels on the Zipf corpus:
+    one Arrow window-hash pass, a map-side-combined groupBy(h), the
+    occurrence↔keeper join and the per-doc island merge — nothing in the
+    chain is serial, so efficiency should track the decode kernel's."""
+    from veloci_spark.pipeline.dedup import substring_spans
+
+    d = _zipf_corpus(n_docs)
+    results = {}
+    for cpus in (low, high, low, high):  # interleaved, keep min
+        spark = make_spark(cpus)
+        try:
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            spans = substring_spans(docs, l=4)
+            t0 = time.time()
+            n = spans.count()
+            dt = time.time() - t0
+            spans._veloci_unpersist()
+            results[cpus] = min(results.get(cpus, dt), dt)
+            results["n_spans"] = n
+        finally:
+            spark.stop()
+    speedup = results[low] / results[high]
+    return {
+        "job": "substring-dedup",
+        "sf_dir": d,
+        "n_docs": n_docs,
+        "n_spans": results["n_spans"],
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_sec": round(results[low], 2),
+        "high_sec": round(results[high], 2),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (high / low), 3),
+    }
+
+
 def run_decode_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 640) -> dict:
     """Isolated posting-decode kernel at two parallelism levels: the same
     matched-term exhaustive decode (Arrow/numpy varint kernel) with and
@@ -946,6 +986,24 @@ def main():
                 f"| {res['or_exhaustive']} | {res['or_wand']} | {res['or_blocks']} | "
                 f"{res['or_rank_identical']} | {res['bm25_exhaustive']} | "
                 f"{res['bm25_wand']} | {res['bm25_blocks']} | {res['bm25_rank_identical']} |\n"
+            )
+        return
+    if "--scaling-substr" in sys.argv:
+        res = run_substr_scaling()
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Substring-dedup scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"substring_spans(l=4) over the Zipf corpus "
+                f"({res['n_docs']} docs, {res['n_spans']} spans), warm min "
+                "of 2, interleaved configs:\n\n"
+                f"| config | wall (s) |\n|---|---|\n"
+                f"| local[{res['low_cpus']}] | {res['low_sec']} |\n"
+                f"| local[{res['high_cpus']}] | {res['high_sec']} |\n\n"
+                f"speedup {res['speedup']}x over "
+                f"{res['high_cpus'] // res['low_cpus']}x cores → "
+                f"**scaling efficiency {res['scaling_efficiency']}**\n"
             )
         return
     if "--dedup-recall" in sys.argv:

@@ -216,3 +216,44 @@ def test_windowed_counts_with_watermark(spark, stream_dirs):
     got = {(str(r["window_start"]), r["lang"]): r["n_events"] for r in rows()}
     assert got[("2026-01-01 00:00:00", "en")] == 2
     assert got[("2026-01-01 00:00:00", "de")] == 1
+
+
+def test_neardup_stream(spark, stream_dirs):
+    import os
+
+    from veloci_spark.streaming import start_neardup_stream
+
+    src, work = stream_dirs
+    work = os.path.join(work, "neardup")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("delta", "CHANGED")  # one token of twenty
+    far = ("one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen sixteen")
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"text": base, "lang": "en"},
+        {"text": near, "lang": "en"},   # near-dup WITHIN the batch
+        {"text": far, "lang": "en"},
+    ])
+    out = start_neardup_stream(
+        spark, src, work, SCHEMA, hamming_d=12, n_bands=16
+    )
+    first = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    # deterministic keeper = min md5(text) of the near pair
+    import hashlib
+
+    keeper = min([base, near], key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert first == sorted([keeper, far])
+
+    # second batch: another near variant (suppressed by the PERSISTED
+    # fingerprint store) + a genuinely new doc
+    near2 = base.replace("sigma", "ALSOCHANGED")
+    new = ("red orange yellow green blue indigo violet cyan magenta "
+           "black white brown silver gold copper bronze")
+    _write_ndjson(os.path.join(src, "b.json"), [
+        {"text": near2, "lang": "en"},
+        {"text": new, "lang": "en"},
+    ])
+    start_neardup_stream(spark, src, work, SCHEMA, hamming_d=12, n_bands=16)
+    all_rows = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert all_rows == sorted([keeper, far, new])

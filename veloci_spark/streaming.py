@@ -30,6 +30,7 @@ import json
 import os
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from veloci_spark.build import build_index
@@ -280,6 +281,160 @@ def start_dedup_stream(
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+# ----------------------------------------- streaming NEAR-dup (SimHash)
+
+NEARDUP_OUT_SCHEMA = "doc_key string, text string, lang string"
+
+
+def _simhash64_udf():
+    """Arrow-batched 64-bit SimHash (sign-sum over md5 bits of each
+    word token; same tokenization as the batch dedup operators)."""
+    import hashlib
+    import re
+
+    from veloci_spark.pipeline.common import WORD_PATTERN
+
+    pat = re.compile(WORD_PATTERN)
+
+    def one(t: str) -> int:
+        acc = [0] * 64
+        for w in pat.findall(t or ""):
+            h = int.from_bytes(
+                hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+            )
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        fp = 0
+        for b in range(64):
+            if acc[b] > 0:
+                fp |= 1 << b
+        # to signed 64-bit for a Spark LongType column
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return simhash64
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema: str,
+    hamming_d: int = 3,
+    n_bands: int = 4,
+):
+    """Streaming NEAR-dup: emit only documents whose 64-bit SimHash is
+    NOT within Hamming distance ``hamming_d`` of any previously emitted
+    document — continuous-ingest near-dedup, the streaming counterpart
+    of the batch ``dedup_simhash``/MinHash passes.
+
+    Candidate generation is banded (pigeonhole: ``hamming_d <
+    n_bands`` guarantees two fingerprints within distance d agree on at
+    least one exact 64/n_bands-bit band), so the seen-fingerprint store
+    is only ever joined on band equality and the Hamming verify runs on
+    band-collision candidates, never all-pairs. State = a parquet
+    fingerprint store keyed by (band_key, fp) — distributed, joinable,
+    and unbounded-corpus-sized rather than executor-memory-sized (why
+    this is foreachBatch + a table instead of applyInPandasWithState:
+    near-dup needs a JOIN against state, not a per-key lookup).
+    Exactly-once via the stream checkpoint + per-batch marker, same
+    caveat as start_ingest (append+marker not atomic without a
+    transactional table format)."""
+    assert hamming_d < n_bands, "pigeonhole needs d < n_bands"
+    os.makedirs(work_dir, exist_ok=True)
+    out_dir = os.path.join(work_dir, "neardup_out")
+    fp_store = os.path.join(work_dir, "fingerprints")
+    ckpt = os.path.join(work_dir, "_neardup_checkpoint")
+    done_marker = os.path.join(work_dir, "_neardup_batches.json")
+    band_bits = 64 // n_bands
+    sim = _simhash64_udf()
+
+    def _bands(df: DataFrame) -> DataFrame:
+        cols = [
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.shiftrightunsigned(F.col("fp"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("string"),
+            )
+            for i in range(n_bands)
+        ]
+        return df.withColumn("band_key", F.explode(F.array(*cols)))
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        done = {}
+        if os.path.exists(done_marker):
+            with open(done_marker) as f:
+                done = json.load(f)
+        if str(batch_id) in done:
+            return
+        fp_df = df.withColumn("fp", sim(F.col("text"))).withColumn(
+            "doc_key", F.md5("text")
+        ).persist()
+        # batch-internal winners first: deterministic keep = min doc_key
+        # among batch near-dups (banded self-join, Hamming verify)
+        b = _bands(fp_df.select("doc_key", "fp"))
+        pairs = (
+            b.alias("x")
+            .join(b.alias("y"), "band_key")
+            .where(F.col("x.doc_key") > F.col("y.doc_key"))
+            .where(
+                F.bit_count(
+                    F.col("x.fp").bitwiseXOR(F.col("y.fp"))
+                ) <= hamming_d
+            )
+            .select(F.col("x.doc_key").alias("doc_key"))
+            .distinct()
+        )
+        survivors = fp_df.join(pairs, "doc_key", "left_anti")
+        # then drop anything near a previously-emitted fingerprint
+        if os.path.exists(os.path.join(fp_store, "_SUCCESS")) or (
+            os.path.isdir(fp_store) and os.listdir(fp_store)
+        ):
+            seen = spark.read.parquet(fp_store)
+            hits = (
+                _bands(survivors.select("doc_key", "fp"))
+                .join(
+                    seen.withColumnRenamed("fp", "seen_fp"), "band_key"
+                )
+                .where(
+                    F.bit_count(
+                        F.col("fp").bitwiseXOR(F.col("seen_fp"))
+                    ) <= hamming_d
+                )
+                .select("doc_key")
+                .distinct()
+            )
+            survivors = survivors.join(hits, "doc_key", "left_anti")
+        survivors = survivors.persist()
+        survivors.select("doc_key", "text", "lang").write.mode(
+            "append"
+        ).parquet(out_dir)
+        _bands(survivors.select("doc_key", "fp")).select(
+            "band_key", "fp"
+        ).write.mode("append").parquet(fp_store)
+        survivors.unpersist()
+        fp_df.unpersist()
+        done[str(batch_id)] = True
+        with open(done_marker, "w") as f:
+            json.dump(done, f)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -67,6 +67,31 @@ def _stage(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, name)
 
 
+#: every checkpointed stage, in order
+_STAGES = (
+    "quality",
+    "redacted",
+    "exact_survivors",
+    "neardup_remove",
+    "decontam_flagged",
+    "substr_cleaned",
+    "blessed",
+    "packed",
+)
+
+
+def _clear_stage_markers(out_dir: str) -> None:
+    """Invalidate all stage checkpoints (delete the _SUCCESS markers —
+    _done() then reports false and each stage overwrites its output).
+    Called whenever resume is disabled by a configuration change, so a
+    crash mid-re-run can never leave NEW config + OLD stale checkpoints
+    both looking valid."""
+    for name in _STAGES:
+        marker = os.path.join(_stage(out_dir, name), "_SUCCESS")
+        if os.path.exists(marker):
+            os.remove(marker)
+
+
 def run_pipeline(
     spark: SparkSession,
     corpus: DataFrame,
@@ -100,29 +125,42 @@ def run_pipeline(
     }
     cfg_path = os.path.join(out_dir, "pipeline_config.json")
     use_decontam_checkpoint = False
-    if resume and os.path.exists(cfg_path):
-        with open(cfg_path) as fh:
-            recorded = json.load(fh)
-        if {k: v for k, v in recorded.items() if k != "has_eval"} != {
-            k: v for k, v in cfg.items() if k != "has_eval"
-        }:
-            resume = False
-        elif recorded.get("has_eval") and not has_eval:
-            # resuming a decontaminated pipeline without re-supplying
-            # --eval is fine IF the flag checkpoint exists (it is read,
-            # never recomputed); otherwise the filter can't be rebuilt
-            if _done(_stage(out_dir, "decontam_flagged")):
-                use_decontam_checkpoint = True
-                cfg["has_eval"] = True  # pipeline still decontaminated
-            else:
-                raise ValueError(
-                    "out_dir was configured with an eval suite but its "
-                    "decontam checkpoint is incomplete; re-supply --eval "
-                    "or use --no-resume"
-                )
-        elif has_eval and not recorded.get("has_eval"):
-            resume = False  # decontam is a NEW stage: stale bless would
-            # otherwise be read un-filtered
+    if resume:
+        if not os.path.exists(cfg_path):
+            # out_dir predates the config fingerprint (or the file was
+            # lost): existing checkpoints are of UNKNOWN configuration,
+            # so they must not be resumed against the current one
+            if any(_done(_stage(out_dir, s)) for s in _STAGES):
+                resume = False
+        else:
+            with open(cfg_path) as fh:
+                recorded = json.load(fh)
+            if {k: v for k, v in recorded.items() if k != "has_eval"} != {
+                k: v for k, v in cfg.items() if k != "has_eval"
+            }:
+                resume = False
+            elif recorded.get("has_eval") and not has_eval:
+                # resuming a decontaminated pipeline without re-supplying
+                # --eval is fine IF the flag checkpoint exists (it is
+                # read, never recomputed); otherwise the filter can't be
+                # rebuilt
+                if _done(_stage(out_dir, "decontam_flagged")):
+                    use_decontam_checkpoint = True
+                    cfg["has_eval"] = True  # pipeline still decontaminated
+                else:
+                    raise ValueError(
+                        "out_dir was configured with an eval suite but "
+                        "its decontam checkpoint is incomplete; re-supply "
+                        "--eval or use --no-resume"
+                    )
+            elif has_eval and not recorded.get("has_eval"):
+                resume = False  # decontam is a NEW stage: stale bless
+                # would otherwise be read un-filtered
+    if not resume:
+        # make the invalidation durable BEFORE recording the new config:
+        # a crash mid-re-run must not leave new-config + old checkpoints
+        # both looking valid (the markers are already gone)
+        _clear_stage_markers(out_dir)
     with open(cfg_path, "w") as fh:
         json.dump(cfg, fh, indent=2, sort_keys=True)
     lineage = _Lineage(out_dir)

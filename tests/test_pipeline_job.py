@@ -150,3 +150,17 @@ def test_changed_config_invalidates_resume(spark, tmp_root):
     assert os.path.getmtime(
         os.path.join(out, "blessed", "_SUCCESS")
     ) > bless_mtime
+
+
+def test_missing_config_file_invalidates_resume(spark, tmp_root):
+    # out_dirs created before the config fingerprint existed must not
+    # resume against an unknown stage configuration
+    out = os.path.join(tmp_root, "pipeline_out_noconfig")
+    corpus = code_corpus(spark, SF_DIR)
+    run_pipeline(spark, corpus, out, resume=False)
+    os.remove(os.path.join(out, "pipeline_config.json"))
+    bless_mtime = os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
+    run_pipeline(spark, corpus, out, resume=True)
+    assert os.path.getmtime(
+        os.path.join(out, "blessed", "_SUCCESS")
+    ) > bless_mtime

@@ -257,3 +257,39 @@ def test_neardup_stream(spark, stream_dirs):
     start_neardup_stream(spark, src, work, SCHEMA, hamming_d=12, n_bands=16)
     all_rows = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert all_rows == sorted([keeper, far, new])
+
+
+def test_streaming_simhash_matches_batch_bits(spark, tmp_root):
+    # the streaming fingerprint must be the integer form of the batch
+    # dedup_simhash_bits(64) bit string (bit j of the long == char j),
+    # so a batch pass can seed or audit the streaming store
+    import os
+
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.dedup import dedup_simhash_bits
+    from veloci_spark.streaming import _simhash64_udf
+
+    root = os.path.join(tmp_root, "simhash_compat")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta", "en"), (1, "one two three", "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "documents.parquet")
+    )
+    batch = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_simhash_bits(spark, root, n_bits=64).collect()
+    }
+    stream = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", _simhash64_udf()(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for d, bits in batch.items():
+        fp = stream[d] & ((1 << 64) - 1)  # back to unsigned
+        assert bits == "".join(
+            "1" if (fp >> j) & 1 else "0" for j in range(64)
+        )

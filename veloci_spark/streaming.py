@@ -294,27 +294,43 @@ NEARDUP_OUT_SCHEMA = "doc_key string, text string, lang string"
 
 
 def _simhash64_udf():
-    """Arrow-batched 64-bit SimHash (sign-sum over md5 bits of each
-    word token; same tokenization as the batch dedup operators)."""
+    """Arrow-batched 64-bit SimHash, BIT-COMPATIBLE with the batch
+    ``dedup_simhash_bits(n_bits=64)``: bit j's ±1 vote is the parity of
+    hex digit (j mod 32) of md5(tok) for j < 32 and of md5(tok||'#1')
+    above, over the same word tokenization. Returned as a signed long
+    whose bit j equals character j of the batch operator's bit string
+    (asserted in tests/test_streaming.py), so a batch pass can seed or
+    audit the streaming fingerprint store. The per-token inner work is
+    numpy (nibble parities of the two digests), not a Python bit
+    loop."""
     import hashlib
     import re
+
+    import numpy as np
 
     from veloci_spark.pipeline.common import WORD_PATTERN
 
     pat = re.compile(WORD_PATTERN)
 
     def one(t: str) -> int:
-        acc = [0] * 64
-        for w in pat.findall(t or ""):
-            h = int.from_bytes(
-                hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+        ws = pat.findall(t or "")
+        acc = np.zeros(64, dtype=np.int64)
+        nib = np.empty(64, dtype=np.int8)
+        for w in ws:
+            b = w.encode("utf-8")
+            d = np.frombuffer(
+                hashlib.md5(b).digest() + hashlib.md5(b + b"#1").digest(),
+                dtype=np.uint8,
             )
-            for b in range(64):
-                acc[b] += 1 if (h >> b) & 1 else -1
-        fp = 0
-        for b in range(64):
-            if acc[b] > 0:
-                fp |= 1 << b
+            # hex digit 2k is byte k's high nibble, 2k+1 its low nibble;
+            # odd hex digit <=> low bit of the nibble
+            nib[0::2] = (d >> 4).astype(np.int8)
+            nib[1::2] = (d & 0xF).astype(np.int8)
+            acc += (nib & 1) * 2 - 1
+        bits = (acc > 0).astype(np.uint8)
+        fp = int.from_bytes(
+            np.packbits(bits, bitorder="little").tobytes(), "little"
+        )
         # to signed 64-bit for a Spark LongType column
         return fp - (1 << 64) if fp >= (1 << 63) else fp
 
@@ -379,29 +395,21 @@ def start_neardup_stream(
                 done = json.load(f)
         if str(batch_id) in done:
             return
-        fp_df = df.withColumn("fp", sim(F.col("text"))).withColumn(
-            "doc_key", F.md5("text")
-        ).persist()
-        # batch-internal winners first: deterministic keep = min doc_key
-        # among batch near-dups (banded self-join, Hamming verify)
-        b = _bands(fp_df.select("doc_key", "fp"))
-        pairs = (
-            b.alias("x")
-            .join(b.alias("y"), "band_key")
-            .where(F.col("x.doc_key") > F.col("y.doc_key"))
-            .where(
-                F.bit_count(
-                    F.col("x.fp").bitwiseXOR(F.col("y.fp"))
-                ) <= hamming_d
-            )
-            .select(F.col("x.doc_key").alias("doc_key"))
-            .distinct()
+        fp_df = (
+            df.where(F.col("text").isNotNull())
+            .withColumn("fp", sim(F.col("text")))
+            .withColumn("doc_key", F.md5("text"))
+            # exact copies share doc_key; the strict < in the pair join
+            # below would keep them all, so collapse them here
+            .dropDuplicates(["doc_key"])
+            .persist()
         )
-        survivors = fp_df.join(pairs, "doc_key", "left_anti")
-        # then drop anything near a previously-emitted fingerprint
-        if os.path.exists(os.path.join(fp_store, "_SUCCESS")) or (
-            os.path.isdir(fp_store) and os.listdir(fp_store)
-        ):
+        # store suppression FIRST: the emitted-set contract is "beyond
+        # hamming_d of every EMITTED doc" — if batch-internal pairing
+        # ran first, a doc whose batch keeper is itself store-suppressed
+        # would be dropped without its keeper ever being emitted
+        survivors = fp_df
+        if os.path.isdir(fp_store) and os.listdir(fp_store):
             seen = spark.read.parquet(fp_store)
             hits = (
                 _bands(survivors.select("doc_key", "fp"))
@@ -417,10 +425,25 @@ def start_neardup_stream(
                 .distinct()
             )
             survivors = survivors.join(hits, "doc_key", "left_anti")
+        # then batch-internal winners among the store-survivors:
+        # deterministic keep = min doc_key of each near pair
+        b = _bands(survivors.select("doc_key", "fp"))
+        pairs = (
+            b.alias("x")
+            .join(b.alias("y"), "band_key")
+            .where(F.col("x.doc_key") > F.col("y.doc_key"))
+            .where(
+                F.bit_count(
+                    F.col("x.fp").bitwiseXOR(F.col("y.fp"))
+                ) <= hamming_d
+            )
+            .select(F.col("x.doc_key").alias("doc_key"))
+            .distinct()
+        )
+        survivors = survivors.join(pairs, "doc_key", "left_anti")
         survivors = survivors.persist()
-        survivors.select("doc_key", "text", "lang").write.mode(
-            "append"
-        ).parquet(out_dir)
+        out_cols = [c.split(" ")[0] for c in NEARDUP_OUT_SCHEMA.split(", ")]
+        survivors.select(*out_cols).write.mode("append").parquet(out_dir)
         _bands(survivors.select("doc_key", "fp")).select(
             "band_key", "fp"
         ).write.mode("append").parquet(fp_store)

@@ -1,0 +1,156 @@
+"""Semantics tests for the round-3 embedding/layout additions:
+SemDeDup-style semantic dedup, SQ8 scalar-quantized ANN, and the
+deterministic training-shard writer. (Oracle parity for all three is
+covered by tests/test_oracle_parity.py; these pin the BEHAVIOR.)
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.similarity import (
+    ann_cosine_topk,
+    ann_sq8_topk,
+    cosine_expr,
+    dedup_semantic,
+)
+from veloci_spark.pipeline.shards import (
+    shard_assign,
+    write_training_shards,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------ dedup_semantic
+
+def _write_embeddings(spark, root, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, "embeddings.parquet")
+    )
+    return root
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark, tmp_root):
+    # three near-identical vectors + one outlier, all in one LSH bucket
+    # (all-positive coordinates → every hyperplane dot has the same sign
+    # pattern for near-identical vectors). The trio's member FARTHEST
+    # from the cluster centroid must survive; the other two are victims.
+    root = os.path.join(tmp_root, "semdedup_synth")
+    base = [1.0] * 64
+    near1 = [1.0] * 63 + [1.01]
+    near2 = [1.0] * 63 + [0.99]
+    _write_embeddings(
+        spark, root,
+        [(0, base, 0), (1, near1, 0), (2, near2, 0)],
+    )
+    victims = dedup_semantic(spark, root, tau_e4=9990)
+    got = {r["vec_id"] for r in victims.collect()}
+    assert len(got) == 2
+    survivors = {0, 1, 2} - got
+    assert len(survivors) == 1
+
+
+def test_semantic_dedup_no_false_victims_across_buckets(spark, tmp_root):
+    # two orthogonal-ish vectors never pair (cosine ~0 < tau) even when
+    # bucketed together, and nothing outside a bucket is ever compared
+    root = os.path.join(tmp_root, "semdedup_ortho")
+    a = [1.0] * 32 + [0.0] * 32
+    b = [0.0] * 32 + [1.0] * 32
+    _write_embeddings(spark, root, [(0, a, 0), (1, b, 0)])
+    assert dedup_semantic(spark, root, tau_e4=9000).count() == 0
+
+
+def test_semantic_dedup_survivor_set_on_fixture(spark):
+    # every removed vec_id exists, and removal is strictly smaller than
+    # the corpus (at least one survivor per duplicate group)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    victims = dedup_semantic(spark, SF_DIR)
+    n, nv = emb.count(), victims.count()
+    assert 0 < nv < n
+    orphan = victims.join(emb, "vec_id", "left_anti")
+    assert orphan.count() == 0
+
+
+# -------------------------------------------------------------- ann_sq8_topk
+
+def test_sq8_top1_is_query_itself(spark):
+    top = ann_sq8_topk(spark, SF_DIR, k=1).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_e4"] == 10000
+
+
+def test_sq8_recall_vs_brute_force(spark):
+    # 8-bit codes of the normalized vectors keep cosine resolution to
+    # ~1e-3, so the asymmetric decoded-dot candidate pass recovers the
+    # true float top-20 in full even at low oversampling
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR, k=20).collect()}
+    sq8 = {
+        r["vec_id"]
+        for r in ann_sq8_topk(spark, SF_DIR, k=20, oversample=2).collect()
+    }
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.95, recall
+
+
+def test_sq8_reranked_scores_are_exact(spark):
+    # the rerank stage must produce the same e4 cosine as the brute pass
+    # for every vec_id both return
+    exact = {
+        r["vec_id"]: r["cos_e4"]
+        for r in ann_cosine_topk(spark, SF_DIR, k=20).collect()
+    }
+    for r in ann_sq8_topk(spark, SF_DIR, k=20).collect():
+        if r["vec_id"] in exact:
+            assert r["cos_e4"] == exact[r["vec_id"]]
+
+
+# ------------------------------------------------------------------- shards
+
+def test_shard_assign_is_balanced_and_deterministic(spark):
+    a = shard_assign(spark, SF_DIR, n_shards=8)
+    counts = {r["shard"]: r["n"] for r in
+              a.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8))
+    # md5 is uniform: no shard more than 2x the mean on 500 docs
+    mean = sum(counts.values()) / 8
+    assert max(counts.values()) < 2 * mean
+    b = shard_assign(spark, SF_DIR, n_shards=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_write_training_shards_sorted_and_complete(spark, tmp_root):
+    out = os.path.join(tmp_root, "training_shards")
+    write_training_shards(spark, SF_DIR, out, n_shards=4)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    back = spark.read.parquet(out)
+    # complete: every doc appears exactly once across all shards
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # shard dirs exist and contents agree with shard_assign
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    expect = shard_assign(spark, SF_DIR, n_shards=4)
+    mismatch = (
+        back.select("doc_id", "shard")
+        .exceptAll(expect.select("doc_id", "shard"))
+        .count()
+    )
+    assert mismatch == 0
+    # within each shard file, rows are in sort_key order
+    import pyarrow.parquet as pq
+
+    for d in dirs:
+        full = os.path.join(out, d)
+        for f in os.listdir(full):
+            if not f.endswith(".parquet"):
+                continue
+            keys = pq.read_table(
+                os.path.join(full, f), columns=["sort_key"]
+            )["sort_key"].to_pylist()
+            assert keys == sorted(keys)

@@ -7,6 +7,7 @@ from veloci_spark.pipeline import (
     dedup,
     events,
     multimodal,
+    shards,
     similarity,
     text,
 )
@@ -37,6 +38,7 @@ def pipeline_extra_queries():
     out.update(text.extra_queries())
     out.update(events.extra_queries())
     out.update(code_quality.extra_queries())
+    out.update(shards.extra_queries())
     return out
 
 
@@ -47,4 +49,5 @@ def pipeline_extra_oracles():
     out.update(text.extra_oracles())
     out.update(events.extra_oracles())
     out.update(code_quality.extra_oracles())
+    out.update(shards.extra_oracles())
     return out

@@ -1,0 +1,98 @@
+"""Deterministic training-shard layout.
+
+The last step of a training-data pipeline: every surviving document is
+assigned a shard and a pseudo-random position inside it, so N data
+loaders can each read one shard and still see a global, reproducible
+shuffle of the corpus. Both the shard and the order come from a salted
+md5 of the doc id — no RNG state, no ``orderBy(rand())``, identical
+across runs and cluster sizes (re-running the job on 10× the executors
+produces byte-identical shard contents).
+
+Scale shape: the assignment is pure column expressions (one scan, zero
+shuffles); the WRITE is one repartition on the shard key followed by a
+per-partition sort — Spark's sort-based shuffle writes each shard
+sorted without any global sort, and nothing grows with corpus size
+except the shards themselves. There is deliberately NO row_number():
+a global position would need a window over each whole shard (one task
+per shard at 100 TB); the hex sort key IS the position order, and
+loaders that need ordinals can enumerate lines locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.pipeline.common import sql_quote
+
+N_SHARDS = 8
+SHARD_SALT = "shard1"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+
+def _sort_key() -> F.Column:
+    return F.md5(F.concat_ws(":", F.lit(SHARD_SALT), F.col("doc_id")))
+
+
+def shard_assign(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """(doc_id, shard, sort_key): shard = first-8-hex-digits of the
+    salted md5 mod n_shards; sort_key = the full hex digest (uniform →
+    shards are balanced and the within-shard order is a uniform random
+    permutation of the corpus)."""
+    key = _sort_key()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).alias("shard"),
+        key.alias("sort_key"),
+    )
+
+
+def shard_assign_sql(n_shards: int = N_SHARDS) -> str:
+    key = f"md5({sql_quote(SHARD_SALT)} || ':' || CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id,
+  CAST(CAST('0x' || substring({key}, 1, 8) AS UBIGINT) % {n_shards} AS BIGINT) AS shard,
+  {key} AS sort_key
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def write_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+) -> str:
+    """Materialize the shards: one directory per shard
+    (``partitionBy("shard")``), rows inside each file in sort_key order.
+    ``repartition(n_shards, "shard")`` co-locates each whole shard so
+    the partitionBy write emits one sorted file per shard instead of
+    one-per-task fragments."""
+    df = shard_assign(spark, sf_dir, n_shards).join(
+        _docs(spark, sf_dir), "doc_id"
+    )
+    (
+        df.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def extra_queries():
+    return {"shard_assign": shard_assign}
+
+
+def extra_oracles():
+    return {"shard_assign": shard_assign_sql()}

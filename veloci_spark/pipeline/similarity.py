@@ -578,12 +578,273 @@ WHERE {sql_e4(_sql_dot('ea', 'eb') + ' / (sqrt(' + _sql_norm2('ea') + ') * sqrt(
 """
 
 
+# ------------------------------------------------------------- SemDeDup
+
+def dedup_semantic(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_SIGN_BITS,
+    tau_e4: int = PAIR_TAU_E4,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, find
+    near-duplicate pairs only WITHIN a cluster, and from each duplicate
+    pair remove the member CLOSER to its cluster centroid — the paper's
+    keep-rule (retaining low-centroid-similarity examples preserves the
+    most diversity). Returns the victims (vec_id, cent_cos_e4); the
+    survivor set is ``embeddings ∖ result``.
+
+    The coarse clusters here are the deterministic hyperplane LSH
+    buckets (same ``bucket_expr`` as the ANN family) so the DuckDB
+    oracle can recompute them; production swaps in
+    :func:`kmeans_centroids` assignments — the dataflow (cluster
+    equi-join, per-cluster mean, pairwise only inside clusters) is
+    identical.
+
+    Scale shape: centroid = posexplode → one map-side-combined
+    groupBy(bucket, dim) avg → rebuilt per bucket (no window, no hot
+    key; bucket count scales with n via n_bits); pair generation is the
+    same bucket-bounded self-join as :func:`ann_bucketed_pairs`.
+    Determinism note: the centroid mean is a float sum whose addition
+    order differs between engines; the comparison key is the e4-rounded
+    centroid cosine, so only a value landing within ~1e-12 of a 1e-4
+    rounding boundary could diverge."""
+    emb = _emb(spark, sf_dir)
+    withb = emb.select(
+        "vec_id", "embedding",
+        bucket_expr(F.col("embedding"), n_bits).alias("bucket"),
+    )
+    cents = (
+        withb.select(
+            "bucket",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .groupBy("bucket", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("_s"))
+        .select(
+            "bucket", F.transform("_s", lambda s: s["cx"]).alias("cvec")
+        )
+    )
+    ranked = withb.join(cents, "bucket").select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        e4(cosine_expr(F.col("embedding"), F.col("cvec"))).alias(
+            "cent_cos_e4"
+        ),
+    )
+    a = ranked.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "bucket", F.col("cent_cos_e4").alias("ca"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "bucket", F.col("cent_cos_e4").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
+    )
+    # victim = the pair member nearer its centroid; cent-cos tie → the
+    # higher vec_id (which is vec_b, since vec_a < vec_b)
+    return pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+        .alias("vec_id"),
+        F.when(F.col("ca") > F.col("cb"), F.col("ca"))
+        .otherwise(F.col("cb"))
+        .alias("cent_cos_e4"),
+    ).distinct()
+
+
+def dedup_semantic_sql(
+    n_bits: int = N_SIGN_BITS, tau_e4: int = PAIR_TAU_E4
+) -> str:
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {sql_bucket('embedding', n_bits)} AS bucket
+  FROM embeddings
+),
+exploded AS (
+  SELECT bucket, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM withb
+),
+cents AS (
+  SELECT bucket, list(cx ORDER BY dim) AS cvec FROM (
+    SELECT bucket, dim, avg(CAST(x AS DOUBLE)) AS cx
+    FROM exploded GROUP BY bucket, dim
+  ) GROUP BY bucket
+),
+ranked AS (
+  SELECT w.vec_id, w.embedding, w.bucket,
+         {sql_e4(cos('w.embedding', 'c.cvec'))} AS cent_cos_e4
+  FROM withb w JOIN cents c USING (bucket)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.cent_cos_e4 AS ca, b.cent_cos_e4 AS cb,
+         a.embedding AS ea, b.embedding AS eb
+  FROM ranked a JOIN ranked b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT DISTINCT
+  CASE WHEN ca > cb THEN vec_a ELSE vec_b END AS vec_id,
+  CASE WHEN ca > cb THEN ca ELSE cb END AS cent_cos_e4
+FROM pairs
+WHERE {sql_e4(cos('ea', 'eb'))} >= {tau_e4}
+"""
+
+
+# --------------------------------------------- scalar-quantized (SQ8) ANN
+
+def ann_sq8_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    oversample: int = 4,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """SQ8 ANN top-k, the FAISS ``SQ8`` scheme: L2-normalize every
+    embedding, scalar-quantize each dimension of the NORMALIZED vector
+    to an 8-bit code against per-dimension [min, max], generate
+    candidates by asymmetric decoded dot product (exact float query ×
+    decoded codes ≈ cosine, since both sides are unit vectors), then
+    rerank only the top ``k*oversample`` candidates with the exact
+    float cosine.
+
+    Why it matters at 100 TB: the code table is 4× smaller than the
+    float32 embeddings (64 B vs 256 B per vector), the candidate scan
+    touches only that smaller table, and the full-precision embeddings
+    are fetched for the ~k*oversample survivors — the classic
+    memory-bound ANN trade. Quantizing the normalized vector keeps the
+    per-dim range tight (≈ ±max coordinate of a unit vector), so the
+    decoded dot tracks cosine to ~1e-3 and small oversampling recovers
+    full recall (asserted in tests).
+
+    Quantization stats are a 1×dim min/max aggregate (exact,
+    order-independent → engine-identical), collected once (bounded: dim
+    rows) and baked into the scan expression as literals — quantization
+    itself is embarrassingly parallel, no second shuffle. All float
+    folds run in array order, so the candidate scores are
+    engine-identical doubles."""
+    emb = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / F.sqrt(_norm2(F.col("embedding"))),
+        ).alias("nv"),
+    )
+    stats = (
+        normed.select(F.posexplode("nv").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    rngs = F.array(*[F.lit(float(r["mx"] - r["mn"])) for r in stats])
+    quant = F.zip_with(
+        F.zip_with(F.col("nv"), mins, lambda x, m: x - m),
+        rngs,
+        lambda d, r: F.when(
+            r > 0, F.round(d * F.lit(255.0) / r, 0).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    coded = normed.select("vec_id", "embedding", quant.alias("q"))
+    qrow = normed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qn"), F.col("embedding").alias("qvec")
+    )
+    # asymmetric ADC: decoded code value mn + q*rng/255, dotted with the
+    # exact normalized query
+    decoded = F.zip_with(
+        F.zip_with(
+            F.col("q"), rngs, lambda q, r: q * r / F.lit(255.0)
+        ),
+        mins,
+        lambda d, m: d + m,
+    )
+    adc = F.aggregate(
+        F.zip_with(decoded, F.col("qn"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        coded.crossJoin(F.broadcast(qrow))
+        .select("vec_id", "embedding", "qvec", e4(adc).alias("adc_e4"))
+        .orderBy(F.desc("adc_e4"), F.desc("vec_id"))
+        .limit(k * oversample)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias(
+                "cos_e4"
+            ),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_sq8_sql(k: int = 20, oversample: int = 4) -> str:
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x ->
+      CAST(x AS DOUBLE) / sqrt({_sql_norm2('embedding')})) AS nv
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM (
+    SELECT generate_subscripts(nv, 1) AS dim, unnest(nv) AS x FROM normed
+  ) GROUP BY dim
+),
+packed AS (
+  SELECT list(mn ORDER BY dim) AS mins,
+         list(mx - mn ORDER BY dim) AS rngs
+  FROM stats
+),
+coded AS (
+  SELECT vec_id, embedding,
+    list_transform(range(1, len(nv) + 1), i ->
+      CASE WHEN rngs[i] > 0
+        THEN CAST(round((nv[i] - mins[i]) * 255.0 / rngs[i]) AS BIGINT)
+        ELSE 0 END) AS q
+  FROM normed, packed
+),
+qrow AS (SELECT nv AS qn, embedding AS qvec FROM normed WHERE vec_id = 0),
+cand AS (
+  SELECT c.vec_id, c.embedding, q.qvec,
+    {sql_e4("list_sum(list_transform(range(1, len(c.q) + 1), "
+            "i -> (c.q[i] * p.rngs[i] / 255.0 + p.mins[i]) * q.qn[i]))")} AS adc_e4
+  FROM coded c, qrow q, packed p
+  ORDER BY adc_e4 DESC, vec_id DESC LIMIT {k * oversample}
+)
+SELECT vec_id, {sql_e4(cos('embedding', 'qvec'))} AS cos_e4
+FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
-        "ann_lsh_buckets": ann_lsh_buckets,
-        "ann_bucketed_pairs": ann_bucketed_pairs,
+        "dedup_semantic": dedup_semantic,
+        "ann_sq8_topk": ann_sq8_topk,
         "ann_multiprobe_topk": ann_multiprobe_topk,
         "ann_ivf_topk": ann_ivf_topk,
     }
@@ -593,18 +854,21 @@ def oracles():
     return {
         "ann_cosine_topk": ANN_COSINE_SQL,
         "dedup_embedding_cosine": dedup_embedding_sql(),
-        "ann_lsh_buckets": ann_buckets_sql(),
-        "ann_bucketed_pairs": ann_pairs_sql(),
+        "dedup_semantic": dedup_semantic_sql(),
+        "ann_sq8_topk": ann_sq8_sql(),
         "ann_multiprobe_topk": ann_multiprobe_sql(),
         "ann_ivf_topk": ann_ivf_sql(),
     }
 
 
 def extra_queries():
-    """Pytest-only parameter variant (out of the driver's 50-entry
-    window): more hyperplanes = more, smaller buckets — the knob that
-    scales candidate generation with n."""
+    """Pytest-only entries (out of the driver's 50-entry window): the
+    bucket-histogram / pair-generation ingredients of the driver-facing
+    dedup ops, plus the more-hyperplanes parameter variant — the knob
+    that scales candidate generation with n."""
     return {
+        "ann_lsh_buckets": ann_lsh_buckets,
+        "ann_bucketed_pairs": ann_bucketed_pairs,
         "ann_bucketed_pairs_b12": lambda spark, sf_dir: ann_bucketed_pairs(
             spark, sf_dir, n_bits=12
         ),
@@ -612,4 +876,8 @@ def extra_queries():
 
 
 def extra_oracles():
-    return {"ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12)}
+    return {
+        "ann_lsh_buckets": ann_buckets_sql(),
+        "ann_bucketed_pairs": ann_pairs_sql(),
+        "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
+    }

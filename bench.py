@@ -79,6 +79,7 @@ def headline_queries(spark, sf_dir: str):
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    qs.update(entry.extra_queries())  # pytest-only variants stay benchable
     names = [
         "ft_exact_token",
         "ft_or_two_terms",
@@ -102,6 +103,8 @@ def headline_queries(spark, sf_dir: str):
         "ann_cosine_topk",
         "ann_bucketed_pairs",
         "ann_multiprobe_topk",
+        "dedup_semantic",
+        "ann_sq8_topk",
         "text_features",
         "decontam_ngram",
         "mix_proportions",

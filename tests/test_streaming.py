@@ -259,6 +259,35 @@ def test_neardup_stream(spark, stream_dirs):
     assert all_rows == sorted([keeper, far, new])
 
 
+def test_batch_seeded_neardup_store(spark, stream_dirs):
+    # a store seeded from a BATCH corpus must suppress stream documents
+    # near the historical ones, while genuinely new ones pass through
+    import os
+
+    from veloci_spark.streaming import seed_neardup_store, start_neardup_stream
+
+    src, work = stream_dirs
+    work = os.path.join(work, "seeded_neardup")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    hist = spark.createDataFrame(
+        [(100, base, "en")], "doc_id long, text string, lang string"
+    )
+    seed_neardup_store(spark, hist, work, n_bands=16)
+    near = base.replace("delta", "CHANGED")
+    new = ("red orange yellow green blue indigo violet cyan magenta "
+           "black white brown silver gold copper bronze")
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"text": near, "lang": "en"},
+        {"text": new, "lang": "en"},
+    ])
+    out = start_neardup_stream(
+        spark, src, work, SCHEMA, hamming_d=12, n_bands=16
+    )
+    emitted = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert emitted == [new]
+
+
 def test_streaming_simhash_matches_batch_bits(spark, tmp_root):
     # the streaming fingerprint must be the integer form of the batch
     # dedup_simhash_bits(64) bit string (bit j of the long == char j),

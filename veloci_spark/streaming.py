@@ -341,6 +341,57 @@ def _simhash64_udf():
     return simhash64
 
 
+def _neardup_bands(df: DataFrame, n_bands: int) -> DataFrame:
+    """Explode each 64-bit fingerprint into its ``n_bands`` band keys
+    ("i:bits") — the pigeonhole candidate index shared by the stream,
+    the store, and the batch seeder."""
+    band_bits = 64 // n_bands
+    cols = [
+        F.concat_ws(
+            ":",
+            F.lit(i),
+            F.shiftrightunsigned(F.col("fp"), i * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .cast("string"),
+        )
+        for i in range(n_bands)
+    ]
+    return df.withColumn("band_key", F.explode(F.array(*cols)))
+
+
+def seed_neardup_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    work_dir: str,
+    n_bands: int = 4,
+) -> str:
+    """Seed the near-dup fingerprint store from a BATCH corpus: every
+    document in ``corpus`` (needs a ``text`` column) is marked
+    already-emitted, so a subsequent :func:`start_neardup_stream` run on
+    the same work_dir suppresses anything within Hamming distance of the
+    historical corpus without re-streaming it. The fingerprints are the
+    same function the stream computes (bit-compatible with batch
+    ``dedup_simhash_bits(64)`` — asserted in tests), so batch and
+    streaming dedup agree on what "near" means.
+
+    Also the recovery path: the store is derivable from the emitted
+    corpus, so a lost/corrupt fingerprint table can be rebuilt with one
+    batch pass instead of replaying the stream."""
+    os.makedirs(work_dir, exist_ok=True)
+    fp_store = os.path.join(work_dir, "fingerprints")
+    sim = _simhash64_udf()
+    fp_df = (
+        corpus.where(F.col("text").isNotNull())
+        .withColumn("fp", sim(F.col("text")))
+        .withColumn("doc_key", F.md5("text"))
+        .dropDuplicates(["doc_key"])
+    )
+    _neardup_bands(fp_df.select("doc_key", "fp"), n_bands).select(
+        "band_key", "fp"
+    ).write.mode("append").parquet(fp_store)
+    return fp_store
+
+
 def start_neardup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -372,21 +423,10 @@ def start_neardup_stream(
     fp_store = os.path.join(work_dir, "fingerprints")
     ckpt = os.path.join(work_dir, "_neardup_checkpoint")
     done_marker = os.path.join(work_dir, "_neardup_batches.json")
-    band_bits = 64 // n_bands
     sim = _simhash64_udf()
 
     def _bands(df: DataFrame) -> DataFrame:
-        cols = [
-            F.concat_ws(
-                ":",
-                F.lit(i),
-                F.shiftrightunsigned(F.col("fp"), i * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .cast("string"),
-            )
-            for i in range(n_bands)
-        ]
-        return df.withColumn("band_key", F.explode(F.array(*cols)))
+        return _neardup_bands(df, n_bands)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
         done = {}

@@ -108,6 +108,38 @@ def test_sq8_reranked_scores_are_exact(spark):
             assert r["cos_e4"] == exact[r["vec_id"]]
 
 
+# -------------------------------------------------------------- ann_pq_topk
+
+def test_pq_recall_vs_brute_force(spark):
+    # 8 sub-codes from a 16-centroid sampled codebook = 64x compression;
+    # the ADC candidate pass at 8x oversampling still recovers ~all of
+    # the true float top-20 (isotropic-fixture caveat: real embedding
+    # clusters quantize better than this worst case)
+    from veloci_spark.pipeline.similarity import ann_pq_topk
+
+    exact = {r["vec_id"] for r in ann_cosine_topk(spark, SF_DIR, k=20).collect()}
+    pq = {
+        r["vec_id"]
+        for r in ann_pq_topk(spark, SF_DIR, k=20, oversample=8).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.85, recall
+
+
+def test_pq_reranked_scores_are_exact(spark):
+    from veloci_spark.pipeline.similarity import ann_pq_topk
+
+    exact = {
+        r["vec_id"]: r["cos_e4"]
+        for r in ann_cosine_topk(spark, SF_DIR, k=20).collect()
+    }
+    rows = ann_pq_topk(spark, SF_DIR, k=20).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_e4"] == 10000
+    for r in rows:
+        if r["vec_id"] in exact:
+            assert r["cos_e4"] == exact[r["vec_id"]]
+
+
 # ------------------------------------------------------------------- shards
 
 def test_shard_assign_is_balanced_and_deterministic(spark):

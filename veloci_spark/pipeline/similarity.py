@@ -839,6 +839,184 @@ FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
 
 
+# ------------------------------------------- product quantization (PQ)
+
+PQ_M = 8          # subspaces
+PQ_KS = 16        # centroids per subspace codebook
+PQ_SUB = EMBED_DIM // PQ_M
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    oversample: int = 8,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011, the IVF-PQ
+    building block): L2-normalize, split each vector into ``PQ_M``
+    subspaces, encode every subspace as the id of its nearest codebook
+    centroid (Euclidean, tie → lower id), score candidates by the ADC
+    table — the query's exact dot product with each centroid,
+    precomputed once per (subspace, centroid) and summed over the
+    vector's codes — then rerank the top ``k*oversample`` with exact
+    float cosine.
+
+    Codebooks are deterministically data-sampled (the first ``PQ_KS``
+    vectors' sub-vectors — same convention as ``ann_ivf_topk``'s coarse
+    quantizer; production swaps in per-subspace k-means, the dataflow is
+    identical and the DuckDB oracle covers the deterministic variant).
+
+    Why it matters at 100 TB: a PQ code is M·log2(ks) bits — here 8
+    codes vs 64 floats, a 64× compression — so the candidate scan reads
+    codes only and does M table lookups per vector instead of a dim-wide
+    float dot. Scale shape: encoding is a broadcast join against the
+    M×ks codebook (bounded) + one min-struct aggregate keyed by
+    (vec_id, subspace) — an unskewed key, no window; the ADC weight
+    table is M×ks rows, broadcast; the rerank touches only
+    k*oversample full vectors."""
+    emb = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / F.sqrt(_norm2(F.col("embedding"))),
+        ).alias("nv"),
+    )
+    # (subspace, c, cvec): sub-vectors of the first PQ_KS vectors
+    sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
+    cb_parts = []
+    for j in range(PQ_M):
+        cb_parts.append(
+            normed.where(F.col("vec_id") < PQ_KS).select(
+                F.lit(j).alias("subspace"),
+                F.col("vec_id").cast("int").alias("c"),
+                sub(F.col("nv"), j).alias("cvec"),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.unionByName(p)
+
+    # explode each vector into its M sub-vectors, assign nearest centroid
+    subrows = normed.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    sub(F.col("nv"), j).alias("sv"),
+                )
+                for j in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.sv")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subrows.join(F.broadcast(cb), "subspace")
+        .select("vec_id", "subspace", d2.alias("d2"), "c")
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d2", "c")).alias("_m"))
+        .select("vec_id", "subspace", F.col("_m.c").alias("code"))
+    )
+    # ADC weights: exact normalized query sub-vector · each centroid
+    qrow = normed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qn"), F.col("embedding").alias("qvec")
+    )
+    # each weight is e4-quantized BEFORE the sum so the per-vector ADC
+    # total is an integer sum — order-independent, engine-identical
+    w = (
+        cb.crossJoin(F.broadcast(qrow.select("qn")))
+        .select(
+            "subspace",
+            F.col("c").alias("code"),
+            e4(
+                _dot(F.col("cvec"), sub(F.col("qn"), F.col("subspace")))
+            ).alias("w_e4"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(w), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("w_e4").alias("adc_e4"))
+    )
+    cand = (
+        adc.orderBy(F.desc("adc_e4"), F.desc("vec_id"))
+        .limit(k * oversample)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(qrow.select("qvec")))
+    )
+    return (
+        cand.select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias(
+                "cos_e4"
+            ),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_pq_sql(k: int = 20, oversample: int = 8) -> str:
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x ->
+      CAST(x AS DOUBLE) / sqrt({_sql_norm2('embedding')})) AS nv
+  FROM embeddings
+),
+subspaces AS (SELECT unnest(range(0, {PQ_M})) AS subspace),
+cb AS (
+  SELECT s.subspace, CAST(n.vec_id AS INT) AS c,
+         n.nv[s.subspace * {PQ_SUB} + 1 : s.subspace * {PQ_SUB} + {PQ_SUB}] AS cvec
+  FROM normed n, subspaces s WHERE n.vec_id < {PQ_KS}
+),
+subrows AS (
+  SELECT n.vec_id, s.subspace,
+         n.nv[s.subspace * {PQ_SUB} + 1 : s.subspace * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM normed n, subspaces s
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, c AS code,
+      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY
+        list_sum(list_transform(range(1, {PQ_SUB} + 1),
+          i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i]))) ASC, c ASC) AS rn
+    FROM subrows JOIN cb USING (subspace)
+  ) WHERE rn = 1
+),
+qrow AS (SELECT nv AS qn, embedding AS qvec FROM normed WHERE vec_id = 0),
+w AS (
+  SELECT cb.subspace, cb.c AS code,
+    {sql_e4(f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+            f"i -> cb.cvec[i] * q.qn[cb.subspace * {PQ_SUB} + i]))")} AS w_e4
+  FROM cb, qrow q
+),
+adc AS (
+  SELECT vec_id, sum(w_e4) AS adc_e4
+  FROM codes JOIN w USING (subspace, code)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id, e.embedding, q.qvec
+  FROM adc a JOIN embeddings e USING (vec_id), qrow q
+  ORDER BY a.adc_e4 DESC, a.vec_id DESC LIMIT {k * oversample}
+)
+SELECT vec_id, {sql_e4(cos('embedding', 'qvec'))} AS cos_e4
+FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -872,6 +1050,7 @@ def extra_queries():
         "ann_bucketed_pairs_b12": lambda spark, sf_dir: ann_bucketed_pairs(
             spark, sf_dir, n_bits=12
         ),
+        "ann_pq_topk": ann_pq_topk,
     }
 
 
@@ -880,4 +1059,5 @@ def extra_oracles():
         "ann_lsh_buckets": ann_buckets_sql(),
         "ann_bucketed_pairs": ann_pairs_sql(),
         "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
+        "ann_pq_topk": ann_pq_sql(),
     }

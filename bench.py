@@ -698,6 +698,8 @@ def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> 
         ann_cosine_topk,
         ann_ivf_topk,
         ann_multiprobe_topk,
+        ann_pq_topk,
+        ann_sq8_topk,
     )
 
     spark = make_spark(cpus)
@@ -724,6 +726,17 @@ def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> 
             ),
             "ivf_np4_trained": lambda q: ann_ivf_topk(
                 spark, sf_dir, nprobe=4, k=k, train_iters=2, query_vec_id=q
+            ),
+            # quantized-scan variants: candidate pass over compressed
+            # codes (4x / 64x smaller), exact rerank of the survivors
+            "sq8_ov2": lambda q: ann_sq8_topk(
+                spark, sf_dir, k=k, oversample=2, query_vec_id=q
+            ),
+            "pq_ov4": lambda q: ann_pq_topk(
+                spark, sf_dir, k=k, oversample=4, query_vec_id=q
+            ),
+            "pq_ov8": lambda q: ann_pq_topk(
+                spark, sf_dir, k=k, oversample=8, query_vec_id=q
             ),
         }
         truth = {}
@@ -1050,9 +1063,9 @@ def main():
                 "| method | mean recall | min recall | mean query (s) |\n"
                 "|---|---|---|---|\n"
             )
-            for name in ("multiprobe_b8", "multiprobe_b6", "ivf_np2",
-                         "ivf_np4", "ivf_np8", "ivf_np4_trained"):
-                r = res[name]
+            for name, r in res.items():
+                if not isinstance(r, dict) or "recall" not in r:
+                    continue
                 f.write(
                     f"| {name} | {r['recall']} | {r['min_recall']} | "
                     f"{r['mean_query_sec']} |\n"

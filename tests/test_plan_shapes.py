@@ -112,3 +112,38 @@ def test_dsir_final_plan_scans_cache_once(spark):
         assert _plan(out).count("InMemoryTableScan") == 1
     finally:
         out._veloci_unpersist()
+
+
+# -------------------------------------- round-3 embedding/layout additions
+
+def test_semantic_dedup_has_no_window(spark):
+    # centroid = groupBy(bucket, dim) avg rebuilt per bucket; the
+    # within-cluster ranking is carried as a column, never a window
+    from veloci_spark.pipeline.similarity import dedup_semantic
+
+    assert "Window" not in _plan(dedup_semantic(spark, SF_DIR))
+
+
+def test_quantized_ann_topk_shapes(spark):
+    # both quantized variants: no window anywhere, candidate cut and
+    # final cut are TakeOrderedAndProject (never a global sort), and
+    # the PQ codebook/ADC sides are hinted broadcasts
+    from veloci_spark.pipeline.similarity import ann_pq_topk, ann_sq8_topk
+
+    p_sq8 = _plan(ann_sq8_topk(spark, SF_DIR))
+    assert "Window" not in p_sq8
+    assert p_sq8.count("TakeOrderedAndProject") == 2
+    p_pq = _plan(ann_pq_topk(spark, SF_DIR))
+    assert "Window" not in p_pq
+    assert p_pq.count("TakeOrderedAndProject") == 2
+    assert "BroadcastHashJoin" in p_pq
+
+
+def test_shard_assign_is_shuffle_free(spark):
+    # pure column expressions over one scan: assignment must never
+    # shuffle (the only exchange in the WRITE path is the intended
+    # repartition on shard)
+    from veloci_spark.pipeline.shards import shard_assign
+
+    p = _plan(shard_assign(spark, SF_DIR))
+    assert "Exchange" not in p and "Window" not in p

@@ -83,3 +83,64 @@ def test_no_caches_leak(spark, bpe_dir):
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     bpe_train(spark, bpe_dir, n_merges=3)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def _brute_syms(word_freqs: dict, n_merges: int):
+    # final segmentation state of the classic algorithm (what an
+    # encoder applying the trained rules must reproduce per word)
+    syms = {w: list(w) + [BPE_EOW] for w in word_freqs}
+    for _rank, a, b in _brute_bpe(word_freqs, n_merges):
+        new = a + b
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return syms
+
+
+def test_encode_matches_training_segmentation(spark, bpe_dir):
+    from veloci_spark.pipeline.text import bpe_encode
+
+    wf = {
+        r["w"]: r["c"]
+        for r in spark.read.parquet(f"{bpe_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    syms = _brute_syms(wf, 10)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            f"{bpe_dir}/documents.parquet"
+        ).collect()
+    }
+    want = {
+        d: (
+            len(t.split(" ")),
+            sum(len(syms[w]) for w in t.split(" ")),
+        )
+        for d, t in docs.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode(spark, bpe_dir, n_merges=10).collect()
+    }
+    assert got == want
+
+
+def test_encode_count_invariants(spark, bpe_dir):
+    from veloci_spark.pipeline.text import bpe_encode
+
+    rows = bpe_encode(spark, bpe_dir, n_merges=10).collect()
+    for r in rows:
+        # every word is >= 1 subword; merging can only shrink the
+        # char+sentinel segmentation
+        assert r["n_subwords"] >= r["n_words"] >= 1

@@ -963,6 +963,81 @@ def bpe_train(
     )
 
 
+def _bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched BPE encoder: apply the ordered merge list to one
+    WORD (chars + ``</w>`` sentinel). Applying trained rules in rank
+    order reproduces the training-time segmentation exactly: a rule
+    (xy, z) can only be learned after the rule that created symbol
+    ``xy``, so a later rule never re-enables an earlier one."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def enc(ws: pd.Series) -> pd.Series:
+        def one(w):
+            s = list(w) + [BPE_EOW]
+            for a, b in merges:
+                if len(s) < 2:
+                    break
+                out, i, new = [], 0, a + b
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(new)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+            return s
+
+        return ws.map(one)
+
+    return enc
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """ENCODE the corpus with the trained BPE tokenizer — the apply
+    step that follows :func:`bpe_train` in a real pipeline (train once,
+    then tokenize 100 TB). Returns per-doc (doc_id, n_words,
+    n_subwords): the trained-tokenizer token counts that feed token
+    budgeting / sequence packing, replacing the whitespace proxy.
+
+    Scale shape: the expensive Python work (the merge loop) runs once
+    per DISTINCT word, not once per occurrence — one map-side-combined
+    groupBy(doc_id, word), a vocabulary-sized Arrow encode pass, and a
+    word-keyed join back (vocabulary ≪ corpus; Zipf makes the
+    distinct-word table tiny relative to token volume). The merge list
+    itself is vocabulary-learned, driver-bounded (n_merges rows) and
+    closed over by the UDF — no per-row state."""
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, sf_dir, n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    per_word = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(words_expr("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = per_word.select("w").distinct().select(
+        "w", F.size(_bpe_encode_udf(rules)(F.col("w"))).alias("n_sub")
+    )
+    return (
+        per_word.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_sub")).cast("long").alias(
+                "n_subwords"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------- LM-perplexity quality filter (CCNet)
 
 LM_BUCKETS = 1024   # hashed vocabulary (KenLM uses the raw vocab; the
@@ -1439,6 +1514,11 @@ def extra_queries():
         # iterative (driver-bounded merge loop) => rows-only contract,
         # exact parity vs a python reference in tests/test_bpe.py
         "bpe_train": lambda spark, sf_dir: bpe_train(
+            spark, sf_dir, n_merges=8
+        ),
+        # same rows-only contract (its input is the iterative merge
+        # list); per-word parity vs the same reference in tests/test_bpe.py
+        "bpe_encode": lambda spark, sf_dir: bpe_encode(
             spark, sf_dir, n_merges=8
         ),
     }

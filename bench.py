@@ -738,6 +738,10 @@ def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> 
             "pq_ov8": lambda q: ann_pq_topk(
                 spark, sf_dir, k=k, oversample=8, query_vec_id=q
             ),
+            "pq_ks64_ov8": lambda q: ann_pq_topk(
+                spark, sf_dir, k=k, oversample=8, query_vec_id=q,
+                n_centroids=64,
+            ),
         }
         truth = {}
         for q in qids:

@@ -852,6 +852,7 @@ def ann_pq_topk(
     k: int = 20,
     oversample: int = 8,
     query_vec_id: int = 0,
+    n_centroids: int = PQ_KS,
 ) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al. 2011, the IVF-PQ
     building block): L2-normalize, split each vector into ``PQ_M``
@@ -884,12 +885,12 @@ def ann_pq_topk(
             lambda x: x.cast("double") / F.sqrt(_norm2(F.col("embedding"))),
         ).alias("nv"),
     )
-    # (subspace, c, cvec): sub-vectors of the first PQ_KS vectors
+    # (subspace, c, cvec): sub-vectors of the first n_centroids vectors
     sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
     cb_parts = []
     for j in range(PQ_M):
         cb_parts.append(
-            normed.where(F.col("vec_id") < PQ_KS).select(
+            normed.where(F.col("vec_id") < n_centroids).select(
                 F.lit(j).alias("subspace"),
                 F.col("vec_id").cast("int").alias("c"),
                 sub(F.col("nv"), j).alias("cvec"),
@@ -963,7 +964,7 @@ def ann_pq_topk(
     )
 
 
-def ann_pq_sql(k: int = 20, oversample: int = 8) -> str:
+def ann_pq_sql(k: int = 20, oversample: int = 8, n_centroids: int = PQ_KS) -> str:
     cos = lambda a, b: (
         _sql_dot(a, b)
         + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
@@ -979,7 +980,7 @@ subspaces AS (SELECT unnest(range(0, {PQ_M})) AS subspace),
 cb AS (
   SELECT s.subspace, CAST(n.vec_id AS INT) AS c,
          n.nv[s.subspace * {PQ_SUB} + 1 : s.subspace * {PQ_SUB} + {PQ_SUB}] AS cvec
-  FROM normed n, subspaces s WHERE n.vec_id < {PQ_KS}
+  FROM normed n, subspaces s WHERE n.vec_id < {n_centroids}
 ),
 subrows AS (
   SELECT n.vec_id, s.subspace,

@@ -1,0 +1,88 @@
+"""text_skipgrams semantics: the distributed operator must reproduce a
+direct single-machine replay of the word2vec prep algorithm — same
+subsample coin, same delete-then-compact windowing."""
+
+import hashlib
+import os
+import re
+from collections import Counter
+
+import pytest
+
+from veloci_spark.pipeline.common import WORD_PATTERN
+from veloci_spark.pipeline.text import (
+    SKIPGRAM_SALT,
+    text_skipgrams,
+)
+
+PAT = re.compile(WORD_PATTERN)
+
+
+def _replay(docs, window, t, salt=SKIPGRAM_SALT):
+    toks = {d: PAT.findall(txt) for d, txt in docs.items()}
+    freq = Counter(w for ws in toks.values() for w in ws)
+    total = sum(freq.values())
+    pairs = Counter()
+    for d, ws in toks.items():
+        kept = []
+        for pos, w in enumerate(ws):
+            coin = int(
+                hashlib.md5(f"{salt}:{d}:{pos}".encode()).hexdigest()[:8], 16
+            ) / float(16 ** 8)
+            keep = min(1.0, (t / (freq[w] / total)) ** 0.5)
+            if coin < keep:
+                kept.append(w)
+        for i, c in enumerate(kept):
+            for j in range(max(0, i - window), min(len(kept), i + window + 1)):
+                if j != i:
+                    pairs[(c, kept[j])] += 1
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def sg_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("sg")
+    # "the" is ~half of all tokens -> aggressively subsampled; content
+    # words are rare -> keep prob 1
+    docs = [
+        (0, "the cat the sat the on the mat the today", "en"),
+        (1, "the dog the ran the in the park the quickly", "en"),
+        (2, "cat dog park mat run jump swim fly", "en"),
+        (3, "the the the the the the the the", "en"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return str(root), {d: t for d, t, _l in docs}
+
+
+def test_matches_single_machine_replay(spark, sg_dir):
+    root, docs = sg_dir
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in text_skipgrams(spark, root, window=2, t=1e-2, k=1000).collect()
+    }
+    want = dict(_replay(docs, window=2, t=1e-2))
+    assert got == want
+
+
+def test_subsampling_suppresses_stopword_pairs(spark, sg_dir):
+    root, docs = sg_dir
+    rows = text_skipgrams(spark, root, window=2, t=1e-2, k=1000).collect()
+    the_pairs = sum(
+        r["n_pairs"] for r in rows
+        if r["center"] == "the" or r["context"] == "the"
+    )
+    content_pairs = sum(
+        r["n_pairs"] for r in rows
+        if r["center"] != "the" and r["context"] != "the"
+    )
+    # "the" is ~55% of tokens; after subsampling its pair mass must be
+    # well under the content words'
+    assert the_pairs < content_pairs
+    # symmetric by construction: every (a,b) has a matching (b,a)
+    got = {(r["center"], r["context"]): r["n_pairs"] for r in rows}
+    for (a, b), n in got.items():
+        assert got.get((b, a)) == n

@@ -531,6 +531,153 @@ ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+# ------------------------------------- skip-gram training-pair extraction
+
+SKIPGRAM_WINDOW = 3
+SKIPGRAM_T = 1e-3     # word2vec subsample threshold (1e-3 classic)
+SKIPGRAM_TOP_K = 100
+SKIPGRAM_SALT = "sg1"
+
+
+def text_skipgrams(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = SKIPGRAM_WINDOW,
+    t: float = SKIPGRAM_T,
+    k: int = SKIPGRAM_TOP_K,
+    salt: str = SKIPGRAM_SALT,
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction with frequency
+    subsampling — the word2vec/GloVe training-data prep step (Mikolov et
+    al. 2013): drop each token occurrence of word w with the classic
+    keep probability sqrt(t / f(w)) (capped at 1), COMPACT the surviving
+    sequence (word2vec deletes before windowing, so context reaches
+    across removed stop-words), then pair every center with the tokens
+    within ±``window`` compacted positions. Returns the top-k
+    (center, context, n_pairs) counts.
+
+    The subsample coin is the salted-md5 of (doc_id, pos) — the same
+    content-free reproducible coin as :func:`sample_mixture`, so runs
+    are identical across cluster sizes and the DuckDB oracle can replay
+    the decision exactly.
+
+    Scale shape: unigram frequencies are one map-side-combined groupBy
+    joined back (broadcastable vocab); compaction is a row_number over
+    (doc_id) — bounded by document length, per the bounded-window
+    inventory; pairing is an offset-exploded equi-join on
+    (doc_id, position) — an unskewed key with fan-out 2·window, never a
+    per-doc cross join; the final count is one groupBy(center, context)
+    with map-side combine."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(words_expr("text")).alias("pos", "w")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("u_total"))
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("doc_id"), F.col("pos")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16 ** 8))
+    )
+    keep = F.least(
+        F.lit(1.0),
+        F.sqrt(
+            F.lit(float(t))
+            / (F.col("c").cast("double") / F.col("u_total").cast("double"))
+        ),
+    )
+    kept = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .where(coin < keep)
+        .select("doc_id", "pos", "w")
+    )
+    from pyspark.sql.window import Window
+
+    compact = kept.withColumn(
+        "cpos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    ).select("doc_id", "cpos", "w")
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    centers = compact.select(
+        "doc_id",
+        F.col("w").alias("center"),
+        F.explode(
+            F.array(*[F.lit(o) for o in offsets])
+        ).alias("off"),
+        (F.col("cpos") + F.col("off")).alias("tpos"),
+    )
+    pairs = centers.join(
+        compact.select(
+            "doc_id", F.col("cpos").alias("tpos"), F.col("w").alias("context")
+        ),
+        ["doc_id", "tpos"],
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("center"), F.asc("context"))
+        .limit(k)
+    )
+
+
+def text_skipgrams_sql(
+    window: int = SKIPGRAM_WINDOW,
+    t: float = SKIPGRAM_T,
+    k: int = SKIPGRAM_TOP_K,
+    salt: str = SKIPGRAM_SALT,
+) -> str:
+    offsets = ", ".join(
+        str(o) for o in range(-window, window + 1) if o != 0
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {sql_words('text')} AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS w FROM d
+),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+total AS (SELECT sum(c) AS u_total FROM uni),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t JOIN uni USING (w) CROSS JOIN total
+  WHERE CAST(CAST('0x' || substring(md5({sql_quote(salt)} || ':' ||
+          CAST(t.doc_id AS VARCHAR) || ':' || CAST(t.pos AS VARCHAR)), 1, 8) AS UBIGINT) AS DOUBLE)
+        / CAST({16 ** 8} AS DOUBLE)
+      < least(1.0, sqrt({t!r} / (CAST(c AS DOUBLE) / CAST(u_total AS DOUBLE))))
+),
+compact AS (
+  SELECT doc_id, w,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS cpos
+  FROM kept
+),
+centers AS (
+  SELECT doc_id, w AS center, cpos + off AS tpos
+  FROM compact, unnest([{offsets}]) AS t(off)
+),
+pairs AS (
+  SELECT c.center, k2.w AS context
+  FROM centers c JOIN compact k2
+    ON c.doc_id = k2.doc_id AND c.tpos = k2.cpos
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY center, context
+ORDER BY n_pairs DESC, center ASC, context ASC LIMIT {k}
+"""
+
+
 # -------------------------------------------- benchmark decontamination
 
 DECONTAM_N = 4       # shared-n-gram size (GPT-3/PaLM-style 8-13 in prod;
@@ -1521,6 +1668,7 @@ def extra_queries():
         "bpe_encode": lambda spark, sf_dir: bpe_encode(
             spark, sf_dir, n_merges=8
         ),
+        "text_skipgrams": text_skipgrams,
     }
 
 
@@ -1536,4 +1684,5 @@ def extra_oracles():
         "pack_sequences": pack_sequences_sql(),
         "dsir_weights": dsir_weights_sql(),
         "lm_perplexity": lm_perplexity_sql(),
+        "text_skipgrams": text_skipgrams_sql(),
     }

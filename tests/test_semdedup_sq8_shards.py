@@ -140,6 +140,46 @@ def test_pq_reranked_scores_are_exact(spark):
             assert r["cos_e4"] == exact[r["vec_id"]]
 
 
+# ------------------------------------------------------------ ann_ivfpq_topk
+
+def test_ivfpq_recall_and_exactness(spark):
+    # probe 4/16 lists + PQ candidate scoring: the composed path must
+    # keep most of the true top-20, and reranked scores stay exact
+    from veloci_spark.pipeline.similarity import ann_ivfpq_topk
+
+    exact = {
+        r["vec_id"]: r["cos_e4"]
+        for r in ann_cosine_topk(spark, SF_DIR, k=20).collect()
+    }
+    rows = ann_ivfpq_topk(spark, SF_DIR, k=20).collect()
+    got = {r["vec_id"] for r in rows}
+    assert len(set(exact) & got) / 20 >= 0.8
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_e4"] == 10000
+    for r in rows:
+        if r["vec_id"] in exact:
+            assert r["cos_e4"] == exact[r["vec_id"]]
+
+
+def test_ivfpq_probe_prunes_candidates(spark):
+    # fewer probes -> candidate set shrinks monotonically (the knob the
+    # persisted partitionBy(cid) layout turns into directory pruning)
+    from veloci_spark.pipeline.similarity import ann_ivfpq_topk
+
+    wide = {r["vec_id"] for r in
+            ann_ivfpq_topk(spark, SF_DIR, nprobe=16, k=500, oversample=1).collect()}
+    narrow = {r["vec_id"] for r in
+              ann_ivfpq_topk(spark, SF_DIR, nprobe=1, k=500, oversample=1).collect()}
+    assert len(narrow) < len(wide) <= 500
+
+
+def test_ivfpq_plan_shape(spark):
+    from veloci_spark.pipeline.similarity import ann_ivfpq_topk
+
+    p = ann_ivfpq_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert p.count("TakeOrderedAndProject") >= 2
+
+
 # ------------------------------------------------------------------- shards
 
 def test_shard_assign_is_balanced_and_deterministic(spark):

@@ -1032,6 +1032,234 @@ FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
 
 
+# ------------------------------------------------------------- IVF-PQ
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    k: int = 20,
+    oversample: int = 8,
+    query_vec_id: int = 0,
+    n_centroids: int = PQ_KS,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the canonical billion-scale layout (FAISS
+    ``IVFx,PQy`` with ``by_residual=False``): a coarse quantizer routes
+    each vector to one of ``n_coarse`` inverted lists; the query probes
+    its ``nprobe`` nearest lists and scores ONLY their members by the
+    PQ ADC table (8 codes per vector, 64× compressed); the top
+    ``k*oversample`` survivors get the exact float rerank.
+
+    Composition of the two proven parts: the coarse assignment/probe is
+    :func:`ann_ivf_topk`'s dataflow (broadcast n_coarse rows +
+    min-struct aggregate per vec_id — no window) and the compressed
+    scoring is :func:`ann_pq_topk`'s (e4-before-sum integer ADC).
+    Residual encoding (FAISS's default) refines accuracy by PQ-coding
+    x − centroid instead of x; the dataflow is identical, the codebook
+    just becomes per-list — left as the documented production upgrade.
+
+    Why this is THE 100-TB shape: I/O = nprobe/n_coarse of a table that
+    is itself 64× smaller than the embeddings (with the lists persisted
+    ``partitionBy(cid)`` as in :func:`build_ivf_index`, directory
+    pruning makes the probe literal), and the full-precision vectors
+    are touched for k*oversample rows only."""
+    emb = _emb(spark, sf_dir)
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / F.col("_nrm"),
+        ).alias("nv"),
+    )
+    # ---- coarse quantizer: assign each vector to its nearest centroid
+    coarse = normed.where(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("nv").alias("coarse_vec"),
+    )
+    cdot = _dot(F.col("nv"), F.col("coarse_vec"))
+    assign = (
+        normed.crossJoin(F.broadcast(coarse))
+        .select("vec_id", (-cdot).alias("negs"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("negs", "cid")).alias("_m"))
+        .select("vec_id", F.col("_m.cid").alias("cid"))
+    )
+    # ---- PQ codes (global codebook, by_residual=False)
+    sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
+    cb_parts = []
+    for j in range(PQ_M):
+        cb_parts.append(
+            normed.where(F.col("vec_id") < n_centroids).select(
+                F.lit(j).alias("subspace"),
+                F.col("vec_id").cast("int").alias("c"),
+                sub(F.col("nv"), j).alias("cvec"),
+            )
+        )
+    cb = cb_parts[0]
+    for p in cb_parts[1:]:
+        cb = cb.unionByName(p)
+    subrows = normed.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    sub(F.col("nv"), j).alias("sv"),
+                )
+                for j in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.sv")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subrows.join(F.broadcast(cb), "subspace")
+        .select("vec_id", "subspace", d2.alias("d2"), "c")
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d2", "c")).alias("_m"))
+        .select("vec_id", "subspace", F.col("_m.c").alias("code"))
+    )
+    # ---- query: probe nprobe nearest coarse lists
+    qrow = normed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qn"), F.col("embedding").alias("qvec")
+    )
+    probe = (
+        coarse.crossJoin(F.broadcast(qrow.select("qn")))
+        .orderBy(
+            F.desc(_dot(F.col("coarse_vec"), F.col("qn"))), F.asc("cid")
+        )
+        .limit(nprobe)
+        .select("cid")
+    )
+    # ---- ADC over the probed lists only
+    w = (
+        cb.crossJoin(F.broadcast(qrow.select("qn")))
+        .select(
+            "subspace",
+            F.col("c").alias("code"),
+            e4(
+                _dot(F.col("cvec"), sub(F.col("qn"), F.col("subspace")))
+            ).alias("w_e4"),
+        )
+    )
+    probed = assign.join(F.broadcast(probe), "cid").select("vec_id")
+    adc = (
+        codes.join(probed, "vec_id", "left_semi")
+        .join(F.broadcast(w), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("w_e4").alias("adc_e4"))
+    )
+    cand = (
+        adc.orderBy(F.desc("adc_e4"), F.desc("vec_id"))
+        .limit(k * oversample)
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(qrow.select("qvec")))
+    )
+    return (
+        cand.select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias(
+                "cos_e4"
+            ),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivfpq_sql(
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    k: int = 20,
+    oversample: int = 8,
+    n_centroids: int = PQ_KS,
+) -> str:
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    ndot = (
+        f"list_sum(list_transform(range(1, {EMBED_DIM} + 1), "
+        f"i -> n.nv[i] * c.coarse_vec[i]))"
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x ->
+      CAST(x AS DOUBLE) / sqrt({_sql_norm2('embedding')})) AS nv
+  FROM embeddings
+),
+coarse AS (
+  SELECT CAST(vec_id AS INT) AS cid, nv AS coarse_vec
+  FROM normed WHERE vec_id < {n_coarse}
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT n.vec_id, c.cid,
+      row_number() OVER (PARTITION BY n.vec_id
+        ORDER BY {ndot} DESC, c.cid ASC) AS rn
+    FROM normed n, coarse c
+  ) WHERE rn = 1
+),
+subspaces AS (SELECT unnest(range(0, {PQ_M})) AS subspace),
+cb AS (
+  SELECT s.subspace, CAST(n.vec_id AS INT) AS c,
+         n.nv[s.subspace * {PQ_SUB} + 1 : s.subspace * {PQ_SUB} + {PQ_SUB}] AS cvec
+  FROM normed n, subspaces s WHERE n.vec_id < {n_centroids}
+),
+subrows AS (
+  SELECT n.vec_id, s.subspace,
+         n.nv[s.subspace * {PQ_SUB} + 1 : s.subspace * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM normed n, subspaces s
+),
+codes AS (
+  SELECT vec_id, subspace, code FROM (
+    SELECT vec_id, subspace, c AS code,
+      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY
+        list_sum(list_transform(range(1, {PQ_SUB} + 1),
+          i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i]))) ASC, c ASC) AS rn
+    FROM subrows JOIN cb USING (subspace)
+  ) WHERE rn = 1
+),
+qrow AS (SELECT nv AS qn, embedding AS qvec FROM normed WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM coarse c, qrow q
+  ORDER BY list_sum(list_transform(range(1, {EMBED_DIM} + 1),
+    i -> c.coarse_vec[i] * q.qn[i])) DESC, cid ASC
+  LIMIT {nprobe}
+),
+w AS (
+  SELECT cb.subspace, cb.c AS code,
+    {sql_e4(f"list_sum(list_transform(range(1, {PQ_SUB} + 1), "
+            f"i -> cb.cvec[i] * q.qn[cb.subspace * {PQ_SUB} + i]))")} AS w_e4
+  FROM cb, qrow q
+),
+probed AS (
+  SELECT a.vec_id FROM assign a JOIN probe USING (cid)
+),
+adc AS (
+  SELECT vec_id, sum(w_e4) AS adc_e4
+  FROM codes JOIN probed USING (vec_id) JOIN w USING (subspace, code)
+  GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id, e.embedding, q.qvec
+  FROM adc a JOIN embeddings e USING (vec_id), qrow q
+  ORDER BY a.adc_e4 DESC, a.vec_id DESC LIMIT {k * oversample}
+)
+SELECT vec_id, {sql_e4(cos('embedding', 'qvec'))} AS cos_e4
+FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -1066,6 +1294,7 @@ def extra_queries():
             spark, sf_dir, n_bits=12
         ),
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
     }
 
 
@@ -1075,4 +1304,5 @@ def extra_oracles():
         "ann_bucketed_pairs": ann_pairs_sql(),
         "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
         "ann_pq_topk": ann_pq_sql(),
+        "ann_ivfpq_topk": ann_ivfpq_sql(),
     }

@@ -698,6 +698,7 @@ def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> 
         ann_cosine_topk,
         ann_ivf_topk,
         ann_multiprobe_topk,
+        ann_ivfpq_topk,
         ann_pq_topk,
         ann_sq8_topk,
     )
@@ -741,6 +742,9 @@ def run_ann_recall(sf_dir: str, cpus: int, n_queries: int = 12, k: int = 10) -> 
             "pq_ks64_ov8": lambda q: ann_pq_topk(
                 spark, sf_dir, k=k, oversample=8, query_vec_id=q,
                 n_centroids=64,
+            ),
+            "ivfpq_np4_ov8": lambda q: ann_ivfpq_topk(
+                spark, sf_dir, nprobe=4, k=k, oversample=8, query_vec_id=q
             ),
         }
         truth = {}

@@ -322,3 +322,46 @@ def test_streaming_simhash_matches_batch_bits(spark, tmp_root):
         assert bits == "".join(
             "1" if (fp >> j) & 1 else "0" for j in range(64)
         )
+
+
+def test_streaming_ivf_ingest(spark, stream_dirs, tmp_root):
+    # stream new embeddings into a persisted IVF index: they land in
+    # their nearest-centroid list dir, queries see them immediately,
+    # and a second run over the same files is a no-op
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from veloci_spark.streaming import start_ivf_ingest
+
+    src, work = stream_dirs
+    idx = os.path.join(tmp_root, "ivf_stream_idx")
+    build_ivf_index(spark, "/root/testdata/sf0.001", idx)
+    base_n = spark.read.parquet(os.path.join(idx, "lists")).count()
+    qvec = [
+        float(x)
+        for x in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    # new vector = exact copy of vec 0 -> lands in vec 0's list, and a
+    # probe for qvec must now return it at cos 1.0
+    with open(os.path.join(src, "e1.json"), "w") as f:
+        f.write(json.dumps({"vec_id": 9999, "embedding": qvec}) + "\n")
+    start_ivf_ingest(spark, src, idx, work)
+    lists = spark.read.parquet(os.path.join(idx, "lists"))
+    assert lists.count() == base_n + 1
+    old_cid = lists.where(F.col("vec_id") == 0).collect()[0]["cid"]
+    new_cid = lists.where(F.col("vec_id") == 9999).collect()[0]["cid"]
+    assert new_cid == old_cid
+    top = ivf_index_topk(spark, idx, qvec, k=3).collect()
+    got = {r["vec_id"]: r["cos_e4"] for r in top}
+    assert got.get(9999) == 10000 and got.get(0) == 10000
+    # replay: new stream run over the same source adds nothing
+    start_ivf_ingest(spark, src, idx, work)
+    assert spark.read.parquet(os.path.join(idx, "lists")).count() == base_n + 1

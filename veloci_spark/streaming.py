@@ -549,3 +549,74 @@ def start_windowed_counts(
     )
     q.awaitTermination()
     return out_dir
+
+
+# ---------------------------------------------------- streaming IVF ingest
+
+def start_ivf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    work_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+):
+    """Continuously APPEND new embeddings into a persisted IVF index
+    (:func:`veloci_spark.pipeline.similarity.build_ivf_index` layout):
+    each microbatch assigns its vectors to their nearest existing coarse
+    centroid and appends them to that inverted list's
+    ``partitionBy(cid)`` directory — queries via ``ivf_index_topk`` see
+    the new vectors immediately, with the same directory-pruned probe.
+
+    This is the streaming counterpart of the index-side segment ingest:
+    the centroids are FROZEN (the production practice — retrain offline,
+    swap the index), so assignment is a per-batch broadcast join +
+    min-struct aggregate with no state beyond the stream checkpoint.
+    Exactly-once via checkpoint + per-batch marker, same caveat as
+    start_ingest (append+marker not atomic without a transactional
+    table format)."""
+    from veloci_spark.pipeline.similarity import cosine_expr
+
+    os.makedirs(work_dir, exist_ok=True)
+    ckpt = os.path.join(work_dir, "_ivf_checkpoint")
+    done_marker = os.path.join(work_dir, "_ivf_batches.json")
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        done = {}
+        if os.path.exists(done_marker):
+            with open(done_marker) as f:
+                done = json.load(f)
+        if str(batch_id) in done:
+            return
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (-cosine_expr(F.col("embedding"), F.col("cvec"))).alias("negs"),
+        )
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("negs", "cid")).alias("_m"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select(F.col("_m.cid").alias("cid"), "vec_id", "embedding")
+        )
+        n = assign.count()
+        assign.write.mode("append").partitionBy("cid").parquet(
+            os.path.join(index_dir, "lists")
+        )
+        done[str(batch_id)] = n
+        with open(done_marker, "w") as f:
+            json.dump(done, f)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return index_dir

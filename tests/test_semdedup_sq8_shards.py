@@ -180,6 +180,32 @@ def test_ivfpq_plan_shape(spark):
     assert p.count("TakeOrderedAndProject") >= 2
 
 
+# ------------------------------------------------------------ ann_batch_topk
+
+def test_batch_topk_equals_single_query(spark):
+    # the two-phase per-key top-k must reproduce the single-query
+    # operator for every query in the batch, and use no window
+    from veloci_spark.pipeline.similarity import ann_batch_topk
+
+    batch = {}
+    for r in ann_batch_topk(spark, SF_DIR, n_queries=3, k=5).collect():
+        batch.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_e4"]))
+    assert len(batch) == 3
+    for q, rows in batch.items():
+        single = [
+            (r["vec_id"], r["cos_e4"])
+            for r in ann_cosine_topk(spark, SF_DIR, k=5, query_vec_id=q).collect()
+        ]
+        assert rows == single
+    p = (
+        ann_batch_topk(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in p
+
+
 # ------------------------------------------------------------------- shards
 
 def test_shard_assign_is_balanced_and_deterministic(spark):

@@ -1260,6 +1260,103 @@ FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
 
 
+# ------------------------------------------------------ batched queries
+
+def ann_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    query_mod: int = 131,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries in one pass — the shape
+    production ANN runs (score a query table against the corpus, not
+    one vector at a time). Queries here are the deterministic spread
+    ``vec_id = (query_mod·i + 7) mod n`` so the oracle can regenerate
+    them; production passes its own query table.
+
+    The scale-critical piece is per-QUERY top-k WITHOUT a window over
+    the full score table: ``Window.partitionBy(query_id)`` would put
+    one query's entire corpus-sized score set on a single task. Instead
+    the top-k is a two-phase aggregate — per shuffle-partition top-k
+    inside ``collect_list`` (bounded: ≤ k rows kept per partition per
+    query via sort+slice), then one merge per query — the same
+    partial/final shape as any map-side-combined aggregation. The
+    DuckDB oracle uses a plain window (fine at oracle scale); both
+    produce identical (query_id, vec_id, cos_e4) rows."""
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qids = sorted({(query_mod * i + 7) % n for i in range(n_queries)})
+    q = emb.where(F.col("vec_id").isin([int(x) for x in qids])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias("cos_e4"),
+    )
+    # phase 1: per-partition top-k per query (sort_array on the partial
+    # collect_list, sliced to k — each partial holds ≤ k structs)
+    partial = (
+        scored.groupBy(F.spark_partition_id().alias("_p"), "query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("cos_e4", "vec_id")), False
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    # phase 2: merge the ≤ k·n_partitions survivors per query
+    merged = (
+        partial.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("t"), False), 1, k
+            ).alias("top")
+        )
+    )
+    return (
+        merged.select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t.vec_id").alias("vec_id"),
+            F.col("t.cos_e4").alias("cos_e4"),
+        )
+        .orderBy("query_id", F.desc("cos_e4"), F.desc("vec_id"))
+    )
+
+
+def ann_batch_sql(
+    n_queries: int = 8, k: int = 5, query_mod: int = 131, n_vecs: int = 500
+) -> str:
+    qids = sorted({(query_mod * i + 7) % n_vecs for i in range(n_queries)})
+    cos = (
+        _sql_dot('e.embedding', 'q.qvec')
+        + " / (sqrt(" + _sql_norm2('e.embedding') + ") * sqrt("
+        + _sql_norm2('q.qvec') + "))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, qids))})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {sql_e4(cos)} AS cos_e4
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cos_e4 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cos_e4 DESC, vec_id DESC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+ORDER BY query_id, cos_e4 DESC, vec_id DESC
+"""
+
+
 def queries():
     return {
         "ann_cosine_topk": ann_cosine_topk,
@@ -1295,6 +1392,7 @@ def extra_queries():
         ),
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_batch_topk": ann_batch_topk,
     }
 
 
@@ -1305,4 +1403,5 @@ def extra_oracles():
         "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
         "ann_pq_topk": ann_pq_sql(),
         "ann_ivfpq_topk": ann_ivfpq_sql(),
+        "ann_batch_topk": ann_batch_sql(),
     }

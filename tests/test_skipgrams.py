@@ -108,3 +108,27 @@ def test_word_entropy_extremes(spark, tmp_path_factory):
     assert rows[0] == (8, 0)
     assert rows[1][0] == 8
     assert abs(rows[1][1] - 207944154) < 20  # 8 * round_e8(ln(8)/8)
+
+
+def test_tfidf_ubiquitous_terms_never_surface(spark, tmp_path_factory):
+    # a term in EVERY doc has idf 0 -> can only appear when a doc has
+    # fewer than k distinct discriminative terms; a doc-unique term
+    # always ranks first
+    from veloci_spark.pipeline.text import text_tfidf_topk
+
+    root = str(tmp_path_factory.mktemp("tfidf"))
+    spark.createDataFrame(
+        [
+            (0, "common apple apple banana", "en"),
+            (1, "common cherry cherry date", "en"),
+            (2, "common elder elder fig", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(root + "/documents.parquet")
+    rows = text_tfidf_topk(spark, root, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["term"])
+    assert by_doc[0][0] == "apple" and "common" not in by_doc[0]
+    assert by_doc[1][0] == "cherry" and "common" not in by_doc[1]
+    assert by_doc[2][0] == "elder" and "common" not in by_doc[2]

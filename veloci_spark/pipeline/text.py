@@ -588,6 +588,90 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------- TF-IDF keyword extraction
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topk(
+    spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df)) — the classic corpus-exploration / labeling signal
+    a curation pipeline uses to spot topic clusters and boilerplate
+    (a term in every doc has idf 0 and never surfaces).
+
+    Per-term score is a single product (no cross-class float sum), so
+    the e4 quantization is engine-deterministic; ties break (score
+    desc, term asc). The per-doc top-k is a sort+slice over the
+    document's own term list — bounded by per-doc vocabulary, the
+    bounded-window inventory argument, with no corpus-sized partition
+    anywhere; df is one map-side-combined groupBy joined back.
+
+    Returns (doc_id, term, tfidf_e4)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(words_expr("text")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_tab = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = toks.select("doc_id").distinct().count()
+    scored = tf.join(df_tab, "w").select(
+        "doc_id",
+        "w",
+        e4(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf_e4"),
+    )
+    # per-doc top-k: sort (score desc, term asc) then slice — the
+    # struct sorts descending on score; the term is stored
+    # bit-flipped... simpler: sort ascending on (-score, term)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("tfidf_e4")).alias("neg"), "w")
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("doc_id", F.explode("top").alias("t"))
+        .select(
+            "doc_id",
+            F.col("t.w").alias("term"),
+            (-F.col("t.neg")).cast("long").alias("tfidf_e4"),
+        )
+        .orderBy("doc_id", F.desc("tfidf_e4"), F.asc("term"))
+    )
+
+
+def text_tfidf_sql(k: int = TFIDF_TOP_K) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({sql_words('text')}) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+  SELECT doc_id, w,
+    {sql_e4('CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))')} AS tfidf_e4
+  FROM tf JOIN dfs USING (w), n
+)
+SELECT doc_id, w AS term, tfidf_e4 FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY tfidf_e4 DESC, w ASC) AS rn
+  FROM scored
+) WHERE rn <= {k}
+ORDER BY doc_id, tfidf_e4 DESC, term ASC
+"""
+
+
 # ------------------------------------- skip-gram training-pair extraction
 
 SKIPGRAM_WINDOW = 3
@@ -1727,6 +1811,7 @@ def extra_queries():
         ),
         "text_skipgrams": text_skipgrams,
         "text_word_entropy": text_word_entropy,
+        "text_tfidf_topk": text_tfidf_topk,
     }
 
 
@@ -1744,4 +1829,5 @@ def extra_oracles():
         "lm_perplexity": lm_perplexity_sql(),
         "text_skipgrams": text_skipgrams_sql(),
         "text_word_entropy": WORD_ENTROPY_SQL,
+        "text_tfidf_topk": text_tfidf_sql(),
     }

@@ -730,11 +730,12 @@ def ann_sq8_topk(
     full recall (asserted in tests).
 
     Quantization stats are a 1×dim min/max aggregate (exact,
-    order-independent → engine-identical), collected once (bounded: dim
-    rows) and baked into the scan expression as literals — quantization
-    itself is embarrassingly parallel, no second shuffle. All float
-    folds run in array order, so the candidate scores are
-    engine-identical doubles."""
+    order-independent → engine-identical) packed into a one-row
+    (mins[], rngs[]) frame and cross-joined broadcast — the whole
+    operator is a single Spark job (no driver round-trip), and
+    quantization itself stays embarrassingly parallel. All float folds
+    run in array order, so the candidate scores are engine-identical
+    doubles."""
     emb = _emb(spark, sf_dir)
     # the norm is aliased in its OWN projection: inlining the _norm2
     # fold into the transform lambda would re-derive it per element
@@ -751,23 +752,35 @@ def ann_sq8_topk(
             lambda x: x.cast("double") / F.col("_nrm"),
         ).alias("nv"),
     )
-    stats = (
+    # packed one-row stats frame (mins[], rngs[]) cross-joined broadcast
+    # — same shape as the oracle's `packed` CTE; keeps the whole
+    # operator ONE job (no driver stats collect), and min/max are exact
+    # so the values equal what literals would have been
+    packed = (
         normed.select(F.posexplode("nv").alias("dim", "x"))
         .groupBy("dim")
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .orderBy("dim")
-        .collect()
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias(
+                "_s"
+            )
+        )
+        .select(
+            F.transform("_s", lambda s: s["mn"]).alias("mins"),
+            F.transform("_s", lambda s: s["mx"] - s["mn"]).alias("rngs"),
+        )
     )
-    mins = F.array(*[F.lit(float(r["mn"])) for r in stats])
-    rngs = F.array(*[F.lit(float(r["mx"] - r["mn"])) for r in stats])
     quant = F.zip_with(
-        F.zip_with(F.col("nv"), mins, lambda x, m: x - m),
-        rngs,
+        F.zip_with(F.col("nv"), F.col("mins"), lambda x, m: x - m),
+        F.col("rngs"),
         lambda d, r: F.when(
             r > 0, F.round(d * F.lit(255.0) / r, 0).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
-    coded = normed.select("vec_id", "embedding", quant.alias("q"))
+    coded = normed.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "embedding", quant.alias("q"), "mins", "rngs"
+    )
     qrow = normed.where(F.col("vec_id") == query_vec_id).select(
         F.col("nv").alias("qn"), F.col("embedding").alias("qvec")
     )
@@ -775,9 +788,9 @@ def ann_sq8_topk(
     # exact normalized query
     decoded = F.zip_with(
         F.zip_with(
-            F.col("q"), rngs, lambda q, r: q * r / F.lit(255.0)
+            F.col("q"), F.col("rngs"), lambda q, r: q * r / F.lit(255.0)
         ),
-        mins,
+        F.col("mins"),
         lambda d, m: d + m,
     )
     adc = F.aggregate(

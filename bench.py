@@ -24,6 +24,9 @@ Other modes (each appends its table to BENCH/BASELINE.md):
       mutation-ladder corpus (measured S-curve vs banding theory)
   --scaling-substr   the exact-substring dedup pass at two parallelism
       levels on the Zipf corpus
+  --scaling-ann      the embedding-operator family (SQ8 scan, batched
+      exact scan) at two parallelism levels on a jittered replicated
+      embedding corpus
 """
 
 from __future__ import annotations
@@ -613,6 +616,97 @@ def run_substr_scaling(low: int = 2, high: int = 8, n_docs: int = 200_000) -> di
     }
 
 
+def _scaled_embeddings(sf_dir: str, k: int) -> str:
+    """Deterministically replicate the embeddings table k× with a small
+    per-copy jitter (element + 0.01·sin(new_id·(dim+1))) so replicas are
+    near- but not byte-identical — exact clones would pile every copy
+    into one LSH bucket and measure the O(m²) pathology instead of the
+    scan. vec_ids stay unique and reproducible."""
+    out = f"/tmp/veloci_spark_ann_k{k}_{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = os.path.join(out, "embeddings.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    spark = make_spark(8)
+    try:
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        n = emb.count()
+        rep = (
+            emb.crossJoin(spark.range(k).withColumnRenamed("id", "rep"))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(n))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x.cast("double")
+                        + F.lit(0.01)
+                        * F.sin(F.col("vec_id") * (i + F.lit(1)))
+                    ).cast("float"),
+                ),
+            )
+            .drop("rep")
+        )
+        rep.repartition(64).write.mode("overwrite").parquet(
+            os.path.join(out, "embeddings.parquet")
+        )
+    finally:
+        spark.stop()
+    return out
+
+
+def run_ann_scaling(
+    sf_dir: str, low: int = 2, high: int = 8, replicate: int = 100
+) -> dict:
+    """The embedding-operator family at two parallelism levels on the
+    jittered replicated corpus (~200k × 64-dim vectors): the SQ8
+    quantize+scan+rank pass and the batched multi-query exact scan.
+    Both are one-scan dataflows with only bounded broadcasts and
+    TakeOrdered/two-phase cuts — nothing serial — so their efficiency
+    should track the decode kernel's."""
+    from veloci_spark.pipeline.similarity import ann_batch_topk, ann_sq8_topk
+
+    d = _scaled_embeddings(sf_dir, replicate)
+    jobs = {
+        "sq8": lambda spark: ann_sq8_topk(spark, d, k=20, oversample=2),
+        "batch8": lambda spark: ann_batch_topk(spark, d, n_queries=8, k=5),
+    }
+    results: dict = {name: {} for name in jobs}
+    n_vecs = None
+    for cpus in (low, high, low, high):  # interleaved, keep min
+        spark = make_spark(cpus)
+        try:
+            if n_vecs is None:
+                n_vecs = spark.read.parquet(
+                    os.path.join(d, "embeddings.parquet")
+                ).count()
+            for name, fn in jobs.items():
+                t0 = time.time()
+                fn(spark).collect()
+                dt = time.time() - t0
+                prev = results[name].get(cpus)
+                results[name][cpus] = dt if prev is None else min(prev, dt)
+        finally:
+            spark.stop()
+    out: dict = {
+        "job": "ann-family",
+        "sf_dir": d,
+        "n_vecs": n_vecs,
+        "low_cpus": low,
+        "high_cpus": high,
+    }
+    for name in jobs:
+        sp = results[name][low] / results[name][high]
+        out[name] = {
+            "low_sec": round(results[name][low], 2),
+            "high_sec": round(results[name][high], 2),
+            "speedup": round(sp, 3),
+            "scaling_efficiency": round(sp / (high / low), 3),
+        }
+    return out
+
+
 def run_decode_scaling(sf_dir: str, low: int = 2, high: int = 8, replicate: int = 640) -> dict:
     """Isolated posting-decode kernel at two parallelism levels: the same
     matched-term exhaustive decode (Arrow/numpy varint kernel) with and
@@ -994,6 +1088,33 @@ def main():
                 f"{res['decode_agg_%d' % res['high_cpus']]} | "
                 f"{res['decode_agg_efficiency']} |\n"
             )
+        return
+    if "--scaling-ann" in sys.argv:
+        res = run_ann_scaling(
+            sf_dir,
+            replicate=int(os.environ.get("SPARK_GRAFT_ANN_REPLICATE", "100")),
+        )
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## ANN-family scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"Embedding operators on the jittered replicated corpus "
+                f"({res['n_vecs']} × 64-dim vectors, {res['sf_dir']}), warm "
+                "min of 2 per config:\n\n"
+                "| job | "
+                f"local[{res['low_cpus']}] (s) | local[{res['high_cpus']}] (s) | efficiency |\n"
+                "|---|---|---|---|\n"
+            )
+            for name, label in (
+                ("sq8", "SQ8 quantize + ADC scan + rerank"),
+                ("batch8", "batched exact scan (8 queries)"),
+            ):
+                r = res[name]
+                f.write(
+                    f"| {label} | {r['low_sec']} | {r['high_sec']} | "
+                    f"**{r['scaling_efficiency']}** |\n"
+                )
         return
     if "--wand-pruning" in sys.argv:
         res = run_wand_pruning(int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "200000")))

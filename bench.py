@@ -665,11 +665,18 @@ def run_ann_scaling(
     Both are one-scan dataflows with only bounded broadcasts and
     TakeOrdered/two-phase cuts — nothing serial — so their efficiency
     should track the decode kernel's."""
-    from veloci_spark.pipeline.similarity import ann_batch_topk, ann_sq8_topk
+    from veloci_spark.pipeline.similarity import (
+        ann_batch_topk,
+        ann_sq8_topk,
+        ann_sq8_topk_arrow,
+    )
 
     d = _scaled_embeddings(sf_dir, replicate)
     jobs = {
         "sq8": lambda spark: ann_sq8_topk(spark, d, k=20, oversample=2),
+        "sq8_arrow": lambda spark: ann_sq8_topk_arrow(
+            spark, d, k=20, oversample=2
+        ),
         "batch8": lambda spark: ann_batch_topk(spark, d, n_queries=8, k=5),
     }
     results: dict = {name: {} for name in jobs}
@@ -1107,7 +1114,8 @@ def main():
                 "|---|---|---|---|\n"
             )
             for name, label in (
-                ("sq8", "SQ8 quantize + ADC scan + rerank"),
+                ("sq8", "SQ8 quantize + ADC scan + rerank (Catalyst HOF)"),
+                ("sq8_arrow", "SQ8 same dataflow, Arrow numpy kernel"),
                 ("batch8", "batched exact scan (8 queries)"),
             ):
                 r = res[name]

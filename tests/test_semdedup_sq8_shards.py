@@ -180,6 +180,22 @@ def test_ivfpq_plan_shape(spark):
     assert p.count("TakeOrderedAndProject") >= 2
 
 
+# -------------------------------------------------------- SQ8 Arrow kernel
+
+def test_sq8_arrow_kernel_is_bit_identical(spark):
+    # the numpy fast path replicates the Catalyst fold arithmetic
+    # exactly (cumsum = left fold, floor(x+0.5) = HALF_UP), so the
+    # results must be IDENTICAL rows, not merely close
+    from veloci_spark.pipeline.similarity import (
+        ann_sq8_topk,
+        ann_sq8_topk_arrow,
+    )
+
+    a = [tuple(r) for r in ann_sq8_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in ann_sq8_topk_arrow(spark, SF_DIR).collect()]
+    assert a == b
+
+
 # ------------------------------------------------------------ ann_batch_topk
 
 def test_batch_topk_equals_single_query(spark):

@@ -182,6 +182,19 @@ def test_ivfpq_plan_shape(spark):
 
 # -------------------------------------------------------- SQ8 Arrow kernel
 
+def test_pq_arrow_kernel_is_bit_identical(spark):
+    # same bit-identity contract as the SQ8 kernel: cumsum folds,
+    # floor(x+0.5) quantization, argmin-first == (d2 asc, c asc)
+    from veloci_spark.pipeline.similarity import (
+        ann_pq_topk,
+        ann_pq_topk_arrow,
+    )
+
+    a = [tuple(r) for r in ann_pq_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in ann_pq_topk_arrow(spark, SF_DIR).collect()]
+    assert a == b
+
+
 def test_sq8_arrow_kernel_is_bit_identical(spark):
     # the numpy fast path replicates the Catalyst fold arithmetic
     # exactly (cumsum = left fold, floor(x+0.5) = HALF_UP), so the

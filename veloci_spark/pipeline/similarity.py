@@ -1273,6 +1273,103 @@ FROM cand ORDER BY cos_e4 DESC, vec_id DESC LIMIT {k}
 """
 
 
+# ----------------------------------------------- PQ Arrow kernel variant
+
+def ann_pq_topk_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    oversample: int = 8,
+    query_vec_id: int = 0,
+    n_centroids: int = PQ_KS,
+) -> DataFrame:
+    """:func:`ann_pq_topk` with encode+ADC as an Arrow/numpy kernel
+    (mapInPandas). The Catalyst version's encode is a 2·M·ks-fanout
+    join (subrows × codebook) + a min-struct aggregate — correct and
+    skew-free, but every d2 is an interpreted 8-element fold; the
+    kernel computes the same argmin over a (batch, ks, sub) tensor in
+    one vectorized pass and looks the ADC weights up locally.
+
+    BIT-IDENTICAL to the Catalyst version (asserted): norms and folds
+    via ``np.cumsum`` (left-fold order), the ADC weight quantization is
+    the same floor(x·1e4 + 0.5), d2 products/sums associate
+    identically, and ``np.argmin``'s first-minimum rule IS the
+    (d2 asc, c asc) tie-break. The codebook (M·ks sub-vectors) and the
+    query are driver-collected — bounded, the same rows every executor
+    would broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    head = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32).astype(
+            np.float64
+        )
+        for r in emb.where(
+            (F.col("vec_id") < n_centroids)
+            | (F.col("vec_id") == query_vec_id)
+        ).collect()
+    }
+
+    def _normed(v64):
+        return v64 / np.sqrt(np.cumsum(v64 * v64)[-1])
+
+    cb = np.stack(
+        [_normed(head[c]) for c in range(n_centroids)]
+    )  # (ks, dim) normalized codebook source vectors
+    qn = _normed(head[query_vec_id])
+    # ADC weights w_e4[j, c] with the exact Catalyst arithmetic
+    w_e4 = np.empty((PQ_M, n_centroids), dtype=np.int64)
+    for j in range(PQ_M):
+        for c in range(n_centroids):
+            prod = cb[c, j * PQ_SUB:(j + 1) * PQ_SUB] * qn[
+                j * PQ_SUB:(j + 1) * PQ_SUB
+            ]
+            w_e4[j, c] = int(np.floor(np.cumsum(prod)[-1] * 10000.0 + 0.5))
+
+    qvec_raw = [float(x) for x in head[query_vec_id].astype(np.float32)]
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+                dtype=np.float32,
+            ).astype(np.float64)
+            norms = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            nv = x / norms[:, None]
+            adc = np.zeros(len(x), dtype=np.int64)
+            for j in range(PQ_M):
+                sv = nv[:, j * PQ_SUB:(j + 1) * PQ_SUB]
+                cvj = cb[:, j * PQ_SUB:(j + 1) * PQ_SUB]
+                diff = sv[:, None, :] - cvj[None, :, :]
+                d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                codes = np.argmin(d2, axis=1)
+                adc += w_e4[j, codes]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "adc_e4": adc}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _kernel, "vec_id long, adc_e4 long"
+    )
+    qlit = F.array(*[F.lit(v) for v in qvec_raw]).cast("array<float>")
+    cand = (
+        scored.orderBy(F.desc("adc_e4"), F.desc("vec_id"))
+        .limit(k * oversample)
+        .join(emb, "vec_id")
+    )
+    return (
+        cand.select(
+            "vec_id",
+            e4(cosine_expr(F.col("embedding"), qlit)).alias("cos_e4"),
+        )
+        .orderBy(F.desc("cos_e4"), F.desc("vec_id"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------- SQ8 Arrow kernel variant
 
 def ann_sq8_topk_arrow(
@@ -1505,6 +1602,7 @@ def extra_queries():
         # the Arrow-kernel fast path must satisfy the SAME oracle as the
         # Catalyst expression version (bit-identical arithmetic claim)
         "ann_sq8_topk_arrow": ann_sq8_topk_arrow,
+        "ann_pq_topk_arrow": ann_pq_topk_arrow,
     }
 
 
@@ -1517,4 +1615,5 @@ def extra_oracles():
         "ann_ivfpq_topk": ann_ivfpq_sql(),
         "ann_batch_topk": ann_batch_sql(),
         "ann_sq8_topk_arrow": ann_sq8_sql(),
+        "ann_pq_topk_arrow": ann_pq_sql(),
     }

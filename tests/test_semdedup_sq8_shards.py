@@ -180,6 +180,41 @@ def test_ivfpq_plan_shape(spark):
     assert p.count("TakeOrderedAndProject") >= 2
 
 
+# ----------------------------------------------------- kmeans SemDeDup
+
+def test_semantic_dedup_kmeans_variant(spark, tmp_root):
+    # with trained clusters the same keep-rule applies: of three
+    # near-identical vectors, the two nearer their (trained) centroid
+    # are removed; a distant vector in another cluster survives
+    from veloci_spark.pipeline.similarity import dedup_semantic_kmeans
+
+    root = os.path.join(tmp_root, "semdedup_kmeans")
+    near0 = [1.0] * 64
+    near1 = [1.0] * 63 + [1.02]
+    near2 = [1.0] * 63 + [0.98]
+    other = [1.0, -1.0] * 32
+    _write_embeddings(
+        spark, root,
+        [(0, near0, 0), (1, near1, 0), (2, near2, 0), (3, other, 1)],
+    )
+    victims = dedup_semantic_kmeans(
+        spark, root, n_clusters=2, train_iters=1, tau_e4=9990
+    )
+    got = {r["vec_id"] for r in victims.collect()}
+    assert len(got) == 2 and 3 not in got
+    assert got < {0, 1, 2}
+
+
+def test_semantic_dedup_kmeans_on_fixture(spark):
+    from veloci_spark.pipeline.similarity import dedup_semantic_kmeans
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    victims = dedup_semantic_kmeans(spark, SF_DIR)
+    n, nv = emb.count(), victims.count()
+    assert 0 < nv < n
+    assert victims.join(emb, "vec_id", "left_anti").count() == 0
+
+
 # -------------------------------------------------------- SQ8 Arrow kernel
 
 def test_pq_arrow_kernel_is_bit_identical(spark):

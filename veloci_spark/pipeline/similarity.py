@@ -703,6 +703,68 @@ WHERE {sql_e4(cos('ea', 'eb'))} >= {tau_e4}
 """
 
 
+def dedup_semantic_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 16,
+    train_iters: int = 2,
+    tau_e4: int = PAIR_TAU_E4,
+) -> DataFrame:
+    """:func:`dedup_semantic` with the paper's actual clustering: Lloyd
+    k-means coarse clusters (via :func:`kmeans_centroids`) instead of
+    the LSH-bucket stand-in. Same keep-rule (remove the pair member
+    nearer its centroid — here the TRAINED centroid, so the ranking is
+    the one SemDeDup describes), same bucket-bounded pair generation
+    (cluster equi-join). Iterative trainer ⇒ no SQL oracle; pytest
+    gates the semantics (kmeans itself is numpy-parity tested).
+
+    Returns victims (vec_id, cent_cos_e4)."""
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(
+        spark, sf_dir, k=n_clusters, iters=train_iters
+    ).select("cid", F.col("centroid").alias("cvec"))
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        (-cosine_expr(F.col("embedding"), F.col("cvec"))).alias("negc"),
+    )
+    ranked = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("negc", "cid")).alias("_m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_m.cid").alias("cid"),
+            e4(-F.col("_m.negc")).alias("cent_cos_e4"),
+        )
+    )
+    a = ranked.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "cid", F.col("cent_cos_e4").alias("ca"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "cid", F.col("cent_cos_e4").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
+    )
+    return pairs.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+        .alias("vec_id"),
+        F.when(F.col("ca") > F.col("cb"), F.col("ca"))
+        .otherwise(F.col("cb"))
+        .alias("cent_cos_e4"),
+    ).distinct()
+
+
 # --------------------------------------------- scalar-quantized (SQ8) ANN
 
 def ann_sq8_topk(
@@ -1603,6 +1665,9 @@ def extra_queries():
         # Catalyst expression version (bit-identical arithmetic claim)
         "ann_sq8_topk_arrow": ann_sq8_topk_arrow,
         "ann_pq_topk_arrow": ann_pq_topk_arrow,
+        # iterative k-means trainer => rows-only contract (the
+        # bpe_train/kmeans precedent); semantics in tests
+        "dedup_semantic_kmeans": dedup_semantic_kmeans,
     }
 
 

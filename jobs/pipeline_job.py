@@ -9,6 +9,8 @@ SlimPajama):
                    blob fraction, autogen) → keep decision per file
     2. redact    — BigCode secrets/PII pass on the kept files
     3. exact     — md5 exact dedup (keep min doc_id per group)
+    3b. incremental — (optional, --old) drop docs that are near-dups of
+                   an EXISTING corpus (don't re-ingest a prior crawl)
     4. neardup   — MinHash-LSH + connected components, keep-one-per-
                    cluster remove list
     5. decontam  — (optional, --eval) drop files sharing a word n-gram
@@ -60,6 +62,7 @@ from veloci_spark.build import _done, _Lineage
 from veloci_spark.pipeline.code_quality import _keep_col, _metrics_cols
 from veloci_spark.pipeline.dedup import (
     apply_substring_removal,
+    dedup_incremental,
     dedup_keep_list,
     substring_spans,
 )
@@ -76,6 +79,7 @@ _STAGES = (
     "quality",
     "redacted",
     "exact_survivors",
+    "incremental_remove",
     "neardup_remove",
     "decontam_flagged",
     "substr_cleaned",
@@ -105,6 +109,7 @@ def run_pipeline(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     eval_df: DataFrame | None = None,
+    old_docs: DataFrame | None = None,
     substr_l: int | None = None,
     pack_seq_len: int | None = None,
     n_shards: int | None = None,
@@ -126,6 +131,7 @@ def run_pipeline(
         "lang_col": lang_col,
         "id_col": id_col,
         "has_eval": has_eval,
+        "has_old": old_docs is not None,
         "substr_l": substr_l,
         "pack_seq_len": pack_seq_len,
         "n_shards": n_shards,
@@ -219,6 +225,29 @@ def run_pipeline(
         ).parquet(e_path)
         lineage.record("exact_dedup", out_path=e_path, wall_s=time.time() - t0)
     exact = spark.read.parquet(e_path)
+
+    # ---- 3b. incremental near-dup vs an EXISTING corpus (optional) ---
+    # runs before the within-snapshot pass so already-ingested content
+    # never inflates the self-join either
+    if old_docs is not None:
+        i_path = _stage(out_dir, "incremental_remove")
+        if not (resume and _done(i_path)):
+            t0 = time.time()
+            flagged = dedup_incremental(
+                spark,
+                sf_dir="",  # unused: frames supplied directly
+                old_docs=old_docs,
+                new_docs=exact.select(
+                    "doc_id", F.col("content").alias("text")
+                ),
+            )
+            flagged.write.mode("overwrite").parquet(i_path)
+            flagged._veloci_unpersist()  # type: ignore[attr-defined]
+            lineage.record(
+                "incremental", out_path=i_path, wall_s=time.time() - t0
+            )
+        flagged = spark.read.parquet(i_path)
+        exact = exact.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
     # ---- 4. near-dup remove list -------------------------------------
     n_path = _stage(out_dir, "neardup_remove")
@@ -314,10 +343,18 @@ def run_pipeline(
     counts = {
         "input": norm.count(),
         "quality_kept": kept.count(),
-        "exact_survivors": exact.count(),
+        # the checkpointed stage output (the local `exact` frame may
+        # already be incremental-filtered)
+        "exact_survivors": spark.read.parquet(
+            _stage(out_dir, "exact_survivors")
+        ).count(),
         "neardup_removed": remove.count(),
         "blessed": blessed.count(),
     }
+    if old_docs is not None:
+        counts["incremental_removed"] = spark.read.parquet(
+            _stage(out_dir, "incremental_remove")
+        ).count()
     if pack_seq_len:
         packed = spark.read.parquet(_stage(out_dir, "packed"))
         counts["n_sequences"] = int(
@@ -349,6 +386,11 @@ def main() -> None:
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--eval", help="eval-suite parquet with a text column")
+    ap.add_argument(
+        "--old",
+        help="existing-corpus parquet (doc_id, text): drop new docs that "
+        "are near-duplicates of it",
+    )
     ap.add_argument(
         "--substr-l",
         type=int,
@@ -384,6 +426,9 @@ def main() -> None:
         id_col=args.id_col,
         eval_df=eval_df,
         substr_l=args.substr_l,
+        old_docs=(
+            spark.read.parquet(args.old) if args.old else None
+        ),
         pack_seq_len=args.seq_len,
         n_shards=args.shards,
         resume=not args.no_resume,

@@ -188,3 +188,34 @@ def test_shards_stage_layout(spark, tmp_root):
     run_pipeline(spark, corpus, out2, resume=False)
     run_pipeline(spark, corpus, out2, n_shards=4, resume=True)
     assert os.path.isdir(os.path.join(out2, "shards"))
+
+
+def test_incremental_stage_drops_old_neardups(spark, tmp_root):
+    out = os.path.join(tmp_root, "pipeline_out_incremental")
+    corpus = code_corpus(spark, SF_DIR)
+    # old corpus = the exact text of two current docs (they survive
+    # quality+exact dedup in the baseline run) -> with --old they must
+    # vanish from blessed
+    base = run_pipeline(
+        spark, corpus, os.path.join(tmp_root, "pipeline_out_noold"),
+        resume=False,
+    )
+    survivors = spark.read.parquet(
+        os.path.join(tmp_root, "pipeline_out_noold", "blessed")
+    )
+    two = survivors.limit(2).collect()
+    old = spark.createDataFrame(
+        [(10_000 + i, r["content"]) for i, r in enumerate(two)],
+        "doc_id long, text string",
+    )
+    rep = run_pipeline(spark, corpus, out, old_docs=old, resume=False)
+    blessed = spark.read.parquet(os.path.join(out, "blessed"))
+    gone = {r["doc_id"] for r in two}
+    assert blessed.where(
+        blessed.doc_id.isin([int(d) for d in gone])
+    ).count() == 0
+    assert blessed.count() == survivors.count() - 2
+    # config fingerprint: dropping --old afterwards invalidates resume
+    mtime = os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
+    run_pipeline(spark, corpus, out, resume=True)
+    assert os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS")) > mtime

@@ -217,6 +217,17 @@ def test_semantic_dedup_kmeans_on_fixture(spark):
 
 # -------------------------------------------------------- SQ8 Arrow kernel
 
+def test_batch_arrow_kernel_is_bit_identical(spark):
+    from veloci_spark.pipeline.similarity import (
+        ann_batch_topk,
+        ann_batch_topk_arrow,
+    )
+
+    a = [tuple(r) for r in ann_batch_topk(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in ann_batch_topk_arrow(spark, SF_DIR).collect()]
+    assert a == b
+
+
 def test_pq_arrow_kernel_is_bit_identical(spark):
     # same bit-identity contract as the SQ8 kernel: cumsum folds,
     # floor(x+0.5) quantization, argmin-first == (d2 asc, c asc)

@@ -1598,6 +1598,93 @@ def ann_batch_topk(
     )
 
 
+def ann_batch_topk_arrow(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+    query_mod: int = 131,
+) -> DataFrame:
+    """:func:`ann_batch_topk` with the (row × query) cosine matrix as an
+    Arrow/numpy kernel — the heaviest interpreted-HOF op in the family
+    (n_queries folds per row). Same two-phase window-free top-k on the
+    kernel's scores; BIT-IDENTICAL arithmetic (cumsum folds for dots
+    and norms, floor(x·1e4 + 0.5)), asserted equal to the Catalyst
+    version and gated by the same oracle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    qids = sorted({(query_mod * i + 7) % n for i in range(n_queries)})
+    qrows = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float32).astype(
+            np.float64
+        )
+        for r in emb.where(
+            F.col("vec_id").isin([int(x) for x in qids])
+        ).collect()
+    }
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
+                dtype=np.float32,
+            ).astype(np.float64)
+            xnorm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
+            out_q, out_v, out_c = [], [], []
+            for qid in qids:
+                q = qrows[qid]
+                qnorm = np.sqrt(np.cumsum(q * q)[-1])
+                dots = np.cumsum(x * q, axis=1)[:, -1]
+                cos = dots / (xnorm * qnorm)
+                cos_e4 = np.floor(cos * 10000.0 + 0.5).astype(np.int64)
+                out_q.append(np.full(len(x), qid, dtype=np.int64))
+                out_v.append(pdf["vec_id"].values)
+                out_c.append(cos_e4)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cos_e4": np.concatenate(out_c),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _kernel, "query_id long, vec_id long, cos_e4 long"
+    )
+    partial = scored.groupBy(
+        F.spark_partition_id().alias("_p"), "query_id"
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("cos_e4", "vec_id")), False),
+            1,
+            k,
+        ).alias("top")
+    )
+    merged = (
+        partial.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("t"), False), 1, k
+            ).alias("top")
+        )
+    )
+    return (
+        merged.select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t.vec_id").alias("vec_id"),
+            F.col("t.cos_e4").alias("cos_e4"),
+        )
+        .orderBy("query_id", F.desc("cos_e4"), F.desc("vec_id"))
+    )
+
+
 def ann_batch_sql(
     n_queries: int = 8, k: int = 5, query_mod: int = 131, n_vecs: int = 500
 ) -> str:
@@ -1668,6 +1755,7 @@ def extra_queries():
         # iterative k-means trainer => rows-only contract (the
         # bpe_train/kmeans precedent); semantics in tests
         "dedup_semantic_kmeans": dedup_semantic_kmeans,
+        "ann_batch_topk_arrow": ann_batch_topk_arrow,
     }
 
 
@@ -1681,4 +1769,5 @@ def extra_oracles():
         "ann_batch_topk": ann_batch_sql(),
         "ann_sq8_topk_arrow": ann_sq8_sql(),
         "ann_pq_topk_arrow": ann_pq_sql(),
+        "ann_batch_topk_arrow": ann_batch_sql(),
     }

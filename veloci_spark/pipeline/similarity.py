@@ -1607,10 +1607,15 @@ def ann_batch_topk_arrow(
 ) -> DataFrame:
     """:func:`ann_batch_topk` with the (row × query) cosine matrix as an
     Arrow/numpy kernel — the heaviest interpreted-HOF op in the family
-    (n_queries folds per row). Same two-phase window-free top-k on the
-    kernel's scores; BIT-IDENTICAL arithmetic (cumsum folds for dots
-    and norms, floor(x·1e4 + 0.5)), asserted equal to the Catalyst
-    version and gated by the same oracle."""
+    (n_queries folds per row). The kernel ALSO does the phase-1 top-k:
+    each Arrow batch emits only its local top-k per query, so the
+    shuffle into the per-query merge carries ≤ k·n_queries rows per
+    batch instead of the n·n_queries scored rows (the partial-aggregate
+    shape, done where the data already is). BIT-IDENTICAL arithmetic
+    (cumsum folds for dots and norms, floor(x·1e4 + 0.5)); a local
+    top-k never changes the merged global top-k, so the result is
+    asserted equal to the Catalyst version and gated by the same
+    oracle."""
     import numpy as np
     import pandas as pd
 
@@ -1634,6 +1639,7 @@ def ann_batch_topk_arrow(
                 [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]],
                 dtype=np.float32,
             ).astype(np.float64)
+            vec_ids = pdf["vec_id"].values
             xnorm = np.sqrt(np.cumsum(x * x, axis=1)[:, -1])
             out_q, out_v, out_c = [], [], []
             for qid in qids:
@@ -1642,9 +1648,12 @@ def ann_batch_topk_arrow(
                 dots = np.cumsum(x * q, axis=1)[:, -1]
                 cos = dots / (xnorm * qnorm)
                 cos_e4 = np.floor(cos * 10000.0 + 0.5).astype(np.int64)
-                out_q.append(np.full(len(x), qid, dtype=np.int64))
-                out_v.append(pdf["vec_id"].values)
-                out_c.append(cos_e4)
+                # local top-k by (cos_e4 desc, vec_id desc): lexsort is
+                # ascending on (last key primary), take the tail
+                order = np.lexsort((vec_ids, cos_e4))[-k:]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_v.append(vec_ids[order])
+                out_c.append(cos_e4[order])
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -1653,24 +1662,18 @@ def ann_batch_topk_arrow(
                 }
             )
 
-    scored = emb.select("vec_id", "embedding").mapInPandas(
+    partials = emb.select("vec_id", "embedding").mapInPandas(
         _kernel, "query_id long, vec_id long, cos_e4 long"
     )
-    partial = scored.groupBy(
-        F.spark_partition_id().alias("_p"), "query_id"
-    ).agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("cos_e4", "vec_id")), False),
-            1,
-            k,
-        ).alias("top")
-    )
     merged = (
-        partial.select("query_id", F.explode("top").alias("t"))
-        .groupBy("query_id")
+        partials.groupBy("query_id")
         .agg(
             F.slice(
-                F.sort_array(F.collect_list("t"), False), 1, k
+                F.sort_array(
+                    F.collect_list(F.struct("cos_e4", "vec_id")), False
+                ),
+                1,
+                k,
             ).alias("top")
         )
     )

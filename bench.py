@@ -667,6 +667,7 @@ def run_ann_scaling(
     should track the decode kernel's."""
     from veloci_spark.pipeline.similarity import (
         ann_batch_topk,
+        ann_batch_topk_arrow,
         ann_sq8_topk,
         ann_sq8_topk_arrow,
     )
@@ -678,6 +679,9 @@ def run_ann_scaling(
             spark, d, k=20, oversample=2
         ),
         "batch8": lambda spark: ann_batch_topk(spark, d, n_queries=8, k=5),
+        "batch8_arrow": lambda spark: ann_batch_topk_arrow(
+            spark, d, n_queries=8, k=5
+        ),
     }
     results: dict = {name: {} for name in jobs}
     n_vecs = None
@@ -1116,7 +1120,8 @@ def main():
             for name, label in (
                 ("sq8", "SQ8 quantize + ADC scan + rerank (Catalyst HOF)"),
                 ("sq8_arrow", "SQ8 same dataflow, Arrow numpy kernel"),
-                ("batch8", "batched exact scan (8 queries)"),
+                ("batch8", "batched exact scan (8 queries, Catalyst HOF)"),
+                ("batch8_arrow", "batched scan, Arrow kernel + in-kernel partial top-k"),
             ):
                 r = res[name]
                 f.write(

@@ -110,6 +110,7 @@ def run_pipeline(
     id_col: str = "doc_id",
     eval_df: DataFrame | None = None,
     old_docs: DataFrame | None = None,
+    old_tau_e4: int = 5000,
     substr_l: int | None = None,
     pack_seq_len: int | None = None,
     n_shards: int | None = None,
@@ -132,6 +133,7 @@ def run_pipeline(
         "id_col": id_col,
         "has_eval": has_eval,
         "has_old": old_docs is not None,
+        "old_tau_e4": old_tau_e4 if old_docs is not None else None,
         "substr_l": substr_l,
         "pack_seq_len": pack_seq_len,
         "n_shards": n_shards,
@@ -233,9 +235,13 @@ def run_pipeline(
         i_path = _stage(out_dir, "incremental_remove")
         if not (resume and _done(i_path)):
             t0 = time.time()
+            # production threshold (Jaccard >= 0.5, same strictness as
+            # the within-snapshot stage) — NOT the fixture-tuned module
+            # default, which is deliberately loose for oracle coverage
             flagged = dedup_incremental(
                 spark,
                 sf_dir="",  # unused: frames supplied directly
+                tau_e4=old_tau_e4,
                 old_docs=old_docs,
                 new_docs=exact.select(
                     "doc_id", F.col("content").alias("text")
@@ -392,6 +398,12 @@ def main() -> None:
         "are near-duplicates of it",
     )
     ap.add_argument(
+        "--old-tau-e4",
+        type=int,
+        default=5000,
+        help="Jaccard threshold (e4) for the --old incremental stage",
+    )
+    ap.add_argument(
         "--substr-l",
         type=int,
         help="exact-substring dedup span length in tokens (off when unset; "
@@ -429,6 +441,7 @@ def main() -> None:
         old_docs=(
             spark.read.parquet(args.old) if args.old else None
         ),
+        old_tau_e4=args.old_tau_e4,
         pack_seq_len=args.seq_len,
         n_shards=args.shards,
         resume=not args.no_resume,

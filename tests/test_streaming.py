@@ -365,3 +365,51 @@ def test_streaming_ivf_ingest(spark, stream_dirs, tmp_root):
     # replay: new stream run over the same source adds nothing
     start_ivf_ingest(spark, src, idx, work)
     assert spark.read.parquet(os.path.join(idx, "lists")).count() == base_n + 1
+
+
+def test_greedy_neardup_select_emits_chain_ends(spark):
+    # crafted fingerprints: A~B (d=8), B~C (d=8), A!~C (d=16) with
+    # hamming_d=12. The sequential-greedy contract keeps A AND C —
+    # C's only near neighbor B is suppressed BY A, so C has no emitted
+    # doc within range and must not be dropped (the one-shot pairwise
+    # min-key drop wrongly removed it).
+    from veloci_spark.streaming import _greedy_neardup_select
+
+    fa = 0
+    fb = (1 << 8) - 1          # 8 bits flipped vs A
+    fc = fb | (((1 << 8) - 1) << 8)  # 8 MORE bits flipped vs B
+    df = spark.createDataFrame(
+        [("a", fa, "ta", "en"), ("b", fb, "tb", "en"), ("c", fc, "tc", "en")],
+        "doc_key string, fp long, text string, lang string",
+    )
+    kept, rounds = _greedy_neardup_select(df, hamming_d=12, n_bands=16)
+    keys = sorted(r["doc_key"] for r in kept.collect())
+    for w in rounds:
+        w.unpersist()
+    assert keys == ["a", "c"]
+
+
+def test_neardup_store_meta_guard(spark, stream_dirs):
+    # a store written with one banding must refuse a stream run with
+    # another, and re-seeding a populated store needs overwrite=True
+    import os
+
+    import pytest as _pytest
+
+    from veloci_spark.streaming import seed_neardup_store, start_neardup_stream
+
+    src, work = stream_dirs
+    work = os.path.join(work, "meta_guard")
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    seed_neardup_store(spark, corpus, work, n_bands=16)
+    with _pytest.raises(ValueError, match="written with"):
+        start_neardup_stream(
+            spark, src, work, SCHEMA, hamming_d=3, n_bands=4
+        )
+    with _pytest.raises(ValueError, match="already populated"):
+        seed_neardup_store(spark, corpus, work, n_bands=16)
+    # overwrite rebuilds cleanly with new params
+    seed_neardup_store(spark, corpus, work, n_bands=8, overwrite=True)

@@ -578,6 +578,26 @@ WHERE {sql_e4(_sql_dot('ea', 'eb') + ' / (sqrt(' + _sql_norm2('ea') + ') * sqrt(
 """
 
 
+def _normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nv): L2-normalized double vectors. The norm
+    is aliased in its OWN projection — inlining the _norm2 fold into
+    the transform lambda re-derives it per element (64x per row,
+    measured 2.7x slower; CollapseProject keeps non-cheap aliases
+    separate — the Catalyst-trap rule from PLANS.md). Shared by every
+    quantized-ANN operator so the trap fix lives in one place."""
+    return emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / F.col("_nrm"),
+        ).alias("nv"),
+    )
+
+
 # ------------------------------------------------------------- SemDeDup
 
 def dedup_semantic(
@@ -635,22 +655,35 @@ def dedup_semantic(
             "cent_cos_e4"
         ),
     )
+    return _centroid_rank_victims(ranked, "bucket", tau_e4)
+
+
+def _centroid_rank_victims(
+    ranked: DataFrame, cluster_col: str, tau_e4: int
+) -> DataFrame:
+    """SemDeDup victim selection shared by the LSH and k-means
+    variants: pairs are generated only within a cluster, and the victim
+    of each near pair is the member NEARER its centroid (cent-cos tie →
+    the higher vec_id, which is vec_b since vec_a < vec_b). ``ranked``
+    (vec_id, embedding, <cluster_col>, cent_cos_e4) feeds BOTH sides of
+    the self-join, so it is persisted here — without the cache the
+    upstream centroid aggregation would run once per side. The returned
+    frame carries the repo's _veloci_unpersist disposal handle."""
+    ranked = ranked.persist()
     a = ranked.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "bucket", F.col("cent_cos_e4").alias("ca"),
+        cluster_col, F.col("cent_cos_e4").alias("ca"),
     )
     b = ranked.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "bucket", F.col("cent_cos_e4").alias("cb"),
+        cluster_col, F.col("cent_cos_e4").alias("cb"),
     )
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, cluster_col)
         .where(F.col("vec_a") < F.col("vec_b"))
         .where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
     )
-    # victim = the pair member nearer its centroid; cent-cos tie → the
-    # higher vec_id (which is vec_b, since vec_a < vec_b)
-    return pairs.select(
+    out = pairs.select(
         F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
         .otherwise(F.col("vec_b"))
         .alias("vec_id"),
@@ -658,6 +691,8 @@ def dedup_semantic(
         .otherwise(F.col("cb"))
         .alias("cent_cos_e4"),
     ).distinct()
+    out._veloci_unpersist = ranked.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def dedup_semantic_sql(
@@ -742,27 +777,7 @@ def dedup_semantic_kmeans(
             e4(-F.col("_m.negc")).alias("cent_cos_e4"),
         )
     )
-    a = ranked.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        "cid", F.col("cent_cos_e4").alias("ca"),
-    )
-    b = ranked.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        "cid", F.col("cent_cos_e4").alias("cb"),
-    )
-    pairs = (
-        a.join(b, "cid")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
-    )
-    return pairs.select(
-        F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
-        .otherwise(F.col("vec_b"))
-        .alias("vec_id"),
-        F.when(F.col("ca") > F.col("cb"), F.col("ca"))
-        .otherwise(F.col("cb"))
-        .alias("cent_cos_e4"),
-    ).distinct()
+    return _centroid_rank_victims(ranked, "cid", tau_e4)
 
 
 # --------------------------------------------- scalar-quantized (SQ8) ANN
@@ -799,21 +814,7 @@ def ann_sq8_topk(
     run in array order, so the candidate scores are engine-identical
     doubles."""
     emb = _emb(spark, sf_dir)
-    # the norm is aliased in its OWN projection: inlining the _norm2
-    # fold into the transform lambda would re-derive it per element
-    # (64x per row — measured 2.7x slower; CollapseProject keeps
-    # non-cheap aliases separate, the Catalyst-trap rule from PLANS.md)
-    normed = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double") / F.col("_nrm"),
-        ).alias("nv"),
-    )
+    normed = _normalized(emb)
     # packed one-row stats frame (mins[], rngs[]) cross-joined broadcast
     # — same shape as the oracle's `packed` CTE; keeps the whole
     # operator ONE job (no driver stats collect), and min/max are exact
@@ -928,6 +929,60 @@ PQ_KS = 16        # centroids per subspace codebook
 PQ_SUB = EMBED_DIM // PQ_M
 
 
+def _pq_codebook(normed: DataFrame, n_centroids: int) -> DataFrame:
+    """(subspace, c, cvec): deterministically data-sampled per-subspace
+    codebook — the first ``n_centroids`` normalized vectors' slices.
+    Shared by the flat-PQ and IVF-PQ operators."""
+    sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
+    parts = []
+    for j in range(PQ_M):
+        parts.append(
+            normed.where(F.col("vec_id") < n_centroids).select(
+                F.lit(j).alias("subspace"),
+                F.col("vec_id").cast("int").alias("c"),
+                sub(F.col("nv"), j).alias("cvec"),
+            )
+        )
+    cb = parts[0]
+    for p in parts[1:]:
+        cb = cb.unionByName(p)
+    return cb
+
+
+def _pq_codes(normed: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code): nearest-centroid encoding via a
+    broadcast codebook join + a min-struct aggregate on the unskewed
+    (vec_id, subspace) key — never a window. Tie → lower centroid id
+    (struct order). Shared by the flat-PQ and IVF-PQ operators."""
+    sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
+    subrows = normed.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("subspace"),
+                    sub(F.col("nv"), j).alias("sv"),
+                )
+                for j in range(PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.subspace", "s.sv")
+    d2 = F.aggregate(
+        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subrows.join(F.broadcast(cb), "subspace")
+        .select("vec_id", "subspace", d2.alias("d2"), "c")
+        .groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("d2", "c")).alias("_m"))
+        .select("vec_id", "subspace", F.col("_m.c").alias("code"))
+    )
+
+
+
+
 def ann_pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -959,61 +1014,13 @@ def ann_pq_topk(
     table is M×ks rows, broadcast; the rerank touches only
     k*oversample full vectors."""
     emb = _emb(spark, sf_dir)
-    # the norm is aliased in its OWN projection: inlining the _norm2
-    # fold into the transform lambda would re-derive it per element
-    # (64x per row — measured 2.7x slower; CollapseProject keeps
-    # non-cheap aliases separate, the Catalyst-trap rule from PLANS.md)
-    normed = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double") / F.col("_nrm"),
-        ).alias("nv"),
-    )
+    normed = _normalized(emb)
     # (subspace, c, cvec): sub-vectors of the first n_centroids vectors
     sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
-    cb_parts = []
-    for j in range(PQ_M):
-        cb_parts.append(
-            normed.where(F.col("vec_id") < n_centroids).select(
-                F.lit(j).alias("subspace"),
-                F.col("vec_id").cast("int").alias("c"),
-                sub(F.col("nv"), j).alias("cvec"),
-            )
-        )
-    cb = cb_parts[0]
-    for p in cb_parts[1:]:
-        cb = cb.unionByName(p)
+    cb = _pq_codebook(normed, n_centroids)
 
     # explode each vector into its M sub-vectors, assign nearest centroid
-    subrows = normed.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("subspace"),
-                    sub(F.col("nv"), j).alias("sv"),
-                )
-                for j in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", "s.subspace", "s.sv")
-    d2 = F.aggregate(
-        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    codes = (
-        subrows.join(F.broadcast(cb), "subspace")
-        .select("vec_id", "subspace", d2.alias("d2"), "c")
-        .groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d2", "c")).alias("_m"))
-        .select("vec_id", "subspace", F.col("_m.c").alias("code"))
-    )
+    codes = _pq_codes(normed, cb)
     # ADC weights: exact normalized query sub-vector · each centroid
     qrow = normed.where(F.col("vec_id") == query_vec_id).select(
         F.col("nv").alias("qn"), F.col("embedding").alias("qvec")
@@ -1140,17 +1147,7 @@ def ann_ivfpq_topk(
     pruning makes the probe literal), and the full-precision vectors
     are touched for k*oversample rows only."""
     emb = _emb(spark, sf_dir)
-    normed = emb.select(
-        "vec_id", "embedding",
-        F.sqrt(_norm2(F.col("embedding"))).alias("_nrm"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double") / F.col("_nrm"),
-        ).alias("nv"),
-    )
+    normed = _normalized(emb)
     # ---- coarse quantizer: assign each vector to its nearest centroid
     coarse = normed.where(F.col("vec_id") < n_coarse).select(
         F.col("vec_id").cast("int").alias("cid"),
@@ -1166,42 +1163,8 @@ def ann_ivfpq_topk(
     )
     # ---- PQ codes (global codebook, by_residual=False)
     sub = lambda col, j: F.slice(col, j * PQ_SUB + 1, PQ_SUB)
-    cb_parts = []
-    for j in range(PQ_M):
-        cb_parts.append(
-            normed.where(F.col("vec_id") < n_centroids).select(
-                F.lit(j).alias("subspace"),
-                F.col("vec_id").cast("int").alias("c"),
-                sub(F.col("nv"), j).alias("cvec"),
-            )
-        )
-    cb = cb_parts[0]
-    for p in cb_parts[1:]:
-        cb = cb.unionByName(p)
-    subrows = normed.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("subspace"),
-                    sub(F.col("nv"), j).alias("sv"),
-                )
-                for j in range(PQ_M)
-            ])
-        ).alias("s"),
-    ).select("vec_id", "s.subspace", "s.sv")
-    d2 = F.aggregate(
-        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    codes = (
-        subrows.join(F.broadcast(cb), "subspace")
-        .select("vec_id", "subspace", d2.alias("d2"), "c")
-        .groupBy("vec_id", "subspace")
-        .agg(F.min(F.struct("d2", "c")).alias("_m"))
-        .select("vec_id", "subspace", F.col("_m.c").alias("code"))
-    )
+    cb = _pq_codebook(normed, n_centroids)
+    codes = _pq_codes(normed, cb)
     # ---- query: probe nprobe nearest coarse lists
     qrow = normed.where(F.col("vec_id") == query_vec_id).select(
         F.col("nv").alias("qn"), F.col("embedding").alias("qvec")
@@ -1545,13 +1508,16 @@ def ann_batch_topk(
 
     The scale-critical piece is per-QUERY top-k WITHOUT a window over
     the full score table: ``Window.partitionBy(query_id)`` would put
-    one query's entire corpus-sized score set on a single task. Instead
-    the top-k is a two-phase aggregate — per shuffle-partition top-k
-    inside ``collect_list`` (bounded: ≤ k rows kept per partition per
-    query via sort+slice), then one merge per query — the same
-    partial/final shape as any map-side-combined aggregation. The
-    DuckDB oracle uses a plain window (fine at oracle scale); both
-    produce identical (query_id, vec_id, cos_e4) rows."""
+    one query's entire corpus-sized score set on a single task. The
+    two-phase aggregate (per (shuffle-partition, query) sort+slice,
+    then one merge per query) removes that single-task bottleneck —
+    every group is bounded by partition size. Honest caveat: the slice
+    runs AFTER ``collect_list``, so the shuffle into phase 1 still
+    carries every scored row (Catalyst has no bounded top-k
+    accumulator); the variant that actually cuts shuffle volume is
+    :func:`ann_batch_topk_arrow`, whose kernel emits only its local
+    top-k. The DuckDB oracle uses a plain window (fine at oracle
+    scale); both produce identical (query_id, vec_id, cos_e4) rows."""
     emb = _emb(spark, sf_dir)
     n = emb.count()
     qids = sorted({(query_mod * i + 7) % n for i in range(n_queries)})
@@ -1689,18 +1655,25 @@ def ann_batch_topk_arrow(
 
 
 def ann_batch_sql(
-    n_queries: int = 8, k: int = 5, query_mod: int = 131, n_vecs: int = 500
+    n_queries: int = 8, k: int = 5, query_mod: int = 131
 ) -> str:
-    qids = sorted({(query_mod * i + 7) % n_vecs for i in range(n_queries)})
+    # the query-id spread is derived from count(*) IN SQL — baking a
+    # literal n_vecs would silently desynchronize from the Spark side
+    # on any fixture that is not exactly that size
     cos = (
         _sql_dot('e.embedding', 'q.qvec')
         + " / (sqrt(" + _sql_norm2('e.embedding') + ") * sqrt("
         + _sql_norm2('q.qvec') + "))"
     )
     return f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-  WHERE vec_id IN ({', '.join(map(str, qids))})
+WITH n AS (SELECT count(*) AS n_vecs FROM embeddings),
+qids AS (
+  SELECT DISTINCT ({query_mod} * i + 7) % n_vecs AS query_id
+  FROM range(0, {n_queries}) t(i), n
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec
+  FROM embeddings e JOIN qids ON e.vec_id = qids.query_id
 ),
 scored AS (
   SELECT q.query_id, e.vec_id, {sql_e4(cos)} AS cos_e4

@@ -359,11 +359,126 @@ def _neardup_bands(df: DataFrame, n_bands: int) -> DataFrame:
     return df.withColumn("band_key", F.explode(F.array(*cols)))
 
 
+#: bump when the fingerprint function changes incompatibly (v2 = the
+#: dedup_simhash_bits-compatible hex-digit-parity scheme)
+NEARDUP_FP_VERSION = 2
+
+
+def _neardup_meta_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "_fingerprints_meta.json")
+
+
+def _check_neardup_meta(work_dir: str, n_bands: int) -> None:
+    """Record (fp_version, n_bands) next to the store on first use and
+    REFUSE to run against a store written with a different fingerprint
+    function or banding — either mismatch silently corrupts the dedup
+    semantics (old/new band keys never join, or Hamming distances are
+    compared between incompatible bit layouts). A store predating the
+    marker is likewise refused: its fingerprint version is unknown."""
+    meta_p = _neardup_meta_path(work_dir)
+    fp_store = os.path.join(work_dir, "fingerprints")
+    want = {"fp_version": NEARDUP_FP_VERSION, "n_bands": n_bands}
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            got = json.load(f)
+        if got != want:
+            raise ValueError(
+                f"fingerprint store at {fp_store} was written with "
+                f"{got}; this run wants {want} — rebuild the store "
+                "(seed_neardup_store on the emitted corpus) or match "
+                "the parameters"
+            )
+    elif os.path.isdir(fp_store) and os.listdir(fp_store):
+        raise ValueError(
+            f"fingerprint store at {fp_store} predates the metadata "
+            "marker (unknown fingerprint version); rebuild it with "
+            "seed_neardup_store on the emitted corpus"
+        )
+    else:
+        with open(meta_p, "w") as f:
+            json.dump(want, f)
+
+
+def _greedy_neardup_select(
+    df: DataFrame, hamming_d: int, n_bands: int
+):
+    """The SEQUENTIAL-GREEDY keep set in doc_key order over a
+    (doc_key, fp, ...) frame, computed in parallel rounds: winners =
+    docs with no smaller near-neighbor remaining; anything near a
+    winner is suppressed (its suppressor IS kept); the rest go to the
+    next round. This is what "emit only docs beyond hamming_d of every
+    EMITTED doc" requires under CHAINS: with A<B<C, A~B, B~C, A≁C a
+    single pairwise min-key drop removes both B and C, leaving C
+    suppressed by a B that was never emitted — the greedy keeps A AND
+    C. A winner is never near another winner (the smaller would block
+    the larger), so the kept set is pairwise non-near. Rounds are
+    bounded by the chain depth inside the frame (winners always include
+    the global minimum, so the loop strictly shrinks).
+
+    Returns (kept_df_or_None, round_frames) — the caller unpersists
+    ``round_frames`` after materializing the result."""
+    round_winners = []
+    remaining = df
+    while True:
+        remaining = remaining.persist()
+        if remaining.count() == 0:
+            remaining.unpersist()
+            break
+        b = _neardup_bands(remaining.select("doc_key", "fp"), n_bands)
+        near = (
+            b.alias("x")
+            .join(b.alias("y"), "band_key")
+            .where(F.col("x.doc_key") != F.col("y.doc_key"))
+            .where(
+                F.bit_count(
+                    F.col("x.fp").bitwiseXOR(F.col("y.fp"))
+                ) <= hamming_d
+            )
+            .select(
+                F.col("x.doc_key").alias("k"),
+                F.col("y.doc_key").alias("other"),
+            )
+            .distinct()
+            .persist()
+        )
+        blocked = (
+            near.where(F.col("other") < F.col("k"))
+            .select(F.col("k").alias("doc_key"))
+            .distinct()
+        )
+        winners = remaining.join(blocked, "doc_key", "left_anti").persist()
+        winners.count()
+        round_winners.append(winners)
+        near_winner = (
+            near.join(
+                winners.select(F.col("doc_key").alias("other")),
+                "other",
+                "left_semi",
+            )
+            .select(F.col("k").alias("doc_key"))
+            .distinct()
+        )
+        nxt = remaining.join(
+            winners.select("doc_key"), "doc_key", "left_anti"
+        ).join(near_winner, "doc_key", "left_anti")
+        nxt = nxt.localCheckpoint()  # materialize before freeing parents
+        near.unpersist()
+        remaining.unpersist()
+        remaining = nxt
+    if not round_winners:
+        return None, []
+    kept = round_winners[0]
+    for w in round_winners[1:]:
+        kept = kept.unionByName(w)
+    return kept, round_winners
+
+
 def seed_neardup_store(
     spark: SparkSession,
     corpus: DataFrame,
     work_dir: str,
     n_bands: int = 4,
+    overwrite: bool = False,
 ) -> str:
     """Seed the near-dup fingerprint store from a BATCH corpus: every
     document in ``corpus`` (needs a ``text`` column) is marked
@@ -376,9 +491,27 @@ def seed_neardup_store(
 
     Also the recovery path: the store is derivable from the emitted
     corpus, so a lost/corrupt fingerprint table can be rebuilt with one
-    batch pass instead of replaying the stream."""
+    batch pass instead of replaying the stream — pass
+    ``overwrite=True`` to REPLACE whatever is there. Without it,
+    seeding an already-populated store is refused (a second append
+    would duplicate a full corpus of fingerprint rows), and the
+    (fp_version, n_bands) metadata is recorded so a later stream run
+    with different parameters fails loudly instead of silently never
+    matching."""
     os.makedirs(work_dir, exist_ok=True)
     fp_store = os.path.join(work_dir, "fingerprints")
+    if os.path.isdir(fp_store) and os.listdir(fp_store) and not overwrite:
+        raise ValueError(
+            f"fingerprint store at {fp_store} is already populated; "
+            "pass overwrite=True to rebuild it"
+        )
+    if overwrite:
+        import shutil
+
+        shutil.rmtree(fp_store, ignore_errors=True)
+        if os.path.exists(_neardup_meta_path(work_dir)):
+            os.remove(_neardup_meta_path(work_dir))
+    _check_neardup_meta(work_dir, n_bands)
     sim = _simhash64_udf()
     fp_df = (
         corpus.where(F.col("text").isNotNull())
@@ -419,6 +552,7 @@ def start_neardup_stream(
     transactional table format)."""
     assert hamming_d < n_bands, "pigeonhole needs d < n_bands"
     os.makedirs(work_dir, exist_ok=True)
+    _check_neardup_meta(work_dir, n_bands)
     out_dir = os.path.join(work_dir, "neardup_out")
     fp_store = os.path.join(work_dir, "fingerprints")
     ckpt = os.path.join(work_dir, "_neardup_checkpoint")
@@ -465,22 +599,15 @@ def start_neardup_stream(
                 .distinct()
             )
             survivors = survivors.join(hits, "doc_key", "left_anti")
-        # then batch-internal winners among the store-survivors:
-        # deterministic keep = min doc_key of each near pair
-        b = _bands(survivors.select("doc_key", "fp"))
-        pairs = (
-            b.alias("x")
-            .join(b.alias("y"), "band_key")
-            .where(F.col("x.doc_key") > F.col("y.doc_key"))
-            .where(
-                F.bit_count(
-                    F.col("x.fp").bitwiseXOR(F.col("y.fp"))
-                ) <= hamming_d
-            )
-            .select(F.col("x.doc_key").alias("doc_key"))
-            .distinct()
+        # then batch-internal selection among the store-survivors: the
+        # sequential-greedy keep set in doc_key order (see
+        # _greedy_neardup_select) — a single pairwise min-key drop
+        # would violate the emitted-set contract on chains
+        survivors, round_winners = _greedy_neardup_select(
+            survivors, hamming_d, n_bands
         )
-        survivors = survivors.join(pairs, "doc_key", "left_anti")
+        if survivors is None:
+            survivors = fp_df.limit(0)
         survivors = survivors.persist()
         out_cols = [c.split(" ")[0] for c in NEARDUP_OUT_SCHEMA.split(", ")]
         survivors.select(*out_cols).write.mode("append").parquet(out_dir)
@@ -488,6 +615,8 @@ def start_neardup_stream(
             "band_key", "fp"
         ).write.mode("append").parquet(fp_store)
         survivors.unpersist()
+        for w in round_winners:
+            w.unpersist()
         fp_df.unpersist()
         done[str(batch_id)] = True
         with open(done_marker, "w") as f:
@@ -601,11 +730,13 @@ def start_ivf_ingest(
                 F.first("embedding").alias("embedding"),
             )
             .select(F.col("_m.cid").alias("cid"), "vec_id", "embedding")
+            .persist()  # the count and the write share one computation
         )
         n = assign.count()
         assign.write.mode("append").partitionBy("cid").parquet(
             os.path.join(index_dir, "lists")
         )
+        assign.unpersist()
         done[str(batch_id)] = n
         with open(done_marker, "w") as f:
             json.dump(done, f)

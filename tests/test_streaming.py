@@ -413,3 +413,47 @@ def test_neardup_store_meta_guard(spark, stream_dirs):
         seed_neardup_store(spark, corpus, work, n_bands=16)
     # overwrite rebuilds cleanly with new params
     seed_neardup_store(spark, corpus, work, n_bands=8, overwrite=True)
+
+
+def test_greedy_neardup_matches_sequential_reference(spark):
+    # property: over seeded random fingerprint sets, the round-based
+    # distributed selection equals the obvious sequential greedy
+    # (ascending doc_key, keep unless within hamming_d of a kept doc)
+    import random
+
+    from veloci_spark.streaming import _greedy_neardup_select
+
+    rng = random.Random(0xBEEF)
+    for trial in range(4):
+        n = 24
+        rows = []
+        fps = []
+        for i in range(n):
+            if fps and rng.random() < 0.5:
+                # mutate an earlier fp by a few bits -> dense near graph
+                base = rng.choice(fps)
+                fp = base
+                for _ in range(rng.randrange(1, 10)):
+                    fp ^= 1 << rng.randrange(64)
+            else:
+                fp = rng.getrandbits(64)
+            fps.append(fp)
+            signed = fp - (1 << 64) if fp >= (1 << 63) else fp
+            rows.append((f"k{i:03d}", signed, f"t{i}", "en"))
+        df = spark.createDataFrame(
+            rows, "doc_key string, fp long, text string, lang string"
+        )
+        kept, rounds = _greedy_neardup_select(df, hamming_d=12, n_bands=16)
+        got = sorted(r["doc_key"] for r in kept.collect())
+        for w in rounds:
+            w.unpersist()
+        # sequential reference
+        want = []
+        for key, signed, _t, _l in sorted(rows):
+            fp = signed & ((1 << 64) - 1)
+            if all(
+                bin(fp ^ (kf & ((1 << 64) - 1))).count("1") > 12
+                for _kk, kf in want
+            ):
+                want.append((key, signed))
+        assert got == sorted(k for k, _ in want), f"trial {trial}"

@@ -33,6 +33,49 @@ def _norm(v):
     return v
 
 
+# ---- driver-faithful dtype kinds -------------------------------------
+# The driver compares typed hashes of pandas frames: DuckDB HUGEINT (the
+# result of sum(BIGINT)) lands as float64 there while Spark emits int64 —
+# Python `==` on fetchall() values masks that (11674 == 11674.0). Map both
+# sides' column types to the KIND the driver's pandas path would see and
+# assert they agree (round-3 verdict item #2).
+
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("MAP"):
+        return "list" if t.endswith("[]") else "obj"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t in ("DOUBLE", "FLOAT", "REAL"):
+        return "f"  # pandas: float64 (HUGEINT overflows int64 → float64)
+    if "INT" in t:
+        return "i"
+    if t == "BOOLEAN":
+        return "b"
+    if t in ("BLOB", "BYTEA"):
+        return "bytes"
+    if t in ("DATE",) or t.startswith("TIMESTAMP"):
+        return "t"
+    return "s" if t in ("VARCHAR", "TEXT", "STRING") else "obj"
+
+
+def _spark_kind(t: str) -> str:
+    t = t.lower()
+    if t.startswith("array"):
+        return "list"
+    if t.startswith(("struct", "map")):
+        return "obj"
+    if t.startswith("decimal") or t in ("double", "float"):
+        return "f"
+    if t in ("bigint", "int", "smallint", "tinyint", "long", "integer"):
+        return "i"
+    if t == "boolean":
+        return "b"
+    if t == "binary":
+        return "bytes"
+    if t in ("date",) or t.startswith("timestamp"):
+        return "t"
+    return "s" if t == "string" else "obj"
+
+
 def _rows(rows):
     return sorted(tuple(_norm(v) for v in r) for r in rows)
 
@@ -50,6 +93,28 @@ def _all_queries():
 def all_query_names():
     q, _ = _all_queries()
     return sorted(q.keys())
+
+
+def test_dtype_gate_catches_uncast_sum(ddb):
+    """Meta-test (round-3 verdict #2 done-criterion): reverting the BIGINT
+    casts in the bm25 oracle builders must flip the dtype gate red. DuckDB
+    sum(BIGINT) → HUGEINT → float64 on the driver's pandas path, while the
+    Spark side emits int64."""
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["code_bm25_topk"]
+    assert "CAST(sum(b.score) AS BIGINT)" in sql
+    uncast = sql.replace("CAST(sum(b.score) AS BIGINT)", "sum(b.score)")
+    kinds_ok = {
+        r[0]: _duck_kind(str(r[1]))
+        for r in ddb.execute("DESCRIBE " + sql).fetchall()
+    }
+    kinds_bad = {
+        r[0]: _duck_kind(str(r[1]))
+        for r in ddb.execute("DESCRIBE " + uncast).fetchall()
+    }
+    assert kinds_ok["score_e4"] == "i"  # matches Spark bigint
+    assert kinds_bad["score_e4"] == "f"  # the bug class the gate must catch
 
 
 @pytest.mark.parametrize("name", all_query_names())
@@ -73,6 +138,18 @@ def test_query_matches_oracle(spark, ddb, name):
     ora_rows = res.fetchall()
 
     assert sorted(spark_cols) == sorted(ora_cols), (spark_cols, ora_cols)
+    # dtype-kind gate: mirror the driver's typed-hash semantics
+    desc = ddb.execute("DESCRIBE " + oracles[name]).fetchall()
+    ora_kinds = {r[0]: _duck_kind(str(r[1])) for r in desc}
+    spark_kinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
+    kind_mismatch = {
+        c: (spark_kinds[c], ora_kinds[c])
+        for c in spark_cols
+        if spark_kinds[c] != ora_kinds[c]
+    }
+    assert not kind_mismatch, (
+        f"{name}: driver-visible dtype mismatch (spark, oracle): {kind_mismatch}"
+    )
     # driver sorts columns by name before hashing
     sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
     oidx = [ora_cols.index(c) for c in sorted(ora_cols)]

@@ -270,7 +270,7 @@ def _bm25_topk_sql(terms: list[str], k: int) -> str:
         "WITH "
         + CODE_CTE
         + f"""
-SELECT b.doc_id, sum(b.score) AS score_e4
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
 FROM cbm25 b JOIN cdict d USING (term_id)
 WHERE d.term IN ({in_list})
 GROUP BY b.doc_id
@@ -369,7 +369,7 @@ def _bm25_explain_sql(terms: list[str], k: int) -> str:
         + CODE_CTE
         + f""",
 topk AS (
-  SELECT b.doc_id, sum(b.score) AS score_e4
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
   FROM cbm25 b JOIN cdict d USING (term_id)
   WHERE d.term IN ({in_list})
   GROUP BY b.doc_id
@@ -405,7 +405,7 @@ def _bm25_and_sql(terms: list[str], k: int) -> str:
         "WITH "
         + CODE_CTE
         + f"""
-SELECT b.doc_id, sum(b.score) AS score_e4
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
 FROM cbm25 b JOIN cdict d USING (term_id)
 WHERE d.term IN ({in_list})
 GROUP BY b.doc_id HAVING count(*) = {n}
@@ -458,7 +458,7 @@ phrase_docs AS (
   SELECT DISTINCT a0.doc_id FROM cnsp a0 {' '.join(joins)}
   WHERE {' AND '.join(conds)}
 )
-SELECT b.doc_id, sum(b.score) AS score_e4
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
 FROM cbm25 b JOIN cdict d USING (term_id)
 WHERE d.term IN ({in_list})
   AND b.doc_id IN (SELECT doc_id FROM phrase_docs)
@@ -495,7 +495,7 @@ def _bm25f_sql(terms: list[str], k: int) -> str:
         + ","
         + PATH_BM25_CTE
         + f"""
-SELECT doc_id, sum(ws) AS score_e4 FROM (
+SELECT doc_id, CAST(sum(ws) AS BIGINT) AS score_e4 FROM (
   SELECT b.doc_id, {wc} * b.score AS ws
   FROM cbm25 b JOIN cdict d USING (term_id) WHERE d.term IN ({in_list})
   UNION ALL

@@ -1,0 +1,72 @@
+"""The why_found/highlight matched-term collect must stay bounded for
+broad parts (round-3 verdict #3): a prefix part like ``a*`` over a large
+dictionary may match millions of terms; only the ones appearing in the
+top-k rows can ever show up in a snippet, so the collect restricts to
+those past the cap (reference truncates its candidate buffer too,
+search_field.rs:292-331)."""
+
+import os
+
+import pytest
+
+from veloci_spark import FieldConfig, IndexConfig, build_index
+from veloci_spark.executor import search
+from veloci_spark.match_terms import collect_matched_terms, match_terms
+from veloci_spark.request import Request, SearchPart
+
+
+@pytest.fixture(scope="module")
+def wide_dict_index(spark, tmp_root):
+    # 1300 docs, each with a unique a-prefixed term → dictionary has
+    # >1000 terms matching "a*"
+    rows = [(i, f"a{i:04d} shared anchor text") for i in range(1300)]
+    df = spark.createDataFrame(rows, "doc_id long, line string")
+    cfg = IndexConfig(fields=(FieldConfig("line"),))
+    out = os.path.join(tmp_root, "wide_dict_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def test_broad_prefix_collect_is_bounded(spark, wide_dict_index):
+    part = SearchPart(field="line", term="a", starts_with=True)
+    # sanity: the unbounded match set really is past the cap
+    assert match_terms(wide_dict_index, part).count() > 1000
+
+    topk = spark.createDataFrame([(7,), (42,), (1299,)], "doc_id long")
+    terms = collect_matched_terms(wide_dict_index, part, anchor_ids=topk)
+    # only terms of the three top-k docs survive: their unique a-token,
+    # the shared "anchor" token, and their whole-text (≤64 B) entries
+    assert set(terms) == {
+        "a0007", "a0042", "a1299", "anchor",
+        "a0007 shared anchor text",
+        "a0042 shared anchor text",
+        "a1299 shared anchor text",
+    }
+
+
+def test_no_frame_falls_back_to_hard_cap(wide_dict_index):
+    part = SearchPart(field="line", term="a", starts_with=True)
+    terms = collect_matched_terms(wide_dict_index, part, cap=100)
+    assert len(terms) == 100
+
+
+def test_below_cap_is_unbounded_and_why_found_unchanged(spark, wide_dict_index):
+    # an exact part stays below the cap → identical to a plain collect
+    part = SearchPart(field="line", term="a0007")
+    terms = collect_matched_terms(wide_dict_index, part, anchor_ids=None)
+    assert terms == ["a0007"]
+    # end-to-end: why_found over the broad prefix still highlights the
+    # top-k docs' own terms
+    res = search(
+        wide_dict_index,
+        Request(
+            search=SearchPart(field="line", term="a", starts_with=True),
+            top=3,
+            why_found=True,
+            select=["line"],
+        ),
+    )
+    rows = res.hits.collect()
+    assert rows
+    for r in rows:
+        assert r["why_found_line"] is not None
+        assert "<b>" in r["why_found_line"]

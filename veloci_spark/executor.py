@@ -784,14 +784,14 @@ def search(index: Index, request: Request) -> SearchResult:
     # top-k rows only (search.rs:220-224, why_found.rs:11-49)
     if request.why_found:
         from veloci_spark.highlight import why_found_array_column, why_found_column
-        from veloci_spark.match_terms import match_terms as _mt
+        from veloci_spark.match_terms import collect_matched_terms
         from veloci_spark.request import leaves as _leaves
 
         per_field_terms: dict[str, set[str]] = {}
         for p in _leaves(simplify(request.search)):
-            terms = [
-                r["term"] for r in _mt(index, p).select("term").collect()
-            ]
+            # bounded collect: broad prefix/fuzzy parts restrict to terms
+            # whose postings hit the top-k docs before collecting
+            terms = collect_matched_terms(index, p, anchor_ids=topk)
             per_field_terms.setdefault(p.field, set()).update(terms)
         # with select: highlight the selected fields that were searched;
         # without select the reference still emits why_found for every

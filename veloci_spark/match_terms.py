@@ -26,6 +26,50 @@ from veloci_spark.request import SearchPart
 from veloci_spark.scoring import term_score_expr
 
 
+# why_found/highlight collect matched dictionary terms to the driver to
+# drive snippet assembly on the top-k rows. A broad prefix/fuzzy part
+# ("a*") over a 10^9-term dictionary would collect millions of strings —
+# bound it: past this cap, restrict to terms whose postings actually hit
+# the top-k rows before collecting (terms absent from those rows can never
+# appear in their snippets; highlight_text is exact token-set membership).
+# The reference similarly truncates its per-part candidate buffer
+# (search_field.rs:292-331).
+MATCHED_TERM_COLLECT_CAP = 1000
+
+
+def collect_matched_terms(
+    index: Index,
+    part: SearchPart,
+    anchor_ids: DataFrame | None = None,
+    text_ids: DataFrame | None = None,
+    cap: int = MATCHED_TERM_COLLECT_CAP,
+    terms_df: DataFrame | None = None,
+) -> list[str]:
+    """Driver-bounded collect of the matched terms for highlighting.
+
+    ``anchor_ids`` (doc_id) or ``text_ids`` (text_id) is the tiny top-k
+    frame whose snippets the terms will feed; it is only consulted when
+    the match set exceeds ``cap``, so the replayed reference vectors (all
+    far below the cap) are byte-identical to an unbounded collect.
+    ``terms_df`` reuses a caller's already-built dictionary scan.
+    """
+    tdf = match_terms(index, part) if terms_df is None else terms_df
+    if tdf.select("term_id").limit(cap + 1).count() > cap:
+        if text_ids is not None:
+            kept = index.token_texts(part.field).join(
+                F.broadcast(text_ids.select("text_id")), "text_id", "left_semi"
+            )
+        elif anchor_ids is not None:
+            kept = index.postings_for(part.field, tdf).join(
+                F.broadcast(anchor_ids.select("doc_id")), "doc_id", "left_semi"
+            )
+        else:  # no top-k frame to restrict by: hard cap, best-score first
+            tdf = tdf.orderBy(F.desc("term_score"), F.desc("term_id")).limit(cap)
+            return [r["term"] for r in tdf.select("term").collect()]
+        tdf = tdf.join(kept.select("term_id").distinct(), "term_id", "left_semi")
+    return [r["term"] for r in tdf.select("term").collect()]
+
+
 def match_terms(index: Index, part: SearchPart) -> DataFrame:
     """→ (term_id, term, term_score) for dictionary terms matching `part`."""
     d = index.dictionary(part.field)

@@ -115,7 +115,11 @@ def highlight_entry(
     )
     if skip:
         out = out.offset(skip)
-    matched = [r["term"] for r in terms.select("term").collect()]
+    # bounded collect: past the cap only terms reaching the selected text
+    # values survive (token_texts semi-join) — see collect_matched_terms
+    from veloci_spark.match_terms import collect_matched_terms
+
+    matched = collect_matched_terms(index, part, text_ids=out, terms_df=terms)
     seps = tuple(conf.get("tokenize_on_chars") or ()) or None
     kw = {"separators": seps} if seps else {}
     return why_found_column(

@@ -52,3 +52,15 @@ def test_ivf_with_trained_centroids_runs(spark):
     assert 0 < len(rows) <= 10
     # query vector 0 must rank itself first (cos = 1.0)
     assert rows[0]["vec_id"] == 0 and rows[0]["cos_e4"] == 10000
+
+
+def test_kmeans_raises_on_too_few_rows(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("kmeans_small")
+    spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "embeddings.parquet")
+    )
+    with pytest.raises(ValueError, match="need at least k=8"):
+        kmeans_centroids(spark, str(root), k=8, iters=1)

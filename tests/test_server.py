@@ -172,6 +172,34 @@ def test_get_doc_by_id(app):
     assert status == 400
 
 
+def test_get_doc_by_idtree(app):
+    # rocket_server.rs:147-153 + server/tests.rs:168-176: the doc rebuilt
+    # from the INDEXED field trees — only indexed paths survive
+    status, doc = app.handle("GET", "/docs/_idtree/3")
+    assert status == 200
+    assert set(doc) == {"text", "lang"}
+    # values agree with the raw doc-store read
+    _, raw = app.handle("GET", "/docs/_id/3")
+    assert doc == {k: raw[k] for k in ("text", "lang")}
+    status, err = app.handle("GET", "/docs/_idtree/999999")
+    assert status == 400
+
+
+def test_prune_to_paths_nested():
+    from veloci_spark.server import _prune_to_paths
+
+    doc = {
+        "kanji": [{"text": "a", "extra": 1}, {"text": "b", "extra": 2}],
+        "meanings": {"ger": ["x"], "eng": ["y"]},
+        "unindexed": 7,
+    }
+    out = _prune_to_paths(doc, ["kanji[].text", "meanings.ger[]"])
+    assert out == {
+        "kanji": [{"text": "a"}, {"text": "b"}],
+        "meanings": {"ger": ["x"]},
+    }
+
+
 def test_unknown_db_and_route(app):
     status, err = app.handle("GET", "/nope/search", query={"query": "x"})
     assert status == 400

@@ -168,6 +168,8 @@ def test_stateful_dedup_stream(spark, stream_dirs):
         {"text": "spark join stream", "lang": "en"},
         {"text": "spark join stream", "lang": "en"},   # dup within batch
         {"text": "filter scan", "lang": "de"},
+        {"text": None, "lang": "en"},   # null text: filtered, not a crash
+        {"lang": "de"},                 # missing text field
     ])
     out = start_dedup_stream(spark, src, work, SCHEMA)
     first = spark.read.parquet(out).collect()

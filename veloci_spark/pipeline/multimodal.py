@@ -7,8 +7,11 @@ is real and tested: BinaryType columns, schema, mapInPandas batch shape,
 partitioning. Swapping the fake decoder for PIL/ffmpeg is a one-function
 change.
 
-The driver records a rows-only check for these (no SQL oracle — binary
-feature extraction is not SQL-expressible).
+The integer metadata row (n_bytes/width/height/channels/px_sum/n_px) has
+a full DuckDB oracle — the fake decoder is deterministic over md5(text)
+bytes, so DuckDB replays it from hex pairs; only the float32 feature
+vectors stay rows-only (binary feature extraction is not
+SQL-expressible).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ FEATURE_DIM = 4
 
 META_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, channels int, "
-    "features array<float>"
+    "px_sum long, n_px long, features array<float>"
 )
 
 
@@ -69,13 +72,20 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
                     float(flat.min()),
                     float(flat.max()),
                 ]
+                # exact-integer summary (oracle-able cross-engine, unlike
+                # the float32 features): sum and count of the decoded
+                # pixel bytes
                 rows.append(
-                    (int(doc_id), len(payload), w, h, c, feats)
+                    (
+                        int(doc_id), len(payload), w, h, c,
+                        int(px.astype(np.int64).sum()), int(px.size), feats,
+                    )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "n_bytes", "width", "height", "channels", "features",
+                    "doc_id", "n_bytes", "width", "height", "channels",
+                    "px_sum", "n_px", "features",
                 ],
             )
 
@@ -83,21 +93,61 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata of the decoded payloads — all exact integers, so the
+    whole row is recomputable in DuckDB from md5(text) hex pairs (the fake
+    decoder is deterministic: width/height from the first two digest
+    bytes, pixels are the digest cycled to w*h*3). The float32 feature
+    vector stays out of the oracle (extract_features keeps it for
+    rows-only consumers)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
     feats = extract_features(synthesize_payloads(docs))
-    # project the float vector to stable integers for the rows-only check
     return feats.select(
         "doc_id",
-        "n_bytes",
-        "width",
-        "height",
-        "channels",
-        F.floor(F.element_at("features", 1).cast("double") * 100.0).cast("long").alias(
-            "feat_mean_x100"
-        ),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "px_sum",
+        "n_px",
     )
+
+
+# DuckDB replay of the deterministic decode: byte i of unhex(md5(text))
+# from the hex pair, width/height from bytes 0/1, np.resize's cyclic
+# repetition as (L // 16) full digests + the first (L % 16) bytes.
+MULTIMODAL_META_SQL = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bv
+  FROM m, range(16) t(i)
+),
+wh AS (
+  SELECT doc_id,
+    1 + max(CASE WHEN i = 0 THEN bv END) % 64 AS width,
+    1 + max(CASE WHEN i = 1 THEN bv END) % 64 AS height,
+    sum(bv) AS s16
+  FROM b GROUP BY doc_id
+),
+dims AS (
+  SELECT doc_id, width, height, width * height * 3 AS L, s16 FROM wh
+)
+SELECT d.doc_id,
+  CAST(16 AS BIGINT) AS n_bytes,
+  CAST(d.width AS BIGINT) AS width,
+  CAST(d.height AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST((d.L // 16) * d.s16
+    + coalesce(sum(b.bv) FILTER (WHERE b.i < d.L % 16), 0) AS BIGINT) AS px_sum,
+  CAST(d.L AS BIGINT) AS n_px
+FROM dims d JOIN b USING (doc_id)
+GROUP BY d.doc_id, d.width, d.height, d.L, d.s16
+"""
 
 
 # ------------------------------------------------------- resize (real)
@@ -221,5 +271,6 @@ def queries():
 
 
 def oracles():
-    # binary decode is not SQL-expressible → rows-only check by design
-    return {}
+    # the metadata row is exact integers → full DuckDB oracle (round-3
+    # verdict #5); only the float32 feature vector remains rows-only
+    return {"multimodal_meta": MULTIMODAL_META_SQL}

@@ -403,6 +403,14 @@ def kmeans_centroids(
         .collect()
     )
     cents = [list(r["v"]) for r in init]
+    if len(cents) < k:
+        # explicit failure instead of an IndexError on empty input /
+        # silently returning fewer-than-k centroids (which ann_ivf_topk,
+        # build_ivf_index and dedup_semantic_kmeans would inherit)
+        raise ValueError(
+            f"kmeans_centroids: embeddings table has {len(cents)} rows, "
+            f"need at least k={k}"
+        )
     dim = len(cents[0])
     for _ in range(iters):
         cent_rows = [(i, cents[i]) for i in range(len(cents))]
@@ -1693,7 +1701,12 @@ def queries():
         "ann_cosine_topk": ann_cosine_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_semantic": dedup_semantic,
-        "ann_sq8_topk": ann_sq8_topk,
+        # the window showcases the production plan: the Arrow ADC kernel
+        # (bit-identical to the Catalyst variant, ~18x less CPU per row;
+        # round-3 verdict #4). Key stays "ann_sq8_topk" so bench/driver
+        # diffs remain mechanical; the Catalyst variant keeps the same
+        # oracle in extra_queries.
+        "ann_sq8_topk": ann_sq8_topk_arrow,
         "ann_multiprobe_topk": ann_multiprobe_topk,
         "ann_ivf_topk": ann_ivf_topk,
     }
@@ -1724,9 +1737,10 @@ def extra_queries():
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_batch_topk": ann_batch_topk,
-        # the Arrow-kernel fast path must satisfy the SAME oracle as the
-        # Catalyst expression version (bit-identical arithmetic claim)
-        "ann_sq8_topk_arrow": ann_sq8_topk_arrow,
+        # the Catalyst expression variant must satisfy the SAME oracle as
+        # the Arrow kernel now registered in the window (bit-identical
+        # arithmetic claim)
+        "ann_sq8_topk_catalyst": ann_sq8_topk,
         "ann_pq_topk_arrow": ann_pq_topk_arrow,
         # iterative k-means trainer => rows-only contract (the
         # bpe_train/kmeans precedent); semantics in tests
@@ -1743,7 +1757,7 @@ def extra_oracles():
         "ann_pq_topk": ann_pq_sql(),
         "ann_ivfpq_topk": ann_ivfpq_sql(),
         "ann_batch_topk": ann_batch_sql(),
-        "ann_sq8_topk_arrow": ann_sq8_sql(),
+        "ann_sq8_topk_catalyst": ann_sq8_sql(),
         "ann_pq_topk_arrow": ann_pq_sql(),
         "ann_batch_topk_arrow": ann_batch_sql(),
     }

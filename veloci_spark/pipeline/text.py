@@ -942,11 +942,15 @@ def decontam_ngram(
         bench.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
     )
     hits = corpus.join(F.broadcast(bench) if bench_small else bench, "g")
-    return (
+    out = (
         hits.groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
         .orderBy("doc_id")
     )
+    # disposal handle so repeated invocations (driver correctness loop,
+    # parity suite) don't accumulate MEMORY_AND_DISK caches — ADVICE r3
+    out._veloci_unpersist = grams.unpersist
+    return out
 
 
 def decontam_ngram_sql(n: int = DECONTAM_N, mod: int = DECONTAM_MOD) -> str:
@@ -1070,14 +1074,17 @@ def dsir_weights(
         (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(smoothing))
         / F.lit(denom_raw)
     )
+    # per-feature e4 quantization BEFORE the sum: the compared integer
+    # never depends on float accumulation order (lm_perplexity/word-
+    # entropy precedent)
     out = (
         f.join(F.broadcast(raw), "b", "left")
         .join(F.broadcast(tgt), "b", "left")
-        .select("doc_id", log_ratio.alias("lr"))
+        .select("doc_id", e4(log_ratio).alias("lr_e4"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_feats"),
-            e4(F.sum("lr")).alias("logw_e4"),
+            F.sum("lr_e4").alias("logw_e4"),
         )
         .orderBy("doc_id")
     )
@@ -1131,7 +1138,8 @@ scored AS (
   LEFT JOIN tgt t USING (b)
   CROSS JOIN tot
 )
-SELECT doc_id, count(*) AS n_feats, {sql_e4('sum(lr)')} AS logw_e4
+SELECT doc_id, count(*) AS n_feats,
+       CAST(sum({sql_e4('lr')}) AS BIGINT) AS logw_e4
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -1384,9 +1392,16 @@ def lm_perplexity(
     Fixture reference subset = doc_id % mod == 0 (DSIR precedent).
 
     Output: (doc_id, n_bigrams, nll_e4) — mean negative log-likelihood
-    per bigram, quantized e4 (log of it is log-perplexity; monotone, so
-    thresholding either is equivalent). Docs with < 2 tokens are
-    emitted with n_bigrams = 0 and NULL nll_e4.
+    per bigram (log of it is log-perplexity; monotone, so thresholding
+    either is equivalent). Docs with < 2 tokens are emitted with
+    n_bigrams = 0 and NULL nll_e4.
+
+    Quantization: each PAIR's nll is e4-quantized to an integer first,
+    then integer-summed and floor-divided by the pair count — so the
+    oracle-compared value never depends on float accumulation ORDER
+    (Spark partial aggregates vs DuckDB's scan order), the word-entropy
+    precedent. Residual boundary risk is only the per-distinct-(c_vw,
+    c_v) ln() ulp, deterministic per engine pair.
 
     Scale shape: one Arrow pair pass (no shuffle), two
     map-side-combined groupBys for the LM tables — the context table is
@@ -1412,10 +1427,11 @@ def lm_perplexity(
     scored = (
         p.join(F.broadcast(big) if big_small else big, ["v", "w"], "left")
         .join(F.broadcast(ctx), "v", "left")
+        .select("doc_id", e4(nll).alias("nll_e4t"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            e4(F.avg(nll)).alias("nll_e4"),
+            F.floor(F.sum("nll_e4t") / F.count("*")).cast("long").alias("nll_e4"),
         )
     )
     # docs with < 2 tokens produce no pairs: emit them with 0 bigrams
@@ -1473,7 +1489,8 @@ scored AS (
   LEFT JOIN ctx USING (v)
 ),
 agg AS (
-  SELECT doc_id, count(*) AS n_bigrams, {sql_e4('avg(nll)')} AS nll_e4
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(floor(sum({sql_e4('nll')}) / count(*)) AS BIGINT) AS nll_e4
   FROM scored GROUP BY doc_id
 )
 SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.nll_e4

@@ -211,6 +211,31 @@ def _split_csv(v: Optional[str]) -> Optional[list[str]]:
     return v.split(",") if v else None
 
 
+def _prune_to_paths(doc: dict, paths: list[str]):
+    """Keep only the given (possibly nested / ``[]``) field paths of a
+    reconstructed document — the _idtree contract: the doc as rebuilt from
+    the indexed field trees (search::read_data over get_all_fields,
+    rocket_server.rs:147-153), so non-indexed keys disappear."""
+    from veloci_spark.paths import parse_path
+
+    keep: dict = {}
+    for p in paths:
+        node = keep
+        for name, _is_arr in parse_path(p):
+            node = node.setdefault(name, {})
+
+    def prune(value, node):
+        if not node:  # keep-tree leaf: the whole subtree is indexed
+            return value
+        if isinstance(value, dict):
+            return {k: prune(v, node[k]) for k, v in value.items() if k in node}
+        if isinstance(value, list):
+            return [prune(v, node) for v in value]
+        return value
+
+    return prune(doc, keep)
+
+
 def generator_params_from_query_params(q: dict) -> QueryGeneratorParameters:
     """GET ?query=… QueryParams (rocket_server.rs:64-88, 180-245):
     comma-separated lists, ``field->factor`` boost pairs."""
@@ -406,6 +431,24 @@ class VelociApp:
                 for k, v in rows[0].asDict(recursive=True).items()
                 if k != "doc_id"
             }
+        m_idt = re.match(r"^_idtree/(\d+)$", rest)
+        if m_idt and method == "GET":
+            # GET /:db/_idtree/:id (rocket_server.rs:147-153): the doc
+            # reconstructed from the INDEXED field trees — i.e. only the
+            # indexed paths survive, vs _id's raw doc-store read. Spark
+            # side: read the stored doc once and prune it to the index's
+            # field paths (select_path_column semantics: arrays stay
+            # arrays, read_data/read_document.rs:8-59).
+            doc_id = int(m_idt.group(1))
+            rows = idx.docstore().where(F.col("doc_id") == doc_id).collect()
+            if not rows:
+                raise HttpError(400, f"doc {doc_id} not found")
+            doc = {
+                k: v
+                for k, v in rows[0].asDict(recursive=True).items()
+                if k != "doc_id"
+            }
+            return _prune_to_paths(doc, idx.field_names())
         m_ins = re.match(r"^inspect/([^/]+)/(\d+)$", rest)
         if m_ins and method == "GET":
             field, vid = m_ins.group(1), int(m_ins.group(2))

@@ -235,7 +235,16 @@ def start_dedup_stream(
     distributed and no executor holds the full seen set; per microbatch
     each shard group sees only its own rows.  This is the custom
     stateful operator pattern (applyInPandasWithState) for anything the
-    built-in streaming aggregations can't express."""
+    built-in streaming aggregations can't express.
+
+    Known limitation (by design of list-shaped group state): the state
+    API has no incremental append, so a shard whose seen set grew must
+    rewrite its ENTIRE list that microbatch — per-batch cost approaches
+    O(corpus)/n_shards over the stream's lifetime. Fine for bounded
+    streams / interactive sessions; once a shard's seen set stops
+    fitting comfortably in state, use the parquet-store + join pattern
+    of :func:`start_neardup_stream` instead (state scales with the
+    BATCH there, not the corpus)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -246,6 +255,9 @@ def start_dedup_stream(
     stream = (
         spark.readStream.schema(schema)
         .json(source_dir)
+        # null/missing text would put a None hash into state and crash
+        # sorted(seen) — every batch operator filters these too
+        .where(F.col("text").isNotNull())
         .withColumn("content_hash", F.md5("text"))
         .withColumn(
             "shard", (F.conv(F.substring("content_hash", 1, 4), 16, 10) % n_shards)
@@ -256,6 +268,7 @@ def start_dedup_stream(
 
     def _dedup(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
+        n0 = len(seen)
         out_frames = []
         for pdf in pdfs:
             # batch-local first occurrence, then filter already-seen
@@ -264,7 +277,8 @@ def start_dedup_stream(
             if len(fresh):
                 out_frames.append(fresh[out_cols])
                 seen.update(fresh["content_hash"])
-        state.update((sorted(seen),))
+        if len(seen) != n0:  # skip the full-list rewrite on no-op batches
+            state.update((sorted(seen),))
         if out_frames:
             yield pd.concat(out_frames)
 

@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 50 entries (the driver's correctness window), registered
+    """The driver's correctness window (51 entries), registered
     north-rule-first: the code-corpus BM25 engine, then the fulltext
     engine, then the LLM-pipeline operators.  Parameter-variant /
     redundant entries live in extra_queries() and are gated by pytest's

@@ -86,6 +86,31 @@ def test_decontam_broadcasts_small_bench(spark):
     assert "BroadcastHashJoin" in _plan(decontam_ngram(spark, SF_DIR))
 
 
+def test_decontam_shuffle_fallback_matches_broadcast(spark):
+    # the oversized-eval-set fallback must (a) really take a non-broadcast
+    # gram join and (b) produce flag-identical output (round-3 verdict #8)
+    from veloci_spark.pipeline.text import decontam_ngram
+
+    # at toy scale Catalyst AUTO-broadcasts the bench side even without
+    # the hint; turn auto-broadcast off so the plan shape reflects what
+    # an actually-oversized eval set would get at 100 TB
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = decontam_ngram(spark, SF_DIR)  # hinted: still broadcasts
+        shuf = decontam_ngram(spark, SF_DIR, max_broadcast_grams=1)
+        plan = _plan(shuf)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" in _plan(bcast)
+        a = sorted(tuple(r) for r in bcast.collect())
+        b = sorted(tuple(r) for r in shuf.collect())
+        assert a == b and a
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        bcast._veloci_unpersist()
+        shuf._veloci_unpersist()
+
+
 # ------------------------------------------------- diamond caches (1 pass)
 
 def test_substring_spans_reads_cache_in_both_branches(spark):

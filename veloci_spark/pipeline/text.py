@@ -1787,6 +1787,14 @@ def queries():
         "sample_token_budget": sample_token_budget,
         "text_bigram_pmi": text_bigram_pmi,
         "decontam_ngram": decontam_ngram,
+        # same operator forced onto the shuffle-hash-join fallback (eval
+        # grams "too big to broadcast") — the 100-TB degraded plan gets
+        # its own driver row instead of being only unit-tested; the
+        # oracle is identical because the result is plan-independent
+        # (round-3 verdict #8)
+        "decontam_shuffle": lambda spark, sf_dir: decontam_ngram(
+            spark, sf_dir, max_broadcast_grams=1
+        ),
         "mix_proportions": mix_proportions,
     }
 
@@ -1797,6 +1805,7 @@ def oracles():
         "sample_token_budget": sample_token_budget_sql(),
         "text_bigram_pmi": text_bigram_pmi_sql(),
         "decontam_ngram": decontam_ngram_sql(),
+        "decontam_shuffle": decontam_ngram_sql(),
         "mix_proportions": MIX_PROPORTIONS_SQL,
     }
 

@@ -110,9 +110,39 @@ def headline_queries(spark, sf_dir: str):
         "ann_sq8_topk",
         "text_features",
         "decontam_ngram",
+        "decontam_shuffle",
         "mix_proportions",
+        "bpe_train",
     ]
     return {n: (lambda n=n: qs[n](spark, sf_dir)) for n in names}
+
+
+# Machine-readable provenance for round-over-round bench diffs: whenever
+# the headline query set or an entry's implementation changes between
+# rounds, record it here (emitted in the headline JSON as `key_changes`)
+# so BENCH_r{N} vs BENCH_r{N-1} comparisons stay mechanical.
+BENCH_KEY_CHANGES = {
+    "r03": {
+        "replaced": {
+            # the standalone scans were fused into one single-scan operator
+            "text_fingerprint": "text_features",
+            "text_quality": "text_features",
+        },
+    },
+    "r04": {
+        "added": [
+            # decontam forced onto its shuffle-join fallback plan
+            "decontam_shuffle",
+            # iterative BPE trainer, newly oracled via unrolled CTEs
+            "bpe_train",
+        ],
+        "impl_changed": {
+            # same oracle + bit-identical results; the window entry now
+            # runs the Arrow ADC kernel instead of the Catalyst HOF scan
+            "ann_sq8_topk": "arrow kernel (was interpreted Catalyst HOF)",
+        },
+    },
+}
 
 
 def run_headline(sf_dir: str, cpus: int) -> dict:
@@ -218,6 +248,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
             "ann_bucket_max_occupancy": occupancy,
             "n_docs": n_docs,
             "cpus": cpus,
+            "key_changes": BENCH_KEY_CHANGES,
         }
     finally:
         spark.stop()
@@ -280,11 +311,12 @@ def run_scaling(
     if replicate > 1:
         sf_dir = _scaled_corpus(sf_dir, replicate)
     builder = build_code if job == "bm25" else build
-    # interleave and keep the best of two runs per config: the sandbox VM
+    # interleave and keep the best-of-N runs per config: the sandbox VM
     # shows ±2x run-to-run jitter on identical jobs, and interleaving
     # cancels slow-machine phases instead of attributing them to a config
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     results: dict = {}
-    for _round in range(2):
+    for _round in range(rounds):
         for cpus in (low, high):
             spark = make_spark(cpus)
             try:

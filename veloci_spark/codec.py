@@ -9,6 +9,16 @@ varint-compressed. The reference uses a "most-common-prefix" vint
 variant; we use standard LEB128 (7-bit groups, continuation high bit) —
 the block layout, delta encoding and interleaving are the same.
 
+DOCUMENTED DEVIATION (byte layout, not values): the reference's exact
+byte format lives in the external `vint32` crate
+(common-encoding feature, Cargo.toml:44), whose source is not part of
+the reference repo — so byte-level parity is unverifiable here and a
+from-memory reimplementation could silently claim a false parity.
+Decoded (doc_id, score) streams are value-identical either way (every
+query oracle exercises this codec), and on-disk compatibility is a
+non-goal: this engine's persistent format is Parquet, not the
+reference's mmap'd segment files.
+
 Scores are stored as the u32-truncated index scores (integers < 2048 for
 the reference formulas, so the reference's f16 decode at
 token_to_anchor_score_vint.rs:155 is lossless — integers up to 2048 are

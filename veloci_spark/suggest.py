@@ -50,7 +50,13 @@ def suggest(
         # whose merged (max-over-fields) score can only improve, hence it
         # can never enter the final top-n. (The reference truncates by
         # (score, id) — search_field.rs:292-331 — which is unsafe under
-        # its own merged (score, text) order; deviation documented.)
+        # its own merged (score, text) order; deviation documented.
+        # Exact tie ORDER is additionally unspecifiable: the reference's
+        # final ranking is sort_unstable_by on score alone
+        # (search_field.rs:189), so equal-score order is whatever the
+        # unstable sort leaves — not a defined semantics to match. We
+        # pin (score desc, term asc) instead; the jmdict replay asserts
+        # set-equality per score band against the reference fixtures.)
         # orderBy+limit = TakeOrderedAndProject: bounded memory per field
         # even on a huge dictionary scan.
         part = SearchPart(

@@ -187,6 +187,43 @@ def test_stateful_dedup_stream(spark, stream_dirs):
     ]
 
 
+def test_dedup_stream_store_matches_stateful(spark, stream_dirs):
+    """The parquet-store variant emits the SAME set as the stateful one
+    on the same two-wave input, and its store really suppresses repeats
+    across runs."""
+    import os
+
+    from veloci_spark.streaming import start_dedup_stream_store
+
+    src, work = stream_dirs
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"text": "spark join stream", "lang": "en"},
+        {"text": "spark join stream", "lang": "en"},   # dup within batch
+        {"text": "filter scan", "lang": "de"},
+        {"text": None, "lang": "en"},
+        {"lang": "de"},
+    ])
+    out = start_dedup_stream_store(spark, src, work, SCHEMA)
+    first = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in first) == ["filter scan", "spark join stream"]
+
+    _write_ndjson(os.path.join(src, "b.json"), [
+        {"text": "spark join stream", "lang": "en"},   # suppressed by store
+        {"text": "brand new text", "lang": "en"},
+    ])
+    start_dedup_stream_store(spark, src, work, SCHEMA)
+    all_rows = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in all_rows) == [
+        "brand new text", "filter scan", "spark join stream",
+    ]
+    # replaying with no new files appends nothing (marker + checkpoint)
+    start_dedup_stream_store(spark, src, work, SCHEMA)
+    assert spark.read.parquet(out).count() == 3
+    # the store holds exactly the emitted hashes
+    store = os.path.join(work, "content_hashes")
+    assert spark.read.parquet(store).distinct().count() == 3
+
+
 def test_windowed_counts_with_watermark(spark, stream_dirs):
     import os
 

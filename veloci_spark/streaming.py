@@ -242,9 +242,10 @@ def start_dedup_stream(
     rewrite its ENTIRE list that microbatch — per-batch cost approaches
     O(corpus)/n_shards over the stream's lifetime. Fine for bounded
     streams / interactive sessions; once a shard's seen set stops
-    fitting comfortably in state, use the parquet-store + join pattern
-    of :func:`start_neardup_stream` instead (state scales with the
-    BATCH there, not the corpus)."""
+    fitting comfortably in state, use :func:`start_dedup_stream_store`
+    instead (same emitted-set semantics; seen hashes live in a
+    parquet store the batch anti-joins, so per-batch state cost scales
+    with the BATCH, not the corpus)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -295,6 +296,78 @@ def start_dedup_stream(
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+def start_dedup_stream_store(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema: str,
+):
+    """Streaming exact-dedup via the parquet-store + anti-join pattern —
+    the unbounded-corpus counterpart of :func:`start_dedup_stream`.
+
+    Same emitted-set semantics (first occurrence of each content hash
+    across the stream's lifetime), different state shape: seen hashes
+    live in a parquet store that each microbatch LEFT ANTI joins
+    against, instead of list-shaped group state.  Why this scales where
+    the stateful variant stops:
+
+    - no executor-memory ceiling — the store is disk-backed and read
+      like any table, so the seen set can be corpus-sized;
+    - no per-batch full-state rewrite — a batch APPENDS its new hashes;
+      the stateful variant must rewrite each touched shard's whole list
+      (the state API has no incremental append);
+    - the per-batch anti-join is an ordinary distributed join
+      (batch × store), spillable and partitionable, vs. a Python pass
+      holding a shard's entire seen set in one worker's memory.
+
+    Exactly-once via the stream checkpoint + per-batch marker, same
+    caveat as start_ingest / start_neardup_stream: the two appends and
+    the marker are not one atomic commit without a transactional table
+    format (Delta/Iceberg) — a crash between them can replay a batch's
+    output append."""
+    os.makedirs(work_dir, exist_ok=True)
+    out_dir = os.path.join(work_dir, "dedup_out")
+    store = os.path.join(work_dir, "content_hashes")
+    ckpt = os.path.join(work_dir, "_dedup_store_checkpoint")
+    done_marker = os.path.join(work_dir, "_dedup_store_batches.json")
+    out_cols = [c.split(" ")[0] for c in DEDUP_OUT_SCHEMA.split(", ")]
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        done = {}
+        if os.path.exists(done_marker):
+            with open(done_marker) as f:
+                done = json.load(f)
+        if str(batch_id) in done:
+            return
+        fresh = (
+            df.where(F.col("text").isNotNull())
+            .withColumn("content_hash", F.md5("text"))
+            # batch-internal first occurrence
+            .dropDuplicates(["content_hash"])
+        )
+        if os.path.isdir(store) and os.listdir(store):
+            seen = spark.read.parquet(store)
+            fresh = fresh.join(seen, "content_hash", "left_anti")
+        fresh = fresh.persist()
+        fresh.select(*out_cols).write.mode("append").parquet(out_dir)
+        fresh.select("content_hash").write.mode("append").parquet(store)
+        fresh.unpersist()
+        done[str(batch_id)] = True
+        with open(done_marker, "w") as f:
+            json.dump(done, f)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

@@ -178,12 +178,9 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
         # pre-build the source-code corpus index (BM25-baked blocks) —
         # cold build time reported separately, queries measure warm top-k
-        from veloci_spark.code_corpus import code_index
+        from veloci_spark.code_corpus import code_index, code_index_dir
 
-        shutil.rmtree(
-            os.path.join("/tmp/veloci_spark_bench_cache", f"code_v2_{tag}"),
-            ignore_errors=True,
-        )
+        shutil.rmtree(code_index_dir(sf_dir), ignore_errors=True)
         t0 = time.time()
         code_index(spark, sf_dir)
         code_build_sec = time.time() - t0

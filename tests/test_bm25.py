@@ -361,3 +361,45 @@ def test_bm25_explain_provenance_sums_to_topk(spark, bm25_index):
     assert set(by_doc) == {d for d, _ in top}
     for d, total in top:
         assert by_doc[d][0] == total == by_doc[d][1], (d, by_doc[d], total)
+
+
+# ------------------------------------------- BM25-only build (no native)
+
+def test_bm25_only_build_skips_native_postings(spark, tmp_root):
+    """native_postings=False: the expensive native posting stage is
+    skipped for the field, BM25 results are IDENTICAL to a full build,
+    and native Request search raises a clear error instead of silently
+    returning nothing (the code-corpus production config)."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, body string")
+    full_cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True),), block_docs=4
+    )
+    lean_cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True, native_postings=False),),
+        block_docs=4,
+    )
+    full = build_index(
+        spark, df, full_cfg, os.path.join(tmp_root, "bm25_full"), resume=False
+    )
+    lean = build_index(
+        spark, df, lean_cfg, os.path.join(tmp_root, "bm25_lean"), resume=False
+    )
+
+    # the postings table was not built at all (no native field in cfg)
+    assert not os.path.isdir(os.path.join(lean.path, "postings"))
+    # ... and the lineage has no postings stage record
+    stages = [
+        __import__("json").loads(line)["stage"]
+        for line in open(os.path.join(lean.path, "_lineage.jsonl"))
+    ]
+    assert "postings" not in stages
+
+    # BM25 answers are bit-identical to the full build's
+    for fn in (bm25_topk, bm25_wand_topk):
+        a = [tuple(r) for r in fn(full, "body", ["alpha", "beta"], 5).collect()]
+        b = [tuple(r) for r in fn(lean, "body", ["alpha", "beta"], 5).collect()]
+        assert a == b and a
+
+    # native search path refuses loudly
+    with pytest.raises(ValueError, match="native_postings=False"):
+        lean.postings_blocks("body")

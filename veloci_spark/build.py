@@ -655,9 +655,13 @@ def build_index(
     phrase_fields = [fc.name for fc in fields if fc.phrase_pairs]
     text_fields = [fc for fc in fields if fc.needs_texts()]
     bm25_fields = [fc.name for fc in fields if fc.bm25 and fc.tokenize]
+    native_fields = [fc.name for fc in fields if fc.native_postings]
+    native_tok_fields = [
+        fc.name for fc in fields if fc.native_postings and fc.tokenize
+    ]
 
     need_dict = not (resume and _done(dict_path))
-    need_post = not (resume and _done(post_path))
+    need_post = bool(native_fields) and not (resume and _done(post_path))
     need_phrase = bool(phrase_fields) and not (resume and _done(phrase_path))
     need_texts = bool(text_fields) and not (resume and _done(texts_path))
     need_bm25 = bool(bm25_fields) and not (resume and _done(bm25_path))
@@ -693,9 +697,10 @@ def build_index(
         # tokenize+join chain per engine.
         value_agg: Optional[DataFrame] = None
         value_agg_persisted = False
-        if (need_post or need_bm25) and toks is not None:
+        post_needs_va = need_post and bool(native_tok_fields)
+        if (post_needs_va or need_bm25) and toks is not None:
             value_agg = _token_value_agg(toks, dictionary, with_tf=need_bm25)
-            if need_post and need_bm25:
+            if post_needs_va and need_bm25:
                 from pyspark import StorageLevel
 
                 value_agg = value_agg.persist(StorageLevel.DISK_ONLY)
@@ -703,7 +708,17 @@ def build_index(
 
         if need_post:
             t0 = time.time()
-            flat = _build_flat_postings(value_agg, whole, dictionary)
+            # restrict to the fields that asked for native scores — a
+            # bm25-only field contributes NOTHING here, and with no
+            # native tokenized field at all the token side (the
+            # expensive one) is skipped entirely
+            va_native = (
+                value_agg.where(F.col("field").isin(*native_tok_fields))
+                if value_agg is not None and native_tok_fields
+                else None
+            )
+            whole_native = whole.where(F.col("field").isin(*native_fields))
+            flat = _build_flat_postings(va_native, whole_native, dictionary)
             blocks = _encode_blocks(
                 flat,
                 config.block_docs,
@@ -793,6 +808,7 @@ def build_index(
                 "nested": is_nested(fc.name),
                 "has_texts": fc.needs_texts(),
                 "bm25": fc.bm25,
+                "native_postings": fc.native_postings,
             }
             for fc in config.fields
         ],

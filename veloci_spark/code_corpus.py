@@ -57,10 +57,25 @@ PATH_SEPARATORS: tuple[str, ...] = ("/", ".")
 
 CODE_CONFIG = IndexConfig(
     fields=(
+        # the code index is queried EXCLUSIVELY through the BM25 engine
+        # (docstore + dictionary + bm25 blocks + phrase pairs); native
+        # veloci-score postings would be built and never read, and they
+        # are the most expensive stage of a text-heavy build (~60% of
+        # the 800k-doc build wall) — so skip them. Native Request
+        # search on content/path raises a clear error by design.
         FieldConfig(
-            "content", tokenize_on_chars=CODE_SEPARATORS, bm25=True, phrase_pairs=True
+            "content",
+            tokenize_on_chars=CODE_SEPARATORS,
+            bm25=True,
+            phrase_pairs=True,
+            native_postings=False,
         ),
-        FieldConfig("path", tokenize_on_chars=PATH_SEPARATORS, bm25=True),
+        FieldConfig(
+            "path",
+            tokenize_on_chars=PATH_SEPARATORS,
+            bm25=True,
+            native_postings=False,
+        ),
         FieldConfig("lang"),
     ),
     block_docs=1024,
@@ -286,13 +301,24 @@ INDEX_CACHE_ROOT = os.environ.get(
 _INDEX_CACHE: dict[tuple[int, str], Index] = {}
 
 
+# bump when CODE_CONFIG changes shape — cached index dirs must not mix
+# manifests across config versions (v3: native_postings=False)
+CODE_INDEX_VERSION = "v3"
+
+
+def code_index_dir(sf_dir: str) -> str:
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(INDEX_CACHE_ROOT, f"code_{CODE_INDEX_VERSION}_{tag}")
+
+
 def code_index(spark: SparkSession, sf_dir: str) -> Index:
     key = (id(spark), "code:" + os.path.abspath(sf_dir))
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(INDEX_CACHE_ROOT, f"code_v2_{tag}")
-    idx = build_index(spark, code_corpus(spark, sf_dir), CODE_CONFIG, out, resume=True)
+    idx = build_index(
+        spark, code_corpus(spark, sf_dir), CODE_CONFIG, code_index_dir(sf_dir),
+        resume=True,
+    )
     _INDEX_CACHE[key] = idx
     return idx
 

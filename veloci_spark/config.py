@@ -55,6 +55,14 @@ class FieldConfig:
     #: BM25 top-k + block-max WAND path (bm25.py). Token runs only;
     #: separator runs and whole-text entries don't participate.
     bm25: bool = False
+    #: build the native veloci-score posting blocks (token-to-anchor
+    #: scores feeding Request-based search). Set False on fields queried
+    #: ONLY through the BM25 engine: the dictionary, docstore, phrase
+    #: pairs and BM25 blocks are unaffected (term ids identical), the
+    #: native posting stage — the single most expensive build stage on a
+    #: text-heavy corpus — is skipped, and native search on the field
+    #: raises a clear error instead of silently returning nothing.
+    native_postings: bool = True
     #: build the per-text-value tree-edge tables (texts / token_texts /
     #: long_texts — the reference's tokens_to_text_id + text_id_to_anchor,
     #: /root/reference/src/create.rs:196-240). None = auto: built for 1:n

@@ -135,6 +135,15 @@ class Index:
         return self._field_slice("dictionary", field)
 
     def postings_blocks(self, field: str) -> DataFrame:
+        conf = self.field_conf(field)
+        # manifests from before the flag existed imply native postings
+        if not conf.get("native_postings", True):
+            raise ValueError(
+                f"field {field!r} was built with native_postings=False "
+                "(BM25-only); native Request search is unavailable on it "
+                "— query it through the bm25 engine or rebuild with "
+                "native_postings=True"
+            )
         return self._field_slice("postings", field)
 
     def phrase_pairs(self, field: str) -> DataFrame:

@@ -73,8 +73,10 @@ flagged AS (
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
 ),
 sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,

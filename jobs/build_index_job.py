@@ -46,6 +46,14 @@ def main() -> None:
         default="",
         help="fields that additionally bake BM25 posting blocks (bm25.py)",
     )
+    ap.add_argument(
+        "--bm25-only-fields",
+        default="",
+        help="fields queried ONLY through the BM25 engine: implies "
+        "--bm25-fields membership and skips their native posting build "
+        "(the most expensive stage; native Request search on them then "
+        "raises)",
+    )
     ap.add_argument("--key-cols", default="", help="doc identity columns if no doc_id")
     ap.add_argument("--block-docs", type=int, default=65536)
     ap.add_argument("--phrase", action="store_true", help="build phrase-pair index")
@@ -69,7 +77,8 @@ def main() -> None:
         corpus = spark.read.parquet(args.input)
 
     path_fields = {f for f in args.path_fields.split(",") if f}
-    bm25_fields = {f for f in args.bm25_fields.split(",") if f}
+    bm25_only = {f for f in args.bm25_only_fields.split(",") if f}
+    bm25_fields = {f for f in args.bm25_fields.split(",") if f} | bm25_only
     all_fields = [f for f in args.fields.split(",") if f] + [
         f for f in sorted(path_fields) if f not in args.fields.split(",")
     ]
@@ -79,6 +88,7 @@ def main() -> None:
             tokenize_on_chars=("/", "\\") if f in path_fields else None,
             phrase_pairs=args.phrase and f not in path_fields,
             bm25=f in bm25_fields,
+            native_postings=f not in bm25_only,
         )
         for f in all_fields
     )

@@ -1,0 +1,46 @@
+"""cache_token_runs: the pre-explode tokenizer cache must change the
+build's COST shape only — every output table stays bit-identical, and
+the persisted runs frame is released when the build finishes."""
+
+import dataclasses
+import os
+
+from veloci_spark.build import build_index
+from veloci_spark.config import FieldConfig, IndexConfig
+
+CFG = IndexConfig(
+    fields=(FieldConfig("text", bm25=True, phrase_pairs=True), FieldConfig("lang")),
+    block_docs=128,
+)
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cached_runs_build_is_bit_identical(spark, tmp_root):
+    jsc = spark.sparkContext._jsc.sc()
+    persisted_before = jsc.getPersistentRDDs().size()
+    corpus = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plain = build_index(
+        spark, corpus, CFG, os.path.join(tmp_root, "rc_plain"), resume=False
+    )
+    cached = build_index(
+        spark,
+        corpus,
+        dataclasses.replace(CFG, cache_token_runs=True),
+        os.path.join(tmp_root, "rc_cached"),
+        resume=False,
+    )
+    for tbl in ("dictionary", "postings", "phrase", "bm25"):
+        cols = sorted(spark.read.parquet(os.path.join(plain.path, tbl)).columns)
+        a = (
+            spark.read.parquet(os.path.join(plain.path, tbl))
+            .select(cols).orderBy(cols).collect()
+        )
+        b = (
+            spark.read.parquet(os.path.join(cached.path, tbl))
+            .select(cols).orderBy(cols).collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], tbl
+        assert a, tbl  # non-vacuous
+
+    # the DISK_ONLY runs cache must not outlive the build
+    assert jsc.getPersistentRDDs().size() <= persisted_before

@@ -157,11 +157,14 @@ def _field_values(
     return out
 
 
-def _tokenized(
+def _tokenized_runs(
     values: DataFrame, fields: Sequence[FieldConfig], tokenizer: str
 ) -> Optional[DataFrame]:
-    """(field, doc_id, ordkey, num_tokens, pos, tok, is_sep) over all
-    tokenizable fields.
+    """(field, doc_id, ordkey, num_tokens, runs array<struct<tok,
+    is_sep>>) over all tokenizable fields — the PRE-EXPLODE tokenizer
+    output, one row per text value.  This is the frame worth caching
+    (IndexConfig.cache_token_runs): it is corpus-sized, not
+    exploded-token-sized, and every token consumer derives from it.
 
     Positions count every run, separator groups included, and separator
     runs are themselves indexed (/root/reference/src/create.rs:240-283).
@@ -197,15 +200,48 @@ def _tokenized(
                 "doc_id",
                 "ordkey",
                 F.size("__runs").alias("num_tokens"),
-                F.posexplode("__runs").alias("pos", "tok"),
+                F.transform(
+                    "__runs",
+                    lambda t: F.struct(
+                        t.alias("tok"),
+                        is_separator_expr(t, seps).alias("is_sep"),
+                    ),
+                ).alias("runs"),
             )
-            .withColumn("is_sep", is_separator_expr(F.col("tok"), seps))
         )
         frames.append(df)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionAll(fr)
     return out
+
+
+def _explode_runs(runs_df: DataFrame) -> DataFrame:
+    """runs frame → (field, doc_id, ordkey, num_tokens, pos, tok,
+    is_sep): one row per token run, the shape the build stages consume."""
+    return runs_df.select(
+        "field",
+        "doc_id",
+        "ordkey",
+        "num_tokens",
+        F.posexplode("runs").alias("pos", "__r"),
+    ).select(
+        "field",
+        "doc_id",
+        "ordkey",
+        "num_tokens",
+        "pos",
+        F.col("__r.tok").alias("tok"),
+        F.col("__r.is_sep").alias("is_sep"),
+    )
+
+
+def _tokenized(
+    values: DataFrame, fields: Sequence[FieldConfig], tokenizer: str
+) -> Optional[DataFrame]:
+    """Exploded token stream (see _tokenized_runs/_explode_runs)."""
+    runs_df = _tokenized_runs(values, fields, tokenizer)
+    return None if runs_df is None else _explode_runs(runs_df)
 
 
 def _bytes_limit(fields: Sequence[FieldConfig]) -> Column:
@@ -666,15 +702,36 @@ def build_index(
     need_texts = bool(text_fields) and not (resume and _done(texts_path))
     need_bm25 = bool(bm25_fields) and not (resume and _done(bm25_path))
 
+    runs_df: Optional[DataFrame] = None
+    runs_persisted = False
     if need_dict or need_post or need_phrase or need_texts or need_bm25:
-        # Deliberately NOT persisted: with the Arrow tokenizer a full
-        # recompute costs ~11 s per consumer on 21M runs at 2 cores,
-        # while materializing the columnar cache of the exploded rows
-        # costs ~200 s — recompute wins by an order of magnitude (and
-        # avoids pinning executor memory at scale).
+        # The EXPLODED token stream is deliberately never persisted:
+        # with the Arrow tokenizer a full recompute costs ~11 s per
+        # consumer on 21M runs at 2 cores, while materializing the
+        # columnar cache of the exploded rows costs ~200 s — recompute
+        # wins by an order of magnitude there. The PRE-EXPLODE runs
+        # frame is a different trade (corpus-sized, one row per value):
+        # with cache_token_runs=True and more than one token consumer
+        # live, it is spilled to executor-local disk once and each
+        # consumer explodes from the cache instead of re-running the
+        # tokenizer.
         values = _field_values(corpus_ids, fields)
-        toks = _tokenized(values, fields, tokenizer)
+        runs_df = _tokenized_runs(values, fields, tokenizer)
+        toks = None if runs_df is None else _explode_runs(runs_df)
         whole = _whole_texts(values, fields)
+        n_tok_consumers = sum(
+            (need_dict, need_post or need_bm25, need_phrase)
+        )
+        if (
+            runs_df is not None
+            and config.cache_token_runs
+            and n_tok_consumers > 1
+        ):
+            from pyspark import StorageLevel
+
+            runs_df = runs_df.persist(StorageLevel.DISK_ONLY)
+            toks = _explode_runs(runs_df)
+            runs_persisted = True
 
         if need_dict:
             t0 = time.time()
@@ -768,6 +825,8 @@ def build_index(
 
         if value_agg_persisted:
             value_agg.unpersist()
+        if runs_persisted:
+            runs_df.unpersist()
 
         if need_texts:
             t0 = time.time()

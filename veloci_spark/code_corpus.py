@@ -76,7 +76,11 @@ CODE_CONFIG = IndexConfig(
             bm25=True,
             native_postings=False,
         ),
-        FieldConfig("lang"),
+        # lang is filtered through the docstore/corpus in every code
+        # query; native postings on it would keep the whole native
+        # posting stage alive (and with it a premature full value_agg
+        # materialization) for a table nothing reads
+        FieldConfig("lang", native_postings=False),
     ),
     block_docs=1024,
     doc_id_col="doc_id",
@@ -302,8 +306,8 @@ _INDEX_CACHE: dict[tuple[int, str], Index] = {}
 
 
 # bump when CODE_CONFIG changes shape — cached index dirs must not mix
-# manifests across config versions (v3: native_postings=False)
-CODE_INDEX_VERSION = "v3"
+# manifests across config versions (v4: no native postings at all)
+CODE_INDEX_VERSION = "v4"
 
 
 def code_index_dir(sf_dir: str) -> str:

@@ -1,0 +1,117 @@
+"""Bit-identity of the fused tokenize+aggregate Arrow pass.
+
+Round 4 replaced the build's largest exchange — the corpus-sized
+occurrence-stream groupBy behind the dictionary counts and the
+posting/BM25 value aggregate — with a per-batch pandas groupby fused
+INTO the tokenizer pass (build._token_stats_map), and the phrase-pair
+lead() window with an in-batch numpy shift (build._phrase_pairs_map).
+Both must be BIT-IDENTICAL to the exploded-stream derivations the jvm
+tokenizer still uses (the reference computes the same aggregation
+per-value inside its create loop, /root/reference/src/create.rs:240-283,
+so per-value locality is semantically guaranteed; these tests pin the
+Spark implementations to each other).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from veloci_spark.build import (
+    _build_phrase_pairs,
+    _tokenized_runs,
+    _value_token_stats,
+)
+from veloci_spark.config import FieldConfig
+
+FIELDS = [
+    FieldConfig(name="line", phrase_pairs=True),
+    FieldConfig(name="filepath", tokenize_on_chars=("/",), phrase_pairs=True),
+    FieldConfig(name="flat", tokenizer_grouped=False),
+]
+
+VALUES_SCHEMA = "field string, doc_id long, ordkey string, text string"
+
+# separator-heavy code, repeated tokens, leading/trailing separators,
+# empty / null / single-run texts (no token rows), unicode, a text whose
+# first run is a separator group (best_pos must count it)
+VALUES = [
+    ("line", 0, "", "function myfun(param1: Type1)"),
+    ("line", 0, "0.1", "let x = myfun(1) + myfun(2)"),
+    ("line", 1, "", "  leading separators\tand  runs  "),
+    ("line", 2, "", "die erbin die erbin die"),
+    ("line", 3, "", "singletoken"),
+    ("line", 4, "", ""),
+    ("line", 5, "", None),
+    ("line", 6, "", "größe straße größe"),
+    ("filepath", 0, "", "all/the/path"),
+    ("filepath", 1, "", "/leading/slash//double"),
+    ("filepath", 2, "", "noslash"),
+    ("flat", 0, "", "a  b   a b"),
+    ("flat", 1, "", "x,y;x"),
+]
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    return spark.createDataFrame(VALUES, VALUES_SCHEMA)
+
+
+def _collect_stats(df):
+    return sorted(
+        (r.field, r.doc_id, r.ordkey, r.num_tokens, r.tok, r.best_pos,
+         r.cnt_all, r.cnt_nonsep)
+        for r in df.collect()
+    )
+
+
+def test_fused_stats_match_jvm_derivation(values):
+    fused = _collect_stats(_value_token_stats(values, FIELDS, "pandas"))
+    jvm = _collect_stats(_value_token_stats(values, FIELDS, "jvm"))
+    assert fused == jvm
+    assert len(fused) > 0
+    # spot invariants: the leading-separator value counts the separator
+    # run at pos 0, so the first word token sits at best_pos 1
+    by_key = {(f, d, o, t): (bp, ca, cn) for f, d, o, _, t, bp, ca, cn in fused}
+    assert by_key[("line", 1, "", "leading")][0] == 1
+    # repeated token: 3 occurrences, all non-separator
+    assert by_key[("line", 2, "", "die")] == (0, 3, 3)
+    # ungrouped tokenizer: each separator char is its own run
+    assert ("flat", 0, "", "a") in by_key
+    assert by_key[("flat", 0, "", " ")][1] >= 4  # every single space run
+
+
+def test_fused_stats_dtypes(values):
+    """The fused pass must emit the exact schema the join consumers saw
+    from the old groupBy (int32 positions, int64 counts)."""
+    fused = _value_token_stats(values, FIELDS, "pandas")
+    jvm = _value_token_stats(values, FIELDS, "jvm")
+    assert dict(fused.dtypes) == dict(jvm.dtypes)
+
+
+def test_fused_phrase_pairs_match_jvm_window(spark, values):
+    # deterministic per-field term ids from the token universe
+    stats = _value_token_stats(values, FIELDS, "jvm")
+    w = Window.partitionBy("field").orderBy("term")
+    dictionary = (
+        stats.select("field", F.col("tok").alias("term"))
+        .distinct()
+        .withColumn("term_id", F.row_number().over(w))
+    )
+    phrase_fields = ["line", "filepath"]
+    runs_df = _tokenized_runs(values, FIELDS, "jvm")
+    jvm = _build_phrase_pairs(
+        values, runs_df, dictionary, FIELDS, phrase_fields, "jvm"
+    )
+    fused = _build_phrase_pairs(
+        values, None, dictionary, FIELDS, phrase_fields, "pandas"
+    )
+    key = lambda r: (r.field, r.term_id_1, r.term_id_2, r.doc_id)
+    assert sorted(map(key, fused.collect())) == sorted(map(key, jvm.collect()))
+    # adjacency skips separator runs and resets per value: doc 2's
+    # "die erbin die erbin die" yields both orders, deduped
+    names = {r.term: r.term_id for r in dictionary.where("field='line'").collect()}
+    got = {
+        (r.term_id_1, r.term_id_2)
+        for r in fused.where("field='line' and doc_id=2").collect()
+    }
+    assert got == {(names["die"], names["erbin"]), (names["erbin"], names["die"])}

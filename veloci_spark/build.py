@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Iterator, Optional, Sequence
 
@@ -61,6 +62,7 @@ from veloci_spark.scoring import (
 from veloci_spark.tokenize import (
     has_tokens_expr,
     is_separator_expr,
+    run_pattern,
     tokenize_expr,
     tokenize_pandas_udf,
 )
@@ -162,9 +164,9 @@ def _tokenized_runs(
 ) -> Optional[DataFrame]:
     """(field, doc_id, ordkey, num_tokens, runs array<struct<tok,
     is_sep>>) over all tokenizable fields — the PRE-EXPLODE tokenizer
-    output, one row per text value.  This is the frame worth caching
-    (IndexConfig.cache_token_runs): it is corpus-sized, not
-    exploded-token-sized, and every token consumer derives from it.
+    output, one row per text value (corpus-sized, not
+    exploded-token-sized).  Feeds the array-side phrase-pair build and,
+    via _explode_runs, the jvm-tokenizer stats derivation.
 
     Positions count every run, separator groups included, and separator
     runs are themselves indexed (/root/reference/src/create.rs:240-283).
@@ -244,6 +246,138 @@ def _tokenized(
     return None if runs_df is None else _explode_runs(runs_df)
 
 
+_STATS_SCHEMA = (
+    "field string, doc_id long, ordkey string, num_tokens int, "
+    "tok string, best_pos int, cnt_all long, cnt_nonsep long"
+)
+
+
+def _token_stats_map(seps: Sequence[str], grouped: bool):
+    """mapInPandas generator: text values → per-(value, token) stats —
+    the per-value token aggregation fused INTO the Arrow tokenize pass.
+
+    The aggregation key (field, doc_id, ordkey, tok) is local to one
+    input row, so this replaces a corpus-sized hash aggregate + shuffle
+    (the build's hottest exchange: 104M occurrence rows → 35M stats
+    rows measured at the 800k-doc scaling corpus) with a vectorized
+    in-batch pandas groupby that never leaves the executor."""
+    import numpy as np
+
+    pat = re.compile(run_pattern(seps, grouped))
+    sep_first = set(seps)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "field": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "ordkey": pd.Series(dtype="object"),
+                "num_tokens": pd.Series(dtype="int32"),
+                "tok": pd.Series(dtype="object"),
+                "best_pos": pd.Series(dtype="int32"),
+                "cnt_all": pd.Series(dtype="int64"),
+                "cnt_nonsep": pd.Series(dtype="int64"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            runs = pdf["text"].fillna("").str.findall(pat)
+            n = runs.str.len().to_numpy()
+            keep = n >= 2  # has_tokens (simple_tokenizer_group.rs:10-15)
+            if not keep.any():
+                yield empty
+                continue
+            keys = pdf.loc[keep, ["field", "doc_id", "ordkey"]].reset_index(
+                drop=True
+            )
+            counts = n[keep].astype("int64")
+            toks = np.concatenate(
+                [np.asarray(r, dtype=object) for r in runs[keep]]
+            )
+            ridx = np.repeat(np.arange(len(keys)), counts)
+            ends = np.cumsum(counts)
+            pos = np.arange(ends[-1]) - np.repeat(ends - counts, counts)
+            flat = pd.DataFrame({"i": ridx, "pos": pos, "tok": toks})
+            first_char = flat["tok"].str[:1]
+            flat["nonsep"] = (~first_char.isin(sep_first)).astype("int64")
+            g = (
+                flat.groupby(["i", "tok"], sort=False)
+                .agg(
+                    best_pos=("pos", "min"),
+                    cnt_all=("pos", "size"),
+                    cnt_nonsep=("nonsep", "sum"),
+                )
+                .reset_index()
+            )
+            i = g["i"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "field": keys["field"].to_numpy()[i],
+                    "doc_id": keys["doc_id"].to_numpy()[i],
+                    "ordkey": keys["ordkey"].to_numpy()[i],
+                    "num_tokens": counts[i].astype("int32"),
+                    "tok": g["tok"].to_numpy(),
+                    "best_pos": g["best_pos"].to_numpy().astype("int32"),
+                    "cnt_all": g["cnt_all"].to_numpy().astype("int64"),
+                    "cnt_nonsep": g["cnt_nonsep"].to_numpy().astype("int64"),
+                }
+            )
+
+    return gen
+
+
+def _value_token_stats(
+    values: DataFrame, fields: Sequence[FieldConfig], tokenizer: str
+) -> Optional[DataFrame]:
+    """(field, doc_id, ordkey, num_tokens, tok, best_pos, cnt_all,
+    cnt_nonsep): one row per DISTINCT (text value, token run string).
+
+    best_pos is the first run index (separator runs counted), cnt_all
+    the run occurrence count (what dictionary num_occurences sums),
+    cnt_nonsep the non-separator occurrence count (the BM25 tf
+    contribution).  pandas tokenizer: fused Arrow pass (see
+    _token_stats_map); jvm tokenizer: derived from the exploded stream
+    by an equivalent groupBy (bit-identical, asserted in
+    tests/test_token_stats.py)."""
+    if tokenizer == "pandas":
+        groups: dict[tuple, list[str]] = {}
+        for fc in fields:
+            if not fc.tokenize:
+                continue
+            key = (fc.separators(), fc.tokenizer_grouped)
+            groups.setdefault(key, []).append(fc.name)
+        if not groups:
+            return None
+        frames = []
+        for (seps, grouped), names in groups.items():
+            subset = values.where(F.col("field").isin(*names)).select(
+                "field", "doc_id", "ordkey", "text"
+            )
+            frames.append(
+                subset.mapInPandas(
+                    _token_stats_map(seps, grouped), schema=_STATS_SCHEMA
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionAll(fr)
+        return out
+    toks = _tokenized(values, fields, tokenizer)
+    if toks is None:
+        return None
+    return toks.groupBy("field", "doc_id", "ordkey", "tok").agg(
+        F.first("num_tokens").alias("num_tokens"),
+        F.min("pos").alias("best_pos"),
+        F.count("*").alias("cnt_all"),
+        F.sum(F.when(F.col("is_sep"), 0).otherwise(1)).alias("cnt_nonsep"),
+    ).select(
+        "field", "doc_id", "ordkey", "num_tokens", "tok",
+        "best_pos", "cnt_all", "cnt_nonsep",
+    )
+
+
 def _bytes_limit(fields: Sequence[FieldConfig]) -> Column:
     """Per-field max_text_bytes as a CASE expression
     (/root/reference/src/metadata.rs:66-68 is a per-field setting)."""
@@ -271,7 +405,7 @@ def _whole_texts(values: DataFrame, fields: Sequence[FieldConfig]) -> DataFrame:
 
 def _build_dictionary(
     spark: SparkSession,
-    toks: Optional[DataFrame],
+    stats: Optional[DataFrame],
     whole: DataFrame,
     cfg: IndexConfig,
 ) -> DataFrame:
@@ -280,16 +414,30 @@ def _build_dictionary(
     (/root/reference/src/create/create_fulltext.rs:71-80) — all fields
     share one (field, term) range shuffle; the per-field rank restart
     comes from the same count job (assign_rank_ids rank_within), so no
-    extra offsets pass."""
-    sources = [whole.select("field", F.col("text").alias("term"))]
-    if toks is not None:
-        sources.append(toks.select("field", F.col("tok").alias("term")))
-    counts = sources[0]
-    for s in sources[1:]:
-        counts = counts.unionAll(s)
-    counts = counts.groupBy("field", "term").agg(
-        F.count("*").alias("num_occurences")
+    extra offsets pass.
+
+    Token occurrences arrive pre-aggregated per (value, token) from
+    :func:`_value_token_stats` (sum cnt_all); whole-text occurrences are
+    counted per value row.  Both branches and the final merge are
+    map-side-combined groupBys."""
+    whole_counts = (
+        whole.select("field", F.col("text").alias("term"))
+        .groupBy("field", "term")
+        .agg(F.count("*").alias("c"))
     )
+    if stats is not None:
+        tok_counts = (
+            stats.select("field", F.col("tok").alias("term"), "cnt_all")
+            .groupBy("field", "term")
+            .agg(F.sum("cnt_all").alias("c"))
+        )
+        counts = (
+            whole_counts.unionAll(tok_counts)
+            .groupBy("field", "term")
+            .agg(F.sum("c").alias("num_occurences"))
+        )
+    else:
+        counts = whole_counts.withColumnRenamed("c", "num_occurences")
     ranked = assign_rank_ids(
         counts, ["field", "term"], "term_id", cfg.dict_partitions,
         rank_within="field",
@@ -310,33 +458,34 @@ def _build_dictionary(
 
 
 def _token_value_agg(
-    toks: DataFrame, dictionary: DataFrame, with_tf: bool = False
+    stats: DataFrame, dictionary: DataFrame, with_tf: bool = False
 ) -> DataFrame:
     """(field, term_id, doc_id, ordkey, best_pos, num_occurences,
-    num_tokens[, tf_part]) — ONE dictionary join + one shuffle shared by
-    the native posting build and, via ``tf_part`` (non-separator
-    occurrence count per value), the BM25 build. Sharing this frame is
-    what lets a native+BM25 index pay the token-stream join once instead
-    of once per engine (the round-2-continuation profile showed the two
-    stages each spending ~200 s of a 493 s build re-doing it at 3.2M
-    docs)."""
+    num_tokens[, tf_part]) — ONE dictionary join shared by the native
+    posting build and, via ``tf_part`` (non-separator occurrence count
+    per value), the BM25 build.
+
+    Since round 4 the per-value aggregation itself is fused into the
+    tokenizer pass (:func:`_value_token_stats`), so this is a pure join:
+    the old occurrence-stream groupBy — the build's largest exchange —
+    no longer exists, and the join probes one row per distinct
+    (value, token) instead of one per occurrence (104M → 35M rows
+    measured at the 800k-doc scaling corpus)."""
     dict_for_tok = dictionary.select(
         "field", F.col("term").alias("tok"), "term_id", "num_occurences"
     )
-    aggs = [
-        F.min("pos").alias("best_pos"),
-        F.first("num_occurences").alias("num_occurences"),
-        F.first("num_tokens").alias("num_tokens"),
+    cols = [
+        "field",
+        "term_id",
+        "doc_id",
+        "ordkey",
+        "best_pos",
+        "num_occurences",
+        "num_tokens",
     ]
     if with_tf:
-        aggs.append(
-            F.sum(F.when(F.col("is_sep"), 0).otherwise(1)).alias("tf_part")
-        )
-    return (
-        toks.join(dict_for_tok, ["field", "tok"])
-        .groupBy("field", "term_id", "doc_id", "ordkey")
-        .agg(*aggs)
-    )
+        cols.append(F.col("cnt_nonsep").alias("tf_part"))
+    return stats.join(dict_for_tok, ["field", "tok"]).select(*cols)
 
 
 def _build_flat_postings(
@@ -516,16 +665,133 @@ def _encode_blocks(
     return arranged.mapInPandas(_encode, schema=POSTINGS_SCHEMA)
 
 
+_PAIRS_SCHEMA = "field string, doc_id long, __tok1 string, __tok2 string"
+
+
+def _phrase_pairs_map(seps: Sequence[str], grouped: bool):
+    """mapInPandas generator: text values → per-value-distinct adjacent
+    non-separator token pairs.  Adjacency among non-separator tokens is
+    consecutiveness in the separator-filtered sequence, computed with a
+    numpy shift and deduped per value in-batch — the per-value work
+    never enters a shuffle (the old lead() window shuffled every token
+    occurrence; a pure-JVM array_distinct over struct pairs was measured
+    SLOWER — pairwise struct equality is quadratic per value)."""
+    import numpy as np
+
+    pat = re.compile(run_pattern(seps, grouped))
+    sep_first = set(seps)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "field": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "__tok1": pd.Series(dtype="object"),
+                "__tok2": pd.Series(dtype="object"),
+            }
+        )
+        for pdf in batches:
+            if not len(pdf):
+                yield empty
+                continue
+            runs = pdf["text"].fillna("").str.findall(pat)
+            n = runs.str.len().to_numpy()
+            keep = n >= 2  # has_tokens; a pair needs >= 2 runs anyway
+            if not keep.any():
+                yield empty
+                continue
+            keys = pdf.loc[keep, ["field", "doc_id"]].reset_index(drop=True)
+            counts = n[keep].astype("int64")
+            toks = np.concatenate(
+                [np.asarray(r, dtype=object) for r in runs[keep]]
+            )
+            ridx = np.repeat(np.arange(len(keys)), counts)
+            first_char = pd.Series(toks).str[:1]
+            nonsep = (~first_char.isin(sep_first)).to_numpy()
+            toks, ridx = toks[nonsep], ridx[nonsep]
+            if len(toks) < 2:
+                yield empty
+                continue
+            same = ridx[:-1] == ridx[1:]
+            pairs = pd.DataFrame(
+                {
+                    "i": ridx[:-1][same],
+                    "__tok1": toks[:-1][same],
+                    "__tok2": toks[1:][same],
+                }
+            ).drop_duplicates()
+            i = pairs["i"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "field": keys["field"].to_numpy()[i],
+                    "doc_id": keys["doc_id"].to_numpy()[i],
+                    "__tok1": pairs["__tok1"].to_numpy(),
+                    "__tok2": pairs["__tok2"].to_numpy(),
+                }
+            )
+
+    return gen
+
+
 def _build_phrase_pairs(
-    toks: DataFrame, dictionary: DataFrame, phrase_fields: Sequence[str]
+    values: DataFrame,
+    runs_df: Optional[DataFrame],
+    dictionary: DataFrame,
+    fields: Sequence[FieldConfig],
+    phrase_fields: Sequence[str],
+    tokenizer: str,
 ) -> DataFrame:
     """(field, term_id_1, term_id_2, doc_id) for adjacent non-separator
     tokens. The pair chain is PER TEXT VALUE — the reference resets
     prev_token at each cb_text call (/root/reference/src/create.rs:251-263)
     — and separator runs are skipped; sorted-dedup like the reference's
-    sort_and_dedup merge (/root/reference/src/create.rs:349-363)."""
+    sort_and_dedup merge (/root/reference/src/create.rs:349-363).
+
+    pandas tokenizer: pairs come value-deduped from a fused Arrow pass
+    (:func:`_phrase_pairs_map`) — no occurrence-stream window shuffle;
+    the remaining shuffles are the two dictionary joins and the final
+    doc-level distinct over already value-deduped pairs.  jvm tokenizer:
+    the classic lead() window over the exploded stream."""
+    if tokenizer == "pandas":
+        groups: dict[tuple, list[str]] = {}
+        for fc in fields:
+            if fc.tokenize and fc.name in phrase_fields:
+                key = (fc.separators(), fc.tokenizer_grouped)
+                groups.setdefault(key, []).append(fc.name)
+        frames = []
+        for (seps, grouped), names in groups.items():
+            subset = values.where(F.col("field").isin(*names)).select(
+                "field", "doc_id", "text"
+            )
+            frames.append(
+                subset.mapInPandas(
+                    _phrase_pairs_map(seps, grouped), schema=_PAIRS_SCHEMA
+                )
+            )
+        ex = frames[0]
+        for fr in frames[1:]:
+            ex = ex.unionAll(fr)
+        d1 = dictionary.select(
+            "field",
+            F.col("term").alias("__tok1"),
+            F.col("term_id").alias("term_id_1"),
+        )
+        d2 = dictionary.select(
+            "field",
+            F.col("term").alias("__tok2"),
+            F.col("term_id").alias("term_id_2"),
+        )
+        return (
+            ex.join(d1, ["field", "__tok1"])
+            .join(d2, ["field", "__tok2"])
+            .select("field", "term_id_1", "term_id_2", "doc_id")
+            .distinct()
+        )
+
     from pyspark.sql.window import Window
 
+    assert runs_df is not None
+    toks = _explode_runs(runs_df)
     dict_for_tok = dictionary.select(
         "field", F.col("term").alias("tok"), "term_id"
     )
@@ -535,7 +801,7 @@ def _build_phrase_pairs(
         .join(dict_for_tok, ["field", "tok"])
     )
     w = Window.partitionBy("field", "doc_id", "ordkey").orderBy("pos")
-    pairs = (
+    return (
         nonsep.select("field", "doc_id", "ordkey", "pos", "term_id")
         .withColumn("term_id_2", F.lead("term_id").over(w))
         .where(F.col("term_id_2").isNotNull())
@@ -547,7 +813,6 @@ def _build_phrase_pairs(
         )
         .distinct()
     )
-    return pairs
 
 
 def _build_texts(
@@ -703,39 +968,33 @@ def build_index(
     need_bm25 = bool(bm25_fields) and not (resume and _done(bm25_path))
 
     runs_df: Optional[DataFrame] = None
-    runs_persisted = False
     if need_dict or need_post or need_phrase or need_texts or need_bm25:
-        # The EXPLODED token stream is deliberately never persisted:
-        # with the Arrow tokenizer a full recompute costs ~11 s per
-        # consumer on 21M runs at 2 cores, while materializing the
-        # columnar cache of the exploded rows costs ~200 s — recompute
-        # wins by an order of magnitude there. The PRE-EXPLODE runs
-        # frame is a different trade (corpus-sized, one row per value):
-        # with cache_token_runs=True and more than one token consumer
-        # live, it is spilled to executor-local disk once and each
-        # consumer explodes from the cache instead of re-running the
-        # tokenizer.
         values = _field_values(corpus_ids, fields)
-        runs_df = _tokenized_runs(values, fields, tokenizer)
-        toks = None if runs_df is None else _explode_runs(runs_df)
         whole = _whole_texts(values, fields)
-        n_tok_consumers = sum(
-            (need_dict, need_post or need_bm25, need_phrase)
-        )
-        if (
-            runs_df is not None
-            and config.cache_token_runs
-            and n_tok_consumers > 1
-        ):
-            from pyspark import StorageLevel
+        # per-(value, token) stats — the fused tokenize+aggregate pass
+        # feeding the dictionary counts and the posting/BM25 value
+        # aggregate; persisted to executor-local disk when both
+        # consumers are live (one row per distinct (value, token):
+        # 3x fewer rows than the occurrence stream, and caching it
+        # saves a whole tokenize+stats pass)
+        stats: Optional[DataFrame] = None
+        stats_persisted = False
+        post_needs_va = need_post and bool(native_tok_fields)
+        if need_dict or post_needs_va or need_bm25:
+            stats = _value_token_stats(values, fields, tokenizer)
+            if stats is not None and need_dict and (post_needs_va or need_bm25):
+                from pyspark import StorageLevel
 
-            runs_df = runs_df.persist(StorageLevel.DISK_ONLY)
-            toks = _explode_runs(runs_df)
-            runs_persisted = True
+                stats = stats.persist(StorageLevel.DISK_ONLY)
+                stats_persisted = True
+        # the pre-explode runs frame feeds only the jvm-tokenizer
+        # phrase-pair fallback
+        if need_phrase and tokenizer != "pandas":
+            runs_df = _tokenized_runs(values, fields, tokenizer)
 
         if need_dict:
             t0 = time.time()
-            dictionary = _build_dictionary(spark, toks, whole, config)
+            dictionary = _build_dictionary(spark, stats, whole, config)
             (
                 dictionary.sortWithinPartitions("field", "term")
                 .write.mode("overwrite")
@@ -754,9 +1013,8 @@ def build_index(
         # tokenize+join chain per engine.
         value_agg: Optional[DataFrame] = None
         value_agg_persisted = False
-        post_needs_va = need_post and bool(native_tok_fields)
-        if (post_needs_va or need_bm25) and toks is not None:
-            value_agg = _token_value_agg(toks, dictionary, with_tf=need_bm25)
+        if (post_needs_va or need_bm25) and stats is not None:
+            value_agg = _token_value_agg(stats, dictionary, with_tf=need_bm25)
             if post_needs_va and need_bm25:
                 from pyspark import StorageLevel
 
@@ -787,8 +1045,9 @@ def build_index(
 
         if need_phrase:
             t0 = time.time()
-            assert toks is not None
-            pairs = _build_phrase_pairs(toks, dictionary, phrase_fields)
+            pairs = _build_phrase_pairs(
+                values, runs_df, dictionary, fields, phrase_fields, tokenizer
+            )
             (
                 pairs.repartition("field", "term_id_1")
                 .sortWithinPartitions("field", "term_id_1", "term_id_2", "doc_id")
@@ -825,8 +1084,8 @@ def build_index(
 
         if value_agg_persisted:
             value_agg.unpersist()
-        if runs_persisted:
-            runs_df.unpersist()
+        if stats_persisted:
+            stats.unpersist()
 
         if need_texts:
             t0 = time.time()

@@ -107,15 +107,6 @@ class IndexConfig:
     #: whole in one partition). The default only engages on genuinely hot
     #: terms (~4M+ postings); tests lower it to exercise the path.
     salt_rows_per_shard: int = 4_000_000
-    #: persist the PRE-EXPLODE tokenizer output — (value, runs array)
-    #: rows, corpus-sized, NOT exploded-token-sized — to executor-local
-    #: disk for the duration of the build, so the Arrow tokenize pass
-    #: runs once instead of once per consumer stage (dictionary /
-    #: posting scores / phrase pairs). Costs one corpus-sized DISK_ONLY
-    #: copy on executor scratch (the same disks that absorb comparably
-    #: sized shuffle writes); skip it only when executor scratch cannot
-    #: hold a tokenized copy of the input.
-    cache_token_runs: bool = False
 
     def field(self, name: str) -> FieldConfig:
         for f in self.fields:

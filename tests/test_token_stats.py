@@ -4,7 +4,8 @@ Round 4 replaced the build's largest exchange — the corpus-sized
 occurrence-stream groupBy behind the dictionary counts and the
 posting/BM25 value aggregate — with a per-batch pandas groupby fused
 INTO the tokenizer pass (build._token_stats_map), and the phrase-pair
-lead() window with an in-batch numpy shift (build._phrase_pairs_map).
+lead() window with an in-batch numpy shift emitted from the SAME pass
+(rows with tok2 set), so one build tokenizes the corpus exactly once.
 Both must be BIT-IDENTICAL to the exploded-stream derivations the jvm
 tokenizer still uses (the reference computes the same aggregation
 per-value inside its create loop, /root/reference/src/create.rs:240-283,
@@ -18,6 +19,7 @@ from pyspark.sql.window import Window
 
 from veloci_spark.build import (
     _build_phrase_pairs,
+    _split_stats_pairs,
     _tokenized_runs,
     _value_token_stats,
 )
@@ -28,6 +30,7 @@ FIELDS = [
     FieldConfig(name="filepath", tokenize_on_chars=("/",), phrase_pairs=True),
     FieldConfig(name="flat", tokenizer_grouped=False),
 ]
+PAIR_FIELDS = frozenset(["line", "filepath"])
 
 VALUES_SCHEMA = "field string, doc_id long, ordkey string, text string"
 
@@ -56,6 +59,11 @@ def values(spark):
     return spark.createDataFrame(VALUES, VALUES_SCHEMA)
 
 
+def _stats_only(df):
+    stats, _ = _split_stats_pairs(df)
+    return stats
+
+
 def _collect_stats(df):
     return sorted(
         (r.field, r.doc_id, r.ordkey, r.num_tokens, r.tok, r.best_pos,
@@ -65,8 +73,10 @@ def _collect_stats(df):
 
 
 def test_fused_stats_match_jvm_derivation(values):
-    fused = _collect_stats(_value_token_stats(values, FIELDS, "pandas"))
-    jvm = _collect_stats(_value_token_stats(values, FIELDS, "jvm"))
+    fused = _collect_stats(
+        _stats_only(_value_token_stats(values, FIELDS, "pandas", PAIR_FIELDS))
+    )
+    jvm = _collect_stats(_stats_only(_value_token_stats(values, FIELDS, "jvm")))
     assert fused == jvm
     assert len(fused) > 0
     # spot invariants: the leading-separator value counts the separator
@@ -83,14 +93,14 @@ def test_fused_stats_match_jvm_derivation(values):
 def test_fused_stats_dtypes(values):
     """The fused pass must emit the exact schema the join consumers saw
     from the old groupBy (int32 positions, int64 counts)."""
-    fused = _value_token_stats(values, FIELDS, "pandas")
+    fused = _value_token_stats(values, FIELDS, "pandas", PAIR_FIELDS)
     jvm = _value_token_stats(values, FIELDS, "jvm")
     assert dict(fused.dtypes) == dict(jvm.dtypes)
 
 
 def test_fused_phrase_pairs_match_jvm_window(spark, values):
     # deterministic per-field term ids from the token universe
-    stats = _value_token_stats(values, FIELDS, "jvm")
+    stats = _stats_only(_value_token_stats(values, FIELDS, "jvm"))
     w = Window.partitionBy("field").orderBy("term")
     dictionary = (
         stats.select("field", F.col("tok").alias("term"))
@@ -99,11 +109,12 @@ def test_fused_phrase_pairs_match_jvm_window(spark, values):
     )
     phrase_fields = ["line", "filepath"]
     runs_df = _tokenized_runs(values, FIELDS, "jvm")
-    jvm = _build_phrase_pairs(
-        values, runs_df, dictionary, FIELDS, phrase_fields, "jvm"
+    jvm = _build_phrase_pairs(None, runs_df, dictionary, phrase_fields, "jvm")
+    _, pairs_src = _split_stats_pairs(
+        _value_token_stats(values, FIELDS, "pandas", PAIR_FIELDS)
     )
     fused = _build_phrase_pairs(
-        values, None, dictionary, FIELDS, phrase_fields, "pandas"
+        pairs_src, None, dictionary, phrase_fields, "pandas"
     )
     key = lambda r: (r.field, r.term_id_1, r.term_id_2, r.doc_id)
     assert sorted(map(key, fused.collect())) == sorted(map(key, jvm.collect()))
@@ -115,3 +126,16 @@ def test_fused_phrase_pairs_match_jvm_window(spark, values):
         for r in fused.where("field='line' and doc_id=2").collect()
     }
     assert got == {(names["die"], names["erbin"]), (names["erbin"], names["die"])}
+
+
+def test_pair_rows_only_for_pair_fields(values):
+    """Without pair_fields the fused pass emits NO pair rows; with them,
+    pair rows appear only for those fields (the 'flat' field never gets
+    pairs even when others do)."""
+    none = _value_token_stats(values, FIELDS, "pandas", frozenset())
+    assert none.where(F.col("tok2").isNotNull()).count() == 0
+    _, pairs = _split_stats_pairs(
+        _value_token_stats(values, FIELDS, "pandas", PAIR_FIELDS)
+    )
+    assert pairs.where(F.col("field") == "flat").count() == 0
+    assert pairs.where(F.col("field") == "filepath").count() > 0

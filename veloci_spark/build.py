@@ -248,11 +248,13 @@ def _tokenized(
 
 _STATS_SCHEMA = (
     "field string, doc_id long, ordkey string, num_tokens int, "
-    "tok string, best_pos int, cnt_all long, cnt_nonsep long"
+    "tok string, best_pos int, cnt_all long, cnt_nonsep long, tok2 string"
 )
 
 
-def _token_stats_map(seps: Sequence[str], grouped: bool):
+def _token_stats_map(
+    seps: Sequence[str], grouped: bool, pair_fields: frozenset = frozenset()
+):
     """mapInPandas generator: text values → per-(value, token) stats —
     the per-value token aggregation fused INTO the Arrow tokenize pass.
 
@@ -260,7 +262,18 @@ def _token_stats_map(seps: Sequence[str], grouped: bool):
     input row, so this replaces a corpus-sized hash aggregate + shuffle
     (the build's hottest exchange: 104M occurrence rows → 35M stats
     rows measured at the 800k-doc scaling corpus) with a vectorized
-    in-batch pandas groupby that never leaves the executor."""
+    in-batch pandas groupby that never leaves the executor.
+
+    For fields in ``pair_fields`` the SAME pass additionally emits the
+    per-value-distinct adjacent non-separator token pairs (rows with
+    ``tok2`` set; ``tok`` is the left token, the stats columns are
+    zero-filled placeholders) — the phrase-pair build then costs no
+    second tokenize pass over the corpus.  Adjacency among non-separator
+    tokens is consecutiveness in the separator-filtered sequence
+    (/root/reference/src/create.rs:251-263 resets the chain per value),
+    computed with a numpy shift; a pure-JVM array_distinct over struct
+    pairs was measured SLOWER (pairwise struct equality is quadratic
+    per value)."""
     import numpy as np
 
     pat = re.compile(run_pattern(seps, grouped))
@@ -277,6 +290,7 @@ def _token_stats_map(seps: Sequence[str], grouped: bool):
                 "best_pos": pd.Series(dtype="int32"),
                 "cnt_all": pd.Series(dtype="int64"),
                 "cnt_nonsep": pd.Series(dtype="int64"),
+                "tok2": pd.Series(dtype="object"),
             }
         )
         for pdf in batches:
@@ -301,7 +315,8 @@ def _token_stats_map(seps: Sequence[str], grouped: bool):
             pos = np.arange(ends[-1]) - np.repeat(ends - counts, counts)
             flat = pd.DataFrame({"i": ridx, "pos": pos, "tok": toks})
             first_char = flat["tok"].str[:1]
-            flat["nonsep"] = (~first_char.isin(sep_first)).astype("int64")
+            nonsep = (~first_char.isin(sep_first)).to_numpy()
+            flat["nonsep"] = nonsep.astype("int64")
             g = (
                 flat.groupby(["i", "tok"], sort=False)
                 .agg(
@@ -322,6 +337,42 @@ def _token_stats_map(seps: Sequence[str], grouped: bool):
                     "best_pos": g["best_pos"].to_numpy().astype("int32"),
                     "cnt_all": g["cnt_all"].to_numpy().astype("int64"),
                     "cnt_nonsep": g["cnt_nonsep"].to_numpy().astype("int64"),
+                    "tok2": None,
+                }
+            )
+            if not pair_fields:
+                continue
+            # pair rows: filter to non-separator runs of pair fields;
+            # flat's row order is (value, pos) by construction, so a
+            # 1-row shift within the same value index = adjacency
+            vmask = keys["field"].isin(pair_fields).to_numpy()
+            sel = nonsep & vmask[ridx]
+            pi, ptoks = ridx[sel], toks[sel]
+            if len(ptoks) < 2:
+                continue
+            same = pi[:-1] == pi[1:]
+            if not same.any():
+                continue
+            pairs = pd.DataFrame(
+                {
+                    "i": pi[:-1][same],
+                    "t1": ptoks[:-1][same],
+                    "t2": ptoks[1:][same],
+                }
+            ).drop_duplicates()
+            j = pairs["i"].to_numpy()
+            npairs = len(pairs)
+            yield pd.DataFrame(
+                {
+                    "field": keys["field"].to_numpy()[j],
+                    "doc_id": keys["doc_id"].to_numpy()[j],
+                    "ordkey": keys["ordkey"].to_numpy()[j],
+                    "num_tokens": np.zeros(npairs, dtype="int32"),
+                    "tok": pairs["t1"].to_numpy(),
+                    "best_pos": np.zeros(npairs, dtype="int32"),
+                    "cnt_all": np.zeros(npairs, dtype="int64"),
+                    "cnt_nonsep": np.zeros(npairs, dtype="int64"),
+                    "tok2": pairs["t2"].to_numpy(),
                 }
             )
 
@@ -329,10 +380,16 @@ def _token_stats_map(seps: Sequence[str], grouped: bool):
 
 
 def _value_token_stats(
-    values: DataFrame, fields: Sequence[FieldConfig], tokenizer: str
+    values: DataFrame,
+    fields: Sequence[FieldConfig],
+    tokenizer: str,
+    pair_fields: frozenset = frozenset(),
 ) -> Optional[DataFrame]:
     """(field, doc_id, ordkey, num_tokens, tok, best_pos, cnt_all,
-    cnt_nonsep): one row per DISTINCT (text value, token run string).
+    cnt_nonsep, tok2): one row per DISTINCT (text value, token run
+    string) with ``tok2`` null, plus — pandas tokenizer only, for fields
+    in ``pair_fields`` — one row per distinct adjacent non-separator
+    pair per value (``tok2`` set, stats columns zero placeholders).
 
     best_pos is the first run index (separator runs counted), cnt_all
     the run occurrence count (what dictionary num_occurences sums),
@@ -340,7 +397,8 @@ def _value_token_stats(
     contribution).  pandas tokenizer: fused Arrow pass (see
     _token_stats_map); jvm tokenizer: derived from the exploded stream
     by an equivalent groupBy (bit-identical, asserted in
-    tests/test_token_stats.py)."""
+    tests/test_token_stats.py); jvm phrase pairs come from the window
+    path instead."""
     if tokenizer == "pandas":
         groups: dict[tuple, list[str]] = {}
         for fc in fields:
@@ -357,7 +415,10 @@ def _value_token_stats(
             )
             frames.append(
                 subset.mapInPandas(
-                    _token_stats_map(seps, grouped), schema=_STATS_SCHEMA
+                    _token_stats_map(
+                        seps, grouped, pair_fields & frozenset(names)
+                    ),
+                    schema=_STATS_SCHEMA,
                 )
             )
         out = frames[0]
@@ -375,7 +436,26 @@ def _value_token_stats(
     ).select(
         "field", "doc_id", "ordkey", "num_tokens", "tok",
         "best_pos", "cnt_all", "cnt_nonsep",
+        F.lit(None).cast("string").alias("tok2"),
     )
+
+
+def _split_stats_pairs(
+    stats_full: Optional[DataFrame],
+) -> tuple[Optional[DataFrame], Optional[DataFrame]]:
+    """Split the combined fused-pass output into the pure stats frame
+    (tok2 null, column dropped) and the raw pair frame (field, doc_id,
+    __tok1, __tok2)."""
+    if stats_full is None:
+        return None, None
+    stats = stats_full.where(F.col("tok2").isNull()).drop("tok2")
+    pairs = stats_full.where(F.col("tok2").isNotNull()).select(
+        "field",
+        "doc_id",
+        F.col("tok").alias("__tok1"),
+        F.col("tok2").alias("__tok2"),
+    )
+    return stats, pairs
 
 
 def _bytes_limit(fields: Sequence[FieldConfig]) -> Column:
@@ -665,79 +745,10 @@ def _encode_blocks(
     return arranged.mapInPandas(_encode, schema=POSTINGS_SCHEMA)
 
 
-_PAIRS_SCHEMA = "field string, doc_id long, __tok1 string, __tok2 string"
-
-
-def _phrase_pairs_map(seps: Sequence[str], grouped: bool):
-    """mapInPandas generator: text values → per-value-distinct adjacent
-    non-separator token pairs.  Adjacency among non-separator tokens is
-    consecutiveness in the separator-filtered sequence, computed with a
-    numpy shift and deduped per value in-batch — the per-value work
-    never enters a shuffle (the old lead() window shuffled every token
-    occurrence; a pure-JVM array_distinct over struct pairs was measured
-    SLOWER — pairwise struct equality is quadratic per value)."""
-    import numpy as np
-
-    pat = re.compile(run_pattern(seps, grouped))
-    sep_first = set(seps)
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame(
-            {
-                "field": pd.Series(dtype="object"),
-                "doc_id": pd.Series(dtype="int64"),
-                "__tok1": pd.Series(dtype="object"),
-                "__tok2": pd.Series(dtype="object"),
-            }
-        )
-        for pdf in batches:
-            if not len(pdf):
-                yield empty
-                continue
-            runs = pdf["text"].fillna("").str.findall(pat)
-            n = runs.str.len().to_numpy()
-            keep = n >= 2  # has_tokens; a pair needs >= 2 runs anyway
-            if not keep.any():
-                yield empty
-                continue
-            keys = pdf.loc[keep, ["field", "doc_id"]].reset_index(drop=True)
-            counts = n[keep].astype("int64")
-            toks = np.concatenate(
-                [np.asarray(r, dtype=object) for r in runs[keep]]
-            )
-            ridx = np.repeat(np.arange(len(keys)), counts)
-            first_char = pd.Series(toks).str[:1]
-            nonsep = (~first_char.isin(sep_first)).to_numpy()
-            toks, ridx = toks[nonsep], ridx[nonsep]
-            if len(toks) < 2:
-                yield empty
-                continue
-            same = ridx[:-1] == ridx[1:]
-            pairs = pd.DataFrame(
-                {
-                    "i": ridx[:-1][same],
-                    "__tok1": toks[:-1][same],
-                    "__tok2": toks[1:][same],
-                }
-            ).drop_duplicates()
-            i = pairs["i"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "field": keys["field"].to_numpy()[i],
-                    "doc_id": keys["doc_id"].to_numpy()[i],
-                    "__tok1": pairs["__tok1"].to_numpy(),
-                    "__tok2": pairs["__tok2"].to_numpy(),
-                }
-            )
-
-    return gen
-
-
 def _build_phrase_pairs(
-    values: DataFrame,
+    pairs_src: Optional[DataFrame],
     runs_df: Optional[DataFrame],
     dictionary: DataFrame,
-    fields: Sequence[FieldConfig],
     phrase_fields: Sequence[str],
     tokenizer: str,
 ) -> DataFrame:
@@ -747,30 +758,15 @@ def _build_phrase_pairs(
     — and separator runs are skipped; sorted-dedup like the reference's
     sort_and_dedup merge (/root/reference/src/create.rs:349-363).
 
-    pandas tokenizer: pairs come value-deduped from a fused Arrow pass
-    (:func:`_phrase_pairs_map`) — no occurrence-stream window shuffle;
-    the remaining shuffles are the two dictionary joins and the final
-    doc-level distinct over already value-deduped pairs.  jvm tokenizer:
-    the classic lead() window over the exploded stream."""
+    pandas tokenizer: ``pairs_src`` arrives value-deduped from the SAME
+    fused Arrow pass that produced the token stats (zero extra tokenize
+    passes, no occurrence-stream window shuffle); the remaining shuffles
+    are the two dictionary joins and the final doc-level distinct over
+    already value-deduped pairs.  jvm tokenizer: the classic lead()
+    window over the exploded ``runs_df`` stream."""
     if tokenizer == "pandas":
-        groups: dict[tuple, list[str]] = {}
-        for fc in fields:
-            if fc.tokenize and fc.name in phrase_fields:
-                key = (fc.separators(), fc.tokenizer_grouped)
-                groups.setdefault(key, []).append(fc.name)
-        frames = []
-        for (seps, grouped), names in groups.items():
-            subset = values.where(F.col("field").isin(*names)).select(
-                "field", "doc_id", "text"
-            )
-            frames.append(
-                subset.mapInPandas(
-                    _phrase_pairs_map(seps, grouped), schema=_PAIRS_SCHEMA
-                )
-            )
-        ex = frames[0]
-        for fr in frames[1:]:
-            ex = ex.unionAll(fr)
+        assert pairs_src is not None
+        ex = pairs_src
         d1 = dictionary.select(
             "field",
             F.col("term").alias("__tok1"),
@@ -971,22 +967,34 @@ def build_index(
     if need_dict or need_post or need_phrase or need_texts or need_bm25:
         values = _field_values(corpus_ids, fields)
         whole = _whole_texts(values, fields)
-        # per-(value, token) stats — the fused tokenize+aggregate pass
-        # feeding the dictionary counts and the posting/BM25 value
-        # aggregate; persisted to executor-local disk when both
-        # consumers are live (one row per distinct (value, token):
-        # 3x fewer rows than the occurrence stream, and caching it
-        # saves a whole tokenize+stats pass)
+        # per-(value, token) stats (+ phrase pairs) — ONE fused
+        # tokenize+aggregate pass feeds the dictionary counts, the
+        # posting/BM25 value aggregate AND (pandas tokenizer) the
+        # phrase-pair rows; persisted to executor-local disk when more
+        # than one consumer is live, so the corpus is tokenized exactly
+        # once per build
         stats: Optional[DataFrame] = None
+        pairs_src: Optional[DataFrame] = None
         stats_persisted = False
         post_needs_va = need_post and bool(native_tok_fields)
-        if need_dict or post_needs_va or need_bm25:
-            stats = _value_token_stats(values, fields, tokenizer)
-            if stats is not None and need_dict and (post_needs_va or need_bm25):
+        pair_fields = (
+            frozenset(phrase_fields)
+            if (need_phrase and tokenizer == "pandas")
+            else frozenset()
+        )
+        if need_dict or post_needs_va or need_bm25 or pair_fields:
+            stats_full = _value_token_stats(
+                values, fields, tokenizer, pair_fields
+            )
+            n_consumers = sum(
+                (need_dict, post_needs_va or need_bm25, bool(pair_fields))
+            )
+            if stats_full is not None and n_consumers > 1:
                 from pyspark import StorageLevel
 
-                stats = stats.persist(StorageLevel.DISK_ONLY)
+                stats_full = stats_full.persist(StorageLevel.DISK_ONLY)
                 stats_persisted = True
+            stats, pairs_src = _split_stats_pairs(stats_full)
         # the pre-explode runs frame feeds only the jvm-tokenizer
         # phrase-pair fallback
         if need_phrase and tokenizer != "pandas":
@@ -1046,7 +1054,7 @@ def build_index(
         if need_phrase:
             t0 = time.time()
             pairs = _build_phrase_pairs(
-                values, runs_df, dictionary, fields, phrase_fields, tokenizer
+                pairs_src, runs_df, dictionary, phrase_fields, tokenizer
             )
             (
                 pairs.repartition("field", "term_id_1")
@@ -1085,7 +1093,7 @@ def build_index(
         if value_agg_persisted:
             value_agg.unpersist()
         if stats_persisted:
-            stats.unpersist()
+            stats_full.unpersist()
 
         if need_texts:
             t0 = time.time()

@@ -100,6 +100,7 @@ def headline_queries(spark, sf_dir: str):
         "code_bm25_topk",
         "code_bm25_wand",
         "code_bm25_phrase",
+        "code_bm25_batch",
         "code_bm25f_wand",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -135,6 +136,8 @@ BENCH_KEY_CHANGES = {
             "decontam_shuffle",
             # iterative BPE trainer, newly oracled via unrolled CTEs
             "bpe_train",
+            # batched multi-query BM25 (whole query set, one job)
+            "code_bm25_batch",
         ],
         "impl_changed": {
             # same oracle + bit-identical results; the window entry now

@@ -19,6 +19,7 @@ from veloci_spark.bm25 import (
     K1_PLUS_1,
     bm25_and_topk,
     bm25_and_wand_topk,
+    bm25_batch_topk,
     bm25_topk,
     bm25_wand_topk,
     py_bm25,
@@ -403,3 +404,52 @@ def test_bm25_only_build_skips_native_postings(spark, tmp_root):
     # native search path refuses loudly
     with pytest.raises(ValueError, match="native_postings=False"):
         lean.postings_blocks("body")
+
+
+# ------------------------- batched multi-query -------------------------
+
+def test_batch_matches_per_query(bm25_index):
+    """One batched job returns, per query, EXACTLY the single-query
+    bm25_topk rows (values and within-query order)."""
+    batch = {
+        "qa": ["alpha"],
+        "qb": ["alpha", "gamma"],
+        "qc": ["beta", "delta", "epsilon"],
+    }
+    k = 3
+    got = {}
+    for r in bm25_batch_topk(bm25_index, "body", batch, k).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score_e4"]))
+    for qid, terms in batch.items():
+        want = [
+            (r["doc_id"], r["score_e4"])
+            for r in bm25_topk(bm25_index, "body", terms, k).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
+def test_batch_missing_term_semantics(bm25_index):
+    """A missing term inside a query is ignored (same as single-query);
+    a query whose terms ALL miss contributes no rows."""
+    res = bm25_batch_topk(
+        bm25_index,
+        "body",
+        {"mixed": ["alpha", "zz_missing"], "gone": ["zz_missing", "zz_too"]},
+        5,
+    ).collect()
+    qids = {r["query_id"] for r in res}
+    assert "gone" not in qids
+    want = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_topk(bm25_index, "body", ["alpha"], 5).collect()
+    ]
+    got = [(r["doc_id"], r["score_e4"]) for r in res if r["query_id"] == "mixed"]
+    assert got == want
+
+
+def test_batch_empty_and_all_missing(bm25_index):
+    empty = bm25_batch_topk(bm25_index, "body", {}, 3)
+    assert empty.columns == ["query_id", "doc_id", "score_e4"]
+    assert empty.count() == 0
+    none = bm25_batch_topk(bm25_index, "body", {"q": ["zz_missing"]}, 3)
+    assert none.count() == 0

@@ -39,7 +39,7 @@ numpy-in-Arrow pass as native postings; no per-row Python anywhere.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -692,3 +692,88 @@ def bm25f_wand_topk(
     for _, blk in per_field:
         blk.unpersist()
     return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")
+
+
+# ---------------------------- batched queries ----------------------------
+
+def bm25_batch_topk(
+    index,
+    field: str,
+    queries: Mapping[str, Sequence[str]],
+    k: int,
+) -> DataFrame:
+    """Evaluate a BATCH of OR-sum BM25 queries in ONE job:
+    (query_id, doc_id, score_e4), per-query top-k, ordered
+    (query_id asc, score_e4 desc, doc_id desc).
+
+    The shape a production eval harness runs — Q queries against the
+    index as one Spark job instead of Q sequential jobs — mirroring
+    :func:`veloci_spark.pipeline.similarity.ann_batch_topk` for the
+    BM25 engine.  Scale anatomy:
+
+    - ONE dictionary probe for the whole batch (literal ``term IN``
+      list, bounded by the query set's distinct-term count, pushed
+      into the dictionary Parquet scan);
+    - ONE block scan + Arrow decode for the union of matched term ids
+      (literal ``term_id IN`` → row-group min/max pruning on the
+      term-sorted block table — a posting block shared by several
+      queries is read and decoded once, not once per query);
+    - the tiny (query_id, term_id) map is broadcast and fans each
+      decoded posting out to the queries that contain its term; the
+      per-(query, doc) OR-sum is one map-side-combined groupBy;
+    - per-query top-k is the TWO-PHASE aggregate (per-partition
+      sort_array+slice, then one merge per query) — never a window
+      partitioned by query_id, which would put a stop-word query's
+      corpus-sized hit set on a single task.
+
+    Terms missing from the dictionary are ignored (same semantics as
+    the single-query path); a query whose terms ALL miss contributes
+    no rows.
+    """
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    empty = spark.createDataFrame([], "query_id string, doc_id long, score_e4 long")
+    pairs = sorted({(qid, t) for qid, terms in queries.items() for t in terms})
+    all_terms = sorted({t for _, t in pairs})
+    if not all_terms:
+        return empty
+    id_rows = (
+        index.dictionary(field)
+        .where(F.col("term").isin(all_terms))
+        .select("term", "term_id")
+        .collect()
+    )
+    tid = {r["term"]: int(r["term_id"]) for r in id_rows}
+    qmap_rows = [(qid, tid[t]) for qid, t in pairs if t in tid]
+    if not qmap_rows:
+        return empty
+    qmap = spark.createDataFrame(qmap_rows, "query_id string, term_id long")
+    ids = sorted({i for _, i in qmap_rows})
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    scored = (
+        decode_blocks_df(blocks)
+        .join(F.broadcast(qmap), "term_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("score_e4"))
+    )
+    top_struct = F.struct("score_e4", "doc_id")
+    partial = scored.groupBy(
+        F.spark_partition_id().alias("_p"), "query_id"
+    ).agg(
+        F.slice(F.sort_array(F.collect_list(top_struct), False), 1, k).alias("top")
+    )
+    merged = (
+        partial.select("query_id", F.explode("top").alias("t"))
+        .groupBy("query_id")
+        .agg(F.slice(F.sort_array(F.collect_list("t"), False), 1, k).alias("top"))
+    )
+    return (
+        merged.select("query_id", F.explode("top").alias("t"))
+        .select(
+            "query_id",
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.score_e4").alias("score_e4"),
+        )
+        .orderBy("query_id", F.desc("score_e4"), F.desc("doc_id"))
+    )

@@ -144,3 +144,19 @@ def test_encode_count_invariants(spark, bpe_dir):
         # every word is >= 1 subword; merging can only shrink the
         # char+sentinel segmentation
         assert r["n_subwords"] >= r["n_words"] >= 1
+
+
+def test_local_and_distributed_loops_identical(spark, bpe_dir):
+    """The adaptive driver-side loop (vocab fits) and the distributed
+    Arrow loop (forced via max_local_vocab=0) learn the SAME merges."""
+    local = [
+        tuple(r)
+        for r in bpe_train(spark, bpe_dir, n_merges=8).orderBy("rank").collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in bpe_train(spark, bpe_dir, n_merges=8, max_local_vocab=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert local == dist and len(local) == 8

@@ -160,3 +160,25 @@ def test_local_and_distributed_loops_identical(spark, bpe_dir):
         .collect()
     ]
     assert local == dist and len(local) == 8
+
+
+# ---- property: the driver-side loop == the classic algorithm on any corpus
+
+from hypothesis import given, settings, strategies as st
+
+from veloci_spark.pipeline.text import _bpe_train_local
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+def test_local_loop_matches_brute_on_random_corpora(word_freqs, n_merges):
+    rows = [{"w": w, "freq": f} for w, f in word_freqs.items()]
+    assert _bpe_train_local(rows, n_merges) == _brute_bpe(word_freqs, n_merges)

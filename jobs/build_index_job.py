@@ -79,9 +79,13 @@ def main() -> None:
     path_fields = {f for f in args.path_fields.split(",") if f}
     bm25_only = {f for f in args.bm25_only_fields.split(",") if f}
     bm25_fields = {f for f in args.bm25_fields.split(",") if f} | bm25_only
-    all_fields = [f for f in args.fields.split(",") if f] + [
-        f for f in sorted(path_fields) if f not in args.fields.split(",")
-    ]
+    base_fields = [f for f in args.fields.split(",") if f]
+    # a field named only via --path-fields / --bm25-fields /
+    # --bm25-only-fields is still a field to index — silently dropping
+    # it would build an index where every BM25 query on it fails
+    all_fields = base_fields + sorted(
+        (path_fields | bm25_fields) - set(base_fields)
+    )
     fields = tuple(
         FieldConfig(
             name=f,

@@ -453,3 +453,19 @@ def test_batch_empty_and_all_missing(bm25_index):
     assert empty.count() == 0
     none = bm25_batch_topk(bm25_index, "body", {"q": ["zz_missing"]}, 3)
     assert none.count() == 0
+
+
+def test_bm25_field_with_no_token_rows_builds_empty(spark, tmp_root):
+    """A bm25 field whose every value tokenizes to < 2 runs (short enum
+    fields like a lang code) has NO token rows under has_tokens
+    semantics — the build must produce an empty, queryable posting set,
+    not crash on empty corpus stats."""
+    cfg = IndexConfig(
+        fields=(FieldConfig("tag", bm25=True, native_postings=False),)
+    )
+    df = spark.createDataFrame([(0, "en"), (1, "de")], "doc_id long, tag string")
+    idx = build_index(
+        spark, df, cfg, os.path.join(tmp_root, "bm25_empty_field"), resume=False
+    )
+    assert bm25_topk(idx, "tag", ["en"], 5).count() == 0
+    assert bm25_batch_topk(idx, "tag", {"q": ["en"]}, 5).count() == 0

@@ -182,3 +182,37 @@ from veloci_spark.pipeline.text import _bpe_train_local
 def test_local_loop_matches_brute_on_random_corpora(word_freqs, n_merges):
     rows = [{"w": w, "freq": f} for w, f in word_freqs.items()]
     assert _bpe_train_local(rows, n_merges) == _brute_bpe(word_freqs, n_merges)
+
+
+def test_oracle_survives_pair_exhaustion(spark, tmp_path_factory):
+    """Vocabulary that fully merges BEFORE n_merges rounds: the SQL
+    replay's later stages must pass the segmentation through unchanged
+    (the Spark loop breaks), not vacate every downstream CTE — a CROSS
+    JOIN against the empty best{k} did exactly that to bpe_encode_sql."""
+    import duckdb
+
+    from veloci_spark.pipeline.text import (
+        bpe_encode,
+        bpe_encode_sql,
+        bpe_train_sql,
+    )
+
+    root = tmp_path_factory.mktemp("bpe_exhaust")
+    spark.createDataFrame(
+        [(0, "a a a", "en")], "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(str(root / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{root}/documents.parquet/*.parquet'"
+    )
+    t_spark = sorted(
+        tuple(r) for r in bpe_train(spark, str(root), n_merges=3).collect()
+    )
+    assert t_spark == sorted(con.execute(bpe_train_sql(3)).fetchall())
+    assert t_spark == [(0, "a", BPE_EOW)]  # one merge, then exhaustion
+    e_spark = sorted(
+        tuple(r) for r in bpe_encode(spark, str(root), n_merges=3).collect()
+    )
+    e_sql = sorted(con.execute(bpe_encode_sql(3)).fetchall())
+    assert e_spark == e_sql == [(0, 3, 3)]

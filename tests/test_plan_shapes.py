@@ -96,6 +96,7 @@ def test_decontam_shuffle_fallback_matches_broadcast(spark):
     # an actually-oversized eval set would get at 100 TB
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bcast = shuf = None
     try:
         bcast = decontam_ngram(spark, SF_DIR)  # hinted: still broadcasts
         shuf = decontam_ngram(spark, SF_DIR, max_broadcast_grams=1)
@@ -107,8 +108,12 @@ def test_decontam_shuffle_fallback_matches_broadcast(spark):
         assert a == b and a
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        bcast._veloci_unpersist()
-        shuf._veloci_unpersist()
+        # guard: an exception before assignment must surface itself, not
+        # a NameError from cleanup
+        if bcast is not None:
+            bcast._veloci_unpersist()
+        if shuf is not None:
+            shuf._veloci_unpersist()
 
 
 # ------------------------------------------------- diamond caches (1 pass)

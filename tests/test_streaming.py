@@ -496,3 +496,26 @@ def test_greedy_neardup_matches_sequential_reference(spark):
             ):
                 want.append((key, signed))
         assert got == sorted(k for k, _ in want), f"trial {trial}"
+
+
+def test_batch_ledger_append_only_and_legacy(tmp_path):
+    """The committed-batch ledger appends one line per commit (no full
+    rewrite) and still honors a legacy rewrite-style dict marker."""
+    import json
+
+    from veloci_spark.streaming import _BatchLedger
+
+    legacy = tmp_path / "_batches_done.json"
+    legacy.write_text(json.dumps({"0": 10, "1": 7}))
+    path = str(tmp_path / "_batches_done.jsonl")
+    led = _BatchLedger(path)
+    assert 0 in led and 1 in led and 2 not in led  # legacy ids honored
+    led.commit(2, 5)
+    led.commit(3)
+    # appended lines, one per commit — not a rewritten dict
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0]) == {"id": "2", "info": 5}
+    # a fresh instance (stream restart) reloads both sources
+    led2 = _BatchLedger(path)
+    assert all(b in led2 for b in (0, 1, 2, 3)) and 4 not in led2

@@ -163,6 +163,17 @@ def bm25_from_tf(tf: DataFrame) -> tuple[DataFrame, dict[str, dict]]:
         r["field"]: {"n_docs": int(r["n_docs"]), "avgdl": float(r["avgdl"])}
         for r in stats_rows
     }
+    if not stats:
+        # a bm25 field whose every value tokenizes to < 2 runs produces
+        # NO token rows (has_tokens semantics, tokenize.py) — an empty
+        # posting set is the correct index for it, not an assertion crash
+        # (hit via `--bm25-only-fields lang`-style short enum fields)
+        tf.unpersist()
+        empty = tf.sparkSession.createDataFrame(
+            [], "field string, term_id long, doc_id long, score long"
+        )
+        empty._veloci_unpersist = lambda: None  # type: ignore[attr-defined]
+        return empty, stats
 
     # df: tf rows are unique per (field, term_id, doc_id), so counting
     # rows per (field, term_id) = document frequency.  This is a

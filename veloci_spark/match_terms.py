@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from veloci_spark.index import Index
+from veloci_spark.index import Index, decode_blocks_df
 from veloci_spark.request import SearchPart
 from veloci_spark.scoring import term_score_expr
 
@@ -54,19 +54,36 @@ def collect_matched_terms(
     ``terms_df`` reuses a caller's already-built dictionary scan.
     """
     tdf = match_terms(index, part) if terms_df is None else terms_df
-    if tdf.select("term_id").limit(cap + 1).count() > cap:
-        if text_ids is not None:
-            kept = index.token_texts(part.field).join(
-                F.broadcast(text_ids.select("text_id")), "text_id", "left_semi"
-            )
-        elif anchor_ids is not None:
-            kept = index.postings_for(part.field, tdf).join(
-                F.broadcast(anchor_ids.select("doc_id")), "doc_id", "left_semi"
-            )
-        else:  # no top-k frame to restrict by: hard cap, best-score first
-            tdf = tdf.orderBy(F.desc("term_score"), F.desc("term_id")).limit(cap)
-            return [r["term"] for r in tdf.select("term").collect()]
-        tdf = tdf.join(kept.select("term_id").distinct(), "term_id", "left_semi")
+    # ONE job for the common far-below-cap case: the probe rows ARE the
+    # answer when they fit (a separate limit().count() probe would double
+    # the Spark jobs of every why_found/highlight leaf)
+    probe = tdf.select("term").limit(cap + 1).collect()
+    if len(probe) <= cap:
+        return [r["term"] for r in probe]
+    if text_ids is not None:
+        kept = index.token_texts(part.field).join(
+            F.broadcast(text_ids.select("text_id")), "text_id", "left_semi"
+        )
+    elif anchor_ids is not None:
+        # Do NOT decode postings for the full over-cap term set
+        # (postings_for broadcasts every matched term_id — the driver
+        # blowup this cap exists to prevent). Blocks are doc-aligned, so
+        # the top-k docs (k tiny) pin a literal block_no IN (...) that
+        # row-group-prunes the block scan; decode only those blocks and
+        # keep the terms whose postings hit the k docs — bounded by the
+        # token count of k docs, independent of how many dictionary
+        # terms the part matched.
+        id_rows = anchor_ids.select("doc_id").collect()
+        doc_ids = sorted({int(r["doc_id"]) for r in id_rows})
+        blocks = sorted({d // index.block_docs for d in doc_ids})
+        blk = index.postings_blocks(part.field).where(
+            F.col("block_no").isin(blocks)
+        )
+        kept = decode_blocks_df(blk).where(F.col("doc_id").isin(doc_ids))
+    else:  # no top-k frame to restrict by: hard cap, best-score first
+        tdf = tdf.orderBy(F.desc("term_score"), F.desc("term_id")).limit(cap)
+        return [r["term"] for r in tdf.select("term").collect()]
+    tdf = tdf.join(kept.select("term_id").distinct(), "term_id", "left_semi")
     return [r["term"] for r in tdf.select("term").collect()]
 
 

@@ -406,7 +406,11 @@ def kmeans_centroids(
     if len(cents) < k:
         # explicit failure instead of an IndexError on empty input /
         # silently returning fewer-than-k centroids (which ann_ivf_topk,
-        # build_ivf_index and dedup_semantic_kmeans would inherit)
+        # build_ivf_index and dedup_semantic_kmeans would inherit);
+        # free the cache first — the init collect materialized it, and
+        # retried calls would otherwise accumulate MEMORY_AND_DISK copies
+        if iters > 0:
+            emb.unpersist()
         raise ValueError(
             f"kmeans_centroids: embeddings table has {len(cents)} rows, "
             f"need at least k={k}"

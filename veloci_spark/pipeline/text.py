@@ -1456,9 +1456,14 @@ best{k} AS (
   GROUP BY a, b ORDER BY sum(freq) DESC, a || chr(31) || b ASC LIMIT 1
 ),
 h{k} AS (
+  -- LEFT JOIN ON true, not CROSS JOIN: when pairs exhaust before round
+  -- {k} (best{k} empty) the stage must pass s{k} through unchanged
+  -- (hit=false everywhere), matching the Spark loop's break — a cross
+  -- join against the empty best{k} would vacate every later stage and
+  -- the encode oracle with it
   SELECT wid, freq, pos, a, b,
          coalesce(b IS NOT NULL AND a = ba AND b = bb, false) AS hit
-  FROM p{k} CROSS JOIN best{k}
+  FROM p{k} LEFT JOIN best{k} ON true
 ),
 a{k} AS (
   SELECT *, hit AND (row_number() OVER

@@ -60,6 +60,42 @@ def _save_state(work_dir: str, state: dict) -> None:
         json.dump(state, f, indent=2)
 
 
+class _BatchLedger:
+    """Committed-batch ledger for foreachBatch exactly-once replay checks.
+
+    Append-only: committed ids load ONCE when the stream (re)starts and
+    each commit appends a single line, so per-batch marker cost is O(1)
+    regardless of stream age.  The previous rewrite-the-whole-dict marker
+    re-read and re-serialized every prior batch id on EVERY microbatch —
+    O(n_batches²) marker I/O over the stream's lifetime, on exactly the
+    unbounded workloads these streams exist for.  Legacy dict markers
+    (same path without the trailing 'l') are honored on load so existing
+    work_dirs resume correctly."""
+
+    def __init__(self, path: str):
+        self.path = path  # "<name>.jsonl": one {"id", "info"} per line
+        self._ids: set[str] = set()
+        legacy = path[:-1]
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                self._ids.update(json.load(f).keys())
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self._ids.add(json.loads(line)["id"])
+
+    def __contains__(self, batch_id) -> bool:
+        return str(batch_id) in self._ids
+
+    def commit(self, batch_id, info=None) -> None:
+        with open(self.path, "a") as f:
+            json.dump({"id": str(batch_id), "info": info}, f)
+            f.write("\n")
+        self._ids.add(str(batch_id))
+
+
 def start_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -81,14 +117,10 @@ def start_ingest(
     os.makedirs(work_dir, exist_ok=True)
     corpus = _corpus_dir(work_dir)
     ckpt = os.path.join(work_dir, "_checkpoint")
-    done_marker = os.path.join(work_dir, "_batches_done.json")
+    ledger = _BatchLedger(os.path.join(work_dir, "_batches_done.jsonl"))
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        done = {}
-        if os.path.exists(done_marker):
-            with open(done_marker) as f:
-                done = json.load(f)
-        if str(batch_id) in done:
+        if batch_id in ledger:
             return  # replay after failure: already committed
         state = _load_state(work_dir)
         base = state["next_doc_id"]
@@ -107,9 +139,7 @@ def start_ingest(
             ranked._veloci_unpersist()
         state["next_doc_id"] = base + n
         _save_state(work_dir, state)
-        done[str(batch_id)] = n
-        with open(done_marker, "w") as f:
-            json.dump(done, f)
+        ledger.commit(batch_id, n)
 
     reader = (
         spark.readStream.schema(schema)
@@ -336,15 +366,11 @@ def start_dedup_stream_store(
     out_dir = os.path.join(work_dir, "dedup_out")
     store = os.path.join(work_dir, "content_hashes")
     ckpt = os.path.join(work_dir, "_dedup_store_checkpoint")
-    done_marker = os.path.join(work_dir, "_dedup_store_batches.json")
+    ledger = _BatchLedger(os.path.join(work_dir, "_dedup_store_batches.jsonl"))
     out_cols = [c.split(" ")[0] for c in DEDUP_OUT_SCHEMA.split(", ")]
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        done = {}
-        if os.path.exists(done_marker):
-            with open(done_marker) as f:
-                done = json.load(f)
-        if str(batch_id) in done:
+        if batch_id in ledger:
             return
         fresh = (
             df.where(F.col("text").isNotNull())
@@ -359,9 +385,7 @@ def start_dedup_stream_store(
         fresh.select(*out_cols).write.mode("append").parquet(out_dir)
         fresh.select("content_hash").write.mode("append").parquet(store)
         fresh.unpersist()
-        done[str(batch_id)] = True
-        with open(done_marker, "w") as f:
-            json.dump(done, f)
+        ledger.commit(batch_id)
 
     q = (
         spark.readStream.schema(schema)
@@ -643,18 +667,14 @@ def start_neardup_stream(
     out_dir = os.path.join(work_dir, "neardup_out")
     fp_store = os.path.join(work_dir, "fingerprints")
     ckpt = os.path.join(work_dir, "_neardup_checkpoint")
-    done_marker = os.path.join(work_dir, "_neardup_batches.json")
+    ledger = _BatchLedger(os.path.join(work_dir, "_neardup_batches.jsonl"))
     sim = _simhash64_udf()
 
     def _bands(df: DataFrame) -> DataFrame:
         return _neardup_bands(df, n_bands)
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        done = {}
-        if os.path.exists(done_marker):
-            with open(done_marker) as f:
-                done = json.load(f)
-        if str(batch_id) in done:
+        if batch_id in ledger:
             return
         fp_df = (
             df.where(F.col("text").isNotNull())
@@ -705,9 +725,7 @@ def start_neardup_stream(
         for w in round_winners:
             w.unpersist()
         fp_df.unpersist()
-        done[str(batch_id)] = True
-        with open(done_marker, "w") as f:
-            json.dump(done, f)
+        ledger.commit(batch_id)
 
     q = (
         spark.readStream.schema(schema)
@@ -794,15 +812,11 @@ def start_ivf_ingest(
 
     os.makedirs(work_dir, exist_ok=True)
     ckpt = os.path.join(work_dir, "_ivf_checkpoint")
-    done_marker = os.path.join(work_dir, "_ivf_batches.json")
+    ledger = _BatchLedger(os.path.join(work_dir, "_ivf_batches.jsonl"))
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
 
     def _batch(df: DataFrame, batch_id: int) -> None:
-        done = {}
-        if os.path.exists(done_marker):
-            with open(done_marker) as f:
-                done = json.load(f)
-        if str(batch_id) in done:
+        if batch_id in ledger:
             return
         scored = df.crossJoin(F.broadcast(cents)).select(
             "vec_id",
@@ -824,9 +838,7 @@ def start_ivf_ingest(
             os.path.join(index_dir, "lists")
         )
         assign.unpersist()
-        done[str(batch_id)] = n
-        with open(done_marker, "w") as f:
-            json.dump(done, f)
+        ledger.commit(batch_id, n)
 
     q = (
         spark.readStream.schema(schema)

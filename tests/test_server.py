@@ -18,7 +18,9 @@ def app(spark, tmp_root):
     corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     cfg = vs.IndexConfig(
         fields=(
-            vs.FieldConfig("text", store_texts=True),
+            # bm25=True additionally bakes BM25 blocks for the
+            # bm25_batch route test; native postings unchanged
+            vs.FieldConfig("text", store_texts=True, bm25=True),
             vs.FieldConfig("lang"),
         ),
         block_docs=128,
@@ -217,3 +219,33 @@ def test_explain_plan_route(app):
     )
     assert status == 200 and isinstance(dot, str)
     assert "digraph" in dot and "spark" in dot
+
+
+def test_bm25_batch_route(app, spark, tmp_root):
+    """POST /:db/bm25_batch (north-rule extension): per-query rows equal
+    the direct bm25_batch_topk call; unknown-term query present but
+    empty."""
+    from veloci_spark.bm25 import bm25_batch_topk
+    from veloci_spark.index import Index
+
+    body = {
+        "field": "text",
+        "queries": {"qa": ["spark", "join"], "qb": ["zz_nothing"]},
+        "top": 5,
+    }
+    status, res = app.handle("POST", "/docs/bm25_batch", body=body)
+    assert status == 200
+    assert set(res) == {"qa", "qb"} and res["qb"] == []
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_batch_topk(idx, "text", body["queries"], 5).collect()
+    ]
+    assert res["qa"] == want and len(want) == 5
+
+
+def test_bm25_batch_route_rejects_bad_queries(app):
+    status, res = app.handle(
+        "POST", "/docs/bm25_batch", body={"field": "text", "queries": [1, 2]}
+    )
+    assert status == 400

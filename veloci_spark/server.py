@@ -420,6 +420,22 @@ class VelociApp:
                 [r["text"], float(r["score"]), r["highlighted"]]
                 for r in highlight_entry(idx, part).collect()
             ]
+        if rest == "bm25_batch" and method == "POST":
+            # North-rule extension (no rocket counterpart — the reference
+            # has no BM25): evaluate a whole query set in ONE Spark job.
+            # Body: {"field": str, "queries": {qid: [terms...]}, "top": k}
+            # → {qid: [[doc_id, score_e4], ...]} best-first per query.
+            from veloci_spark.bm25 import bm25_batch_topk
+
+            field = body.get("field", "content")
+            queries = body.get("queries") or {}
+            if not isinstance(queries, dict):
+                raise HttpError(400, "queries must be {id: [terms...]}")
+            top = int(body.get("top", 10))
+            out: dict[str, list] = {q: [] for q in queries}
+            for r in bm25_batch_topk(idx, field, queries, top).collect():
+                out[r["query_id"]].append([int(r["doc_id"]), int(r["score_e4"])])
+            return out
         m_id = re.match(r"^_id/(\d+)$", rest)
         if m_id and method == "GET":
             doc_id = int(m_id.group(1))

@@ -46,13 +46,15 @@ def main() -> None:
     ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
     ap.add_argument(
         "--bm25",
-        choices=["or", "and", "or-wand", "and-wand", "phrase", "explain"],
+        choices=["or", "and", "or-wand", "and-wand", "phrase", "explain", "batch"],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
         "separated exact terms; 'and' = posting-list intersection; "
         "'-wand' variants use block-max pruning; 'phrase' = exact "
         "adjacent-token phrase via pair-chain prune + positional verify; "
-        "'explain' = per-term score provenance of the top-k)",
+        "'explain' = per-term score provenance of the top-k; 'batch' = "
+        "a whole query set in ONE job, --query is a JSON object "
+        '{"qid": ["term", ...], ...})',
     )
     ap.add_argument(
         "--bm25f-weights",
@@ -120,6 +122,26 @@ def main() -> None:
                 weights[fld.strip()] = int(w or "1")
             fn = bm25.bm25f_wand_topk if args.bm25 == "or-wand" else bm25.bm25f_topk
             rows = fn(idx, weights, terms, args.top + args.skip).collect()
+        elif args.bm25 == "batch":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.skip:
+                ap.error("--bm25 batch is per-query top-k; --skip unsupported")
+            try:
+                queries = json.loads(args.query)
+            except json.JSONDecodeError as ex:
+                ap.error(f"--bm25 batch --query must be JSON: {ex}")
+            if not isinstance(queries, dict) or not all(
+                isinstance(v, list) for v in queries.values()
+            ):
+                ap.error('--bm25 batch --query must be {"qid": ["term", ...]}')
+            rows = bm25.bm25_batch_topk(
+                idx, args.fields, queries, args.top
+            ).collect()
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+            spark.stop()
+            return
         else:
             if not args.fields or len(args.fields.split(",")) != 1:
                 ap.error("--bm25 requires exactly one --fields entry")

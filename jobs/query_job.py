@@ -135,13 +135,11 @@ def main() -> None:
                 isinstance(v, list) for v in queries.values()
             ):
                 ap.error('--bm25 batch --query must be {"qid": ["term", ...]}')
+            # falls through to the shared print/stop epilogue below
+            # (--skip already rejected, so rows[args.skip:] == rows)
             rows = bm25.bm25_batch_topk(
                 idx, args.fields, queries, args.top
             ).collect()
-            for r in rows:
-                print(json.dumps(r.asDict(), default=str))
-            spark.stop()
-            return
         else:
             if not args.fields or len(args.fields.split(",")) != 1:
                 ap.error("--bm25 requires exactly one --fields entry")

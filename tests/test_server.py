@@ -249,3 +249,13 @@ def test_bm25_batch_route_rejects_bad_queries(app):
         "POST", "/docs/bm25_batch", body={"field": "text", "queries": [1, 2]}
     )
     assert status == 400
+
+
+def test_bm25_batch_route_rejects_string_terms(app):
+    # a string would be iterated per CHARACTER; must 400, not 200
+    status, res = app.handle(
+        "POST",
+        "/docs/bm25_batch",
+        body={"field": "text", "queries": {"q": "spark join"}},
+    )
+    assert status == 400

@@ -519,3 +519,11 @@ def test_batch_ledger_append_only_and_legacy(tmp_path):
     # a fresh instance (stream restart) reloads both sources
     led2 = _BatchLedger(path)
     assert all(b in led2 for b in (0, 1, 2, 3)) and 4 not in led2
+    # a torn tail (crash mid-append) is an UNCOMMITTED batch, not a
+    # fatal parse error blocking every restart
+    with open(path, "a") as f:
+        f.write('{"id": "9", "in')
+    led3 = _BatchLedger(path)
+    assert 2 in led3 and 3 in led3 and 9 not in led3
+    led3.commit(9)
+    assert 9 in led3

@@ -65,20 +65,23 @@ def collect_matched_terms(
             F.broadcast(text_ids.select("text_id")), "text_id", "left_semi"
         )
     elif anchor_ids is not None:
-        # Do NOT decode postings for the full over-cap term set
-        # (postings_for broadcasts every matched term_id — the driver
+        # Do NOT decode postings for the full over-cap term set via
+        # postings_for (it broadcasts every matched term_id — the driver
         # blowup this cap exists to prevent). Blocks are doc-aligned, so
         # the top-k docs (k tiny) pin a literal block_no IN (...) that
-        # row-group-prunes the block scan; decode only those blocks and
-        # keep the terms whose postings hit the k docs — bounded by the
-        # token count of k docs, independent of how many dictionary
-        # terms the part matched.
+        # row-group-prunes the block scan; a DISTRIBUTED left-semi join
+        # (no broadcast, no driver collect) then keeps only the matched
+        # terms' blocks before decode — decode cost is bounded by the
+        # matched terms' postings within the k docs' blocks, and the
+        # doc_id filter keeps just the k docs' rows afterwards. (Without
+        # the semi-join, a single-block corpus would decode the field's
+        # ENTIRE posting table for one over-cap leaf.)
         id_rows = anchor_ids.select("doc_id").collect()
         doc_ids = sorted({int(r["doc_id"]) for r in id_rows})
         blocks = sorted({d // index.block_docs for d in doc_ids})
         blk = index.postings_blocks(part.field).where(
             F.col("block_no").isin(blocks)
-        )
+        ).join(tdf.select("term_id"), "term_id", "left_semi")
         kept = decode_blocks_df(blk).where(F.col("doc_id").isin(doc_ids))
     else:  # no top-k frame to restrict by: hard cap, best-score first
         tdf = tdf.orderBy(F.desc("term_score"), F.desc("term_id")).limit(cap)

@@ -429,7 +429,13 @@ class VelociApp:
 
             field = body.get("field", "content")
             queries = body.get("queries") or {}
-            if not isinstance(queries, dict):
+            # a string value would be silently iterated per CHARACTER by
+            # the term loop; a non-iterable would escape as TypeError
+            # (dropped connection, not a 400) — validate the full shape
+            if not isinstance(queries, dict) or not all(
+                isinstance(ts, list) and all(isinstance(t, str) for t in ts)
+                for ts in queries.values()
+            ):
                 raise HttpError(400, "queries must be {id: [terms...]}")
             top = int(body.get("top", 10))
             out: dict[str, list] = {q: [] for q in queries}

@@ -83,8 +83,16 @@ class _BatchLedger:
             with open(path) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         self._ids.add(json.loads(line)["id"])
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        # a torn tail (crash mid-append) is an UNCOMMITTED
+                        # batch — the checkpoint will replay it; a fatal
+                        # parse error here would block every restart after
+                        # exactly the crash this ledger exists to survive
+                        continue
 
     def __contains__(self, batch_id) -> bool:
         return str(batch_id) in self._ids

@@ -259,3 +259,39 @@ def test_bm25_batch_route_rejects_string_terms(app):
         body={"field": "text", "queries": {"q": "spark join"}},
     )
     assert status == 400
+
+
+# ---- malformed-body fuzz: the shim's error envelope never leaks ----
+
+from hypothesis import given, settings, strategies as st
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(), st.text(max_size=8)
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=3),
+        st.dictionaries(st.text(max_size=8), kids, max_size=3),
+    ),
+    max_leaves=8,
+)
+_routes = st.sampled_from(
+    [
+        ("POST", "/docs/search"),
+        ("POST", "/docs/search_query_params"),
+        ("POST", "/docs/suggest"),
+        ("POST", "/docs/highlight"),
+        ("POST", "/docs/bm25_batch"),
+    ]
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_routes, st.dictionaries(st.text(max_size=10), _json_values, max_size=4))
+def test_malformed_bodies_never_escape(app, route, body):
+    """Any JSON-shaped body yields an HTTP status (200 or 4xx), never an
+    exception escaping handle() — a dropped connection to the client."""
+    method, path = route
+    status, _res = app.handle(method, path, body=body)
+    assert status in (200, 400)

@@ -385,6 +385,12 @@ class VelociApp:
             return e.status, {"error": e.msg}
         except (ValueError, KeyError) as e:
             return 400, {"error": f"query_generation failed: {e}"}
+        except (TypeError, AttributeError) as e:
+            # a malformed body deep in request parsing (int where a dict
+            # or string was expected) is a CLIENT error — 400 with a
+            # message, never an exception escaping into the HTTP wrapper
+            # as a dropped connection
+            return 400, {"error": f"malformed request: {e}"}
 
     def _route(self, method: str, path: str, query: dict, body) -> Any:
         if method == "GET" and path == "/version":
@@ -396,7 +402,10 @@ class VelociApp:
         idx = self.ensure_database(db)
         t0 = time.monotonic_ns()
         if rest == "search" and method == "POST":
-            return search_result_to_json(idx, request_from_json(body), t0)
+            req = request_from_json(body)
+            if req.search is None:
+                raise HttpError(400, "no search tree in request body")
+            return search_result_to_json(idx, req, t0)
         if rest == "search" and method == "GET":
             params = generator_params_from_query_params(query)
             return search_result_to_json(idx, generate_request(idx, params), t0)

@@ -295,3 +295,24 @@ def test_malformed_bodies_never_escape(app, route, body):
     method, path = route
     status, _res = app.handle(method, path, body=body)
     assert status in (200, 400)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.text(max_size=24),
+    st.dictionaries(
+        st.sampled_from(
+            ["query", "top", "skip", "levenshtein", "fields", "boost_fields",
+             "facets", "why_found", "select", "filter"]
+        ),
+        st.text(max_size=12),
+        max_size=4,
+    ),
+)
+def test_random_query_params_never_escape(app, term, extra):
+    """GET /:db/search with arbitrary query strings and junk parameter
+    values always answers 200/400 — the DSL parser and the generator
+    param coercion never leak an exception to the HTTP wrapper."""
+    q = {"query": term, **extra}
+    status, _res = app.handle("GET", "/docs/search", query=q)
+    assert status in (200, 400)

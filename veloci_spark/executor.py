@@ -723,6 +723,17 @@ def search(index: Index, request: Request) -> SearchResult:
     # chain walks parent_to_value_id per instance, facet.rs:59-93)
     facets: dict[str, DataFrame] = {}
     for freq in request.facets:
+        # a facet whose ROOT column the doc store doesn't have is a
+        # CLIENT error — raise ValueError (the server maps it to 400)
+        # instead of letting Catalyst's unresolved-column
+        # AnalysisException escape at plan time
+        cols = index.docstore().columns
+        froot = freq.field.split(".", 1)[0].removesuffix("[]")
+        if froot not in cols:
+            raise ValueError(
+                f"facet field {freq.field!r} not found; doc store has "
+                f"{sorted(c for c in cols if c != 'doc_id')}"
+            )
         if is_nested(freq.field) or "." in freq.field:
             src = explode_path(
                 index.docstore().join(
@@ -760,6 +771,17 @@ def search(index: Index, request: Request) -> SearchResult:
         # Nested select paths project the native Struct/Array column
         # (Spark-side equivalent of the reference's JSON subtree rebuild,
         # read_document.rs:8-59 — arrays stay arrays).
+        cols = index.docstore().columns
+        for s in request.select:
+            # a select whose ROOT column the doc store doesn't have is a
+            # CLIENT error → ValueError (server: 400), not a plan-time
+            # AnalysisException escaping the response envelope
+            root = s.split(".", 1)[0].removesuffix("[]")
+            if root not in cols:
+                raise ValueError(
+                    f"select field {s!r} not found; doc store has "
+                    f"{sorted(c for c in cols if c != 'doc_id')}"
+                )
         sel_cols = [
             select_path_column(s).alias(s) if ("." in s or "[]" in s) else F.col(s)
             for s in request.select

@@ -64,6 +64,13 @@ def main() -> None:
         "or-wand for the exhaustive/pruned path)",
     )
     ap.add_argument(
+        "--bm25-filter",
+        default=None,
+        help="SQL predicate over docstore columns (e.g. \"lang = 'rs'\") "
+        "restricting BM25 results to matching docs; scores stay corpus-"
+        "level (filtered search). Supports --bm25 or / or-wand.",
+    )
+    ap.add_argument(
         "--suggest",
         action="store_true",
         help="autocomplete mode (the reference's POST /:db/suggest): "
@@ -143,15 +150,28 @@ def main() -> None:
         else:
             if not args.fields or len(args.fields.split(",")) != 1:
                 ap.error("--bm25 requires exactly one --fields entry")
-            fn = {
-                "or": bm25.bm25_topk,
-                "and": bm25.bm25_and_topk,
-                "or-wand": bm25.bm25_wand_topk,
-                "and-wand": bm25.bm25_and_wand_topk,
-                "phrase": bm25.bm25_phrase_topk,
-                "explain": bm25.bm25_explain_topk,
-            }[args.bm25]
-            rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
+            if args.bm25_filter:
+                if args.bm25 not in ("or", "or-wand"):
+                    ap.error("--bm25-filter supports --bm25 or / or-wand only")
+                fn = (
+                    bm25.bm25_filtered_wand_topk
+                    if args.bm25 == "or-wand"
+                    else bm25.bm25_filtered_topk
+                )
+                rows = fn(
+                    idx, args.fields, terms, args.top + args.skip,
+                    args.bm25_filter,
+                ).collect()
+            else:
+                fn = {
+                    "or": bm25.bm25_topk,
+                    "and": bm25.bm25_and_topk,
+                    "or-wand": bm25.bm25_wand_topk,
+                    "and-wand": bm25.bm25_and_wand_topk,
+                    "phrase": bm25.bm25_phrase_topk,
+                    "explain": bm25.bm25_explain_topk,
+                }[args.bm25]
+                rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
         for r in rows[args.skip:]:
             print(json.dumps(r.asDict(), default=str))
         spark.stop()

@@ -469,3 +469,66 @@ def test_bm25_field_with_no_token_rows_builds_empty(spark, tmp_root):
     )
     assert bm25_topk(idx, "tag", ["en"], 5).count() == 0
     assert bm25_batch_topk(idx, "tag", {"q": ["en"]}, 5).count() == 0
+
+
+# ----------------------------------------------------------- filtered path
+
+def test_filtered_equals_postfiltered_exhaustive(bm25_index):
+    """filtered top-k == unfiltered scores ∩ allowed docs, re-cut to k
+    (corpus-level stats: the filter must NOT change any score)."""
+    from veloci_spark.bm25 import bm25_filtered_topk
+
+    terms = ["alpha", "gamma"]
+    full = bm25_topk(bm25_index, "body", terms, 100).collect()
+    expect = [tuple(r) for r in full if r["doc_id"] % 2 == 0][:3]
+    got = bm25_filtered_topk(
+        bm25_index, "body", terms, 3, F.col("doc_id") % 2 == 0
+    ).collect()
+    assert [tuple(r) for r in got] == expect
+
+
+def test_filtered_wand_rank_identical(bm25_index):
+    from veloci_spark.bm25 import bm25_filtered_topk, bm25_filtered_wand_topk
+
+    terms = ["alpha", "beta", "gamma"]
+    pred = F.col("doc_id") % 3 != 1
+    exact = bm25_filtered_topk(bm25_index, "body", terms, 4, pred).collect()
+    wand = bm25_filtered_wand_topk(
+        bm25_index, "body", terms, 4, pred, start_blocks=1, max_iters=8
+    ).collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
+
+
+def test_filtered_true_predicate_is_unfiltered(bm25_index):
+    from veloci_spark.bm25 import bm25_filtered_topk
+
+    terms = ["alpha", "beta"]
+    got = bm25_filtered_topk(bm25_index, "body", terms, 5, F.lit(True)).collect()
+    exact = bm25_topk(bm25_index, "body", terms, 5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_filtered_nothing_allowed_is_empty(bm25_index):
+    from veloci_spark.bm25 import bm25_filtered_topk, bm25_filtered_wand_topk
+
+    assert bm25_filtered_topk(
+        bm25_index, "body", ["alpha"], 5, F.lit(False)
+    ).count() == 0
+    # WAND never decodes its way into a phantom result either
+    assert bm25_filtered_wand_topk(
+        bm25_index, "body", ["alpha"], 5, F.lit(False), start_blocks=1
+    ).count() == 0
+
+
+def test_filter_accepts_sql_string_and_pushes_down(bm25_index):
+    """A string predicate works, and a pushable comparison reaches the
+    docstore Parquet scan as a PushedFilter (the 100-TB contract: the
+    filter prunes row groups / partitions, not post-scan rows)."""
+    from veloci_spark.bm25 import bm25_filtered_topk
+
+    q = bm25_filtered_topk(bm25_index, "body", ["alpha", "gamma"], 5, "doc_id <= 5")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(doc_id,5)" in plan
+    full = bm25_topk(bm25_index, "body", ["alpha", "gamma"], 100).collect()
+    expect = [tuple(r) for r in full if r["doc_id"] <= 5][:5]
+    assert [tuple(r) for r in q.collect()] == expect

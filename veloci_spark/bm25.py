@@ -788,3 +788,116 @@ def bm25_batch_topk(
         )
         .orderBy("query_id", F.desc("score_e4"), F.desc("doc_id"))
     )
+
+
+# --------------------------- filtered queries ----------------------------
+
+def _allowed_docs(index, doc_filter) -> DataFrame:
+    """doc_ids of docstore rows satisfying ``doc_filter`` (a Column or a
+    SQL expression string over docstore columns, e.g. ``lang = 'rs'``).
+
+    The predicate + the doc_id-only projection are handed to Catalyst
+    BEFORE the scan, so `.explain` shows them as PushedFilters /
+    ReadSchema on the docstore Parquet read; on a partitioned or Iceberg
+    docstore the same predicate partition-prunes.  Nothing but the
+    surviving doc_ids leaves the scan."""
+    pred = F.expr(doc_filter) if isinstance(doc_filter, str) else doc_filter
+    return index.docstore().where(pred).select("doc_id")
+
+
+def bm25_filtered_topk(
+    index, field: str, terms: Sequence[str], k: int, doc_filter
+) -> DataFrame:
+    """BM25 OR-sum top-k restricted to docs matching a metadata
+    predicate (``lang = 'rs'``, ``repo = ...``, ...) — filtered search,
+    the BM25 analogue of the native engine's filter∩scored-hits path
+    (executor.py semi filter; reference: query_generator.rs filter
+    requests).
+
+    Scoring uses CORPUS-level df/avgdl (standard filtered-search
+    semantics — Lucene's filter clauses don't re-derive stats either),
+    so every returned (doc_id, score_e4) is identical to its unfiltered
+    value and the result is exactly "unfiltered scores ∩ allowed docs,
+    re-cut to k".
+
+    Scale shape: the two inputs prune independently — the block scan by
+    the literal ``term_id IN`` (row-group stats), the docstore scan by
+    the pushed-down predicate + doc_id-only projection — and meet in a
+    LEFT SEMI join on the decoded posting stream BEFORE the per-doc
+    aggregation, so only surviving postings enter the top-k shuffle.
+    AQE picks the semi-join strategy from the filtered side's runtime
+    size (a selective predicate ⇒ broadcast hash join)."""
+    from veloci_spark.index import decode_blocks_df
+
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return _empty_topk(index.spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    hits = (
+        flat.join(_allowed_docs(index, doc_filter), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score_e4"))
+    )
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+def bm25_filtered_wand_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    doc_filter,
+    start_blocks: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Block-max WAND under a metadata filter, rank-identical to
+    :func:`bm25_filtered_topk`.
+
+    The unfiltered per-block bounds ub(block) = Σ_t block_max_t stay
+    VALID upper bounds under any filter (filtering only removes docs, so
+    the best filtered score in a block is ≤ the unfiltered bound) —
+    phase 1 is unchanged metadata-only work.  Phase 2's exact decode
+    applies the allowed-docs semi join before aggregating, so the
+    threshold the loop raises is the true filtered kth score.  A very
+    selective filter makes the bounds loose (blocks whose top docs are
+    all filtered away still look promising), which costs extra
+    iterations, never wrong results; on budget exhaustion the fallback
+    is one full filtered decode."""
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return _empty_topk(spark)
+    allowed = _allowed_docs(index, doc_filter)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
+    block_ub = blocks.groupBy("block_no").agg(F.sum("max_score").alias("ub"))
+
+    def _exact_topk(cand_ids: Optional[list]) -> list:
+        sel = blocks
+        if cand_ids is not None:
+            sel = sel.where(F.col("block_no").isin(cand_ids))
+        flat = decode_blocks_df(sel)
+        hits = (
+            flat.join(allowed, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score_e4"))
+        )
+        return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+
+    ub_rows, truncated = collect_block_ubs(block_ub)
+    result_rows, _decoded = wand_driver_loop(
+        ub_rows,
+        truncated,
+        k,
+        _exact_topk,
+        lambda r: r["score_e4"],
+        start_blocks=start_blocks,
+        max_iters=max_iters,
+    )
+    if result_rows is None:
+        result_rows = _exact_topk(None)
+
+    blocks.unpersist()
+    return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")

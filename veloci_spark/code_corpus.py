@@ -35,6 +35,8 @@ from veloci_spark.bm25 import (
     bm25_and_wand_topk,
     bm25_batch_topk,
     bm25_explain_topk,
+    bm25_filtered_topk,
+    bm25_filtered_wand_topk,
     bm25_phrase_topk,
     bm25_topk,
     bm25_wand_topk,
@@ -557,6 +559,58 @@ def _q_bm25f_wand(spark, sf_dir):
 
 _QUERIES["code_bm25f_wand"] = _q_bm25f_wand
 _ORACLES["code_bm25f_wand"] = _bm25f_sql(_BM25F_TERMS, 20)
+
+
+# ---- filtered BM25: metadata predicate ∩ scored hits ----
+
+_FILTER_LANG = "rs"
+
+
+def _bm25_filtered_sql(terms: list[str], k: int, lang: str) -> str:
+    in_list = ", ".join(_q(t) for t in terms)
+    return (
+        "WITH "
+        + CODE_CTE
+        + f"""
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+FROM cbm25 b
+JOIN cdict d USING (term_id)
+JOIN code c ON c.doc_id = b.doc_id
+WHERE d.term IN ({in_list}) AND c.lang = {_q(lang)}
+GROUP BY b.doc_id
+ORDER BY score_e4 DESC, b.doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    """Filtered search: BM25 OR top-k over docs whose docstore metadata
+    passes a predicate (here lang = 'rs'); scores stay corpus-level, the
+    predicate + doc_id projection are pushed into the docstore scan and
+    the surviving ids semi-join the decoded postings BEFORE the top-k
+    aggregation (bm25.bm25_filtered_topk)."""
+    idx = code_index(spark, sf_dir)
+    return bm25_filtered_topk(
+        idx, "content", _TOPK_TERMS, 20, F.col("lang") == _FILTER_LANG
+    )
+
+
+_QUERIES["code_bm25_filtered"] = _q_bm25_filtered
+_ORACLES["code_bm25_filtered"] = _bm25_filtered_sql(_TOPK_TERMS, 20, _FILTER_LANG)
+
+
+def _q_bm25_filtered_wand(spark, sf_dir):
+    """Block-max WAND under the same filter — same oracle (rank
+    identity): unfiltered block bounds remain valid upper bounds under
+    any filter, the exact phase semi-joins the allowed docs."""
+    idx = code_index(spark, sf_dir)
+    return bm25_filtered_wand_topk(
+        idx, "content", _TOPK_TERMS, 20,
+        F.col("lang") == _FILTER_LANG, start_blocks=2,
+    )
+
+
+_QUERIES["code_bm25_filtered_wand"] = _q_bm25_filtered_wand
+_ORACLES["code_bm25_filtered_wand"] = _bm25_filtered_sql(_TOPK_TERMS, 20, _FILTER_LANG)
 
 
 # ---- batched multi-query BM25: the eval-harness shape ----

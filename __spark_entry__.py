@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver's correctness window (53 entries), registered
+    """The driver's correctness window (55 entries), registered
     north-rule-first: the code-corpus BM25 engine, then the fulltext
     engine, then the LLM-pipeline operators.  Parameter-variant /
     redundant entries live in extra_queries() and are gated by pytest's

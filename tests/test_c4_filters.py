@@ -1,0 +1,104 @@
+"""C4 heuristic filter battery (Raffel et al. 2020 §2.2) — crafted-row
+detector pins, mirroring tests/test_code_quality.py: each rule is
+exercised by a row built to trip exactly that rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from veloci_spark.pipeline.text import (
+    C4_MIN_KEPT_LINES,
+    c4_filters_frame,
+    text_c4_filters,
+)
+
+GOOD_LINE = "This line has at least five words in it."
+
+ROWS = [
+    # doc 0: three kept lines, clean -> keep
+    (0, "\n".join([GOOD_LINE] * 3)),
+    # doc 1: only two kept lines -> fails the min-sentence page rule
+    (1, "\n".join([GOOD_LINE] * 2)),
+    # doc 2: lorem ipsum page flag (case-insensitive)
+    (2, "\n".join([GOOD_LINE] * 3 + ["Lorem Ipsum dolor sit amet."])),
+    # doc 3: brace page flag (C4 drops code-looking pages)
+    (3, "\n".join([GOOD_LINE] * 3 + ["if (x) { return; }"])),
+    # doc 4: line lacking terminal punctuation is NOT kept
+    (4, "\n".join([GOOD_LINE] * 2 + ["no terminal punctuation here"])),
+    # doc 5: line with fewer than five words is NOT kept
+    (5, "\n".join([GOOD_LINE] * 2 + ["Too short."])),
+    # doc 6: javascript mention kills the line (any case)
+    (6, "\n".join([GOOD_LINE] * 2 + ["Please enable JavaScript to continue."])),
+    # doc 7: closing double quote counts as terminal punctuation
+    (7, "\n".join([GOOD_LINE] * 2 + ['He said "this is five words here."'])),
+    # doc 8: empty text
+    (8, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    return {r["doc_id"]: r for r in c4_filters_frame(df).collect()}
+
+
+def test_clean_page_kept(result):
+    r = result[0]
+    assert r["n_kept_lines"] == 3 and r["keep"] == 1
+    assert r["has_lorem"] == 0 and r["has_brace"] == 0
+
+
+def test_min_sentence_rule(result):
+    assert result[1]["n_kept_lines"] == 2
+    assert result[1]["keep"] == 0
+    assert C4_MIN_KEPT_LINES == 3
+
+
+def test_lorem_ipsum_page_flag(result):
+    assert result[2]["has_lorem"] == 1 and result[2]["keep"] == 0
+
+
+def test_brace_page_flag(result):
+    assert result[3]["has_brace"] == 1 and result[3]["keep"] == 0
+
+
+def test_terminal_punctuation_line_rule(result):
+    # the unpunctuated line is dropped; the page then has only 2 kept
+    assert result[4]["n_lines"] == 3
+    assert result[4]["n_kept_lines"] == 2 and result[4]["keep"] == 0
+
+
+def test_five_word_line_rule(result):
+    assert result[5]["n_kept_lines"] == 2 and result[5]["keep"] == 0
+
+
+def test_javascript_line_rule(result):
+    assert result[6]["n_kept_lines"] == 2 and result[6]["keep"] == 0
+
+
+def test_closing_quote_is_terminal(result):
+    assert result[7]["n_kept_lines"] == 3 and result[7]["keep"] == 1
+
+
+def test_empty_doc_sentinel(result):
+    r = result[8]
+    assert r["kept_char_frac_e4"] == -1 and r["keep"] == 0
+
+
+def test_kept_char_frac_bounds(result):
+    for r in result.values():
+        assert r["kept_char_frac_e4"] == -1 or 0 <= r["kept_char_frac_e4"] <= 10000
+
+
+def test_registry_entry_has_signal_variety(spark):
+    """The synthesised page corpus must make every rule fire on the
+    testdata — a degenerate all-constant column would make the DuckDB
+    oracle vacuous (the single-line word-bag docs trip nothing)."""
+    rows = text_c4_filters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {0, 1}
+    assert sum(r["has_lorem"] for r in rows) > 0
+    assert sum(r["has_brace"] for r in rows) > 0
+    assert len({r["n_kept_lines"] for r in rows}) >= 2
+    assert len({r["kept_char_frac_e4"] for r in rows}) > 10

@@ -1867,6 +1867,163 @@ FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
 """
 
 
+# ------------------------------------------------ C4 heuristic filters
+
+C4_MIN_KEPT_LINES = 3
+
+
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning signals (Raffel et al. 2020 §2.2 —
+    the line/page filters behind the C4 corpus), per doc:
+
+    - a line is KEPT iff it ends in terminal punctuation (``. ! ?`` or a
+      closing double quote), has at least 5 whitespace-separated words,
+      and does not mention "javascript" (case-insensitive);
+    - page flags: contains "lorem ipsum" (case-insensitive),
+      contains ``{``;
+    - ``keep`` = at least :data:`C4_MIN_KEPT_LINES` kept lines and
+      neither page flag (C4's "at least 3 sentences" page rule, with
+      kept lines as the sentence proxy).
+
+    Output: (doc_id, n_lines, n_kept_lines, kept_char_frac_e4,
+    has_lorem, has_brace, keep); flags are 0/1 ints and
+    kept_char_frac_e4 is −1 for an empty doc.  The three-sentence-span
+    dedup step of C4 is the separate `dedup_substring` operator.
+
+    The testdata documents are single-line word bags (no punctuation,
+    no line breaks), on which every rule is vacuously false — so, like
+    the `code_corpus` family, the registry entry runs the battery over
+    a page corpus synthesised deterministically from (doc_id, text):
+    five lines per doc that between them exercise every line rule and,
+    keyed on doc_id % 7, both page flags and the dropped-line path.
+    :func:`c4_filters_frame` is the user-facing API for real corpora.
+
+    Scale shape: pure column expressions over one scan — split + the
+    higher-order filter/aggregate run JVM-side per row — zero shuffles,
+    embarrassingly parallel at any corpus size."""
+    return c4_filters_frame(c4_page_corpus(_docs(spark, sf_dir)))
+
+
+def c4_page_corpus(d: DataFrame) -> DataFrame:
+    """Deterministic multi-line "web page" per doc, built from the word
+    bag so the C4 rules fire with real variety (see
+    :data:`C4_PAGE_CORPUS_SQL` for the DuckDB twin):
+
+    line 1: words 1-7   + '.'  -> kept;
+    line 2: words 8-14         -> dropped (no terminal punctuation);
+    line 3: words 15-18 + '!'  -> dropped (under five words);
+    line 4: words 19-24 + '?'  -> kept;
+    line 5: doc_id % 7 == 0 -> a lorem-ipsum sentence (page flag),
+            doc_id % 7 == 1 -> a brace line (page flag),
+            doc_id % 7 == 2 -> a javascript notice (line dropped,
+                               page then under 3 kept lines),
+            else            -> words 25-30 + '.' (kept)."""
+    w = F.split(F.col("text"), " ")
+
+    def line(start, length, punct):
+        return F.concat(F.array_join(F.slice(w, start, length), " "), F.lit(punct))
+
+    m = F.col("doc_id") % 7
+    l5 = (
+        F.when(m == 0, F.lit("Lorem ipsum dolor sit amet."))
+        .when(m == 1, F.lit("function f() { return 0; }"))
+        .when(m == 2, F.lit("Please enable javascript to view this page."))
+        .otherwise(line(25, 6, "."))
+    )
+    page = F.concat_ws(
+        "\n", line(1, 7, "."), line(8, 7, ""), line(15, 4, "!"), line(19, 6, "?"), l5
+    )
+    return d.select("doc_id", page.alias("text"))
+
+
+C4_PAGE_CORPUS_SQL = """
+  SELECT doc_id,
+    coalesce(array_to_string(list_slice(w, 1, 7), ' '), '') || '.' || chr(10) ||
+    coalesce(array_to_string(list_slice(w, 8, 14), ' '), '') || chr(10) ||
+    coalesce(array_to_string(list_slice(w, 15, 18), ' '), '') || '!' || chr(10) ||
+    coalesce(array_to_string(list_slice(w, 19, 24), ' '), '') || '?' || chr(10) ||
+    CASE doc_id % 7
+      WHEN 0 THEN 'Lorem ipsum dolor sit amet.'
+      WHEN 1 THEN 'function f() { return 0; }'
+      WHEN 2 THEN 'Please enable javascript to view this page.'
+      ELSE coalesce(array_to_string(list_slice(w, 25, 30), ' '), '') || '.'
+    END AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def c4_filters_frame(d: DataFrame) -> DataFrame:
+    """Frame-level C4 battery over (doc_id, text, ...) — see
+    :func:`text_c4_filters`."""
+    lines = F.split(F.col("text"), "\n")
+
+    def _kept(l):
+        return (
+            F.rtrim(l).rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+            & (F.instr(F.lower(l), "javascript") == 0)
+        )
+
+    kept = F.filter(lines, _kept)
+    kept_chars = F.aggregate(
+        kept, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    n_chars = F.length(F.col("text"))
+    has_lorem = (F.instr(F.lower(F.col("text")), "lorem ipsum") > 0).cast("int")
+    has_brace = (F.instr(F.col("text"), "{") > 0).cast("int")
+    n_kept = F.size(kept)
+    keep = (
+        (n_kept >= C4_MIN_KEPT_LINES) & (has_lorem == 0) & (has_brace == 0)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.when(
+            n_chars > 0,
+            e4(kept_chars.cast("double") / n_chars.cast("double")),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("kept_char_frac_e4"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+    )
+
+
+def text_c4_filters_sql() -> str:
+    return f"""
+WITH pages AS ({C4_PAGE_CORPUS_SQL}),
+d AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+  FROM pages
+),
+k AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, l ->
+      regexp_matches(rtrim(l), '[.!?"]$')
+      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d
+)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  CASE WHEN len(text) > 0 THEN
+    {sql_e4('CAST(coalesce(list_sum(list_transform(kept, l -> len(l))), 0) AS DOUBLE)'
+            ' / CAST(len(text) AS DOUBLE)')}
+  ELSE -1 END AS kept_char_frac_e4,
+  CAST(contains(lower(text), 'lorem ipsum') AS INTEGER) AS has_lorem,
+  CAST(contains(text, '{{') AS INTEGER) AS has_brace,
+  CAST(len(kept) >= {C4_MIN_KEPT_LINES}
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT contains(text, '{{') AS INTEGER) AS keep
+FROM k
+"""
+
+
 # ------------------------------------------- stratified mixture sampling
 
 MIX_WEIGHTS = {"en": 0.5, "de": 0.25}  # driver-entry default targets
@@ -2027,6 +2184,7 @@ def extra_queries():
         "text_skipgrams": text_skipgrams,
         "text_word_entropy": text_word_entropy,
         "text_tfidf_topk": text_tfidf_topk,
+        "text_c4_filters": text_c4_filters,
     }
 
 
@@ -2044,6 +2202,7 @@ def extra_oracles():
         "dsir_weights": dsir_weights_sql(),
         "lm_perplexity": lm_perplexity_sql(),
         "text_skipgrams": text_skipgrams_sql(),
+        "text_c4_filters": text_c4_filters_sql(),
         "text_word_entropy": WORD_ENTROPY_SQL,
         "text_tfidf_topk": text_tfidf_sql(),
     }

@@ -1,0 +1,102 @@
+"""Gopher quality-filter battery (Rae et al. 2021, table A1) —
+crafted-row detector pins, mirroring tests/test_c4_filters.py: each
+outlier rule is exercised by a row built to trip exactly that rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from veloci_spark.pipeline.text import (
+    GOPHER_MIN_REQ_STOP,
+    GOPHER_MIN_WORDS,
+    gopher_filters_frame,
+    text_gopher_filters,
+)
+
+# 60 ordinary words with the required stopwords woven in -> passes all
+GOOD = " ".join(
+    ["the quick brown fox jumps over and rests beside that lazy dog to nap"]
+    * 5
+)
+
+ROWS = [
+    # doc 0: clean page -> keep
+    (0, GOOD),
+    # doc 1: under the 50-word floor
+    (1, "the and to of short doc here only nine words"),
+    # doc 2: mean word length below 3 (mass of 1-char words)
+    (2, "the and to of " + " ".join(["a"] * 80)),
+    # doc 3: mean word length above 10
+    (3, "the and to of " + " ".join(["supercalifragilistic"] * 60)),
+    # doc 4: symbol-to-word ratio above 0.1 (hash runs)
+    (4, GOOD + " " + " ".join(["#"] * 10)),
+    # doc 5: >90% bulleted lines
+    (5, "\n".join(["- " + GOOD] * 10)),
+    # doc 6: >30% ellipsis-terminated lines
+    (6, "\n".join([GOOD + "...", GOOD + "...", GOOD])),
+    # doc 7: <80% alphabetic words
+    (7, GOOD + " " + " ".join(str(i) for i in range(40))),
+    # doc 8: fewer than 2 required stopwords
+    (8, " ".join(["quick brown fox jumps high"] * 12)),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    return {r["doc_id"]: r for r in gopher_filters_frame(df).collect()}
+
+
+def test_clean_page_kept(result):
+    r = result[0]
+    assert r["keep"] == 1
+    assert r["n_words"] >= GOPHER_MIN_WORDS
+    assert r["n_req_stop"] >= GOPHER_MIN_REQ_STOP
+
+
+def test_word_count_floor(result):
+    assert result[1]["n_words"] == 10 and result[1]["keep"] == 0
+
+
+def test_mean_word_length_floor(result):
+    assert result[2]["mean_wlen_e4"] < 30000 and result[2]["keep"] == 0
+
+
+def test_mean_word_length_ceiling(result):
+    assert result[3]["mean_wlen_e4"] > 100000 and result[3]["keep"] == 0
+
+
+def test_symbol_ratio_rule(result):
+    assert result[4]["sym_ratio_e4"] > 1000 and result[4]["keep"] == 0
+
+
+def test_bullet_line_rule(result):
+    assert result[5]["bullet_frac_e4"] == 10000 and result[5]["keep"] == 0
+
+
+def test_ellipsis_line_rule(result):
+    # 2 of 3 lines end with "..." -> 6667 e4 > 30%
+    assert result[6]["ellipsis_frac_e4"] == 6667 and result[6]["keep"] == 0
+
+
+def test_alpha_word_rule(result):
+    assert result[7]["alpha_frac_e4"] < 8000 and result[7]["keep"] == 0
+
+
+def test_required_stopword_rule(result):
+    assert result[8]["n_req_stop"] == 0 and result[8]["keep"] == 0
+
+
+def test_registry_entry_has_signal_variety(spark):
+    """Every rule must fire on the synthesised page corpus — a
+    degenerate all-constant column would make the DuckDB oracle
+    vacuous on the single-line word-bag testdata."""
+    rows = text_gopher_filters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert {r["keep"] for r in rows} == {0, 1}
+    assert len({r["n_req_stop"] for r in rows}) >= 3
+    assert max(r["bullet_frac_e4"] for r in rows) == 10000
+    assert max(r["ellipsis_frac_e4"] for r in rows) == 10000
+    assert max(r["sym_ratio_e4"] for r in rows) > 0
+    assert min(r["alpha_frac_e4"] for r in rows) < 10000
+    assert len({r["n_words"] for r in rows}) > 10

@@ -2024,6 +2024,211 @@ FROM k
 """
 
 
+# --------------------------------------------- Gopher quality filters
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYM_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQ_STOP = 2
+
+
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality outlier filters (Rae et al. 2021,
+    table A1) — the doc-level battery that complements the
+    `text_repetition` signals:
+
+    - word count within [50, 100k] (whitespace tokens);
+    - mean word length within [3, 10] chars;
+    - symbol-to-word ratio (``#`` chars + ``...`` runs, / words) <= 0.1;
+    - <= 90% of lines starting with a bullet ("- ");
+    - <= 30% of lines ending with an ellipsis ("...");
+    - >= 80% of words containing at least one alphabetic character;
+    - at least 2 distinct words from the required-stopword list
+      {the, be, to, of, and, that, have, with}.
+
+    Output: (doc_id, n_words, mean_wlen_e4, sym_ratio_e4,
+    bullet_frac_e4, ellipsis_frac_e4, alpha_frac_e4, n_req_stop, keep);
+    keep = every rule passes.  All rule comparisons run on exact
+    int-over-int single divisions (bit-identical across engines); the
+    e4 columns are display quantizations of the same values.
+
+    Like `text_c4_filters`, the single-line word-bag testdata would
+    leave the line/symbol/alpha rules vacuous, so the registry entry
+    runs over :func:`gopher_page_corpus` — a deterministic per-doc page
+    with doc_id-keyed bullet / ellipsis / symbol / numeric injections —
+    while :func:`gopher_filters_frame` is the API for real corpora.
+
+    Scale shape: one scan, pure column expressions, zero shuffles."""
+    return gopher_filters_frame(gopher_page_corpus(_docs(spark, sf_dir)))
+
+
+def gopher_page_corpus(d: DataFrame) -> DataFrame:
+    """Deterministic 3-line page per doc (words 1-20 / 21-40 / 41-60,
+    so the 50-word Gopher floor splits the 15-60-word testdata) with
+    two doc_id-keyed injections: doc_id % 5 — 0 -> every line bulleted,
+    1 -> every line ellipsis-terminated, 2 -> a '# ## ###' symbol tail
+    on line 2, 3 -> ten numeric tokens on line 3 (alpha fraction drops
+    on short docs), 4 -> untouched; doc_id % 3 — 0 -> four required
+    stopwords appended to line 1, 1 -> two, 2 -> none (the word-bag
+    vocabulary itself carries at most one, so the >=2-required-stopword
+    rule splits on this key).  DuckDB twin:
+    :data:`GOPHER_PAGE_CORPUS_SQL`."""
+    w = F.split(F.col("text"), " ")
+
+    def seg(start):
+        return F.array_join(F.slice(w, start, 20), " ")
+
+    m = F.col("doc_id") % 5
+    s = F.col("doc_id") % 3
+    l1 = (
+        F.when(s == 0, F.concat(seg(1), F.lit(" the data be to of")))
+        .when(s == 1, F.concat(seg(1), F.lit(" the and")))
+        .otherwise(seg(1))
+    )
+    l2, l3 = seg(21), seg(41)
+    l2 = F.when(m == 2, F.concat(l2, F.lit(" # ## ###"))).otherwise(l2)
+    l3 = F.when(
+        m == 3, F.concat(l3, F.lit(" 1 22 333 4444 5555 666 77 888 99 0"))
+    ).otherwise(l3)
+
+    def decorate(line):
+        return (
+            F.when(m == 0, F.concat(F.lit("- "), line))
+            .when(m == 1, F.concat(line, F.lit("...")))
+            .otherwise(line)
+        )
+
+    page = F.concat_ws("\n", decorate(l1), decorate(l2), decorate(l3))
+    return d.select("doc_id", page.alias("text"))
+
+
+GOPHER_PAGE_CORPUS_SQL = """
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '- ' || l1 || chr(10) || '- ' || l2 || chr(10) || '- ' || l3
+      WHEN 1 THEN l1 || '...' || chr(10) || l2 || '...' || chr(10) || l3 || '...'
+      ELSE l1 || chr(10) || l2 || chr(10) || l3
+    END AS text
+  FROM (
+    SELECT doc_id,
+      coalesce(array_to_string(list_slice(w, 1, 20), ' '), '')
+        || CASE doc_id % 3
+             WHEN 0 THEN ' the data be to of'
+             WHEN 1 THEN ' the and'
+             ELSE '' END AS l1,
+      coalesce(array_to_string(list_slice(w, 21, 40), ' '), '')
+        || CASE WHEN doc_id % 5 = 2 THEN ' # ## ###' ELSE '' END AS l2,
+      coalesce(array_to_string(list_slice(w, 41, 60), ' '), '')
+        || CASE WHEN doc_id % 5 = 3
+                THEN ' 1 22 333 4444 5555 666 77 888 99 0' ELSE '' END AS l3
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE text IS NOT NULL)
+  )
+"""
+
+
+def gopher_filters_frame(d: DataFrame) -> DataFrame:
+    """Frame-level Gopher battery over (doc_id, text, ...) — see
+    :func:`text_gopher_filters`."""
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    wlen_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wlen = wlen_sum.cast("double") / n_words.cast("double")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    sym_ratio = (n_hash + n_ell).cast("double") / n_words.cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- ")))
+    n_ell_line = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
+    ellipsis_frac = n_ell_line.cast("double") / n_lines.cast("double")
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = n_alpha.cast("double") / n_words.cast("double")
+    req = F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS])
+    n_req_stop = F.size(F.array_intersect(words, req))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+        & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+        & (sym_ratio <= GOPHER_MAX_SYM_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_req_stop >= GOPHER_MIN_REQ_STOP)
+    ).cast("int")
+    return d.where((F.length("text") > 0) & (n_words > 0)).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        e4(mean_wlen).alias("mean_wlen_e4"),
+        e4(sym_ratio).alias("sym_ratio_e4"),
+        e4(bullet_frac).alias("bullet_frac_e4"),
+        e4(ellipsis_frac).alias("ellipsis_frac_e4"),
+        e4(alpha_frac).alias("alpha_frac_e4"),
+        n_req_stop.cast("long").alias("n_req_stop"),
+        keep.alias("keep"),
+    )
+
+
+def text_gopher_filters_sql() -> str:
+    req = ", ".join(f"'{s}'" for s in GOPHER_REQ_STOPWORDS)
+    return f"""
+WITH pages AS ({GOPHER_PAGE_CORPUS_SQL}),
+b AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS words,
+    string_split(text, chr(10)) AS lines
+  FROM pages WHERE len(text) > 0
+),
+m AS (
+  SELECT doc_id, text, words, lines,
+    len(words) AS n_words, len(lines) AS n_lines,
+    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE)
+      / len(words) AS mean_wlen,
+    CAST(len(text) - len(replace(text, '#', ''))
+         + (len(text) - len(replace(text, '...', ''))) / 3 AS DOUBLE)
+      / len(words) AS sym_ratio,
+    CAST(len(list_filter(lines, l -> starts_with(l, '- '))) AS DOUBLE)
+      / len(lines) AS bullet_frac,
+    CAST(len(list_filter(lines, l -> suffix(l, '...'))) AS DOUBLE)
+      / len(lines) AS ellipsis_frac,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / len(words) AS alpha_frac,
+    len(list_intersect(words, [{req}])) AS n_req_stop
+  FROM b WHERE len(words) > 0
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  {sql_e4('mean_wlen')} AS mean_wlen_e4,
+  {sql_e4('sym_ratio')} AS sym_ratio_e4,
+  {sql_e4('bullet_frac')} AS bullet_frac_e4,
+  {sql_e4('ellipsis_frac')} AS ellipsis_frac_e4,
+  {sql_e4('alpha_frac')} AS alpha_frac_e4,
+  CAST(n_req_stop AS BIGINT) AS n_req_stop,
+  CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+       AND mean_wlen >= {GOPHER_MIN_MEAN_WLEN}
+       AND mean_wlen <= {GOPHER_MAX_MEAN_WLEN}
+       AND sym_ratio <= {GOPHER_MAX_SYM_RATIO}
+       AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+       AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+       AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+       AND n_req_stop >= {GOPHER_MIN_REQ_STOP} AS INTEGER) AS keep
+FROM m
+"""
+
+
 # ------------------------------------------- stratified mixture sampling
 
 MIX_WEIGHTS = {"en": 0.5, "de": 0.25}  # driver-entry default targets
@@ -2185,6 +2390,7 @@ def extra_queries():
         "text_word_entropy": text_word_entropy,
         "text_tfidf_topk": text_tfidf_topk,
         "text_c4_filters": text_c4_filters,
+        "text_gopher_filters": text_gopher_filters,
     }
 
 
@@ -2203,6 +2409,7 @@ def extra_oracles():
         "lm_perplexity": lm_perplexity_sql(),
         "text_skipgrams": text_skipgrams_sql(),
         "text_c4_filters": text_c4_filters_sql(),
+        "text_gopher_filters": text_gopher_filters_sql(),
         "text_word_entropy": WORD_ENTROPY_SQL,
         "text_tfidf_topk": text_tfidf_sql(),
     }

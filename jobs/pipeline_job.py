@@ -5,8 +5,10 @@ Composes the pipeline operators into the pass every published code/text
 corpus runs before a dump is blessed (StarCoder/BigCode, C4,
 SlimPajama):
 
-    1. quality   — StarCoder filter battery (line stats, alnum fraction,
-                   blob fraction, autogen) → keep decision per file
+    1. quality   — filter battery → keep decision per doc;
+                   --quality-mode code = StarCoder line stats / alnum /
+                   blob / autogen, --quality-mode web = fused C4+Gopher
+                   page filters
     2. redact    — BigCode secrets/PII pass on the kept files
     3. exact     — md5 exact dedup (keep min doc_id per group)
     3b. incremental — (optional, --old) drop docs that are near-dups of
@@ -67,7 +69,12 @@ from veloci_spark.pipeline.dedup import (
     substring_spans,
 )
 from veloci_spark.pipeline.redact import redact_secrets
-from veloci_spark.pipeline.text import decontam_flags, pack_sequences_frame
+from veloci_spark.pipeline.text import (
+    decontam_flags,
+    pack_sequences_frame,
+    web_keep_col,
+    web_metrics_cols,
+)
 
 
 def _stage(out_dir: str, name: str) -> str:
@@ -114,6 +121,7 @@ def run_pipeline(
     substr_l: int | None = None,
     pack_seq_len: int | None = None,
     n_shards: int | None = None,
+    quality_mode: str = "code",
     resume: bool = True,
 ) -> dict:
     """Run (or resume) the curation pipeline; returns the report dict.
@@ -137,7 +145,10 @@ def run_pipeline(
         "substr_l": substr_l,
         "pack_seq_len": pack_seq_len,
         "n_shards": n_shards,
+        "quality_mode": quality_mode,
     }
+    if quality_mode not in ("code", "web"):
+        raise ValueError(f"quality_mode must be 'code' or 'web', got {quality_mode!r}")
     cfg_path = os.path.join(out_dir, "pipeline_config.json")
     use_decontam_checkpoint = False
     if resume:
@@ -188,13 +199,21 @@ def run_pipeline(
     )
 
     # ---- 1. quality --------------------------------------------------
+    # --quality-mode picks the battery for the corpus kind: "code" is
+    # the StarCoder/BigCode file filters, "web" the fused C4+Gopher
+    # page filters. Both are dict-of-columns single-scan projections.
     q_path = _stage(out_dir, "quality")
     if not (resume and _done(q_path)):
         t0 = time.time()
-        m = _metrics_cols(F.col("content"))
+        if quality_mode == "web":
+            m = web_metrics_cols(F.col("content"))
+            keep = web_keep_col({k: F.col(k) for k in m})
+        else:
+            m = _metrics_cols(F.col("content"))
+            keep = _keep_col({k: F.col(k) for k in m})
         frame = norm.select(
             "doc_id", "lang", "content", *[c.alias(k) for k, c in m.items()]
-        ).withColumn("keep", _keep_col({k: F.col(k) for k in m}))
+        ).withColumn("keep", keep)
         frame.write.mode("overwrite").parquet(q_path)
         lineage.record("quality", out_path=q_path, wall_s=time.time() - t0)
     quality = spark.read.parquet(q_path)
@@ -419,6 +438,13 @@ def main() -> None:
         type=int,
         help="emit the blessed corpus as this many sorted training shards",
     )
+    ap.add_argument(
+        "--quality-mode",
+        choices=("code", "web"),
+        default="code",
+        help="quality battery: 'code' = StarCoder/BigCode file filters, "
+        "'web' = fused C4+Gopher page filters",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -444,6 +470,7 @@ def main() -> None:
         old_tau_e4=args.old_tau_e4,
         pack_seq_len=args.seq_len,
         n_shards=args.shards,
+        quality_mode=args.quality_mode,
         resume=not args.no_resume,
     )
     print(json.dumps(report))

@@ -219,3 +219,48 @@ def test_incremental_stage_drops_old_neardups(spark, tmp_root):
     mtime = os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
     run_pipeline(spark, corpus, out, resume=True)
     assert os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS")) > mtime
+
+
+def test_web_quality_mode(spark, tmp_root):
+    """--quality-mode web swaps the StarCoder battery for the fused
+    C4+Gopher page filters: clean multi-line pages survive, junk pages
+    are dropped at the quality stage, and switching the mode on a
+    finished out_dir invalidates resume (config fingerprint)."""
+    out = os.path.join(tmp_root, "pipeline_out_web")
+    sentence = (
+        "the quick brown fox jumps over and rests beside that lazy dog "
+        "to nap."
+    )
+    line = sentence + " " + sentence  # 28 words, terminal '.'
+    rows = []
+    for i in range(20):  # distinct clean pages (doc-specific 3rd line)
+        page = "\n".join(
+            [line, line, f"this page number {i} also ends with a period."]
+        )
+        rows.append((i, "en", page))
+    for i in range(20, 40):  # junk: short, no punctuation, symbols
+        rows.append((i, "en", f"junk ### {i} lorem ipsum"))
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, lang string, content string"
+    )
+    report = run_pipeline(
+        spark, corpus, out, quality_mode="web", resume=False
+    )
+    c = report["stages"]
+    assert c["input"] == 40
+    assert c["quality_kept"] == 20
+    assert c["blessed"] >= 1  # near-dup collapse of similar pages is fine
+    # the quality checkpoint carries both sub-decisions
+    q = spark.read.parquet(os.path.join(out, "quality"))
+    assert {"c4_keep", "gopher_keep", "keep"} <= set(q.columns)
+    kept = q.where(F.col("keep") == 1)
+    assert kept.where(
+        (F.col("c4_keep") != 1) | (F.col("gopher_keep") != 1)
+    ).count() == 0
+    # mode switch on the same out_dir must invalidate resume
+    bless_mtime = os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
+    run_pipeline(spark, corpus, out, quality_mode="code", resume=True)
+    assert (
+        os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
+        > bless_mtime
+    )

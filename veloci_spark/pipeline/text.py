@@ -12,7 +12,7 @@ expression gets re-derived by Catalyst below the explode (see PLANS.md
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from veloci_spark.pipeline.common import (
     WORD_PATTERN,
@@ -1953,10 +1953,12 @@ C4_PAGE_CORPUS_SQL = """
 """
 
 
-def c4_filters_frame(d: DataFrame) -> DataFrame:
-    """Frame-level C4 battery over (doc_id, text, ...) — see
-    :func:`text_c4_filters`."""
-    lines = F.split(F.col("text"), "\n")
+def c4_metric_cols(text: Column) -> dict[str, Column]:
+    """The C4 signal columns over a text Column (no row filtering;
+    empty text -> kept_char_frac_e4 = -1, keep = 0).  Shared by the
+    standalone :func:`c4_filters_frame` and the fused
+    :func:`web_metrics_cols` pipeline battery."""
+    lines = F.split(text, "\n")
 
     def _kept(l):
         return (
@@ -1969,28 +1971,33 @@ def c4_filters_frame(d: DataFrame) -> DataFrame:
     kept_chars = F.aggregate(
         kept, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
     )
-    n_chars = F.length(F.col("text"))
-    has_lorem = (F.instr(F.lower(F.col("text")), "lorem ipsum") > 0).cast("int")
-    has_brace = (F.instr(F.col("text"), "{") > 0).cast("int")
+    n_chars = F.length(text)
+    has_lorem = (F.instr(F.lower(text), "lorem ipsum") > 0).cast("int")
+    has_brace = (F.instr(text, "{") > 0).cast("int")
     n_kept = F.size(kept)
     keep = (
         (n_kept >= C4_MIN_KEPT_LINES) & (has_lorem == 0) & (has_brace == 0)
     ).cast("int")
-    return d.select(
-        "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        n_kept.cast("long").alias("n_kept_lines"),
-        F.when(
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept_lines": n_kept.cast("long"),
+        "kept_char_frac_e4": F.when(
             n_chars > 0,
             e4(kept_chars.cast("double") / n_chars.cast("double")),
         )
         .otherwise(F.lit(-1))
-        .cast("long")
-        .alias("kept_char_frac_e4"),
-        has_lorem.alias("has_lorem"),
-        has_brace.alias("has_brace"),
-        keep.alias("keep"),
-    )
+        .cast("long"),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "keep": keep,
+    }
+
+
+def c4_filters_frame(d: DataFrame) -> DataFrame:
+    """Frame-level C4 battery over (doc_id, text, ...) — see
+    :func:`text_c4_filters`."""
+    m = c4_metric_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in m.items()])
 
 
 def text_c4_filters_sql() -> str:
@@ -2133,23 +2140,21 @@ GOPHER_PAGE_CORPUS_SQL = """
 """
 
 
-def gopher_filters_frame(d: DataFrame) -> DataFrame:
-    """Frame-level Gopher battery over (doc_id, text, ...) — see
-    :func:`text_gopher_filters`."""
-    words = F.filter(
-        F.split(F.col("text"), r"\s+"), lambda x: F.length(x) > 0
-    )
-    lines = F.split(F.col("text"), "\n")
+def gopher_metric_cols(text: Column) -> dict[str, Column]:
+    """The Gopher signal columns over a text Column (no row filtering;
+    a wordless text -> -1 sentinels and keep = 0).  Shared by the
+    standalone :func:`gopher_filters_frame` and the fused
+    :func:`web_metrics_cols` pipeline battery."""
+    words = F.filter(F.split(text, r"\s+"), lambda x: F.length(x) > 0)
+    lines = F.split(text, "\n")
     n_words = F.size(words)
     n_lines = F.size(lines)
     wlen_sum = F.aggregate(
         words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
     mean_wlen = wlen_sum.cast("double") / n_words.cast("double")
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ell = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / F.lit(3)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
     sym_ratio = (n_hash + n_ell).cast("double") / n_words.cast("double")
     n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- ")))
     n_ell_line = F.size(F.filter(lines, lambda l: l.endswith("...")))
@@ -2160,7 +2165,8 @@ def gopher_filters_frame(d: DataFrame) -> DataFrame:
     req = F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS])
     n_req_stop = F.size(F.array_intersect(words, req))
     keep = (
-        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        (n_words > 0)
+        & n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
         & (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
         & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
         & (sym_ratio <= GOPHER_MAX_SYM_RATIO)
@@ -2169,17 +2175,50 @@ def gopher_filters_frame(d: DataFrame) -> DataFrame:
         & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
         & (n_req_stop >= GOPHER_MIN_REQ_STOP)
     ).cast("int")
-    return d.where((F.length("text") > 0) & (n_words > 0)).select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        e4(mean_wlen).alias("mean_wlen_e4"),
-        e4(sym_ratio).alias("sym_ratio_e4"),
-        e4(bullet_frac).alias("bullet_frac_e4"),
-        e4(ellipsis_frac).alias("ellipsis_frac_e4"),
-        e4(alpha_frac).alias("alpha_frac_e4"),
-        n_req_stop.cast("long").alias("n_req_stop"),
-        keep.alias("keep"),
-    )
+
+    def _guard(col):
+        return F.when(n_words > 0, col).otherwise(F.lit(-1)).cast("long")
+
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_wlen_e4": _guard(e4(mean_wlen)),
+        "sym_ratio_e4": _guard(e4(sym_ratio)),
+        "bullet_frac_e4": _guard(e4(bullet_frac)),
+        "ellipsis_frac_e4": _guard(e4(ellipsis_frac)),
+        "alpha_frac_e4": _guard(e4(alpha_frac)),
+        "n_req_stop": n_req_stop.cast("long"),
+        "keep": F.coalesce(keep, F.lit(0)),
+    }
+
+
+def gopher_filters_frame(d: DataFrame) -> DataFrame:
+    """Frame-level Gopher battery over (doc_id, text, ...) — see
+    :func:`text_gopher_filters`."""
+    m = gopher_metric_cols(F.col("text"))
+    return d.where(
+        (F.length("text") > 0) & (m["n_words"] > 0)
+    ).select("doc_id", *[c.alias(k) for k, c in m.items()])
+
+
+def web_metrics_cols(text: Column) -> dict[str, Column]:
+    """The fused web-text quality battery: every C4 and Gopher signal
+    computed in ONE scan over the same text Column, with the two keep
+    decisions exposed as ``c4_keep`` / ``gopher_keep``.  The pipeline
+    job's ``--quality-mode web`` stage consumes this dict exactly as
+    the code path consumes `code_quality._metrics_cols` — single-scan,
+    zero-shuffle, embarrassingly parallel."""
+    c4 = c4_metric_cols(text)
+    go = gopher_metric_cols(text)
+    m = {k: v for k, v in c4.items() if k != "keep"}
+    m.update({k: v for k, v in go.items() if k != "keep"})
+    m["c4_keep"] = c4["keep"]
+    m["gopher_keep"] = go["keep"]
+    return m
+
+
+def web_keep_col(m: dict[str, Column]) -> Column:
+    """keep = C4 page rules AND Gopher outlier rules both pass."""
+    return ((m["c4_keep"] == 1) & (m["gopher_keep"] == 1)).cast("int")
 
 
 def text_gopher_filters_sql() -> str:

@@ -1,0 +1,93 @@
+"""RefinedWeb-style boilerplate line removal — crafted-corpus pins:
+threshold boundary, remove-everywhere (vs dedup_paragraphs' keep-one),
+blank-line neutrality, and order-preserving reassembly."""
+
+from __future__ import annotations
+
+import pytest
+
+from veloci_spark.pipeline.text import (
+    boilerplate_clean_frame,
+    text_boilerplate_lines,
+)
+
+BANNER = "Accept all cookies to continue."
+FOOTER = "Copyright 2020 Example Corp."
+
+
+def _corpus(spark):
+    rows = []
+    # docs 0-4: banner + unique body + footer (banner df=5, footer df=5)
+    for i in range(5):
+        rows.append((i, f"{BANNER}\nunique body line {i}\n{FOOTER}"))
+    # doc 5: banner appears twice IN THE SAME doc (df still counts the
+    # doc once) + a blank line that must survive
+    rows.append((5, f"{BANNER}\n\n{BANNER}\nlast line 5"))
+    # docs 6-7: a line shared by only these two docs (df=2 < threshold)
+    for i in (6, 7):
+        rows.append((i, f"shared but rare line\nbody {i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    out = boilerplate_clean_frame(_corpus(spark), min_docs=3)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_removed_everywhere_no_keeper(result):
+    # df(BANNER)=6 and df(FOOTER)=5, both >= 3 -> cut from every doc
+    for i in range(5):
+        assert result[i]["text_clean"] == f"unique body line {i}"
+        assert result[i]["n_removed"] == 2
+
+
+def test_same_doc_repeats_count_once_but_both_cut(result):
+    r = result[5]
+    # df counts doc 5 once; both in-doc copies are still removed
+    assert r["n_removed"] == 2
+    assert r["text_clean"] == "\nlast line 5"  # blank line survives
+
+
+def test_below_threshold_lines_survive(result):
+    for i in (6, 7):
+        assert result[i]["n_removed"] == 0
+        assert result[i]["text_clean"].startswith("shared but rare line")
+
+
+def test_line_counts(result):
+    assert result[0]["n_lines"] == 3
+    assert result[5]["n_lines"] == 4
+
+
+def test_order_preserved(spark):
+    # boilerplate in the middle: surviving lines keep original order
+    rows = [(i, f"first {i}\n{BANNER}\nlast {i}") for i in range(4)]
+    out = boilerplate_clean_frame(
+        spark.createDataFrame(rows, "doc_id long, text string"), min_docs=3
+    )
+    for r in out.collect():
+        i = r["doc_id"]
+        assert r["text_clean"] == f"first {i}\nlast {i}"
+
+
+def test_trim_normalized_matching(spark):
+    # "  BANNER  " and "BANNER" are the same trimmed line -> one df key
+    rows = [(0, f"  {BANNER}  \nbody 0"), (1, f"{BANNER}\nbody 1"),
+            (2, f"{BANNER}\nbody 2")]
+    out = boilerplate_clean_frame(
+        spark.createDataFrame(rows, "doc_id long, text string"), min_docs=3
+    )
+    for r in out.collect():
+        assert r["n_removed"] == 1
+        assert r["text_clean"].startswith("body")
+
+
+def test_registry_entry_variety(spark):
+    rows = text_boilerplate_lines(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    removed = [r["n_removed"] for r in rows]
+    assert max(removed) >= 1 and min(removed) == 0
+    # cleaned text never contains the injected boilerplate sentences
+    for r in rows:
+        assert "Lorem ipsum dolor sit amet." not in r["text_clean"]

@@ -2031,6 +2031,104 @@ FROM k
 """
 
 
+# ------------------------------------------ boilerplate line removal
+
+BOILER_MIN_DOCS = 30
+
+
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate LINE removal: a non-blank
+    line whose trimmed text occurs in at least :data:`BOILER_MIN_DOCS`
+    distinct documents is boilerplate (nav bars, cookie banners, footer
+    legalese) and is cut from EVERY document — unlike
+    `dedup_paragraphs`, which keeps one copy of a duplicated span, a
+    boilerplate line keeps none.
+
+    Output: (doc_id, n_lines, n_removed, text_clean) — the cleaned text
+    is the surviving lines re-joined in original order (blank lines are
+    structural and never counted or removed).
+
+    Runs over the same synthesised page corpus as `text_c4_filters`
+    (the doc_id-keyed constant injections — the lorem-ipsum sentence,
+    the brace line, the javascript notice — each appear in ~1/7 of the
+    corpus and are exactly the cross-document boilerplate this pass
+    exists to catch); :func:`boilerplate_clean_frame` is the API for
+    real corpora.
+
+    Scale shape: one explode → one map-side-combined groupBy(md5) for
+    the line-document frequencies (the combine collapses each
+    partition's copies before the shuffle, so a million-document cookie
+    banner is one row per partition, not a hot key) → hash join back
+    (the boilerplate side is threshold-bounded to <= total_lines /
+    min_docs rows, broadcastable in practice / AQE-decided here) → one
+    per-doc groupBy to reassemble.  The collect_list is per-document,
+    bounded by document size."""
+    return boilerplate_clean_frame(
+        c4_page_corpus(_docs(spark, sf_dir)), min_docs=BOILER_MIN_DOCS
+    )
+
+
+def boilerplate_clean_frame(d: DataFrame, min_docs: int) -> DataFrame:
+    """Frame-level boilerplate removal over (doc_id, text, ...) — see
+    :func:`text_boilerplate_lines`."""
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
+    boiler = (
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lh")
+        .withColumn("_b", F.lit(1))
+    )
+    flagged = lines.join(boiler, "lh", "left").withColumn(
+        "is_boiler", F.col("_b").isNotNull()
+    )
+    kept_lines = F.filter(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "line", "is_boiler"))
+        ),
+        lambda x: ~x["is_boiler"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(kept_lines, lambda x: x["line"]), "\n"
+        ).alias("text_clean"),
+    )
+
+
+def text_boilerplate_lines_sql() -> str:
+    return f"""
+WITH pages AS ({C4_PAGE_CORPUS_SQL}),
+lines AS (
+  SELECT doc_id, (u.i - 1) AS pos, u.l AS line, md5(trim(u.l)) AS lh
+  FROM pages,
+       LATERAL (SELECT unnest(string_split(text, chr(10))) AS l,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS i) u
+),
+boiler AS (
+  SELECT lh FROM lines WHERE trim(line) <> ''
+  GROUP BY lh HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (b.lh IS NOT NULL) AS is_boiler
+  FROM lines l LEFT JOIN boiler b ON l.lh = b.lh
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(coalesce(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_removed,
+  coalesce(
+    string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT is_boiler),
+    '') AS text_clean
+FROM flagged GROUP BY doc_id
+"""
+
+
 # --------------------------------------------- Gopher quality filters
 
 GOPHER_MIN_WORDS = 50
@@ -2430,6 +2528,7 @@ def extra_queries():
         "text_tfidf_topk": text_tfidf_topk,
         "text_c4_filters": text_c4_filters,
         "text_gopher_filters": text_gopher_filters,
+        "text_boilerplate_lines": text_boilerplate_lines,
     }
 
 
@@ -2449,6 +2548,7 @@ def extra_oracles():
         "text_skipgrams": text_skipgrams_sql(),
         "text_c4_filters": text_c4_filters_sql(),
         "text_gopher_filters": text_gopher_filters_sql(),
+        "text_boilerplate_lines": text_boilerplate_lines_sql(),
         "text_word_entropy": WORD_ENTROPY_SQL,
         "text_tfidf_topk": text_tfidf_sql(),
     }

@@ -27,6 +27,9 @@ Other modes (each appends its table to BENCH/BASELINE.md):
   --scaling-ann      the embedding-operator family (SQ8 scan, batched
       exact scan) at two parallelism levels on a jittered replicated
       embedding corpus
+  --scaling-webq     the fused C4+Gopher quality scan and the
+      boilerplate line removal at two parallelism levels on the paged
+      Zipf corpus
 """
 
 from __future__ import annotations
@@ -648,6 +651,83 @@ def run_substr_scaling(low: int = 2, high: int = 8, n_docs: int = 200_000) -> di
     }
 
 
+def run_webq_scaling(low: int = 2, high: int = 8, n_docs: int = 200_000) -> dict:
+    """The round-4 web-text operators at two parallelism levels on the
+    Zipf corpus (paged via c4_page_corpus so the line rules engage and
+    the constant injections are real hot-key boilerplate):
+
+    - quality: the fused C4+Gopher battery — pure column expressions,
+      zero shuffles, so efficiency should be near the decode kernel's;
+    - boilerplate: explode → md5 groupBy (the lorem/brace/javascript
+      injections hit ~n_docs/7 copies each — the map-side combine is
+      what keeps them from being hot shuffle keys) → join → per-doc
+      reassembly."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.text import (
+        boilerplate_clean_frame,
+        c4_page_corpus,
+        web_keep_col,
+        web_metrics_cols,
+    )
+
+    d = _zipf_corpus(n_docs)
+    results: dict = {}
+    for cpus in (low, high, low, high):  # interleaved, keep min
+        spark = make_spark(cpus)
+        try:
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            pages = c4_page_corpus(docs)
+
+            m = web_metrics_cols(F.col("text"))
+            q = pages.select(
+                "doc_id", *[c.alias(k) for k, c in m.items()]
+            ).withColumn("keep", web_keep_col({k: F.col(k) for k in m}))
+            t0 = time.time()
+            row = q.agg(
+                F.sum("keep").alias("kept"),
+                F.sum("n_kept_lines").alias("nk"),
+                F.sum("n_words").alias("nw"),
+            ).collect()[0]
+            dt = time.time() - t0
+            results[f"quality_{cpus}"] = min(
+                results.get(f"quality_{cpus}", dt), dt
+            )
+            results["quality_kept"] = int(row["kept"])
+
+            b = boilerplate_clean_frame(pages, min_docs=n_docs // 10)
+            t0 = time.time()
+            row = b.agg(
+                F.sum("n_removed").alias("nr"),
+                F.sum(F.length("text_clean")).alias("nc"),
+            ).collect()[0]
+            dt = time.time() - t0
+            results[f"boiler_{cpus}"] = min(
+                results.get(f"boiler_{cpus}", dt), dt
+            )
+            results["boiler_removed"] = int(row["nr"])
+        finally:
+            spark.stop()
+    out: dict = {
+        "job": "web-quality",
+        "sf_dir": d,
+        "n_docs": n_docs,
+        "low_cpus": low,
+        "high_cpus": high,
+        "quality_kept": results["quality_kept"],
+        "boiler_removed": results["boiler_removed"],
+    }
+    for name in ("quality", "boiler"):
+        lo, hi = results[f"{name}_{low}"], results[f"{name}_{high}"]
+        out[name] = {
+            "low_sec": round(lo, 2),
+            "high_sec": round(hi, 2),
+            "speedup": round(lo / hi, 3),
+            "scaling_efficiency": round((lo / hi) / (high / low), 3),
+        }
+    return out
+
+
 def _scaled_embeddings(sf_dir: str, k: int) -> str:
     """Deterministically replicate the embeddings table k× with a small
     per-copy jitter (element + 0.01·sin(new_id·(dim+1))) so replicas are
@@ -1154,6 +1234,32 @@ def main():
                 ("sq8_arrow", "SQ8 same dataflow, Arrow numpy kernel"),
                 ("batch8", "batched exact scan (8 queries, Catalyst HOF)"),
                 ("batch8_arrow", "batched scan, Arrow kernel + in-kernel partial top-k"),
+            ):
+                r = res[name]
+                f.write(
+                    f"| {label} | {r['low_sec']} | {r['high_sec']} | "
+                    f"**{r['scaling_efficiency']}** |\n"
+                )
+        return
+    if "--scaling-webq" in sys.argv:
+        res = run_webq_scaling(
+            n_docs=int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "200000"))
+        )
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Web-text operator scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"C4+Gopher fused quality scan and boilerplate line removal "
+                f"on the paged Zipf corpus ({res['n_docs']} docs, "
+                f"{res['sf_dir']}), warm min of 2 per config:\n\n"
+                "| job | "
+                f"local[{res['low_cpus']}] (s) | local[{res['high_cpus']}] (s) | efficiency |\n"
+                "|---|---|---|---|\n"
+            )
+            for name, label in (
+                ("quality", "fused C4+Gopher quality scan (zero shuffle)"),
+                ("boiler", "boilerplate removal (explode + combine groupBy + join + reassembly)"),
             ):
                 r = res[name]
                 f.write(

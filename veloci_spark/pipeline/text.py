@@ -2068,9 +2068,23 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def boilerplate_clean_frame(d: DataFrame, min_docs: int) -> DataFrame:
+def boilerplate_clean_frame(
+    d: DataFrame, min_docs: int, max_broadcast_lines: int = 2_000_000
+) -> DataFrame:
     """Frame-level boilerplate removal over (doc_id, text, ...) — see
-    :func:`text_boilerplate_lines`."""
+    :func:`text_boilerplate_lines`.
+
+    Join strategy (the decontam_flags bounded-probe pattern): the
+    boilerplate set is threshold-bounded to <= total_lines / min_docs
+    distinct hashes and in practice tiny (real boilerplate is a few
+    thousand banners), so it is BROADCAST when a bounded
+    ``limit(k+1).count()`` probe confirms it fits — the corpus-sized
+    exploded-lines table then never shuffles on the line hash.  That
+    matters doubly here: a boilerplate hash has >= min_docs copies BY
+    DEFINITION, so the sort-merge alternative both reshuffles the whole
+    corpus and concentrates exactly the hottest keys onto single
+    reducers.  Oversized boiler sets (pathological min_docs) fall back
+    to the shuffle join, which AQE skew-splits."""
     lines = d.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
@@ -2083,9 +2097,12 @@ def boilerplate_clean_frame(d: DataFrame, min_docs: int) -> DataFrame:
         .select("lh")
         .withColumn("_b", F.lit(1))
     )
-    flagged = lines.join(boiler, "lh", "left").withColumn(
-        "is_boiler", F.col("_b").isNotNull()
+    boiler_small = (
+        boiler.limit(max_broadcast_lines + 1).count() <= max_broadcast_lines
     )
+    flagged = lines.join(
+        F.broadcast(boiler) if boiler_small else boiler, "lh", "left"
+    ).withColumn("is_boiler", F.col("_b").isNotNull())
     kept_lines = F.filter(
         F.array_sort(
             F.collect_list(F.struct("pos", "line", "is_boiler"))

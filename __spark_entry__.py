@@ -41,12 +41,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return _run_request(spark, sf_dir, req, top=10)
 
 
+#: Registered operators whose WINDOW slot is redundant with another
+#: window entry (a plan/parameter variant of a mechanism already
+#: recorded), demoted to the pytest-gated extras so the driver's
+#: 50-row record covers 50 DISTINCT operators — in particular the
+#: round-4 tail (decontam fallback plan, mixture accounting, the real
+#: BPE oracle, the multimodal metadata oracle) instead of five
+#: variants.  Every demoted entry keeps its oracle and stays green in
+#: tests/test_oracle_parity.py.
+_DEMOTED = (
+    "code_bm25_filtered_wand",  # WAND variant of code_bm25_filtered (4 other WAND rows)
+    "ft_wand_topk",             # fulltext WAND; the code_* rows pin the same operator
+    "ft_fuzzy_prefix",          # fuzzy ∘ prefix; both factors have their own rows
+    "ft_topk_skip",             # pagination variant of the top-k every row exercises
+    "ft_postings_spark_term",   # postings build internals; every query decodes them
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The driver's correctness window (55 entries), registered
+    """The driver's correctness window (50 entries), registered
     north-rule-first: the code-corpus BM25 engine, then the fulltext
     engine, then the LLM-pipeline operators.  Parameter-variant /
-    redundant entries live in extra_queries() and are gated by pytest's
-    driver-gate replica (tests/test_oracle_parity.py) instead."""
+    redundant entries live in extra_queries() (see _DEMOTED) and are
+    gated by pytest's driver-gate replica
+    (tests/test_oracle_parity.py) instead."""
     from veloci_spark.code_corpus import code_queries
     from veloci_spark.entry_queries import fulltext_queries
     from veloci_spark.pipeline.entry import pipeline_queries
@@ -55,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(code_queries())
     out.update(fulltext_queries())
     out.update(pipeline_queries())
+    for k in _DEMOTED:
+        out.pop(k, None)
     return out
 
 
@@ -67,26 +87,43 @@ def oracle_sql() -> dict[str, str]:
     out.update(code_oracles())
     out.update(fulltext_oracles())
     out.update(pipeline_oracles())
+    for k in _DEMOTED:
+        out.pop(k, None)
     return out
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pytest-only entries: parameter variants and standalone versions of
-    fused driver entries.  Same contract as queries()."""
-    from veloci_spark.entry_queries import fulltext_extra_queries
+    fused driver entries (plus the _DEMOTED window variants).  Same
+    contract as queries()."""
+    from veloci_spark.code_corpus import code_queries
+    from veloci_spark.entry_queries import (
+        fulltext_extra_queries,
+        fulltext_queries,
+    )
     from veloci_spark.pipeline.entry import pipeline_extra_queries
 
     out = {}
     out.update(fulltext_extra_queries())
     out.update(pipeline_extra_queries())
+    full = {**code_queries(), **fulltext_queries()}
+    for k in _DEMOTED:
+        out[k] = full[k]
     return out
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    from veloci_spark.entry_queries import fulltext_extra_oracles
+    from veloci_spark.code_corpus import code_oracles
+    from veloci_spark.entry_queries import (
+        fulltext_extra_oracles,
+        fulltext_oracles,
+    )
     from veloci_spark.pipeline.entry import pipeline_extra_oracles
 
     out = {}
     out.update(fulltext_extra_oracles())
     out.update(pipeline_extra_oracles())
+    full = {**code_oracles(), **fulltext_oracles()}
+    for k in _DEMOTED:
+        out[k] = full[k]
     return out

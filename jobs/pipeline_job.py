@@ -9,6 +9,9 @@ SlimPajama):
                    --quality-mode code = StarCoder line stats / alnum /
                    blob / autogen, --quality-mode web = fused C4+Gopher
                    page filters
+    1b. boilerplate — (optional, --boiler-min-docs) cut lines occurring
+                   in >= N docs from every doc, BEFORE dedup (banners
+                   inflate MinHash similarity between unrelated pages)
     2. redact    — BigCode secrets/PII pass on the kept files
     3. exact     — md5 exact dedup (keep min doc_id per group)
     3b. incremental — (optional, --old) drop docs that are near-dups of
@@ -70,6 +73,7 @@ from veloci_spark.pipeline.dedup import (
 )
 from veloci_spark.pipeline.redact import redact_secrets
 from veloci_spark.pipeline.text import (
+    boilerplate_clean_frame,
     decontam_flags,
     pack_sequences_frame,
     web_keep_col,
@@ -84,6 +88,7 @@ def _stage(out_dir: str, name: str) -> str:
 #: every checkpointed stage, in order
 _STAGES = (
     "quality",
+    "boiler_cleaned",
     "redacted",
     "exact_survivors",
     "incremental_remove",
@@ -122,6 +127,7 @@ def run_pipeline(
     pack_seq_len: int | None = None,
     n_shards: int | None = None,
     quality_mode: str = "code",
+    boiler_min_docs: int | None = None,
     resume: bool = True,
 ) -> dict:
     """Run (or resume) the curation pipeline; returns the report dict.
@@ -146,6 +152,7 @@ def run_pipeline(
         "pack_seq_len": pack_seq_len,
         "n_shards": n_shards,
         "quality_mode": quality_mode,
+        "boiler_min_docs": boiler_min_docs,
     }
     if quality_mode not in ("code", "web"):
         raise ValueError(f"quality_mode must be 'code' or 'web', got {quality_mode!r}")
@@ -218,6 +225,31 @@ def run_pipeline(
         lineage.record("quality", out_path=q_path, wall_s=time.time() - t0)
     quality = spark.read.parquet(q_path)
     kept = quality.where(F.col("keep") == 1)
+
+    # ---- 1b. boilerplate line removal (optional) ---------------------
+    # Runs BEFORE the dedup stages: cross-document boilerplate (cookie
+    # banners, nav bars) inflates MinHash similarity between unrelated
+    # pages, so it must be cut from the text the fingerprints see.
+    if boiler_min_docs:
+        bl_path = _stage(out_dir, "boiler_cleaned")
+        if not (resume and _done(bl_path)):
+            t0 = time.time()
+            boilerplate_clean_frame(
+                kept.select(
+                    "doc_id", "lang", F.col("content").alias("text")
+                ),
+                min_docs=boiler_min_docs,
+                carry=("lang",),
+            ).select(
+                "doc_id",
+                "lang",
+                F.col("text_clean").alias("content"),
+                "n_removed",
+            ).write.mode("overwrite").parquet(bl_path)
+            lineage.record(
+                "boilerplate", out_path=bl_path, wall_s=time.time() - t0
+            )
+        kept = spark.read.parquet(bl_path)
 
     # ---- 2. redact ---------------------------------------------------
     r_path = _stage(out_dir, "redacted")
@@ -376,6 +408,13 @@ def run_pipeline(
         "neardup_removed": remove.count(),
         "blessed": blessed.count(),
     }
+    if boiler_min_docs:
+        counts["boiler_lines_removed"] = int(
+            spark.read.parquet(_stage(out_dir, "boiler_cleaned"))
+            .agg(F.sum("n_removed"))
+            .collect()[0][0]
+            or 0
+        )
     if old_docs is not None:
         counts["incremental_removed"] = spark.read.parquet(
             _stage(out_dir, "incremental_remove")
@@ -445,6 +484,12 @@ def main() -> None:
         help="quality battery: 'code' = StarCoder/BigCode file filters, "
         "'web' = fused C4+Gopher page filters",
     )
+    ap.add_argument(
+        "--boiler-min-docs",
+        type=int,
+        help="cut lines occurring in at least this many docs (boilerplate "
+        "removal stage, runs before dedup; off when unset)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -471,6 +516,7 @@ def main() -> None:
         pack_seq_len=args.seq_len,
         n_shards=args.shards,
         quality_mode=args.quality_mode,
+        boiler_min_docs=args.boiler_min_docs,
         resume=not args.no_resume,
     )
     print(json.dumps(report))

@@ -264,3 +264,47 @@ def test_web_quality_mode(spark, tmp_root):
         os.path.getmtime(os.path.join(out, "blessed", "_SUCCESS"))
         > bless_mtime
     )
+
+
+def test_boilerplate_stage(spark, tmp_root):
+    """--boiler-min-docs cuts cross-document repeated lines from the
+    kept docs BEFORE the dedup stages, and the cut count lands in the
+    report."""
+    out = os.path.join(tmp_root, "pipeline_out_boiler")
+    sentence = (
+        "the quick brown fox jumps over and rests beside that lazy dog "
+        "to nap."
+    )
+    line = sentence + " " + sentence
+    rows = []
+    for i in range(20):
+        page = "\n".join(
+            [line, line, f"this page number {i} also ends with a period."]
+        )
+        rows.append((i, "en", page))
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, lang string, content string"
+    )
+    report = run_pipeline(
+        spark,
+        corpus,
+        out,
+        quality_mode="web",
+        boiler_min_docs=10,
+        resume=False,
+    )
+    c = report["stages"]
+    assert c["quality_kept"] == 20
+    # the two shared lines are boilerplate in every doc: 2 x 20 cuts
+    assert c["boiler_lines_removed"] == 40
+    cleaned = spark.read.parquet(os.path.join(out, "boiler_cleaned"))
+    assert cleaned.count() == 20
+    for r in cleaned.select("content").collect():
+        assert sentence not in r["content"]
+        assert "page number" in r["content"]
+    # lang survives the reassembly (carry column)
+    assert set(cleaned.columns) >= {"doc_id", "lang", "content", "n_removed"}
+    blessed = spark.read.parquet(os.path.join(out, "blessed"))
+    assert blessed.count() >= 1
+    for r in blessed.select("content").collect():
+        assert sentence not in r["content"]

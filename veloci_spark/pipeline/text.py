@@ -2069,7 +2069,10 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def boilerplate_clean_frame(
-    d: DataFrame, min_docs: int, max_broadcast_lines: int = 2_000_000
+    d: DataFrame,
+    min_docs: int,
+    max_broadcast_lines: int = 2_000_000,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Frame-level boilerplate removal over (doc_id, text, ...) — see
     :func:`text_boilerplate_lines`.
@@ -2087,6 +2090,7 @@ def boilerplate_clean_frame(
     to the shuffle join, which AQE skew-splits."""
     lines = d.select(
         "doc_id",
+        *carry,  # doc-level columns, functionally dependent on doc_id
         F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.trim(F.col("line"))))
     boiler = (
@@ -2109,7 +2113,7 @@ def boilerplate_clean_frame(
         ),
         lambda x: ~x["is_boiler"],
     )
-    return flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id", *carry).agg(
         F.count("*").alias("n_lines"),
         F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
         F.array_join(

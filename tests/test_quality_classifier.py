@@ -1,0 +1,124 @@
+"""Trained linear quality classifier — pure-python training replay
+(exact e8-integer weight parity, the k-means/BPE verification pattern),
+learning sanity, and scoring semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.text import (
+    QC_BUCKETS,
+    QC_ITERS,
+    QC_LABEL_MIN,
+    QC_LABEL_WORDS,
+    QC_LR_DEN,
+    _hash_bucket,
+    quality_classifier_score,
+    quality_classifier_train,
+    text_quality_classifier,
+)
+
+ROWS = [
+    # positives mention "good" vocabulary, negatives "junk" vocabulary;
+    # some shared words so the problem is not trivially separable
+    (0, 1, "clear helpful prose with shared words here"),
+    (1, 1, "clear concise helpful text shared tokens appear"),
+    (2, 1, "helpful prose concise clear narrative shared"),
+    (3, 1, "concise clear helpful writing shared sample"),
+    (4, 0, "junk spam noise shared words here"),
+    (5, 0, "spam noise junk garbage shared tokens appear"),
+    (6, 0, "noise garbage spam junk shared"),
+    (7, 0, "garbage junk noise spam shared sample"),
+]
+
+
+def _py_train(rows, n_buckets, iters, lr_den):
+    """Single-machine replica of the documented update rule, operating
+    on (y, feature-bucket-set) pairs with python ints throughout."""
+    import re
+
+    from veloci_spark.pipeline.common import WORD_PATTERN
+
+    pat = re.compile(WORD_PATTERN)
+    docs = []
+    for _, y, text in rows:
+        fs = sorted({_hash_bucket(w, n_buckets) for w in pat.findall(text)})
+        docs.append((y, fs + [n_buckets]))
+    n = len(docs)
+    w = [0] * (n_buckets + 1)
+    for _ in range(iters):
+        grad = [0] * (n_buckets + 1)
+        for y, fs in docs:
+            m = sum(w[b] for b in fs)
+            x = m / 1e8
+            p = 0.5 * (1.0 + x / (1.0 + abs(x)))
+            ri = math.floor((y - p) * 1e8 + 0.5)
+            for b in fs:
+                grad[b] += ri
+        for b in range(n_buckets + 1):
+            w[b] += math.floor(grad[b] / (lr_den * n))
+    return w
+
+
+@pytest.mark.parametrize("iters", [1, 3, 7])
+def test_training_replay_exact(spark, iters):
+    """The distributed training loop produces bit-identical e8-integer
+    weights to the sequential reference at every iteration count — the
+    quantize-before-sum gradient makes partitioning invisible."""
+    df = spark.createDataFrame(
+        [(i, y, t) for i, y, t in ROWS], "doc_id long, y long, text string"
+    )
+    w_spark = quality_classifier_train(
+        df, "y", n_buckets=64, iters=iters
+    )
+    w_py = _py_train(ROWS, 64, iters, QC_LR_DEN)
+    assert w_spark == w_py
+
+
+def test_learns_separable_labels(spark):
+    df = spark.createDataFrame(
+        [(i, y, t) for i, y, t in ROWS], "doc_id long, y long, text string"
+    )
+    w = quality_classifier_train(df, "y", n_buckets=64, iters=12)
+    scored = quality_classifier_score(df, w, n_buckets=64)
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in scored.join(df.select("doc_id", "y"), "doc_id").collect()
+    }
+    assert all(got[i] == y for i, y, _ in ROWS)  # fully separable -> 100%
+
+
+def test_score_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, y, t) for i, y, t in ROWS], "doc_id long, y long, text string"
+    )
+    w = quality_classifier_train(df, "y", n_buckets=64, iters=4)
+    rows = quality_classifier_score(df, w, n_buckets=64).collect()
+    for r in rows:
+        assert r["pred"] == (1 if r["margin_e8"] >= 0 else 0)
+        assert 0 <= r["p_e4"] <= 10000
+        assert r["n_feats"] >= 1
+
+
+def test_empty_corpus_raises(spark):
+    df = spark.createDataFrame([], "doc_id long, y long, text string")
+    with pytest.raises(ValueError):
+        quality_classifier_train(df, "y", n_buckets=64, iters=1)
+
+
+def test_registry_entry_beats_base_rate(spark):
+    """On the fixture threshold labels (>= QC_LABEL_MIN of
+    QC_LABEL_WORDS present), trained accuracy must beat always-majority
+    — the oracle then pins the identical learned weights in DuckDB."""
+    rows = text_quality_classifier(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    pos = sum(r["label"] for r in rows) / len(rows)
+    base = max(pos, 1 - pos)
+    acc = sum(1 for r in rows if r["label"] == r["pred"]) / len(rows)
+    assert acc > base + 0.05, (acc, base)
+    assert {r["pred"] for r in rows} == {0, 1}
+    assert QC_ITERS == 48 and QC_BUCKETS == 256
+    assert len(QC_LABEL_WORDS) == 6 and QC_LABEL_MIN == 5

@@ -11,6 +11,8 @@ expression gets re-derived by Catalyst below the explode (see PLANS.md
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -2031,6 +2033,247 @@ FROM k
 """
 
 
+# ------------------------------------ trained quality classifier (LR)
+
+QC_BUCKETS = 256
+QC_ITERS = 48
+QC_LR_DEN = 0.5  # step = floor(grad / (QC_LR_DEN * N)) -> lr = 2
+QC_LABEL_WORDS = ("spark", "join", "merge", "sort", "vector", "window")
+QC_LABEL_MIN = 5  # fixture label: doc mentions >= 5 of the 6 markers
+# (a threshold of binary presence features IS linearly separable, so the
+# classifier can genuinely learn it; >= 5/6 splits the fixtures ~64/36)
+
+
+def _qc_feat_udf(n_buckets: int):
+    """Arrow-batched DISTINCT hashed-feature extractor (presence, not
+    counts — the classifier's x is binary) + a constant bias feature at
+    index n_buckets.  Same word pattern and md5-prefix bucket hash as
+    DSIR (:func:`_hash_bucket`) so the oracles share one hash
+    definition."""
+    import re
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    pat = re.compile(WORD_PATTERN)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def feats(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = pat.findall(t) if t is not None else []
+            fs = {_hash_bucket(w, n_buckets) for w in ws}
+            out.append(sorted(fs) + [n_buckets])
+        return pd.Series(out)
+
+    return feats
+
+
+def _qc_margin_expr(feats_col, w_int: list[int]):
+    """Integer margin Σ w_int[b] over the doc's feature buckets — an
+    exact long sum, so it is aggregation-order-free."""
+    wlit = F.array(*[F.lit(int(x)) for x in w_int])
+    return F.aggregate(
+        feats_col,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(wlit, b + F.lit(1)).cast("long"),
+    )
+
+
+def _qc_p_expr(margin_e8):
+    """The rational squashing link p = 0.5·(1 + x/(1+|x|)) on
+    x = margin/1e8.  Deliberately NOT exp-based: +,−,×,÷,abs are
+    IEEE-exact and identical across engines, while java.lang.Math.exp
+    and C libm may differ in the last ulp — which would make the
+    quantized residuals (and the learned weights) engine-dependent.
+    Monotone, σ̃(0)=0.5, range (0,1): everything a quality score
+    needs."""
+    x = margin_e8.cast("double") / F.lit(1e8)
+    return F.lit(0.5) * (F.lit(1.0) + x / (F.lit(1.0) + F.abs(x)))
+
+
+def quality_classifier_train(
+    d: DataFrame,
+    label_col,
+    n_buckets: int = QC_BUCKETS,
+    iters: int = QC_ITERS,
+) -> list[int]:
+    """Distributed full-batch training of a linear quality classifier
+    (the discriminative complement of DSIR's generative importance
+    weights — the WebText/FineWeb-style 'quality classifier' stage)
+    over hashed bag-of-words presence features.
+
+    Update rule, in e8-integer weight space (bit-identical on any
+    engine and any partitioning):
+
+        margin_i = Σ_{b ∈ feats_i} w[b]                (exact long sum)
+        resid_i  = e8(y_i − σ̃(margin_i/1e8))          (quantized BEFORE
+                                                        the gradient sum)
+        grad[b]  = Σ_{i: b ∈ feats_i} resid_i          (exact long sum)
+        w[b]    += floor(grad[b] / (QC_LR_DEN·N))      (lr = 2)
+
+    Scale shape: the feature frame is computed once (one Arrow pass)
+    and cached; each iteration is one scan — margins/residuals as pure
+    column expressions against the BROADCAST weight literal (no join),
+    then one map-side-combined groupBy(b) producing <= n_buckets+1
+    rows collected to the driver.  Iterations are a driver-bounded
+    loop over a constant-size weight vector (k-means/BPE precedent);
+    the corpus is never shuffled on a feature key.
+
+    Returns the learned e8-integer weights (len n_buckets+1, last =
+    bias)."""
+    feats = _qc_feat_udf(n_buckets)
+    d2 = d.where(F.col("text").isNotNull()).select(
+        F.col(label_col).cast("long").alias("y"),
+        feats(F.col("text")).alias("fs"),
+    )
+    d2 = d2.persist()
+    n = d2.count()
+    if n == 0:
+        d2.unpersist()
+        raise ValueError("quality_classifier_train: empty corpus")
+    w = [0] * (n_buckets + 1)
+    for _ in range(iters):
+        m = _qc_margin_expr(F.col("fs"), w)
+        ri = F.floor(
+            (F.col("y").cast("double") - _qc_p_expr(m)) * F.lit(1e8)
+            + F.lit(0.5)
+        ).cast("long")
+        grad = (
+            d2.select(ri.alias("ri"), F.explode("fs").alias("b"))
+            .groupBy("b")
+            .agg(F.sum("ri").alias("g"))
+            .collect()
+        )
+        for r in grad:
+            w[r["b"]] += math.floor(r["g"] / (QC_LR_DEN * n))
+    d2.unpersist()
+    return w
+
+
+def quality_classifier_score(
+    d: DataFrame, w_int: list[int], n_buckets: int = QC_BUCKETS
+) -> DataFrame:
+    """Score (doc_id, text, ...) rows under trained e8 weights:
+    (doc_id, n_feats, margin_e8, p_e4, pred).  pred compares the
+    INTEGER margin against 0 (σ̃(0) = 0.5), so the keep decision has no
+    float boundary at all.  One scan, zero shuffles — the weight vector
+    rides along as a broadcast literal."""
+    feats = _qc_feat_udf(n_buckets)
+    d2 = d.where(F.col("text").isNotNull()).select(
+        "doc_id", feats(F.col("text")).alias("fs")
+    )
+    m = _qc_margin_expr(F.col("fs"), w_int)
+    return d2.select(
+        "doc_id",
+        (F.size("fs") - F.lit(1)).cast("long").alias("n_feats"),
+        m.alias("margin_e8"),
+        e4(_qc_p_expr(m)).alias("p_e4"),
+        (m >= 0).cast("int").alias("pred"),
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: train on the deterministic fixture labels
+    (doc mentions 'spark' or 'join' — text-derived, so the hashed
+    features actually carry signal) for QC_ITERS full-batch rounds,
+    then score the same corpus.  Output: (doc_id, n_feats, margin_e8,
+    p_e4, label, pred).
+
+    The DuckDB oracle replays the ENTIRE training loop — every
+    iteration unrolled into generated CTE stages (margins → quantized
+    residuals → bucket gradients → weight update), the BPE-oracle
+    precedent — then scores with the resulting weights, so the driver
+    hash pins training AND inference cross-engine."""
+    d = _docs(spark, sf_dir)
+    words = words_expr("text")
+    label = (
+        F.size(
+            F.array_intersect(
+                words, F.array(*[F.lit(s) for s in QC_LABEL_WORDS])
+            )
+        )
+        >= QC_LABEL_MIN
+    ).cast("long")
+    labeled = d.select("doc_id", "text", label.alias("y"))
+    w = quality_classifier_train(labeled, "y")
+    return (
+        quality_classifier_score(labeled, w)
+        .join(labeled.select("doc_id", F.col("y").alias("label")), "doc_id")
+        .select(
+            "doc_id", "n_feats", "margin_e8", "p_e4", "label", "pred"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def text_quality_classifier_sql(
+    n_buckets: int = QC_BUCKETS, iters: int = QC_ITERS
+) -> str:
+    """Unrolled-training oracle — see :func:`text_quality_classifier`."""
+    ws = sql_words("text")
+    pos = ", ".join(f"'{s}'" for s in QC_LABEL_WORDS)
+    head = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, {ws} AS ws FROM documents WHERE text IS NOT NULL
+),
+labels AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_intersect(ws, [{pos}])) >= {QC_LABEL_MIN} AS BIGINT) AS y
+  FROM d
+),
+feats AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(CAST('0x' || substring(md5(u.g), 1, 8) AS UBIGINT)
+              % {n_buckets} AS INT) AS b
+  FROM d, LATERAL (SELECT unnest(ws) AS g) u
+  UNION
+  SELECT doc_id, {n_buckets} AS b FROM d
+),
+tot AS MATERIALIZED (SELECT count(*) AS n FROM labels),
+w0 AS MATERIALIZED (SELECT CAST(t.range AS INT) AS b, CAST(0 AS BIGINT) AS w
+       FROM range(0, {n_buckets + 1}) t)"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"(0.5 * (1.0 + (m{k}.mi / 1e8) / (1.0 + abs(m{k}.mi / 1e8))))"
+        steps.append(f"""
+m{k} AS MATERIALIZED (
+  SELECT f.doc_id, sum(w.w) AS mi
+  FROM feats f JOIN w{k - 1} w ON f.b = w.b GROUP BY f.doc_id
+),
+r{k} AS MATERIALIZED (
+  SELECT m{k}.doc_id,
+         CAST(floor((l.y - {p}) * 1e8 + 0.5) AS BIGINT) AS ri
+  FROM m{k} JOIN labels l ON m{k}.doc_id = l.doc_id
+),
+g{k} AS MATERIALIZED (
+  SELECT f.b, sum(r.ri) AS g
+  FROM feats f JOIN r{k} r ON f.doc_id = r.doc_id GROUP BY f.b
+),
+w{k} AS MATERIALIZED (
+  SELECT w.b,
+         w.w + CAST(floor(CAST(COALESCE(g.g, 0) AS DOUBLE)
+                          / ({QC_LR_DEN} * (SELECT n FROM tot))) AS BIGINT) AS w
+  FROM w{k - 1} w LEFT JOIN g{k} g ON w.b = g.b
+)""")
+    tail = f"""
+mf AS MATERIALIZED (
+  SELECT f.doc_id, sum(w.w) AS mi
+  FROM feats f JOIN w{iters} w ON f.b = w.b GROUP BY f.doc_id
+),
+nf AS (SELECT doc_id, count(*) AS c FROM feats GROUP BY doc_id)
+SELECT l.doc_id,
+  CAST(nf.c - 1 AS BIGINT) AS n_feats,
+  CAST(mf.mi AS BIGINT) AS margin_e8,
+  {sql_e4('0.5 * (1.0 + (mf.mi / 1e8) / (1.0 + abs(mf.mi / 1e8)))')} AS p_e4,
+  l.y AS label,
+  CAST(mf.mi >= 0 AS INTEGER) AS pred
+FROM labels l JOIN mf ON l.doc_id = mf.doc_id
+JOIN nf ON l.doc_id = nf.doc_id
+ORDER BY l.doc_id
+"""
+    return head + "," + ",".join(steps) + "," + tail
+
+
 # ------------------------------------------ boilerplate line removal
 
 BOILER_MIN_DOCS = 30
@@ -2550,6 +2793,7 @@ def extra_queries():
         "text_c4_filters": text_c4_filters,
         "text_gopher_filters": text_gopher_filters,
         "text_boilerplate_lines": text_boilerplate_lines,
+        "text_quality_classifier": text_quality_classifier,
     }
 
 
@@ -2570,6 +2814,7 @@ def extra_oracles():
         "text_c4_filters": text_c4_filters_sql(),
         "text_gopher_filters": text_gopher_filters_sql(),
         "text_boilerplate_lines": text_boilerplate_lines_sql(),
+        "text_quality_classifier": text_quality_classifier_sql(),
         "text_word_entropy": WORD_ENTROPY_SQL,
         "text_tfidf_topk": text_tfidf_sql(),
     }

@@ -706,6 +706,33 @@ def run_webq_scaling(low: int = 2, high: int = 8, n_docs: int = 200_000) -> dict
                 results.get(f"boiler_{cpus}", dt), dt
             )
             results["boiler_removed"] = int(row["nr"])
+
+            # classifier training: labels = >=3 of 6 mid-frequency Zipf
+            # words present (~50% positive); 4 full-batch iterations —
+            # per-iteration cost is the corpus scan, which is what the
+            # two-parallelism comparison measures
+            from veloci_spark.pipeline.text import (
+                quality_classifier_train,
+            )
+
+            marker = F.array(*[F.lit(f"w{i}") for i in (8, 9, 10, 11, 12, 13)])
+            labeled = docs.select(
+                "doc_id",
+                "text",
+                (
+                    F.size(
+                        F.array_intersect(F.split(F.col("text"), " "), marker)
+                    )
+                    >= 3
+                )
+                .cast("long")
+                .alias("y"),
+            )
+            t0 = time.time()
+            w = quality_classifier_train(labeled, "y", iters=4)
+            dt = time.time() - t0
+            results[f"clf_{cpus}"] = min(results.get(f"clf_{cpus}", dt), dt)
+            results["clf_nonzero_w"] = sum(1 for x in w if x)
         finally:
             spark.stop()
     out: dict = {
@@ -717,7 +744,7 @@ def run_webq_scaling(low: int = 2, high: int = 8, n_docs: int = 200_000) -> dict
         "quality_kept": results["quality_kept"],
         "boiler_removed": results["boiler_removed"],
     }
-    for name in ("quality", "boiler"):
+    for name in ("quality", "boiler", "clf"):
         lo, hi = results[f"{name}_{low}"], results[f"{name}_{high}"]
         out[name] = {
             "low_sec": round(lo, 2),
@@ -1260,6 +1287,7 @@ def main():
             for name, label in (
                 ("quality", "fused C4+Gopher quality scan (zero shuffle)"),
                 ("boiler", "boilerplate removal (explode + combine groupBy + join + reassembly)"),
+                ("clf", "quality-classifier training (4 full-batch iterations, e8-int weights)"),
             ):
                 r = res[name]
                 f.write(

@@ -177,3 +177,49 @@ def test_shard_assign_is_shuffle_free(spark):
 
     p = _plan(shard_assign(spark, SF_DIR))
     assert "Exchange" not in p and "Window" not in p
+
+
+# ------------------------------------------- round-4 web-text operators
+
+def test_boilerplate_broadcasts_boiler_set(spark):
+    # the boiler set is threshold-bounded and must be BROADCAST: a
+    # boilerplate hash has >= min_docs copies by definition, so the
+    # sort-merge alternative reshuffles the whole corpus and
+    # concentrates exactly the hottest keys (BENCH/BASELINE.md round-4
+    # web-text scaling section: 0.699 -> 0.784 from this change)
+    from veloci_spark.pipeline.text import text_boilerplate_lines
+
+    p = _plan(text_boilerplate_lines(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_fused_web_quality_scan_has_no_exchange(spark):
+    # the fused C4+Gopher battery is pure column expressions over one
+    # scan — any Exchange here means a regression to a shuffling plan
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.text import web_keep_col, web_metrics_cols
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = web_metrics_cols(F.col("text"))
+    out = d.select(
+        "doc_id", *[c.alias(k) for k, c in m.items()]
+    ).withColumn("keep", web_keep_col({k: F.col(k) for k in m}))
+    p = _plan(out)
+    assert "Exchange" not in p
+    assert "Window" not in p
+
+
+def test_classifier_scoring_has_no_exchange(spark):
+    # scoring rides the broadcast weight literal: one scan, no shuffle
+    from veloci_spark.pipeline.text import (
+        QC_BUCKETS,
+        quality_classifier_score,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = [0] * (QC_BUCKETS + 1)
+    p = _plan(quality_classifier_score(d, w))
+    assert "Exchange" not in p
+    assert "Window" not in p

@@ -1,0 +1,121 @@
+"""REAL container-free codecs (24-bit BMP, PCM16 WAV): byte-exact
+round trips on adversarial shapes, header-field pins against the
+published layouts, dispatch guards, and the decode→metadata path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from veloci_spark.pipeline.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_wav,
+    encode_bmp,
+    encode_wav_pcm16,
+    multimodal_bmp_meta,
+    multimodal_wav_meta,
+    synthesize_bmp_payloads,
+    _digest_px,
+    _digest_samples,
+)
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 31, 64])
+def test_bmp_roundtrip_padding_widths(w):
+    # widths 1..3 mod 4 exercise every row-padding case
+    rng = np.random.RandomState(w)
+    px = rng.randint(0, 256, (7, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_bmp_header_fields():
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    b = encode_bmp(px)
+    assert b[:2] == b"BM"
+    rowsize = (3 * 3 + 3) // 4 * 4  # 12, already aligned
+    assert int.from_bytes(b[2:6], "little") == 54 + rowsize * 2  # file size
+    assert int.from_bytes(b[10:14], "little") == 54  # pixel offset
+    assert int.from_bytes(b[14:18], "little") == 40  # BITMAPINFOHEADER
+    assert int.from_bytes(b[18:22], "little") == 3  # width
+    assert int.from_bytes(b[22:26], "little") == 2  # height
+    assert int.from_bytes(b[28:30], "little") == 24  # bpp
+    assert int.from_bytes(b[30:34], "little") == 0  # BI_RGB
+
+
+def test_bmp_rejects_other_flavors():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    b = bytearray(encode_bmp(px))
+    b[28] = 8  # 8bpp
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(b))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(60))
+
+
+def test_dispatch_guards_short_bm_payloads():
+    # a 16-byte digest that happens to start with 'BM' must go to the
+    # stub, not the BMP parser
+    fake = b"BM" + bytes(14)
+    px = decode_image(fake)
+    assert px.ndim == 3 and px.shape[2] == 3
+
+
+def test_wav_roundtrip_and_header():
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, 301).astype(np.int16)
+    b = encode_wav_pcm16(s, rate=8000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    assert int.from_bytes(b[22:24], "little") == 1  # mono
+    assert int.from_bytes(b[24:28], "little") == 8000
+    assert int.from_bytes(b[34:36], "little") == 16  # bits
+    rate, back = decode_wav(b)
+    assert rate == 8000 and np.array_equal(back, s)
+    # full negative/positive extremes survive
+    edge = np.array([-32768, 32767, 0, -1], dtype=np.int16)
+    assert np.array_equal(decode_wav(encode_wav_pcm16(edge))[1], edge)
+
+
+def test_wav_rejects_other_flavors():
+    s = np.zeros(4, dtype=np.int16)
+    b = bytearray(encode_wav_pcm16(s))
+    b[22] = 2  # stereo
+    with pytest.raises(ValueError):
+        decode_wav(bytes(b))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAIFF" + bytes(40))
+
+
+def test_synthesized_bmp_is_real_file(spark):
+    """The payload column contains genuine BMP files: re-decoding the
+    raw bytes outside the pipeline reproduces the deterministic pixel
+    derivation exactly."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: bytes(r["payload"])
+            for r in synthesize_bmp_payloads(docs).collect()}
+    for doc_id, text in ((1, "hello world"), (2, "another doc")):
+        assert np.array_equal(decode_bmp(rows[doc_id]), _digest_px(text))
+
+
+def test_meta_paths_on_fixture(spark):
+    bmp = {r["doc_id"]: r
+           for r in multimodal_bmp_meta(spark, "/root/testdata/sf0.001").collect()}
+    wav = {r["doc_id"]: r
+           for r in multimodal_wav_meta(spark, "/root/testdata/sf0.001").collect()}
+    assert len(bmp) == 500 and len(wav) == 500
+    for r in bmp.values():
+        rowsize = (3 * r["width"] + 3) // 4 * 4
+        assert r["n_bytes"] == 54 + rowsize * r["height"]
+        assert r["n_px"] == r["width"] * r["height"] * 3
+        assert r["channels"] == 3
+    for r in wav.values():
+        assert r["n_bytes"] == 44 + 2 * r["n_samples"]
+        assert r["sample_rate"] == 16000
+        assert 64 <= r["n_samples"] <= 127
+
+
+def test_digest_samples_match_numpy_int16_wrap():
+    s = _digest_samples("some text")
+    assert s.dtype == np.int16 and 64 <= s.size <= 127

@@ -39,6 +39,7 @@ def pipeline_extra_queries():
     out.update(events.extra_queries())
     out.update(code_quality.extra_queries())
     out.update(shards.extra_queries())
+    out.update(multimodal.extra_queries())
     return out
 
 
@@ -50,4 +51,5 @@ def pipeline_extra_oracles():
     out.update(events.extra_oracles())
     out.update(code_quality.extra_oracles())
     out.update(shards.extra_oracles())
+    out.update(multimodal.extra_oracles())
     return out

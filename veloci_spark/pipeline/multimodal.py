@@ -63,7 +63,7 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_image_stub(bytes(payload))
+                px = decode_image(bytes(payload))
                 h, w, c = px.shape
                 flat = px.astype(np.float32)
                 feats = [
@@ -266,6 +266,292 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_video_payloads(docs))
 
 
+# ----------------------------------------- REAL codecs: BMP and WAV
+#
+# The container has no image/audio libraries, but two widely-used
+# formats need none: 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB)
+# and PCM16 WAV are pure header-plus-raw-samples layouts that numpy
+# parses directly.  These are genuine encoders/decoders — the bytes
+# round-trip through any external viewer/player — so the multimodal
+# path exercises a REAL decode, with `decode_image_stub` remaining only
+# as the documented fallback for compressed codecs (JPEG/PNG/ffmpeg).
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (bottom-up rows, BGR order, rows padded to 4 bytes — the classic
+    Windows 3.x layout every viewer accepts)."""
+    h, w, c = px.shape
+    assert c == 3
+    rowsize = (3 * w + 3) // 4 * 4
+    imgsize = rowsize * h
+    header = b"BM"
+    header += (54 + imgsize).to_bytes(4, "little")
+    header += b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+    header += (40).to_bytes(4, "little")
+    header += w.to_bytes(4, "little") + h.to_bytes(4, "little")
+    header += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    header += (0).to_bytes(4, "little") + imgsize.to_bytes(4, "little")
+    header += (2835).to_bytes(4, "little") * 2  # 72 dpi
+    header += (0).to_bytes(4, "little") * 2
+    rows = np.zeros((h, rowsize), dtype=np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array (top-down).  Raises ValueError on any other BMP flavor."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={comp} {w}x{h})")
+    rowsize = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=rowsize * h, offset=offset
+    ).reshape(h, rowsize)
+    return rows[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatching decoder: REAL parse for BMP payloads; the
+    deterministic stub for anything else (compressed codecs need
+    external libraries this container lacks).  The length guard keeps
+    16-byte digest payloads that happen to start with 0x42 0x4D out of
+    the BMP path."""
+    if len(payload) >= 54 and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return decode_image_stub(payload)
+
+
+def _digest_px(text: str) -> np.ndarray:
+    """The shared deterministic pixel derivation (digest bytes 0/1 →
+    dims, digest cycled → pixels) — one definition for the stub payloads
+    AND the real-BMP payloads, so both oracles share the px_sum CTE."""
+    arr = np.frombuffer(
+        hashlib.md5(text.encode("utf-8")).digest(), dtype=np.uint8
+    )
+    w = 1 + int(arr[0]) % 64
+    h = 1 + int(arr[1]) % 64
+    return np.resize(arr, w * h * 3).reshape(h, w, 3)
+
+
+def synthesize_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL BMP files per doc (pixels = the same
+    digest-cycled bytes the stub path uses, but genuinely encoded):
+    (doc_id, payload).  One Arrow pass — encoding is numpy."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), encode_bmp(_digest_px(text)))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _enc, schema="doc_id long, payload binary"
+    )
+
+
+def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like multimodal_meta but through the REAL BMP decoder: encode the
+    deterministic pixels as genuine BMP bytes, decode them back with the
+    header-parsing decoder, report exact-integer metadata.  n_bytes is
+    the true file size (54-byte header + 4-padded rows); px_sum/n_px
+    are invariant to BMP's bottom-up BGR storage, so the oracle shares
+    the stub oracle's cyclic-digest arithmetic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    feats = extract_features(synthesize_bmp_payloads(docs))
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "px_sum",
+        "n_px",
+    )
+
+
+MULTIMODAL_BMP_META_SQL = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bv
+  FROM m, range(16) t(i)
+),
+wh AS (
+  SELECT doc_id,
+    1 + max(CASE WHEN i = 0 THEN bv END) % 64 AS width,
+    1 + max(CASE WHEN i = 1 THEN bv END) % 64 AS height,
+    sum(bv) AS s16
+  FROM b GROUP BY doc_id
+),
+dims AS (
+  SELECT doc_id, width, height, width * height * 3 AS L, s16 FROM wh
+)
+SELECT d.doc_id,
+  CAST(54 + ((3 * d.width + 3) // 4) * 4 * d.height AS BIGINT) AS n_bytes,
+  CAST(d.width AS BIGINT) AS width,
+  CAST(d.height AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST((d.L // 16) * d.s16
+    + coalesce(sum(b.bv) FILTER (WHERE b.i < d.L % 16), 0) AS BIGINT) AS px_sum,
+  CAST(d.L AS BIGINT) AS n_px
+FROM dims d JOIN b USING (doc_id)
+GROUP BY d.doc_id, d.width, d.height, d.L, d.s16
+"""
+
+
+# --------------------------------------------------------- WAV (PCM16)
+
+WAV_RATE = 16_000
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Encode an int16 sample array as a mono PCM16 RIFF/WAVE file."""
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+    hdr += b"fmt " + (16).to_bytes(4, "little")
+    hdr += (1).to_bytes(2, "little") + (1).to_bytes(2, "little")  # PCM mono
+    hdr += rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+    hdr += (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    return hdr + b"data" + len(data).to_bytes(4, "little") + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono PCM16 WAV into (sample_rate, int16 array).  Raises
+    ValueError on any other flavor."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt = int.from_bytes(payload[20:22], "little")
+    ch = int.from_bytes(payload[22:24], "little")
+    rate = int.from_bytes(payload[24:28], "little")
+    bits = int.from_bytes(payload[34:36], "little")
+    if fmt != 1 or ch != 1 or bits != 16 or payload[36:40] != b"data":
+        raise ValueError(f"unsupported WAV (fmt={fmt} ch={ch} bits={bits})")
+    n = int.from_bytes(payload[40:44], "little")
+    return rate, np.frombuffer(payload, dtype="<i2", count=n // 2, offset=44)
+
+
+def _digest_samples(text: str) -> np.ndarray:
+    """Deterministic int16 samples: digest byte pairs (little-endian)
+    cycled to n = 64 + digest[2] % 64 samples."""
+    arr = np.frombuffer(
+        hashlib.md5(text.encode("utf-8")).digest(), dtype=np.uint8
+    )
+    n = 64 + int(arr[2]) % 64
+    raw = np.resize(arr, 2 * n)
+    u = raw[0::2].astype(np.uint16) + 256 * raw[1::2].astype(np.uint16)
+    return u.view(np.int16)  # two's-complement reinterpretation
+
+
+def synthesize_wav_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL mono PCM16 WAV files per doc."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), encode_wav_pcm16(_digest_samples(text)))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _enc, schema="doc_id long, payload binary"
+    )
+
+
+WAV_META_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, n_samples long, "
+    "amp_sum long"
+)
+
+
+def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV round trip: synthesize genuine PCM16 files, decode them
+    with the header-parsing decoder, report exact-integer audio
+    metadata (file size, rate, sample count, Σ|sample|)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                rate, samples = decode_wav(b)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        rate,
+                        int(samples.size),
+                        int(np.abs(samples.astype(np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "n_samples",
+                    "amp_sum",
+                ],
+            )
+
+    return synthesize_wav_payloads(docs).mapInPandas(
+        _meta, schema=WAV_META_SCHEMA
+    )
+
+
+# Each sample cycles through 8 distinct int16 values (byte pairs
+# (0,1)..(14,15) of the digest); amp_sum = full cycles + partial.
+MULTIMODAL_WAV_META_SQL = f"""
+WITH m AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bv
+  FROM m, range(16) t(i)
+),
+v AS (
+  SELECT lo.doc_id, CAST(lo.i // 2 AS INT) AS k,
+    abs(CASE WHEN hi.bv >= 128 THEN lo.bv + 256 * hi.bv - 65536
+             ELSE lo.bv + 256 * hi.bv END) AS av
+  FROM b lo JOIN b hi ON lo.doc_id = hi.doc_id AND hi.i = lo.i + 1
+  WHERE lo.i % 2 = 0
+),
+n AS (
+  SELECT doc_id, 64 + max(CASE WHEN i = 2 THEN bv END) % 64 AS ns
+  FROM b GROUP BY doc_id
+),
+agg AS (
+  SELECT v.doc_id, sum(v.av) AS s8,
+         sum(CASE WHEN v.k < n.ns % 8 THEN v.av END) AS part
+  FROM v JOIN n ON v.doc_id = n.doc_id GROUP BY v.doc_id
+)
+SELECT n.doc_id,
+  CAST(44 + 2 * n.ns AS BIGINT) AS n_bytes,
+  CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+  CAST(n.ns AS BIGINT) AS n_samples,
+  CAST((n.ns // 8) * a.s8 + coalesce(a.part, 0) AS BIGINT) AS amp_sum
+FROM n JOIN agg a ON n.doc_id = a.doc_id
+"""
+
+
 def queries():
     return {"multimodal_meta": multimodal_meta}
 
@@ -274,3 +560,17 @@ def oracles():
     # the metadata row is exact integers → full DuckDB oracle (round-3
     # verdict #5); only the float32 feature vector remains rows-only
     return {"multimodal_meta": MULTIMODAL_META_SQL}
+
+
+def extra_queries():
+    return {
+        "multimodal_bmp_meta": multimodal_bmp_meta,
+        "multimodal_wav_meta": multimodal_wav_meta,
+    }
+
+
+def extra_oracles():
+    return {
+        "multimodal_bmp_meta": MULTIMODAL_BMP_META_SQL,
+        "multimodal_wav_meta": MULTIMODAL_WAV_META_SQL,
+    }

@@ -182,7 +182,7 @@ def extract_thumbnails(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_image_stub(bytes(payload))
+                px = decode_image(bytes(payload))
                 h, w, _ = px.shape
                 th = resize_nearest(px, out_w, out_h).astype(np.float32)
                 flat = (th.mean(axis=2) / 255.0).ravel()

@@ -316,3 +316,109 @@ def test_random_query_params_never_escape(app, term, extra):
     q = {"query": term, **extra}
     status, _res = app.handle("GET", "/docs/search", query=q)
     assert status in (200, 400)
+
+
+def test_bm25_route_modes(app, spark, tmp_root):
+    """POST /:db/bm25 (north-rule extension): mode dispatch equals the
+    direct bm25 calls; filtered results are a subset of unfiltered."""
+    from veloci_spark.bm25 import bm25_topk, bm25_wand_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {"field": "text", "terms": ["spark", "join"], "top": 5}
+    status, res = app.handle("POST", "/docs/bm25", body=body)
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_topk(idx, "text", body["terms"], 5).collect()
+    ]
+    assert res == want and len(res) == 5
+    # WAND mode is rank-identical
+    status, res_wand = app.handle(
+        "POST", "/docs/bm25", body={**body, "mode": "or-wand"}
+    )
+    assert status == 200 and res_wand == want
+    # AND mode returns docs containing every term
+    status, res_and = app.handle(
+        "POST", "/docs/bm25", body={**body, "mode": "and"}
+    )
+    assert status == 200 and 0 < len(res_and) <= 5
+    # explain returns per-term provenance dicts
+    status, res_ex = app.handle(
+        "POST", "/docs/bm25", body={**body, "mode": "explain"}
+    )
+    assert status == 200 and all("term" in r for r in res_ex)
+
+
+def test_bm25_route_filtered(app, spark, tmp_root):
+    from pyspark.sql import functions as F
+
+    from veloci_spark.bm25 import bm25_filtered_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {
+        "field": "text",
+        "terms": ["spark", "join"],
+        "top": 5,
+        "filter": {"lang": "de"},
+    }
+    status, res = app.handle("POST", "/docs/bm25", body=body)
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_filtered_topk(
+            idx, "text", body["terms"], 5, F.col("lang") == "de"
+        ).collect()
+    ]
+    assert res == want and len(res) > 0
+
+
+def test_bm25_route_rejections(app):
+    # terms must be a list of strings (not a string, not ints)
+    for bad_terms in ("spark join", [1, 2], None):
+        status, _ = app.handle(
+            "POST", "/docs/bm25", body={"field": "text", "terms": bad_terms}
+        )
+        assert status == 400
+    # unknown mode
+    status, _ = app.handle(
+        "POST",
+        "/docs/bm25",
+        body={"field": "text", "terms": ["spark"], "mode": "nope"},
+    )
+    assert status == 400
+    # unknown filter column must be rejected, not silently scored
+    status, res = app.handle(
+        "POST",
+        "/docs/bm25",
+        body={
+            "field": "text",
+            "terms": ["spark"],
+            "filter": {"no_such_col": "x"},
+        },
+    )
+    assert status == 400 and "no_such_col" in str(res)
+    # filter+weights exclusive; weights need or/or-wand
+    status, _ = app.handle(
+        "POST",
+        "/docs/bm25",
+        body={
+            "field": "text",
+            "terms": ["spark"],
+            "filter": {"lang": "de"},
+            "weights": {"text": 1},
+        },
+    )
+    assert status == 400
+    status, _ = app.handle(
+        "POST",
+        "/docs/bm25",
+        body={
+            "field": "text",
+            "terms": ["spark"],
+            "mode": "and",
+            "weights": {"text": 1},
+        },
+    )
+    assert status == 400

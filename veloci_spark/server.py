@@ -429,6 +429,81 @@ class VelociApp:
                 [r["text"], float(r["score"]), r["highlighted"]]
                 for r in highlight_entry(idx, part).collect()
             ]
+        if rest == "bm25" and method == "POST":
+            # North-rule extension: the single-query BM25 surface the
+            # CLI exposes (jobs/query_job.py --bm25), HTTP-shaped. Body:
+            #   {"field": str, "terms": [str...], "top": k,
+            #    "mode": "or"|"and"|"or-wand"|"and-wand"|"phrase"|"explain",
+            #    "filter": {col: value, ...}?,     (equality conjunction —
+            #      structured, NOT raw SQL: columns validated against the
+            #      doc store, values bound as literals)
+            #    "weights": {field: int, ...}?}    (BM25F)
+            from veloci_spark import bm25
+
+            terms = body.get("terms")
+            if not isinstance(terms, list) or not all(
+                isinstance(t, str) for t in terms
+            ):
+                raise HttpError(400, "terms must be a list of strings")
+            field = body.get("field", "content")
+            mode = body.get("mode", "or")
+            top = int(body.get("top", 10))
+            flt = body.get("filter")
+            weights = body.get("weights")
+            if flt is not None and weights is not None:
+                raise HttpError(400, "filter and weights are exclusive")
+            if weights is not None:
+                if mode not in ("or", "or-wand") or not (
+                    isinstance(weights, dict)
+                    and weights
+                    and all(isinstance(v, int) for v in weights.values())
+                ):
+                    raise HttpError(
+                        400,
+                        "weights must be {field: int} with mode or/or-wand",
+                    )
+                fn = (
+                    bm25.bm25f_wand_topk
+                    if mode == "or-wand"
+                    else bm25.bm25f_topk
+                )
+                rows = fn(idx, weights, terms, top).collect()
+            elif flt is not None:
+                if mode not in ("or", "or-wand") or not isinstance(flt, dict):
+                    raise HttpError(
+                        400,
+                        "filter must be {column: value} with mode or/or-wand",
+                    )
+                cols = set(idx.docstore().columns)
+                bad = [c for c in flt if c not in cols]
+                if bad:
+                    raise HttpError(400, f"unknown filter columns: {bad}")
+                pred = None
+                for c, v in flt.items():
+                    clause = F.col(c) == F.lit(v)
+                    pred = clause if pred is None else (pred & clause)
+                fn = (
+                    bm25.bm25_filtered_wand_topk
+                    if mode == "or-wand"
+                    else bm25.bm25_filtered_topk
+                )
+                rows = fn(idx, field, terms, top, pred).collect()
+            else:
+                try:
+                    fn = {
+                        "or": bm25.bm25_topk,
+                        "and": bm25.bm25_and_topk,
+                        "or-wand": bm25.bm25_wand_topk,
+                        "and-wand": bm25.bm25_and_wand_topk,
+                        "phrase": bm25.bm25_phrase_topk,
+                        "explain": bm25.bm25_explain_topk,
+                    }[mode]
+                except KeyError:
+                    raise HttpError(400, f"unknown bm25 mode {mode!r}")
+                rows = fn(idx, field, terms, top).collect()
+            if mode == "explain":
+                return [r.asDict() for r in rows]
+            return [[int(r["doc_id"]), int(r["score_e4"])] for r in rows]
         if rest == "bm25_batch" and method == "POST":
             # North-rule extension (no rocket counterpart — the reference
             # has no BM25): evaluate a whole query set in ONE Spark job.

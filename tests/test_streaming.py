@@ -527,3 +527,50 @@ def test_batch_ledger_append_only_and_legacy(tmp_path):
     assert 2 in led3 and 3 in led3 and 9 not in led3
     led3.commit(9)
     assert 9 in led3
+
+
+def test_quality_stream_matches_batch(spark, stream_dirs):
+    """Streaming web-quality gate: per-doc rows equal the batch fused
+    battery (same dict-of-columns code path), each micro-batch appends
+    exactly once, and new files score incrementally."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.text import web_keep_col, web_metrics_cols
+    from veloci_spark.streaming import start_quality_stream
+
+    src, work = stream_dirs
+    line = (
+        "the quick brown fox jumps over and rests beside that lazy dog "
+        "to nap. " * 2
+    ).strip()
+    clean = "\n".join([line] * 3)
+    _write_ndjson(os.path.join(src, "a.json"), [
+        {"doc_id": 1, "text": clean},
+        {"doc_id": 2, "text": "junk ### lorem ipsum"},
+    ])
+    out = start_quality_stream(spark, src, work)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["keep"] == 1 and got[2]["keep"] == 0
+
+    # batch equivalence on the same rows
+    bdf = spark.createDataFrame(
+        [(1, clean), (2, "junk ### lorem ipsum")], "doc_id long, text string"
+    )
+    m = web_metrics_cols(F.col("text"))
+    batch = {
+        r["doc_id"]: r
+        for r in bdf.select(
+            "doc_id", *[c.alias(k) for k, c in m.items()]
+        )
+        .withColumn("keep", web_keep_col({k: F.col(k) for k in m}))
+        .collect()
+    }
+    for i in (1, 2):
+        assert got[i].asDict() == batch[i].asDict()
+
+    # incremental: a new file appends only the new doc
+    _write_ndjson(os.path.join(src, "b.json"), [{"doc_id": 3, "text": clean}])
+    start_quality_stream(spark, src, work)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]

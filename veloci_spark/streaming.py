@@ -793,6 +793,47 @@ def start_windowed_counts(
     return out_dir
 
 
+# ------------------------------------------------ streaming quality gate
+
+def start_quality_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema: str = "doc_id long, text string",
+):
+    """Streaming web-quality gate: the fused C4+Gopher battery applied
+    to documents as they land.  The battery is pure column expressions
+    (no aggregation, no state), so this is the trivially-correct
+    streaming shape — each micro-batch is scored independently and
+    appended exactly once (checkpointed file source); the SAME
+    dict-of-columns code path as the batch pipeline stage, so batch and
+    stream can never disagree on a keep decision."""
+    from veloci_spark.pipeline.text import web_keep_col, web_metrics_cols
+
+    os.makedirs(work_dir, exist_ok=True)
+    out_dir = os.path.join(work_dir, "quality_out")
+    ckpt = os.path.join(work_dir, "_quality_checkpoint")
+
+    m = web_metrics_cols(F.col("text"))
+    scored = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", *[c.alias(k) for k, c in m.items()])
+        .withColumn("keep", web_keep_col({k: F.col(k) for k in m}))
+    )
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
 # ---------------------------------------------------- streaming IVF ingest
 
 def start_ivf_ingest(

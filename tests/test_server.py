@@ -283,6 +283,7 @@ _routes = st.sampled_from(
         ("POST", "/docs/suggest"),
         ("POST", "/docs/highlight"),
         ("POST", "/docs/bm25_batch"),
+        ("POST", "/docs/bm25"),
     ]
 )
 

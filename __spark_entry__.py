@@ -96,7 +96,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Pytest-only entries: parameter variants and standalone versions of
     fused driver entries (plus the _DEMOTED window variants).  Same
     contract as queries()."""
-    from veloci_spark.code_corpus import code_queries
+    from veloci_spark.code_corpus import code_extra_queries, code_queries
     from veloci_spark.entry_queries import (
         fulltext_extra_queries,
         fulltext_queries,
@@ -104,6 +104,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from veloci_spark.pipeline.entry import pipeline_extra_queries
 
     out = {}
+    out.update(code_extra_queries())
     out.update(fulltext_extra_queries())
     out.update(pipeline_extra_queries())
     full = {**code_queries(), **fulltext_queries()}
@@ -113,7 +114,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    from veloci_spark.code_corpus import code_oracles
+    from veloci_spark.code_corpus import code_extra_oracles, code_oracles
     from veloci_spark.entry_queries import (
         fulltext_extra_oracles,
         fulltext_oracles,
@@ -121,6 +122,7 @@ def extra_oracle_sql() -> dict[str, str]:
     from veloci_spark.pipeline.entry import pipeline_extra_oracles
 
     out = {}
+    out.update(code_extra_oracles())
     out.update(fulltext_extra_oracles())
     out.update(pipeline_extra_oracles())
     full = {**code_oracles(), **fulltext_oracles()}

@@ -532,3 +532,78 @@ def test_filter_accepts_sql_string_and_pushes_down(bm25_index):
     full = bm25_topk(bm25_index, "body", ["alpha", "gamma"], 100).collect()
     expect = [tuple(r) for r in full if r["doc_id"] <= 5][:5]
     assert [tuple(r) for r in q.collect()] == expect
+
+
+@pytest.fixture(scope="module")
+def pag_idx(spark):
+    from veloci_spark.code_corpus import code_index
+
+    return code_index(spark, "/root/testdata/sf0.001")
+
+
+class TestCursorPagination:
+    """search_after cursor: pages are disjoint, complete, ordered, and
+    page-1-with-no-cursor equals plain top-k."""
+
+    def test_pages_partition_the_ranking(self, spark, pag_idx):
+        from veloci_spark.bm25 import bm25_topk, bm25_topk_after
+
+        terms = ["spark", "join", "merge"]
+        full = [
+            (int(r["doc_id"]), int(r["score_e4"]))
+            for r in bm25_topk(pag_idx, "content", terms, 30).collect()
+        ]
+        p1 = [
+            (int(r["doc_id"]), int(r["score_e4"]))
+            for r in bm25_topk_after(pag_idx, "content", terms, 10).collect()
+        ]
+        assert p1 == full[:10]
+        cur = (p1[-1][1], p1[-1][0])
+        p2 = [
+            (int(r["doc_id"]), int(r["score_e4"]))
+            for r in bm25_topk_after(
+                pag_idx, "content", terms, 10, after=cur
+            ).collect()
+        ]
+        assert p2 == full[10:20]
+        cur2 = (p2[-1][1], p2[-1][0])
+        p3 = [
+            (int(r["doc_id"]), int(r["score_e4"]))
+            for r in bm25_topk_after(
+                pag_idx, "content", terms, 10, after=cur2
+            ).collect()
+        ]
+        assert p3 == full[20:30]
+        assert len({d for d, _ in p1 + p2 + p3}) == 30  # disjoint
+
+    def test_tie_cursor_is_exact(self, spark, pag_idx):
+        # cursors routinely land mid-tie (many docs share a score_e4);
+        # the doc_id tiebreak must cut exactly, no dupes and no gaps
+        from veloci_spark.bm25 import bm25_topk, bm25_topk_after
+
+        terms = ["spark"]
+        full = [
+            (int(r["doc_id"]), int(r["score_e4"]))
+            for r in bm25_topk(pag_idx, "content", terms, 40).collect()
+        ]
+        scores = [s for _, s in full]
+        assert len(set(scores)) < len(scores), "fixture should contain ties"
+        for cut in (5, 17, 33):
+            cur = (full[cut - 1][1], full[cut - 1][0])
+            nxt = [
+                (int(r["doc_id"]), int(r["score_e4"]))
+                for r in bm25_topk_after(
+                    pag_idx, "content", terms, 7, after=cur
+                ).collect()
+            ]
+            assert nxt == full[cut : cut + 7]
+
+    def test_exhausted_cursor_returns_empty(self, spark, pag_idx):
+        from veloci_spark.bm25 import bm25_topk_after
+
+        assert (
+            bm25_topk_after(
+                pag_idx, "content", ["spark"], 5, after=(0, -1)
+            ).count()
+            == 0
+        )

@@ -423,3 +423,17 @@ def test_bm25_route_rejections(app):
         },
     )
     assert status == 400
+
+
+def test_bm25_route_cursor_pagination(app):
+    body = {"field": "text", "terms": ["spark", "join"], "top": 4}
+    _, p1 = app.handle("POST", "/docs/bm25", body=body)
+    _, full = app.handle("POST", "/docs/bm25", body={**body, "top": 8})
+    assert p1 == full[:4]
+    cur = [p1[-1][1], p1[-1][0]]  # [score_e4, doc_id]
+    status, p2 = app.handle("POST", "/docs/bm25", body={**body, "after": cur})
+    assert status == 200 and p2 == full[4:8]
+    # cursor validation: wrong shape / wrong mode must 400
+    for bad in ({"after": "x"}, {"after": [1]}, {"after": [1, 2], "mode": "and"}):
+        status, _ = app.handle("POST", "/docs/bm25", body={**body, **bad})
+        assert status == 400

@@ -901,3 +901,41 @@ def bm25_filtered_wand_topk(
 
     blocks.unpersist()
     return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")
+
+
+def bm25_topk_after(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    after: Optional[tuple[int, int]] = None,
+) -> DataFrame:
+    """Cursor pagination ("search_after"): the next k results STRICTLY
+    after the ``(score_e4, doc_id)`` cursor in the engine's
+    (score desc, doc_id desc) total order.
+
+    Deep paging via ``skip`` is the classic scale anti-pattern — page N
+    materializes and sorts top+skip rows, so page 10_000 costs 10_000×
+    page 1.  The cursor variant pushes the strict-after predicate BELOW
+    the TakeOrderedAndProject: the per-doc aggregate is filtered first,
+    so every page is the same single top-k pass over the posting
+    aggregation.  (score_e4, doc_id) is a total order (doc_id unique),
+    so pages are disjoint, complete, and stable — the same guarantees
+    Elasticsearch documents for its search_after cursor.
+
+    ``after=None`` is page 1 (identical to :func:`bm25_topk`)."""
+    from veloci_spark.index import decode_blocks_df
+
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return _empty_topk(index.spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+    if after is not None:
+        s, d = int(after[0]), int(after[1])
+        hits = hits.where(
+            (F.col("score_e4") < s)
+            | ((F.col("score_e4") == s) & (F.col("doc_id") < d))
+        )
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)

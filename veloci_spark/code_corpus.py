@@ -39,6 +39,7 @@ from veloci_spark.bm25 import (
     bm25_filtered_wand_topk,
     bm25_phrase_topk,
     bm25_topk,
+    bm25_topk_after,
     bm25_wand_topk,
     bm25f_topk,
     bm25f_wand_topk,
@@ -669,9 +670,61 @@ _QUERIES["code_bm25_batch"] = _q_bm25_batch
 _ORACLES["code_bm25_batch"] = _bm25_batch_sql(_BATCH_QUERIES, _BATCH_K)
 
 
+# ---- cursor pagination (search_after): pytest-gate extra ----
+
+_PAGE_K = 15
+
+
+def _q_bm25_page2(spark, sf_dir):
+    """Page 2 via the search_after cursor: run page 1, take the last
+    (score_e4, doc_id) as the cursor, return the strictly-after page.
+    The bounded page-1 collect (k rows) is the cursor handshake any
+    client performs; the oracle recomputes both pages as one ranked
+    window cut."""
+    idx = code_index(spark, sf_dir)
+    page1 = bm25_topk(idx, "content", _TOPK_TERMS, _PAGE_K).collect()
+    cur = (int(page1[-1]["score_e4"]), int(page1[-1]["doc_id"]))
+    return bm25_topk_after(idx, "content", _TOPK_TERMS, _PAGE_K, after=cur)
+
+
+def _bm25_page2_sql(terms: list[str], k: int) -> str:
+    in_list = ", ".join(_q(t) for t in terms)
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+qhits AS (
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+),
+ranked AS (
+  SELECT doc_id, score_e4,
+         row_number() OVER (ORDER BY score_e4 DESC, doc_id DESC) AS rn
+  FROM qhits
+)
+SELECT doc_id, score_e4 FROM ranked
+WHERE rn BETWEEN {k + 1} AND {2 * k}
+ORDER BY score_e4 DESC, doc_id DESC"""
+    )
+
+
+_EXTRA_QUERIES = {"code_bm25_page2": _q_bm25_page2}
+_EXTRA_ORACLES = {"code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K)}
+
+
 def code_queries():
     return dict(_QUERIES)
 
 
 def code_oracles():
     return dict(_ORACLES)
+
+
+def code_extra_queries():
+    return dict(_EXTRA_QUERIES)
+
+
+def code_extra_oracles():
+    return dict(_EXTRA_ORACLES)

@@ -16,6 +16,11 @@ driver-local port:
 - ``POST /<db>/highlight``              body = RequestSearchPart
 - ``GET  /<db>/_id/<id>``               doc store row
 - ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
+- ``POST /<db>/bm25``                   north-rule extension: single-query
+  BM25 (modes or/and/or-wand/and-wand/phrase/explain, structured
+  metadata filter, BM25F weights, search_after cursor)
+- ``POST /<db>/bm25_batch``             north-rule extension: query set
+  in one job
 
 Responses mirror SearchResultWithDoc / SuggestFieldResult
 (search_result_with_doc.rs:5-31, search_field.rs:158):
@@ -437,7 +442,9 @@ class VelociApp:
             #    "filter": {col: value, ...}?,     (equality conjunction —
             #      structured, NOT raw SQL: columns validated against the
             #      doc store, values bound as literals)
-            #    "weights": {field: int, ...}?}    (BM25F)
+            #    "weights": {field: int, ...}?,    (BM25F)
+            #    "after": [score_e4, doc_id]?}      (cursor pagination —
+            #      deep paging without the skip-scan anti-pattern)
             from veloci_spark import bm25
 
             terms = body.get("terms")
@@ -488,6 +495,22 @@ class VelociApp:
                     else bm25.bm25_filtered_topk
                 )
                 rows = fn(idx, field, terms, top, pred).collect()
+            elif body.get("after") is not None:
+                # cursor pagination (search_after): strictly after the
+                # [score_e4, doc_id] cursor; or-mode only
+                after = body["after"]
+                if mode != "or" or not (
+                    isinstance(after, list)
+                    and len(after) == 2
+                    and all(isinstance(x, int) for x in after)
+                ):
+                    raise HttpError(
+                        400,
+                        "after must be [score_e4, doc_id] with mode or",
+                    )
+                rows = bm25.bm25_topk_after(
+                    idx, field, terms, top, after=(after[0], after[1])
+                ).collect()
             else:
                 try:
                     fn = {

@@ -122,3 +122,58 @@ def test_registry_entry_beats_base_rate(spark):
     assert {r["pred"] for r in rows} == {0, 1}
     assert QC_ITERS == 48 and QC_BUCKETS == 256
     assert len(QC_LABEL_WORDS) == 6 and QC_LABEL_MIN == 5
+
+
+def test_sample_quality_budget_semantics(spark):
+    """Budget sampler: keeps a quality-ranked prefix — every kept doc's
+    score >= every dropped doc's score (modulo the boundary score),
+    the running total respects the budget, and adding any dropped doc
+    at the cut would exceed it."""
+    from veloci_spark.pipeline.text import (
+        QB_BUDGET,
+        sample_quality_budget,
+        text_quality_classifier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = sample_quality_budget(spark, sf)
+    kept = {r["doc_id"]: r for r in out.collect()}
+    out._veloci_unpersist()
+    assert kept, "budget should keep at least one doc"
+    assert max(r["cum_tokens"] for r in kept.values()) <= QB_BUDGET
+    scores = {
+        r["doc_id"]: r["p_e4"]
+        for r in text_quality_classifier(spark, sf).collect()
+    }
+    dropped = set(scores) - set(kept)
+    min_kept = min(r["p_e4"] for r in kept.values())
+    assert all(scores[d] <= min_kept for d in dropped)
+    # the cut is tight: the highest-priority dropped doc would overflow
+    total = max(r["cum_tokens"] for r in kept.values())
+    boundary = [d for d in dropped if scores[d] == min_kept]
+    if boundary:
+        # same-score dropped docs sort after kept ones by doc_id
+        assert min(boundary) > max(
+            i for i, r in kept.items() if r["p_e4"] == min_kept
+        ) or total + 1 > QB_BUDGET
+
+
+def test_corpus_diff_statuses(spark):
+    from veloci_spark.pipeline.text import corpus_diff, corpus_diff_frame
+
+    rows = corpus_diff(spark, "/root/testdata/sf0.001").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["status"], set()).add(r["doc_id"])
+    assert by["added"] and by["removed"] and by["changed"]
+    assert all(d % 11 == 0 for d in by["removed"])
+    assert all(d % 7 == 3 and d % 11 != 0 for d in by["changed"])
+    # frame semantics on a crafted pair: unchanged docs are absent
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff_frame(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}

@@ -2033,6 +2033,86 @@ FROM k
 """
 
 
+# ------------------------------------------------ corpus snapshot diff
+
+def corpus_diff_frame(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff for incremental pipelines: (doc_id, status) for
+    every doc that is ``added`` (only in new), ``removed`` (only in
+    old) or ``changed`` (both, different content hash).  Unchanged docs
+    are absent — the output is delta-sized, which is what makes
+    re-curation incremental (feed ``added``+``changed`` to
+    dedup_incremental instead of re-processing the snapshot).
+
+    Scale shape: one full outer equi-join on doc_id of two
+    (doc_id, md5) projections — ids and 32-char hashes only, never the
+    texts — then a three-way CASE.  No skew risk: doc_id is unique on
+    both sides."""
+    o = old.select("doc_id", F.md5("text").alias("_ho"))
+    n = new.select("doc_id", F.md5("text").alias("_hn"))
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status")
+    )
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry over a deterministic synthetic second snapshot of
+    the documents table: doc_id % 11 == 0 removed, doc_id % 7 == 3
+    text-modified, and 20 fresh ids appended past max(doc_id) — so all
+    three statuses appear (decontam/gopher fixture-derivation
+    precedent)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).collect()[0][0]
+    kept = d.where(F.col("doc_id") % 11 != 0)
+    mutated = kept.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" EDITED"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = spark.range(int(hi) + 1, int(hi) + 21).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("brand new doc "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    return corpus_diff_frame(d, mutated.unionByName(added))
+
+
+CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL
+),
+hi AS (SELECT max(doc_id) AS m FROM old),
+new AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 7 = 3 THEN text || ' EDITED' ELSE text END) AS h
+  FROM documents WHERE text IS NOT NULL AND doc_id % 11 <> 0
+  UNION ALL
+  SELECT CAST(hi.m + 1 + t.range AS BIGINT) AS doc_id,
+         md5('brand new doc ' || CAST(hi.m + 1 + t.range AS VARCHAR)) AS h
+  FROM hi, range(20) t
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.h <> n.h THEN 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.h <> n.h THEN 'changed' END IS NOT NULL
+"""
+
+
 # ------------------------------------ trained quality classifier (LR)
 
 QC_BUCKETS = 256
@@ -2206,10 +2286,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_classifier_sql(
+def _qc_training_ctes(
     n_buckets: int = QC_BUCKETS, iters: int = QC_ITERS
 ) -> str:
-    """Unrolled-training oracle — see :func:`text_quality_classifier`."""
+    """The shared unrolled-training CTE prefix (docs/labels/features,
+    every iteration's margin→residual→gradient→weight stage, and the
+    final margins ``mf``) — consumed by the classifier oracle AND the
+    quality-budget sampler oracle, so the two replays cannot train
+    different weights."""
     ws = sql_words("text")
     pos = ", ".join(f"'{s}'" for s in QC_LABEL_WORDS)
     head = f"""
@@ -2255,11 +2339,21 @@ w{k} AS MATERIALIZED (
                           / ({QC_LR_DEN} * (SELECT n FROM tot))) AS BIGINT) AS w
   FROM w{k - 1} w LEFT JOIN g{k} g ON w.b = g.b
 )""")
-    tail = f"""
+    mf = f"""
 mf AS MATERIALIZED (
   SELECT f.doc_id, sum(w.w) AS mi
   FROM feats f JOIN w{iters} w ON f.b = w.b GROUP BY f.doc_id
-),
+)"""
+    return head + "," + ",".join(steps) + "," + mf
+
+
+def text_quality_classifier_sql(
+    n_buckets: int = QC_BUCKETS, iters: int = QC_ITERS
+) -> str:
+    """Unrolled-training oracle — see :func:`text_quality_classifier`."""
+    return (
+        _qc_training_ctes(n_buckets, iters)
+        + f""",
 nf AS (SELECT doc_id, count(*) AS c FROM feats GROUP BY doc_id)
 SELECT l.doc_id,
   CAST(nf.c - 1 AS BIGINT) AS n_feats,
@@ -2271,7 +2365,106 @@ FROM labels l JOIN mf ON l.doc_id = mf.doc_id
 JOIN nf ON l.doc_id = nf.doc_id
 ORDER BY l.doc_id
 """
-    return head + "," + ",".join(steps) + "," + tail
+    )
+
+
+# -------------------------- classifier-ranked token-budget sampling
+
+QB_BUDGET = 8_000
+
+
+def sample_quality_budget(
+    spark: SparkSession, sf_dir: str, budget: int = QB_BUDGET
+) -> DataFrame:
+    """FineWeb-style composition: train the quality classifier, rank
+    the corpus by its score, and keep the highest-quality documents
+    until a token budget is reached — "spend the budget on the best
+    data" instead of sample_token_budget's doc_id order.
+
+    Output: (doc_id, p_e4, n_tokens, cum_tokens) for the KEPT docs,
+    where cum_tokens is the running total in (p_e4 desc, doc_id asc)
+    order.
+
+    Scale shape: scoring is the classifier's zero-shuffle scan.  The
+    prefix sum over the quality ordering is NOT a global window — the
+    bounded score domain (p_e4 ∈ [0, 10000]) IS the bucket key: one
+    map-side-combined groupBy(p_e4) gives per-score token totals
+    (<= 10001 rows collected), a python descending cumsum turns them
+    into per-score offsets, scores whose offset already exceeds the
+    budget are pruned BEFORE the second pass, and one applyInPandas
+    per p_e4 group adds the within-score (doc_id-ordered) local cumsum.
+    A pathologically saturated score (many docs at p_e4 = 10000) makes
+    one group hot — the doc_id-range sub-bucket refinement of
+    sample_token_budget applies verbatim if that ever bites.
+
+    The DuckDB oracle shares the training CTEs with the classifier
+    oracle and applies the budget as a ranked window cut."""
+    d = _docs(spark, sf_dir)
+    words = words_expr("text")
+    label = (
+        F.size(
+            F.array_intersect(
+                words, F.array(*[F.lit(s) for s in QC_LABEL_WORDS])
+            )
+        )
+        >= QC_LABEL_MIN
+    ).cast("long")
+    labeled = d.select("doc_id", "text", label.alias("y"))
+    w = quality_classifier_train(labeled, "y")
+
+    feats = _qc_feat_udf(QC_BUCKETS)
+    m = _qc_margin_expr(feats(F.col("text")), w)
+    scored = d.select(
+        "doc_id",
+        e4(_qc_p_expr(m)).alias("p_e4"),
+        F.size(words_expr("text")).cast("long").alias("n_tokens"),
+    ).persist()
+    per_p = scored.groupBy("p_e4").agg(F.sum("n_tokens").alias("t")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for pe, t in sorted(
+        ((int(r["p_e4"]), int(r["t"])) for r in per_p), key=lambda x: -x[0]
+    ):
+        offsets[pe] = run
+        run += t
+    allowed = [pe for pe, off in offsets.items() if off < budget]
+
+    def _cut(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        pdf["cum_tokens"] = pdf["n_tokens"].cumsum() + offsets[int(key[0])]
+        return pdf[pdf["cum_tokens"] <= budget]
+
+    out = (
+        scored.where(F.col("p_e4").isin(allowed))
+        .groupBy("p_e4")
+        .applyInPandas(
+            _cut, "doc_id long, p_e4 long, n_tokens long, cum_tokens long"
+        )
+        .select("doc_id", "p_e4", "n_tokens", "cum_tokens")
+    )
+    out._veloci_unpersist = scored.unpersist  # type: ignore[attr-defined]
+    return out
+
+
+def sample_quality_budget_sql(budget: int = QB_BUDGET) -> str:
+    p = sql_e4("0.5 * (1.0 + (mf.mi / 1e8) / (1.0 + abs(mf.mi / 1e8)))")
+    return (
+        _qc_training_ctes()
+        + f""",
+scored AS MATERIALIZED (
+  SELECT d.doc_id, {p} AS p_e4, CAST(len(d.ws) AS BIGINT) AS n_tokens
+  FROM d JOIN mf ON d.doc_id = mf.doc_id
+),
+cums AS (
+  SELECT doc_id, p_e4, n_tokens,
+    sum(n_tokens) OVER (ORDER BY p_e4 DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, p_e4, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cums WHERE cum_tokens <= {budget}
+"""
+    )
 
 
 # ------------------------------------------ boilerplate line removal
@@ -2794,6 +2987,8 @@ def extra_queries():
         "text_gopher_filters": text_gopher_filters,
         "text_boilerplate_lines": text_boilerplate_lines,
         "text_quality_classifier": text_quality_classifier,
+        "corpus_diff": corpus_diff,
+        "sample_quality_budget": sample_quality_budget,
     }
 
 
@@ -2815,6 +3010,8 @@ def extra_oracles():
         "text_gopher_filters": text_gopher_filters_sql(),
         "text_boilerplate_lines": text_boilerplate_lines_sql(),
         "text_quality_classifier": text_quality_classifier_sql(),
+        "corpus_diff": CORPUS_DIFF_SQL,
+        "sample_quality_budget": sample_quality_budget_sql(),
         "text_word_entropy": WORD_ENTROPY_SQL,
         "text_tfidf_topk": text_tfidf_sql(),
     }

@@ -8,7 +8,8 @@ SlimPajama):
     1. quality   — filter battery → keep decision per doc;
                    --quality-mode code = StarCoder line stats / alnum /
                    blob / autogen, --quality-mode web = fused C4+Gopher
-                   page filters
+                   page filters, --quality-mode classifier = trained
+                   weights (train_quality_job.py) with a p_e4 threshold
     1b. boilerplate — (optional, --boiler-min-docs) cut lines occurring
                    in >= N docs from every doc, BEFORE dedup (banners
                    inflate MinHash similarity between unrelated pages)
@@ -58,6 +59,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
+import hashlib
 import json
 import time
 
@@ -127,6 +129,8 @@ def run_pipeline(
     pack_seq_len: int | None = None,
     n_shards: int | None = None,
     quality_mode: str = "code",
+    quality_weights: dict | None = None,
+    quality_threshold_e4: int = 5000,
     boiler_min_docs: int | None = None,
     resume: bool = True,
 ) -> dict:
@@ -152,10 +156,28 @@ def run_pipeline(
         "pack_seq_len": pack_seq_len,
         "n_shards": n_shards,
         "quality_mode": quality_mode,
+        "quality_weights_sha": (
+            hashlib.sha256(
+                json.dumps(quality_weights, sort_keys=True).encode()
+            ).hexdigest()[:16]
+            if quality_weights is not None
+            else None
+        ),
+        "quality_threshold_e4": (
+            quality_threshold_e4 if quality_mode == "classifier" else None
+        ),
         "boiler_min_docs": boiler_min_docs,
     }
-    if quality_mode not in ("code", "web"):
-        raise ValueError(f"quality_mode must be 'code' or 'web', got {quality_mode!r}")
+    if quality_mode not in ("code", "web", "classifier"):
+        raise ValueError(
+            "quality_mode must be 'code', 'web' or 'classifier', "
+            f"got {quality_mode!r}"
+        )
+    if quality_mode == "classifier" and not quality_weights:
+        raise ValueError(
+            "quality_mode='classifier' needs quality_weights "
+            "(train_quality_job.py output)"
+        )
     cfg_path = os.path.join(out_dir, "pipeline_config.json")
     use_decontam_checkpoint = False
     if resume:
@@ -212,15 +234,39 @@ def run_pipeline(
     q_path = _stage(out_dir, "quality")
     if not (resume and _done(q_path)):
         t0 = time.time()
-        if quality_mode == "web":
-            m = web_metrics_cols(F.col("content"))
-            keep = web_keep_col({k: F.col(k) for k in m})
+        if quality_mode == "classifier":
+            # trained-weights scoring (train_quality_job.py output):
+            # keep = p_e4 >= threshold; the scan stays zero-shuffle
+            from veloci_spark.pipeline.text import (
+                _qc_feat_udf,
+                _qc_margin_expr,
+                _qc_p_expr,
+            )
+            from veloci_spark.pipeline.common import e4
+
+            nb = int(quality_weights["n_buckets"])
+            wv = [int(x) for x in quality_weights["weights"]]
+            mexpr = _qc_margin_expr(_qc_feat_udf(nb)(F.col("content")), wv)
+            frame = norm.select(
+                "doc_id",
+                "lang",
+                "content",
+                e4(_qc_p_expr(mexpr)).alias("p_e4"),
+            ).withColumn(
+                "keep",
+                (F.col("p_e4") >= quality_threshold_e4).cast("int"),
+            )
         else:
-            m = _metrics_cols(F.col("content"))
-            keep = _keep_col({k: F.col(k) for k in m})
-        frame = norm.select(
-            "doc_id", "lang", "content", *[c.alias(k) for k, c in m.items()]
-        ).withColumn("keep", keep)
+            if quality_mode == "web":
+                m = web_metrics_cols(F.col("content"))
+                keep = web_keep_col({k: F.col(k) for k in m})
+            else:
+                m = _metrics_cols(F.col("content"))
+                keep = _keep_col({k: F.col(k) for k in m})
+            frame = norm.select(
+                "doc_id", "lang", "content",
+                *[c.alias(k) for k, c in m.items()],
+            ).withColumn("keep", keep)
         frame.write.mode("overwrite").parquet(q_path)
         lineage.record("quality", out_path=q_path, wall_s=time.time() - t0)
     quality = spark.read.parquet(q_path)
@@ -479,10 +525,22 @@ def main() -> None:
     )
     ap.add_argument(
         "--quality-mode",
-        choices=("code", "web"),
+        choices=("code", "web", "classifier"),
         default="code",
         help="quality battery: 'code' = StarCoder/BigCode file filters, "
-        "'web' = fused C4+Gopher page filters",
+        "'web' = fused C4+Gopher page filters, 'classifier' = trained "
+        "weights from train_quality_job.py (--quality-weights)",
+    )
+    ap.add_argument(
+        "--quality-weights",
+        help="weights JSON from train_quality_job.py "
+        "(required with --quality-mode classifier)",
+    )
+    ap.add_argument(
+        "--quality-threshold-e4",
+        type=int,
+        default=5000,
+        help="classifier keep threshold on p_e4 (default 5000 = p>=0.5)",
     )
     ap.add_argument(
         "--boiler-min-docs",
@@ -516,6 +574,12 @@ def main() -> None:
         pack_seq_len=args.seq_len,
         n_shards=args.shards,
         quality_mode=args.quality_mode,
+        quality_weights=(
+            json.load(open(args.quality_weights))
+            if args.quality_weights
+            else None
+        ),
+        quality_threshold_e4=args.quality_threshold_e4,
         boiler_min_docs=args.boiler_min_docs,
         resume=not args.no_resume,
     )

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""spark-submit entry point: train the linear quality classifier on a
+labeled corpus and write the weights as JSON.
+
+    spark-submit --py-files veloci_spark.zip jobs/train_quality_job.py \
+        --input s3://bucket/labeled/ --output /path/weights.json \
+        --text-col content --label-col y [--buckets 256] [--iters 48]
+
+The input needs a text column and a 0/1 label column (the FineWeb/
+WebText recipe: positives = a trusted reference corpus, negatives =
+random crawl).  Training is full-batch in e8-integer weight space
+(bit-identical under any partitioning — veloci_spark.pipeline.text.
+quality_classifier_train); the output JSON is the weight vector plus
+the config needed to score with it:
+
+    {"n_buckets": 256, "iters": 48, "weights": [..ints..],
+     "accuracy": 0.87, "n_docs": 120000}
+
+Consume it with `jobs/pipeline_job.py --quality-mode classifier
+--quality-weights weights.json [--quality-threshold-e4 5000]`.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="labeled parquet")
+    ap.add_argument("--output", required=True, help="weights JSON path")
+    ap.add_argument("--text-col", default="content")
+    ap.add_argument("--label-col", default="y")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
+    from veloci_spark.pipeline.text import (
+        QC_BUCKETS,
+        QC_ITERS,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    n_buckets = args.buckets or QC_BUCKETS
+    iters = args.iters or QC_ITERS
+
+    spark = SparkSession.builder.appName("veloci-train-quality").getOrCreate()
+    d = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"),
+        F.col(args.text_col).alias("text"),
+        F.col(args.label_col).cast("long").alias("y"),
+    )
+    w = quality_classifier_train(d, "y", n_buckets=n_buckets, iters=iters)
+    scored = quality_classifier_score(d, w, n_buckets=n_buckets)
+    agg = (
+        scored.join(d.select("doc_id", "y"), "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("pred") == F.col("y")).cast("long")).alias("ok"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "n_buckets": n_buckets,
+        "iters": iters,
+        "weights": [int(x) for x in w],
+        "accuracy": round(int(agg["ok"]) / int(agg["n"]), 4),
+        "n_docs": int(agg["n"]),
+    }
+    with open(args.output, "w") as f:
+        json.dump(out, f)
+    print(json.dumps({k: v for k, v in out.items() if k != "weights"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

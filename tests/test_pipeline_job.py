@@ -308,3 +308,76 @@ def test_boilerplate_stage(spark, tmp_root):
     assert blessed.count() >= 1
     for r in blessed.select("content").collect():
         assert sentence not in r["content"]
+
+
+def test_classifier_quality_mode(spark, tmp_root):
+    """Full classifier loop: train_quality_job writes weights.json from
+    a labeled corpus; the pipeline's classifier quality mode scores
+    with them and keeps p_e4 >= threshold."""
+    import subprocess
+
+    from veloci_spark.pipeline.text import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    # labeled corpus: separable good/junk vocabulary
+    rows = []
+    for i in range(12):
+        rows.append((i, "en", "clear helpful concise prose sample %d" % i, 1))
+    for i in range(12, 24):
+        rows.append((i, "en", "junk spam noise garbage sample %d" % i, 0))
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, lang string, content string, y long"
+    )
+    lab_path = os.path.join(tmp_root, "labeled_corpus")
+    labeled.write.mode("overwrite").parquet(lab_path)
+    weights_path = os.path.join(tmp_root, "weights.json")
+    # drive the job module in-process (spark-submit main path)
+    sys.argv = [
+        "train_quality_job.py",
+        "--input", lab_path,
+        "--output", weights_path,
+        "--text-col", "content",
+        "--label-col", "y",
+        "--buckets", "64",
+        "--iters", "12",
+    ]
+    import train_quality_job
+
+    # keep the shared test session alive: the job's spark.stop() would
+    # kill it for every later test in the suite
+    import pyspark.sql as _sql
+
+    orig_stop = _sql.SparkSession.stop
+    _sql.SparkSession.stop = lambda self: None
+    try:
+        train_quality_job.main()
+    finally:
+        _sql.SparkSession.stop = orig_stop
+    meta = json.load(open(weights_path))
+    assert meta["n_buckets"] == 64 and meta["accuracy"] == 1.0
+
+    out = os.path.join(tmp_root, "pipeline_out_clf")
+    report = run_pipeline(
+        spark,
+        labeled.select("doc_id", "lang", "content"),
+        out,
+        quality_mode="classifier",
+        quality_weights=meta,
+        resume=False,
+    )
+    assert report["stages"]["quality_kept"] == 12
+    q = spark.read.parquet(os.path.join(out, "quality"))
+    kept = {r["doc_id"] for r in q.where(F.col("keep") == 1).collect()}
+    assert kept == set(range(12))
+    assert "p_e4" in q.columns
+    # classifier mode without weights is a config error
+    with pytest.raises(ValueError):
+        run_pipeline(
+            spark,
+            labeled.select("doc_id", "lang", "content"),
+            os.path.join(tmp_root, "pipeline_out_clf2"),
+            quality_mode="classifier",
+            resume=False,
+        )

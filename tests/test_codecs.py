@@ -119,3 +119,30 @@ def test_meta_paths_on_fixture(spark):
 def test_digest_samples_match_numpy_int16_wrap():
     s = _digest_samples("some text")
     assert s.dtype == np.int16 and 64 <= s.size <= 127
+
+
+def test_wav_features_match_direct_dsp(spark):
+    """The cyclic-pattern oracle arithmetic equals direct numpy DSP on
+    the decoded samples — checked here on crafted signals through the
+    real encoder (constant = 0 crossings, alternating = n-1)."""
+    from veloci_spark.pipeline.multimodal import decode_wav
+
+    const = np.full(70, 1000, dtype=np.int16)
+    alt = np.tile(np.array([500, -500], dtype=np.int16), 40)
+    for sig, want_zc in ((const, 0), (alt, alt.size - 1)):
+        _, back = decode_wav(encode_wav_pcm16(sig))
+        s = back.astype(np.int64)
+        assert int((s[:-1] * s[1:] < 0).sum()) == want_zc
+        assert int((s * s).sum()) == int((sig.astype(np.int64) ** 2).sum())
+
+
+def test_wav_features_fixture_sane(spark):
+    from veloci_spark.pipeline.multimodal import multimodal_wav_features
+
+    rows = multimodal_wav_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 64 <= r["n_samples"] <= 127
+        assert 0 <= r["peak"] <= 32768
+        assert 0 <= r["n_zero_cross"] < r["n_samples"]
+        assert r["energy_sum"] > 0

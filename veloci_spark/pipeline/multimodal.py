@@ -552,6 +552,108 @@ FROM n JOIN agg a ON n.doc_id = a.doc_id
 """
 
 
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, energy_sum long, n_zero_cross long, "
+    "peak long"
+)
+
+
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP over the decoded WAV samples (numpy, no audio
+    libs needed): per doc the exact-integer signal features a speech
+    pipeline filters on — total energy Σs² (silence/clipping), zero
+    crossings with strict sign change (noisiness proxy), peak |s|.
+
+    The oracle replays them from the digest-cycle structure: samples
+    cycle through 8 int16 values, so energy and the crossing count are
+    full-cycle totals plus a partial, and crossings per adjacent-pair
+    pattern come from an 8-row self-join — no per-sample rows in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(s.size),
+                        int((s64 * s64).sum()),
+                        int((s64[:-1] * s64[1:] < 0).sum()),
+                        int(np.abs(s64).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "energy_sum", "n_zero_cross",
+                    "peak",
+                ],
+            )
+
+    return synthesize_wav_payloads(docs).mapInPandas(
+        _feat, schema=WAV_FEATURES_SCHEMA
+    )
+
+
+# Sample i is v[i % 8] (signed int16 from digest byte pairs); with
+# n >= 64 every pattern index occurs, so:
+#   energy = (n // 8)·Σv² + Σ_{k < n % 8} v[k]²
+#   peak   = max |v|
+#   zero crossings: adjacent pair (i, i+1) has pattern (k, (k+1) % 8)
+#   with k = i % 8; index i ranges over [0, n-2], so pattern k occurs
+#   (n - 2 - k) // 8 + 1 times — multiply by [v[k]·v[(k+1)%8] < 0].
+MULTIMODAL_WAV_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bv
+  FROM m, range(16) t(i)
+),
+v AS (
+  SELECT lo.doc_id, CAST(lo.i // 2 AS INT) AS k,
+    CASE WHEN hi.bv >= 128 THEN lo.bv + 256 * hi.bv - 65536
+         ELSE lo.bv + 256 * hi.bv END AS sv
+  FROM b lo JOIN b hi ON lo.doc_id = hi.doc_id AND hi.i = lo.i + 1
+  WHERE lo.i % 2 = 0
+),
+n AS (
+  SELECT doc_id, 64 + max(CASE WHEN i = 2 THEN bv END) % 64 AS ns
+  FROM b GROUP BY doc_id
+),
+en AS (
+  SELECT v.doc_id,
+    sum(sv * sv) AS e8,
+    sum(CASE WHEN v.k < n.ns % 8 THEN sv * sv ELSE 0 END) AS epart,
+    max(abs(sv)) AS pk
+  FROM v JOIN n ON v.doc_id = n.doc_id GROUP BY v.doc_id
+),
+zc AS (
+  SELECT a.doc_id,
+    sum(CASE WHEN a.sv * c.sv < 0
+             THEN (n.ns - 2 - a.k) // 8 + 1 ELSE 0 END) AS z
+  FROM v a
+  JOIN v c ON a.doc_id = c.doc_id AND c.k = (a.k + 1) % 8
+  JOIN n ON a.doc_id = n.doc_id
+  GROUP BY a.doc_id
+)
+SELECT n.doc_id,
+  CAST(n.ns AS BIGINT) AS n_samples,
+  CAST((n.ns // 8) * en.e8 + en.epart AS BIGINT) AS energy_sum,
+  CAST(coalesce(zc.z, 0) AS BIGINT) AS n_zero_cross,
+  CAST(en.pk AS BIGINT) AS peak
+FROM n JOIN en ON n.doc_id = en.doc_id
+LEFT JOIN zc ON n.doc_id = zc.doc_id
+"""
+
+
 def queries():
     return {"multimodal_meta": multimodal_meta}
 
@@ -566,6 +668,7 @@ def extra_queries():
     return {
         "multimodal_bmp_meta": multimodal_bmp_meta,
         "multimodal_wav_meta": multimodal_wav_meta,
+        "multimodal_wav_features": multimodal_wav_features,
     }
 
 
@@ -573,4 +676,5 @@ def extra_oracles():
     return {
         "multimodal_bmp_meta": MULTIMODAL_BMP_META_SQL,
         "multimodal_wav_meta": MULTIMODAL_WAV_META_SQL,
+        "multimodal_wav_features": MULTIMODAL_WAV_FEATURES_SQL,
     }

@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
+    if args.buckets is not None and args.buckets < 1:
+        ap.error("--buckets must be >= 1")
+    if args.iters is not None and args.iters < 1:
+        ap.error("--iters must be >= 1")
 
     from veloci_spark.pipeline.text import (
         QC_BUCKETS,
@@ -51,8 +55,8 @@ def main() -> None:
         quality_classifier_train,
     )
 
-    n_buckets = args.buckets or QC_BUCKETS
-    iters = args.iters or QC_ITERS
+    n_buckets = QC_BUCKETS if args.buckets is None else args.buckets
+    iters = QC_ITERS if args.iters is None else args.iters
 
     spark = SparkSession.builder.appName("veloci-train-quality").getOrCreate()
     d = spark.read.parquet(args.input).select(

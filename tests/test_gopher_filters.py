@@ -100,3 +100,33 @@ def test_registry_entry_has_signal_variety(spark):
     assert max(r["sym_ratio_e4"] for r in rows) > 0
     assert min(r["alpha_frac_e4"] for r in rows) < 10000
     assert len({r["n_words"] for r in rows}) > 10
+
+
+def test_fused_path_survives_wordless_docs(spark):
+    """Regression: under ANSI mode Catalyst hoists the shared ratio out
+    of the F.when(n_words > 0) guard, so the guard alone does not
+    protect the division — a wordless doc crashed the fused
+    web_metrics_cols path with DIVIDE_BY_ZERO before the clamped
+    denominator."""
+    from pyspark.sql import functions as F
+
+    from veloci_spark.pipeline.text import web_keep_col, web_metrics_cols
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\n"), (4, "five words of real text.")],
+        "doc_id long, text string",
+    )
+    m = web_metrics_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(k) for k, c in m.items()]
+        )
+        .withColumn("keep", web_keep_col({k: F.col(k) for k in m}))
+        .collect()
+    }
+    assert len(rows) == 4
+    for i in (1, 2, 3):
+        assert rows[i]["keep"] == 0
+        assert rows[i]["gopher_keep"] == 0
+        assert rows[i]["mean_wlen_e4"] == -1

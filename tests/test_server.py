@@ -437,3 +437,30 @@ def test_bm25_route_cursor_pagination(app):
     for bad in ({"after": "x"}, {"after": [1]}, {"after": [1, 2], "mode": "and"}):
         status, _ = app.handle("POST", "/docs/bm25", body={**body, **bad})
         assert status == 400
+
+
+def test_bm25_route_top_validation(app):
+    base = {"field": "text", "terms": ["spark"]}
+    for bad in (-1, 0, 10**10, "5", True, None):
+        status, _ = app.handle(
+            "POST", "/docs/bm25", body={**base, "top": bad}
+        )
+        assert status == 400, bad
+    status, _ = app.handle(
+        "POST", "/docs/bm25_batch",
+        body={"field": "text", "queries": {"q": ["spark"]}, "top": -2},
+    )
+    assert status == 400
+
+
+def test_bm25_route_cursor_excludes_filter_and_weights(app):
+    # silently serving page 1 again would loop a paginating client
+    base = {"field": "text", "terms": ["spark"], "after": [100, 5]}
+    status, _ = app.handle(
+        "POST", "/docs/bm25", body={**base, "filter": {"lang": "de"}}
+    )
+    assert status == 400
+    status, _ = app.handle(
+        "POST", "/docs/bm25", body={**base, "weights": {"text": 1}}
+    )
+    assert status == 400

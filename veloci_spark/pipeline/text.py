@@ -2254,8 +2254,10 @@ def quality_classifier_score(
 
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: train on the deterministic fixture labels
-    (doc mentions 'spark' or 'join' — text-derived, so the hashed
-    features actually carry signal) for QC_ITERS full-batch rounds,
+    (doc mentions >= QC_LABEL_MIN of the QC_LABEL_WORDS markers —
+    text-derived, so the hashed features actually carry signal, and a
+    threshold of presence features is linearly separable) for QC_ITERS
+    full-batch rounds,
     then score the same corpus.  Output: (doc_id, n_feats, margin_e8,
     p_e4, label, pred).
 
@@ -2427,7 +2429,7 @@ def sample_quality_budget(
     ):
         offsets[pe] = run
         run += t
-    allowed = [pe for pe, off in offsets.items() if off < budget]
+    allowed = [pe for pe, off in offsets.items() if off <= budget]
 
     def _cut(key, pdf):
         pdf = pdf.sort_values("doc_id")
@@ -2537,6 +2539,8 @@ def boilerplate_clean_frame(
         .select("lh")
         .withColumn("_b", F.lit(1))
     )
+    boiler = boiler.persist()  # probed then joined: without this the
+    # corpus-wide explode + count_distinct aggregation would run twice
     boiler_small = (
         boiler.limit(max_broadcast_lines + 1).count() <= max_broadcast_lines
     )
@@ -2549,13 +2553,15 @@ def boilerplate_clean_frame(
         ),
         lambda x: ~x["is_boiler"],
     )
-    return flagged.groupBy("doc_id", *carry).agg(
+    out = flagged.groupBy("doc_id", *carry).agg(
         F.count("*").alias("n_lines"),
         F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
         F.array_join(
             F.transform(kept_lines, lambda x: x["line"]), "\n"
         ).alias("text_clean"),
     )
+    out._veloci_unpersist = boiler.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def text_boilerplate_lines_sql() -> str:
@@ -2704,19 +2710,27 @@ def gopher_metric_cols(text: Column) -> dict[str, Column]:
     lines = F.split(text, "\n")
     n_words = F.size(words)
     n_lines = F.size(lines)
+    # denominator clamped to 1: the F.when(n_words > 0) guards below do
+    # NOT protect the division under ANSI mode — Catalyst subexpression
+    # elimination hoists the shared ratio out of the guard, so a
+    # zero-word doc would throw DIVIDE_BY_ZERO through the fused
+    # web_metrics_cols path (guard-only version crashed on empty text).
+    # Values are identical whenever n_words > 0; wordless rows only ever
+    # surface the -1 sentinels / keep = 0.
+    nw_den = F.greatest(n_words, F.lit(1)).cast("double")
     wlen_sum = F.aggregate(
         words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    mean_wlen = wlen_sum.cast("double") / n_words.cast("double")
+    mean_wlen = wlen_sum.cast("double") / nw_den
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
     n_ell = (F.length(text) - F.length(F.replace(text, F.lit("...")))) / F.lit(3)
-    sym_ratio = (n_hash + n_ell).cast("double") / n_words.cast("double")
+    sym_ratio = (n_hash + n_ell).cast("double") / nw_den
     n_bullet = F.size(F.filter(lines, lambda l: l.startswith("- ")))
     n_ell_line = F.size(F.filter(lines, lambda l: l.endswith("...")))
     bullet_frac = n_bullet.cast("double") / n_lines.cast("double")
     ellipsis_frac = n_ell_line.cast("double") / n_lines.cast("double")
     n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = n_alpha.cast("double") / n_words.cast("double")
+    alpha_frac = n_alpha.cast("double") / nw_den
     req = F.array(*[F.lit(s) for s in GOPHER_REQ_STOPWORDS])
     n_req_stop = F.size(F.array_intersect(words, req))
     keep = (

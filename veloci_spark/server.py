@@ -62,6 +62,18 @@ class HttpError(Exception):
         self.msg = msg
 
 
+MAX_TOP = 10_000
+
+
+def _validated_top(v) -> int:
+    """Client-controlled k flows straight into DataFrame.limit(), and a
+    negative or absurd value raises AnalysisException — which is NOT a
+    client-error class the envelope maps to 400.  Validate up front."""
+    if isinstance(v, bool) or not isinstance(v, int) or not 1 <= v <= MAX_TOP:
+        raise HttpError(400, f"top must be an integer in [1, {MAX_TOP}]")
+    return v
+
+
 # ------------------------- request JSON -> Request -------------------------
 
 def _boost_part_from_json(d: dict) -> BoostPart:
@@ -396,6 +408,13 @@ class VelociApp:
             # message, never an exception escaping into the HTTP wrapper
             # as a dropped connection
             return 400, {"error": f"malformed request: {e}"}
+        except Exception as e:  # noqa: BLE001 — last-resort envelope
+            # anything else (engine AnalysisException reached by an
+            # input the validators missed, a genuine server bug) still
+            # answers HTTP instead of dropping the connection; 500 so
+            # the fuzz suite (which asserts 200/400) flags the gap
+            # instead of masking it as a client error
+            return 500, {"error": f"internal error: {type(e).__name__}: {e}"}
 
     def _route(self, method: str, path: str, query: dict, body) -> Any:
         if method == "GET" and path == "/version":
@@ -454,11 +473,18 @@ class VelociApp:
                 raise HttpError(400, "terms must be a list of strings")
             field = body.get("field", "content")
             mode = body.get("mode", "or")
-            top = int(body.get("top", 10))
+            top = _validated_top(body.get("top", 10))
             flt = body.get("filter")
             weights = body.get("weights")
+            after = body.get("after")
             if flt is not None and weights is not None:
                 raise HttpError(400, "filter and weights are exclusive")
+            if after is not None and (flt is not None or weights is not None):
+                # silently ignoring the cursor would re-serve page 1
+                # forever; reject like the filter+weights combination
+                raise HttpError(
+                    400, "after combines only with plain or-mode queries"
+                )
             if weights is not None:
                 if mode not in ("or", "or-wand") or not (
                     isinstance(weights, dict)
@@ -495,10 +521,9 @@ class VelociApp:
                     else bm25.bm25_filtered_topk
                 )
                 rows = fn(idx, field, terms, top, pred).collect()
-            elif body.get("after") is not None:
+            elif after is not None:
                 # cursor pagination (search_after): strictly after the
                 # [score_e4, doc_id] cursor; or-mode only
-                after = body["after"]
                 if mode != "or" or not (
                     isinstance(after, list)
                     and len(after) == 2
@@ -544,7 +569,7 @@ class VelociApp:
                 for ts in queries.values()
             ):
                 raise HttpError(400, "queries must be {id: [terms...]}")
-            top = int(body.get("top", 10))
+            top = _validated_top(body.get("top", 10))
             out: dict[str, list] = {q: [] for q in queries}
             for r in bm25_batch_topk(idx, field, queries, top).collect():
                 out[r["query_id"]].append([int(r["doc_id"]), int(r["score_e4"])])

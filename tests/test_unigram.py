@@ -1,0 +1,126 @@
+"""Unigram-LM subword segmentation: fixed-point log2 exactness, Viterbi
+semantics (tie-breaks, concatenation identity, max piece length),
+sequential-replica parity for the EM trainer, and scale shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.pipeline.unigram import (
+    UNI_MAX_PIECE,
+    UNI_ROUNDS,
+    _costs,
+    _seed_vocab,
+    _segment_words,
+    _viterbi,
+    _word_freqs,
+    ilog2,
+    unigram_segment,
+    unigram_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ilog2_matches_log2_within_interpolation_error():
+    for x in [1, 2, 3, 7, 8, 9, 100, 901, 65535, 65536, 10**12]:
+        approx = ilog2(x) / 65536.0
+        assert abs(approx - math.log2(x)) < 0.09  # linear-interp bound
+    assert ilog2(1) == 0
+    assert ilog2(2) == 65536
+    assert ilog2(4) == 131072  # exact at powers of two
+
+
+def test_viterbi_prefers_cheap_pieces_and_pins_ties():
+    costs = {"a": 10, "b": 10, "ab": 5, "ba": 5, "abab": 100}
+    # ab+ab (10) beats a+b+a+b (40) and abab (100)
+    assert _viterbi("abab", costs) == ["ab", "ab"]
+    # tie between (a)(ba)... and (ab)(a)...: cost a+ba = ab+a = 15;
+    # min (cost, i) at j=3 prefers the SMALLER split index i=1 -> a|ba
+    assert _viterbi("aba", costs) == ["a", "ba"]
+
+
+def test_viterbi_concatenation_identity_and_max_piece(spark):
+    out = unigram_segment(spark, SF)
+    rows = out.collect()
+    out._veloci_unpersist()
+    assert rows
+    for r in rows:
+        pieces = r["seg"].split(" ")
+        assert "".join(pieces) == r["word"]
+        assert len(pieces) == r["n_pieces"]
+        assert all(1 <= len(p) <= UNI_MAX_PIECE for p in pieces)
+
+
+def test_trainer_matches_sequential_replica(spark):
+    """The distributed EM rounds (Arrow segmentation pass + piece-count
+    groupBy per round) produce the exact vocabulary of a sequential
+    python replay over the same word-frequency table."""
+    words = _word_freqs(spark, SF)
+    wf = [(r["word"], int(r["freq"])) for r in words.collect()]
+    vocab = _seed_vocab(words)
+    for _ in range(UNI_ROUNDS):
+        costs = _costs(vocab)
+        counts: dict[str, int] = {}
+        for w, f_ in wf:
+            for p in _viterbi(w, costs):
+                counts[p] = counts.get(p, 0) + f_
+        vocab = {
+            p: (counts.get(p, 0) if len(p) > 1 else max(counts.get(p, 0), 1))
+            for p in vocab
+            if len(p) == 1 or counts.get(p, 0) > 0
+        }
+    costs = _costs(vocab)
+    want = {(p, c, costs[p]) for p, c in vocab.items()}
+    got = {
+        (r["piece"], r["cnt"], r["cost"])
+        for r in unigram_train(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_trainer_drops_unused_seeds_keeps_chars(spark):
+    v = {r["piece"]: r for r in unigram_train(spark, SF).collect()}
+    assert all(len(p) == 1 for p in v if v[p]["cnt"] <= 1)
+    # every single char of the corpus survives (floor at 1)
+    words = _word_freqs(spark, SF).collect()
+    chars = {c for r in words for c in r["word"]}
+    assert chars <= set(v)
+
+
+def test_segmentation_improves_over_rounds(spark):
+    """Hard-EM must not increase total corpus cost: the round-2 cost of
+    the corpus under the trained vocabulary is <= the seed-round cost
+    (standard EM monotonicity, here with the count-floor caveat only
+    for chars)."""
+    words = _word_freqs(spark, SF)
+    wf = [(r["word"], int(r["freq"])) for r in words.collect()]
+    seed_costs = _costs(_seed_vocab(words))
+    trained = {
+        r["piece"]: r["cost"]
+        for r in unigram_train(spark, SF).collect()
+    }
+
+    def corpus_cost(costs):
+        return sum(
+            f * sum(costs.get(p, 10**9) for p in _viterbi(w, costs))
+            for w, f in wf
+        )
+
+    assert corpus_cost(trained) <= corpus_cost(seed_costs)
+
+
+def test_word_length_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 40)], "doc_id long, text string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    with pytest.raises(ValueError):
+        unigram_segment(spark, d)

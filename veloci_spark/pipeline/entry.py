@@ -10,6 +10,7 @@ from veloci_spark.pipeline import (
     shards,
     similarity,
     text,
+    unigram,
 )
 
 
@@ -40,6 +41,7 @@ def pipeline_extra_queries():
     out.update(code_quality.extra_queries())
     out.update(shards.extra_queries())
     out.update(multimodal.extra_queries())
+    out.update(unigram.extra_queries())
     return out
 
 
@@ -52,4 +54,5 @@ def pipeline_extra_oracles():
     out.update(code_quality.extra_oracles())
     out.update(shards.extra_oracles())
     out.update(multimodal.extra_oracles())
+    out.update(unigram.extra_oracles())
     return out

@@ -1,0 +1,355 @@
+"""Unigram-LM subword segmentation (the SentencePiece-unigram family,
+Kudo 2018) — the Viterbi-DP complement to the BPE trainer.
+
+Everything is exact-integer so the Spark engine, the sequential python
+replica and the DuckDB oracle agree bit-for-bit:
+
+- piece scores live in fixed-point log2 space computed from BIT LENGTH
+  (``ilog2`` below): msb via the binary representation plus a 16-bit
+  linear-interpolation fraction — +,−,×,÷-by-power-of-two only, no
+  libm, so no last-ulp divergence between JVM, python and DuckDB;
+- the Viterbi DP minimizes integer path cost Σ (ilog2(total) −
+  ilog2(cnt(piece))) with the tie-break pinned to the LEXICOGRAPHIC
+  minimum of (cost, split position) — ``min(struct(cost, i))`` in every
+  engine;
+- the seed vocabulary is all substrings of length 2..UNI_MAX_PIECE
+  ranked by frequency-weighted occurrence count (ties by piece text),
+  topped up with EVERY single character so any word has a path.
+
+Scale shape (the bpe_train playbook): the only corpus-scale work is
+ONE map-side-combined word-frequency groupBy; everything after —
+substring explosion, vocabulary ranking, per-word Viterbi (Arrow UDF,
+vocabulary broadcast), usage recounts — runs on the VOCABULARY-sized
+distinct-word table.  EM rounds are a driver-bounded loop.
+
+Reference: the veloci reference has no subword trainer (tokenizer =
+separator rules); this operator is part of the beyond-reference
+LLM-pipeline family next to bpe_train (SURVEY.md §2 extension).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from veloci_spark.pipeline.common import sql_words, words_expr
+
+UNI_MAX_PIECE = 4
+UNI_SEED_TOP = 400  # multi-char seed pieces kept (ties: piece asc)
+UNI_MAX_WLEN = 16   # DP unroll bound; asserted against the corpus
+UNI_ROUNDS = 2      # extra Viterbi-EM recount rounds in unigram_train
+
+
+def ilog2(x: int) -> int:
+    """Fixed-point log2 for x >= 1: (msb << 16) + 16-bit linear
+    fraction.  Exact integer arithmetic — see module docstring."""
+    msb = x.bit_length() - 1
+    return msb * 65536 + (x * 65536) // (1 << msb) - 65536
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) over the documents table — the one corpus-scale
+    aggregation (map-side combined)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    return (
+        docs.select(F.explode(words_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _seed_vocab(words: DataFrame) -> dict[str, int]:
+    """piece -> count: every single char, plus the top UNI_SEED_TOP
+    multi-char substrings (length 2..UNI_MAX_PIECE) by frequency-
+    weighted occurrence count.  Runs on the vocabulary-sized word
+    table: substring explosion via sequence+explode, two small
+    groupBys, one TakeOrdered."""
+    w = words.withColumn("L", F.length("word"))
+    pieces = (
+        w.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.col("L"))).alias("s"),
+            F.col("L"),
+        )
+        .select(
+            "word",
+            "freq",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(UNI_MAX_PIECE), F.col("L") - F.col("s") + 1),
+                )
+            ).alias("n"),
+        )
+        .select(
+            F.expr("substr(word, s, n)").alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = {
+        r["piece"]: int(r["cnt"])
+        for r in pieces.where(F.length("piece") == 1).collect()
+    }
+    multi = (
+        pieces.where(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNI_SEED_TOP)
+        .collect()
+    )
+    vocab = dict(chars)
+    vocab.update({r["piece"]: int(r["cnt"]) for r in multi})
+    return vocab
+
+
+def _costs(vocab: dict[str, int]) -> dict[str, int]:
+    total = sum(vocab.values())
+    lt = ilog2(total)
+    return {p: lt - ilog2(c) for p, c in vocab.items() if c >= 1}
+
+
+def _viterbi(word: str, costs: dict[str, int]) -> list[str]:
+    """Min-cost segmentation; ties resolved by min (cost, i) at every
+    position — identical to the SQL min(struct(cost, i)) argmin."""
+    L = len(word)
+    INF = float("inf")
+    best: list = [(0, -1)] + [(INF, -1)] * L
+    for j in range(1, L + 1):
+        for i in range(max(0, j - UNI_MAX_PIECE), j):
+            c = costs.get(word[i:j])
+            if c is None or best[i][0] == INF:
+                continue
+            cand = (best[i][0] + c, i)
+            if cand < best[j]:
+                best[j] = cand
+    if best[L][0] == INF:  # unreachable: single chars are always in vocab
+        return [word]
+    out = []
+    j = L
+    while j > 0:
+        i = best[j][1]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def _segment_words(words: DataFrame, costs: dict[str, int]) -> DataFrame:
+    """(word, freq) -> (word, freq, n_pieces, seg) via one Arrow pass;
+    the cost table rides along broadcast (bounded by the seed size)."""
+
+    def seg_udf(pdf_iter):
+        for pdf in pdf_iter:
+            segs = [_viterbi(w, costs) for w in pdf["word"]]
+            pdf = pdf.copy()
+            pdf["n_pieces"] = [len(s) for s in segs]
+            pdf["seg"] = [" ".join(s) for s in segs]
+            yield pdf
+
+    return words.mapInPandas(
+        seg_udf, schema="word string, freq long, n_pieces long, seg string"
+    )
+
+
+def unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: seed vocabulary + ONE Viterbi pass over every
+    distinct corpus word.  Output: (word, freq, n_pieces, seg) — the
+    segmentation joined by single spaces.
+
+    The DuckDB oracle recomputes the seed vocabulary, unrolls the DP
+    over UNI_MAX_WLEN position stages (argmin as min(struct(cost, i)),
+    the same tie-break), backtracks with another unrolled chain, and
+    reassembles the segmentation with string_agg ORDER BY position."""
+    words = _word_freqs(spark, sf_dir).persist()
+    max_len = words.agg(F.max(F.length("word"))).collect()[0][0] or 0
+    if max_len > UNI_MAX_WLEN:
+        words.unpersist()
+        raise ValueError(
+            f"corpus word length {max_len} exceeds the DP unroll bound "
+            f"{UNI_MAX_WLEN}"
+        )
+    costs = _costs(_seed_vocab(words))
+    out = _segment_words(words, costs)
+    out._veloci_unpersist = words.unpersist  # type: ignore[attr-defined]
+    return out
+
+
+def unigram_train(
+    spark: SparkSession, sf_dir: str, rounds: int = UNI_ROUNDS
+) -> DataFrame:
+    """Viterbi hard-EM refinement: after the seed segmentation, recount
+    piece usage (freq-weighted) from the best segmentations, rebuild the
+    cost table over the surviving vocabulary (single chars are floored
+    at count 1 so every word keeps a path), and re-segment — ``rounds``
+    times.  Output: the final (piece, cnt, cost) vocabulary table,
+    unused multi-char seeds dropped.
+
+    The iterative trainer is replica-gated (sequential python replay in
+    tests/test_unigram.py — the kmeans/BPE-local precedent) rather than
+    SQL-oracled; the single-pass `unigram_segment` carries the
+    cross-engine DP oracle."""
+    words = _word_freqs(spark, sf_dir).persist()
+    try:
+        vocab = _seed_vocab(words)
+        for _ in range(rounds):
+            costs = _costs(vocab)
+            # one Arrow segmentation pass over the vocabulary-sized word
+            # table; only the PIECE-count table (bounded by the seed
+            # size) is collected — the words never leave the cluster
+            counts_rows = (
+                _segment_words(words, costs)
+                .select(
+                    "freq", F.explode(F.split("seg", " ")).alias("piece")
+                )
+                .groupBy("piece")
+                .agg(F.sum("freq").alias("c"))
+                .collect()
+            )
+            counts = {r["piece"]: int(r["c"]) for r in counts_rows}
+            vocab = {
+                p: (
+                    counts.get(p, 0)
+                    if len(p) > 1
+                    else max(counts.get(p, 0), 1)
+                )
+                for p in vocab
+                if len(p) == 1 or counts.get(p, 0) > 0
+            }
+    finally:
+        words.unpersist()
+    costs = _costs(vocab)
+    rows = [(p, int(c), int(costs[p])) for p, c in sorted(vocab.items())]
+    return spark.createDataFrame(rows, "piece string, cnt long, cost long")
+
+
+# --------------------------------------------------------- DuckDB oracle
+
+def _sql_ilog2(x: str) -> str:
+    """The fixed-point log2 in SQL: msb from the binary representation,
+    fraction via an exact power-of-two division.  The argument is cast
+    to BIGINT first — sum() yields HUGEINT, which format('{:b}') does
+    not accept."""
+    y = f"CAST(({x}) AS BIGINT)"
+    msb = f"(length(format('{{:b}}', {y})) - 1)"
+    return (
+        f"({msb} * 65536 + CAST(floor({y} * 65536.0 "
+        f"/ power(2.0, {msb})) AS BIGINT) - 65536)"
+    )
+
+
+def unigram_segment_sql() -> str:
+    ws = sql_words("text")
+    head = f"""
+WITH docs AS MATERIALIZED (
+  SELECT unnest({ws}) AS word FROM documents WHERE text IS NOT NULL
+),
+words AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM docs GROUP BY word
+),
+ptab AS MATERIALIZED (
+  SELECT substr(w.word, s.s, n.n) AS piece, sum(w.freq) AS cnt
+  FROM words w,
+       LATERAL (SELECT unnest(range(1, len(w.word) + 1)) AS s) s,
+       LATERAL (SELECT unnest(range(1, least({UNI_MAX_PIECE},
+                          len(w.word) - s.s + 1) + 1)) AS n) n
+  GROUP BY piece
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, cnt FROM ptab WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM ptab WHERE len(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {UNI_SEED_TOP}
+  )
+),
+tot AS MATERIALIZED (SELECT sum(cnt) AS t FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT v.piece,
+         {_sql_ilog2('tot.t')} - {_sql_ilog2('v.cnt')} AS cost
+  FROM vocab0 v CROSS JOIN tot
+),
+u0 AS MATERIALIZED (SELECT word, freq, 0 AS cost, -1 AS previ FROM words)"""
+    stages = []
+    for j in range(1, UNI_MAX_WLEN + 1):
+        cands = []
+        for i in range(max(0, j - UNI_MAX_PIECE), j):
+            cands.append(
+                f"""
+    SELECT b.word, b.freq, b.cost + v.cost AS c, {i} AS i
+    FROM u{i} b JOIN vocab v
+      ON v.piece = substr(b.word, {i} + 1, {j - i})
+    WHERE len(b.word) >= {j}"""
+            )
+        stages.append(
+            f"""
+u{j} AS MATERIALIZED (
+  SELECT word, freq, m.c AS cost, m.i AS previ FROM (
+    SELECT word, freq, min(struct_pack(c := c, i := i)) AS m
+    FROM ({' UNION ALL '.join(cands)}) GROUP BY word, freq
+  )
+)"""
+        )
+    dp_union = "\n  UNION ALL ".join(
+        f"SELECT word, {j} AS pos, previ FROM u{j}"
+        for j in range(1, UNI_MAX_WLEN + 1)
+    )
+    bt = [
+        f"""
+dp AS MATERIALIZED (
+  {dp_union}
+),
+bt0 AS MATERIALIZED (
+  SELECT word, freq, CAST(len(word) AS INT) AS pos FROM words
+)"""
+    ]
+    for t in range(1, UNI_MAX_WLEN + 1):
+        bt.append(
+            f"""
+bt{t} AS MATERIALIZED (
+  SELECT b.word, b.freq, CAST(d.previ AS INT) AS pos,
+         substr(b.word, d.previ + 1, b.pos - d.previ) AS piece
+  FROM bt{t - 1} b JOIN dp d ON d.word = b.word AND d.pos = b.pos
+  WHERE b.pos > 0
+)"""
+        )
+    piece_union = "\n  UNION ALL ".join(
+        f"SELECT word, pos, piece FROM bt{t}"
+        for t in range(1, UNI_MAX_WLEN + 1)
+    )
+    tail = f"""
+pieces AS (
+  {piece_union}
+)
+SELECT w.word, w.freq,
+  CAST(count(p.piece) AS BIGINT) AS n_pieces,
+  string_agg(p.piece, ' ' ORDER BY p.pos) AS seg
+FROM words w JOIN pieces p ON w.word = p.word
+GROUP BY w.word, w.freq
+"""
+    return (
+        head
+        + ","
+        + ",".join(stages)
+        + ","
+        + ",".join(bt)
+        + ","
+        + tail
+    )
+
+
+def extra_queries():
+    return {
+        "unigram_segment": unigram_segment,
+        "unigram_train": unigram_train,
+    }
+
+
+def extra_oracles():
+    # unigram_train is the iterative trainer: replica-gated
+    # (tests/test_unigram.py), rows-only in the gate — the single-pass
+    # unigram_segment carries the cross-engine DP oracle.
+    return {"unigram_segment": unigram_segment_sql()}

@@ -29,7 +29,6 @@ LLM-pipeline family next to bpe_train (SURVEY.md §2 extension).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from veloci_spark.pipeline.common import sql_words, words_expr

@@ -124,3 +124,28 @@ def test_word_length_guard(spark):
     df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     with pytest.raises(ValueError):
         unigram_segment(spark, d)
+
+
+def test_encode_counts_consistent_with_segmentation(spark):
+    """Per-doc piece counts must equal segmenting each occurrence: for a
+    sampled doc, summing counts gives the doc's total piece count, and
+    every piece concatenation appears in some word's segmentation."""
+    from veloci_spark.pipeline.unigram import unigram_encode
+
+    out = unigram_encode(spark, SF)
+    rows = out.collect()
+    out._veloci_unpersist()
+    assert rows
+    seg_out = unigram_segment(spark, SF)
+    segs = {r["word"]: r["seg"].split(" ") for r in seg_out.collect()}
+    seg_out._veloci_unpersist()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["piece"]] = r["n"]
+    for d in docs:
+        want: dict = {}
+        for w in d["text"].split(" "):
+            for p in segs[w]:
+                want[p] = want.get(p, 0) + 1
+        assert by_doc[d["doc_id"]] == want

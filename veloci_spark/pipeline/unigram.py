@@ -344,6 +344,7 @@ def extra_queries():
     return {
         "unigram_segment": unigram_segment,
         "unigram_train": unigram_train,
+        "unigram_encode": unigram_encode,
     }
 
 
@@ -351,4 +352,63 @@ def extra_oracles():
     # unigram_train is the iterative trainer: replica-gated
     # (tests/test_unigram.py), rows-only in the gate — the single-pass
     # unigram_segment carries the cross-engine DP oracle.
-    return {"unigram_segment": unigram_segment_sql()}
+    return {
+        "unigram_segment": unigram_segment_sql(),
+        "unigram_encode": unigram_encode_sql(),
+    }
+
+
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the SEED segmentation — the
+    consumable form (bpe_encode's sibling): (doc_id, piece, n).
+
+    Scale shape: the segmentation runs once per DISTINCT word (the
+    vocabulary-sized Arrow pass of `unigram_segment`); documents join
+    their words against that table and aggregate — the corpus is never
+    re-segmented per occurrence."""
+    words = _word_freqs(spark, sf_dir).persist()
+    costs = _costs(_seed_vocab(words))
+    seg = _segment_words(words, costs).select("word", "seg")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    occurrences = docs.select(
+        "doc_id", F.explode(words_expr("text")).alias("word")
+    )
+    out = (
+        occurrences.join(F.broadcast(seg), "word")
+        .select("doc_id", F.explode(F.split("seg", " ")).alias("piece"))
+        .groupBy("doc_id", "piece")
+        .agg(F.count("*").alias("n"))
+    )
+    out._veloci_unpersist = words.unpersist  # type: ignore[attr-defined]
+    return out
+
+
+def unigram_encode_sql() -> str:
+    """The segment oracle's CTE chain, joined back to per-document word
+    occurrences."""
+    ws = sql_words("text")
+    seg_sql = unigram_segment_sql()
+    # reuse everything up to the final SELECT as a CTE prefix
+    i = seg_sql.rindex("SELECT w.word, w.freq,")
+    prefix = seg_sql[:i]
+    return (
+        prefix
+        + f""",
+segs AS MATERIALIZED (
+  SELECT w.word, string_agg(p.piece, ' ' ORDER BY p.pos) AS seg
+  FROM words w JOIN pieces p ON w.word = p.word
+  GROUP BY w.word
+),
+occ AS (
+  SELECT d.doc_id, u.word
+  FROM (SELECT doc_id, {ws} AS wl FROM documents WHERE text IS NOT NULL) d,
+       LATERAL (SELECT unnest(d.wl) AS word) u
+)
+SELECT o.doc_id, p.piece, CAST(count(*) AS BIGINT) AS n
+FROM occ o JOIN segs s ON o.word = s.word,
+     LATERAL (SELECT unnest(string_split(s.seg, ' ')) AS piece) p
+GROUP BY o.doc_id, p.piece
+"""
+    )

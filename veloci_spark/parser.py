@@ -99,6 +99,11 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> str:
+        if self.i >= len(self.toks):
+            # e.g. a lone "(" — the group opener consumed the last
+            # token; a truncated query is a client error (ValueError →
+            # HTTP 400), never an IndexError escaping as a 500
+            raise ValueError("unexpected end of query")
         t = self.toks[self.i]
         self.i += 1
         return t

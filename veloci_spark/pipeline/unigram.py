@@ -229,18 +229,29 @@ def unigram_train(
 
 def _sql_ilog2(x: str) -> str:
     """The fixed-point log2 in SQL: msb from the binary representation,
-    fraction via an exact power-of-two division.  The argument is cast
-    to BIGINT first — sum() yields HUGEINT, which format('{:b}') does
-    not accept."""
+    fraction via EXACT integer arithmetic — (y * 65536) // (1 << msb)
+    in HUGEINT, matching Python's ilog2 bit-for-bit at any magnitude
+    (the former double-precision y * 65536.0 was only exact for
+    y < 2^37, a silent divergence at real corpus scale).  The argument
+    is cast to BIGINT first — sum() yields HUGEINT, which
+    format('{:b}') does not accept."""
     y = f"CAST(({x}) AS BIGINT)"
     msb = f"(length(format('{{:b}}', {y})) - 1)"
     return (
-        f"({msb} * 65536 + CAST(floor({y} * 65536.0 "
-        f"/ power(2.0, {msb})) AS BIGINT) - 65536)"
+        f"({msb} * 65536 + CAST("
+        f"(CAST({y} AS HUGEINT) * 65536) "
+        f"// (CAST(1 AS HUGEINT) << {msb})"
+        f" AS BIGINT) - 65536)"
     )
 
 
-def unigram_segment_sql() -> str:
+def _segment_cte_prefix() -> str:
+    """The full CTE chain shared by unigram_segment_sql and
+    unigram_encode_sql — seed vocabulary, the UNI_MAX_WLEN-stage
+    unrolled DP, the backtrack chain, and the `pieces` union — WITHOUT
+    a final SELECT.  Both oracles append their own tail, so a cosmetic
+    change to one oracle's SELECT can no longer break the other (the
+    previous string-surgery via rindex was fragile)."""
     ws = sql_words("text")
     head = f"""
 WITH docs AS MATERIALIZED (
@@ -322,13 +333,7 @@ bt{t} AS MATERIALIZED (
     tail = f"""
 pieces AS (
   {piece_union}
-)
-SELECT w.word, w.freq,
-  CAST(count(p.piece) AS BIGINT) AS n_pieces,
-  string_agg(p.piece, ' ' ORDER BY p.pos) AS seg
-FROM words w JOIN pieces p ON w.word = p.word
-GROUP BY w.word, w.freq
-"""
+)"""
     return (
         head
         + ","
@@ -337,6 +342,19 @@ GROUP BY w.word, w.freq
         + ",".join(bt)
         + ","
         + tail
+    )
+
+
+def unigram_segment_sql() -> str:
+    return (
+        _segment_cte_prefix()
+        + """
+SELECT w.word, w.freq,
+  CAST(count(p.piece) AS BIGINT) AS n_pieces,
+  string_agg(p.piece, ' ' ORDER BY p.pos) AS seg
+FROM words w JOIN pieces p ON w.word = p.word
+GROUP BY w.word, w.freq
+"""
     )
 
 
@@ -367,6 +385,17 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     their words against that table and aggregate — the corpus is never
     re-segmented per occurrence."""
     words = _word_freqs(spark, sf_dir).persist()
+    # same guard as unigram_segment: the oracle's DP unroll stops at
+    # UNI_MAX_WLEN positions, so a longer corpus word would silently
+    # drop every (doc, word) pair for that word cross-engine — fail
+    # loudly instead.
+    max_len = words.agg(F.max(F.length("word"))).collect()[0][0] or 0
+    if max_len > UNI_MAX_WLEN:
+        words.unpersist()
+        raise ValueError(
+            f"corpus word length {max_len} exceeds the DP unroll bound "
+            f"{UNI_MAX_WLEN}"
+        )
     costs = _costs(_seed_vocab(words))
     seg = _segment_words(words, costs).select("word", "seg")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
@@ -389,10 +418,7 @@ def unigram_encode_sql() -> str:
     """The segment oracle's CTE chain, joined back to per-document word
     occurrences."""
     ws = sql_words("text")
-    seg_sql = unigram_segment_sql()
-    # reuse everything up to the final SELECT as a CTE prefix
-    i = seg_sql.rindex("SELECT w.word, w.freq,")
-    prefix = seg_sql[:i]
+    prefix = _segment_cte_prefix()
     return (
         prefix
         + f""",

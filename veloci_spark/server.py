@@ -527,7 +527,10 @@ class VelociApp:
                 if mode != "or" or not (
                     isinstance(after, list)
                     and len(after) == 2
-                    and all(isinstance(x, int) for x in after)
+                    and all(
+                        isinstance(x, int) and not isinstance(x, bool)
+                        for x in after
+                    )
                 ):
                     raise HttpError(
                         400,

@@ -41,16 +41,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return _run_request(spark, sf_dir, req, top=10)
 
 
-#: Registered operators whose WINDOW slot is redundant with another
-#: window entry (a plan/parameter variant of a mechanism already
-#: recorded), demoted to the pytest-gated extras so the driver's
-#: 50-row record covers 50 DISTINCT operators — in particular the
-#: round-4 tail (decontam fallback plan, mixture accounting, the real
-#: BPE oracle, the multimodal metadata oracle) instead of five
-#: variants.  Every demoted entry keeps its oracle and stays green in
-#: tests/test_oracle_parity.py.
+#: WINDOW ROTATION POLICY (the driver records 50 rows; the registry is
+#: larger).  A registered operator earns/keeps a window slot by this
+#: rule, applied mechanically each round:
+#:
+#:   1. one slot per DISTINCT MECHANISM (a scoring formula, a join
+#:      shape, a pruning strategy, a codec, a planner rule) — never two
+#:      slots for parameter/plan variants of the same mechanism;
+#:   2. when a round adds a new mechanism and the window is full, the
+#:      entry demoted is the variant whose FACTORS all still have their
+#:      own rows (e.g. AND∘WAND leaves when AND and OR-WAND each keep a
+#:      row), newest-mechanism-first — new mechanisms always enter;
+#:   3. demotion is to extra_queries(), never deletion: every demoted
+#:      entry keeps its oracle and stays green in the pytest driver-gate
+#:      replica (tests/test_oracle_parity.py) at every scale the gate
+#:      runs.
+#:
+#: Round-5 rotation: code_bm25_auto (planner-rule dispatch — a NEW
+#: mechanism) enters; code_bm25_and_wand (AND∘WAND variant; both
+#: factors — code_bm25_and and code_bm25_wand — retain rows) demotes.
 _DEMOTED = (
     "code_bm25_filtered_wand",  # WAND variant of code_bm25_filtered (4 other WAND rows)
+    "code_bm25_and_wand",       # AND∘WAND; code_bm25_and + code_bm25_wand pin the factors
     "ft_wand_topk",             # fulltext WAND; the code_* rows pin the same operator
     "ft_fuzzy_prefix",          # fuzzy ∘ prefix; both factors have their own rows
     "ft_topk_skip",             # pagination variant of the top-k every row exercises

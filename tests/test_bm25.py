@@ -197,6 +197,58 @@ def test_wand_budget_exhaustion_falls_back_to_full(bm25_index):
     assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
 
 
+def test_auto_dispatch_picks_exhaustive_below_threshold(bm25_index):
+    # tiny corpus: matched postings ≪ the calibrated threshold → the
+    # planner rule must pick the single-job exhaustive plan
+    from veloci_spark.bm25 import bm25_auto_topk
+
+    stats: dict = {}
+    rows = bm25_auto_topk(
+        bm25_index, "body", ["alpha", "gamma"], 5, stats=stats
+    ).collect()
+    exact = bm25_topk(bm25_index, "body", ["alpha", "gamma"], 5).collect()
+    assert stats["dispatch"] == "exhaustive"
+    assert stats["matched_postings"] > 0
+    assert [tuple(r) for r in rows] == [tuple(r) for r in exact]
+
+
+def test_auto_dispatch_picks_wand_above_threshold(bm25_index):
+    # forcing the threshold to 0 postings must route through WAND and
+    # stay rank-identical (the dispatch is a plan choice, not a result
+    # choice)
+    from veloci_spark.bm25 import bm25_auto_topk
+
+    stats: dict = {}
+    rows = bm25_auto_topk(
+        bm25_index, "body", ["alpha", "gamma"], 5, min_postings=0, stats=stats
+    ).collect()
+    exact = bm25_topk(bm25_index, "body", ["alpha", "gamma"], 5).collect()
+    assert stats["dispatch"] == "wand"
+    assert stats["blocks_total"] >= stats["blocks_decoded"] >= 1
+    assert [tuple(r) for r in rows] == [tuple(r) for r in exact]
+
+
+def test_auto_dispatch_env_override(bm25_index, monkeypatch):
+    from veloci_spark.bm25 import bm25_auto_topk
+
+    monkeypatch.setenv("SPARK_GRAFT_WAND_MIN_POSTINGS", "0")
+    stats: dict = {}
+    bm25_auto_topk(bm25_index, "body", ["alpha"], 2, stats=stats).collect()
+    assert stats["dispatch"] == "wand"
+
+
+def test_certificate_jump_converges_in_two_decodes(bm25_index):
+    # the certificate jump guarantees iteration 2 stops: from 1 starting
+    # block on a 3-block index, max_iters=2 must now suffice (the former
+    # multiplicative growth needed the full-decode fallback here only
+    # when the certificate was capped)
+    exact = bm25_topk(bm25_index, "body", ["alpha", "gamma"], 5).collect()
+    wand = bm25_wand_topk(
+        bm25_index, "body", ["alpha", "gamma"], 5, start_blocks=1, max_iters=2
+    ).collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
+
+
 def test_resume_skips_bm25_stage(spark, tmp_root, bm25_index):
     # rebuilding over the same dir with resume=True must not rewrite bm25
     out = os.path.join(tmp_root, "bm25_index")

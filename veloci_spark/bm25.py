@@ -221,32 +221,41 @@ def bm25_from_tf(tf: DataFrame) -> tuple[DataFrame, dict[str, dict]]:
 
 # ------------------------------ query side ------------------------------
 
-def _matched_term_ids(index, field: str, terms: Sequence[str]) -> list[int]:
-    """Exact-match term ids, collected to the driver (bounded by the query
-    term count) so the block scan gets a LITERAL `term_id IN (...)`
-    predicate — pushed into the Parquet scan, where row-group min/max
-    stats on the sorted term_id prune everything else.  A broadcast join
-    cannot reach the scan stats; at 10^12-doc scale that difference is
-    "read a few row groups" vs "read the field's whole block table"."""
+def _matched_term_meta(index, field: str, terms: Sequence[str]) -> list[tuple[int, int]]:
+    """Exact-match ``(term_id, num_occurences)`` pairs, collected to the
+    driver (bounded by the query term count).  The ids give the block
+    scan a LITERAL `term_id IN (...)` predicate — pushed into the Parquet
+    scan, where row-group min/max stats on the sorted term_id prune
+    everything else (a broadcast join cannot reach the scan stats; at
+    10^12-doc scale that difference is "read a few row groups" vs "read
+    the field's whole block table").  The occurrence counts ride along in
+    the SAME collect and are the zero-extra-job dispatch signal for
+    exhaustive-vs-WAND (total postings ≈ decode volume)."""
     rows = (
         index.dictionary(field)
         .where(F.col("term").isin(*list(terms)))
-        .select("term_id")
+        .select("term_id", "num_occurences")
         .collect()
     )
-    return sorted(r["term_id"] for r in rows)
+    return sorted((int(r["term_id"]), int(r["num_occurences"])) for r in rows)
+
+
+def _matched_term_ids(index, field: str, terms: Sequence[str]) -> list[int]:
+    return [tid for tid, _ in _matched_term_meta(index, field, terms)]
 
 
 def _empty_topk(spark) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, score_e4 long")
 
 
-def bm25_topk(index, field: str, terms: Sequence[str], k: int) -> DataFrame:
+def bm25_topk(
+    index, field: str, terms: Sequence[str], k: int, _ids: Optional[list] = None
+) -> DataFrame:
     """Exhaustive BM25 top-k: (doc_id, score_e4), OR-sum over terms,
     deterministic (score desc, doc_id desc) order."""
     from veloci_spark.index import decode_blocks_df
 
-    ids = _matched_term_ids(index, field, terms)
+    ids = _matched_term_ids(index, field, terms) if _ids is None else _ids
     if not ids:
         return _empty_topk(index.spark)
     blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
@@ -402,6 +411,7 @@ def bm25_wand_topk(
     start_blocks: int = 8,
     max_iters: int = 8,
     stats: Optional[dict] = None,
+    _ids: Optional[list] = None,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k, rank-identical to :func:`bm25_topk`.
 
@@ -418,7 +428,7 @@ def bm25_wand_topk(
     from veloci_spark.index import decode_blocks_df
 
     spark = index.spark
-    ids = _matched_term_ids(index, field, terms)
+    ids = _matched_term_ids(index, field, terms) if _ids is None else _ids
     if not ids:
         return _empty_topk(spark)
     blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
@@ -462,6 +472,60 @@ def bm25_wand_topk(
 
     blocks.unpersist()
     return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")
+
+
+# --------------------------- auto dispatch ------------------------------
+
+# Postings-volume threshold for the exhaustive↔WAND planner rule,
+# calibrated on the Zipf(1) crossover ladder (BENCH/BASELINE.md round 5:
+# exhaustive wins ≤800k-doc corpora where its single decode job beats
+# WAND's fixed 2-job latency; block-max pruning pays once the matched
+# posting volume is several million entries).  Overridable per call and
+# via the SPARK_GRAFT_WAND_MIN_POSTINGS env var for re-calibration on a
+# different cluster profile.
+WAND_MIN_POSTINGS = 3_000_000
+
+
+def _wand_min_postings(override: Optional[int]) -> int:
+    if override is not None:
+        return int(override)
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_WAND_MIN_POSTINGS", WAND_MIN_POSTINGS))
+
+
+def bm25_auto_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    min_postings: Optional[int] = None,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """The SHIPPED default BM25 top-k: planner-rule dispatch between the
+    exhaustive decode and block-max WAND, rank-identical to both.
+
+    Block-max pruning (the reference's worst-score early termination,
+    search_field.rs:292-331) only pays once the decode volume it avoids
+    exceeds WAND's fixed overhead (one metadata collect + one extra decode
+    job); below that the exhaustive single-job plan is strictly faster —
+    measured 2-4x at every corpus ≤800k docs, crossing over in the
+    millions (BENCH/BASELINE.md).  The matched terms' total
+    ``num_occurences`` (≥ posting count ≈ decode volume) arrives in the
+    SAME bounded dictionary collect that builds the literal term_id
+    IN-list, so the dispatch decision costs zero extra Spark jobs."""
+    meta = _matched_term_meta(index, field, terms)
+    ids = [tid for tid, _ in meta]
+    total = sum(occ for _, occ in meta)
+    if total < _wand_min_postings(min_postings):
+        if stats is not None:
+            stats["dispatch"] = "exhaustive"
+            stats["matched_postings"] = total
+        return bm25_topk(index, field, terms, k, _ids=ids)
+    if stats is not None:
+        stats["dispatch"] = "wand"
+        stats["matched_postings"] = total
+    return bm25_wand_topk(index, field, terms, k, stats=stats, _ids=ids)
 
 
 # --------------------------- phrase top-k -------------------------------

@@ -38,6 +38,7 @@ from veloci_spark.bm25 import (
     bm25_filtered_topk,
     bm25_filtered_wand_topk,
     bm25_phrase_topk,
+    bm25_auto_topk,
     bm25_topk,
     bm25_topk_after,
     bm25_wand_topk,
@@ -394,6 +395,19 @@ def _q_bm25_wand(spark, sf_dir):
 
 _QUERIES["code_bm25_wand"] = _q_bm25_wand
 _ORACLES["code_bm25_wand"] = _bm25_topk_sql(_TOPK_TERMS, 20)
+
+
+def _q_bm25_auto(spark, sf_dir):
+    """The SHIPPED default path: planner-rule dispatch between the
+    exhaustive decode and block-max WAND on the matched terms' posting
+    volume (bm25.bm25_auto_topk) — SAME oracle as the exhaustive top-k:
+    whichever plan the rule picks must be rank-identical."""
+    idx = code_index(spark, sf_dir)
+    return bm25_auto_topk(idx, "content", _TOPK_TERMS, 20)
+
+
+_QUERIES["code_bm25_auto"] = _q_bm25_auto
+_ORACLES["code_bm25_auto"] = _bm25_topk_sql(_TOPK_TERMS, 20)
 
 
 def _bm25_explain_sql(terms: list[str], k: int) -> str:

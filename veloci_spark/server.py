@@ -541,8 +541,13 @@ class VelociApp:
                 ).collect()
             else:
                 try:
+                    # "or" is the planner-dispatched default (exhaustive
+                    # below the calibrated postings-volume threshold,
+                    # block-max WAND above — rank-identical either way);
+                    # "or-scan"/"or-wand" force a specific plan.
                     fn = {
-                        "or": bm25.bm25_topk,
+                        "or": bm25.bm25_auto_topk,
+                        "or-scan": bm25.bm25_topk,
                         "and": bm25.bm25_and_topk,
                         "or-wand": bm25.bm25_wand_topk,
                         "and-wand": bm25.bm25_and_wand_topk,

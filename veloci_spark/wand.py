@@ -108,11 +108,19 @@ def wand_driver_loop(
         ):
             return rows, len(cand_ids)
         if kth is not None:
-            # certificate-capped growth, now a driver-side scan: blocks
-            # whose quantized bound falls below the kth quantized score
-            # can never place a doc in the top-k.  If the certificate
-            # extends past a truncated window, the true count is unknown
-            # — force m past the cap so the full-decode fallback runs.
+            # certificate JUMP, a driver-side scan: blocks whose
+            # quantized bound falls below the kth quantized score can
+            # never place a doc in the top-k, so decoding exactly the
+            # blocks at-or-above it GUARANTEES the next iteration stops
+            # (the new kth can only rise; every excluded block's bound is
+            # strictly below the old kth in quantized space).  The former
+            # multiplicative cap (min(needed, m*4)) stretched that to
+            # 3-4 decode jobs; jumping makes the common case exactly two.
+            # If the certificate covers the whole collected window the
+            # pruned decode degenerates to a full decode — break so the
+            # caller's fallback runs it without a giant IN-list (and,
+            # when the window is truncated, because the true certificate
+            # size is unknown).
             qk = q(kth)
             needed = 0
             for r in ub_rows:
@@ -120,9 +128,9 @@ def wand_driver_loop(
                     needed += 1
                 else:
                     break
-            if truncated and needed >= len(ub_rows):
-                needed = max_inlist + 1
-            m = max(min(needed, m * 4), m + 1)
+            if needed >= len(ub_rows):
+                break
+            m = max(needed, m + 1)
         else:
             m *= 4
     return None, None

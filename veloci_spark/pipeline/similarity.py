@@ -762,8 +762,9 @@ def dedup_semantic_kmeans(
     the LSH-bucket stand-in. Same keep-rule (remove the pair member
     nearer its centroid — here the TRAINED centroid, so the ranking is
     the one SemDeDup describes), same bucket-bounded pair generation
-    (cluster equi-join). Iterative trainer ⇒ no SQL oracle; pytest
-    gates the semantics (kmeans itself is numpy-parity tested).
+    (cluster equi-join). Cross-engine oracle:
+    :func:`dedup_semantic_kmeans_sql` replays the Lloyd loop as
+    generated CTEs; kmeans itself is additionally numpy-parity tested.
 
     Returns victims (vec_id, cent_cos_e4)."""
     emb = _emb(spark, sf_dir)
@@ -790,6 +791,90 @@ def dedup_semantic_kmeans(
         )
     )
     return _centroid_rank_victims(ranked, "cid", tau_e4)
+
+
+def dedup_semantic_kmeans_sql(
+    n_clusters: int = 16, train_iters: int = 2, tau_e4: int = PAIR_TAU_E4
+) -> str:
+    """Cross-engine oracle for :func:`dedup_semantic_kmeans` — the Lloyd
+    trainer REPLAYED as generated CTEs, one assignment + one mean-update
+    pair per iteration (the quality-classifier precedent for oracling
+    iterative trainers, text.py quality_classifier_sql), then the same
+    ranking/pair/victim tail as dedup_semantic_sql over the TRAINED
+    centroids.
+
+    Exactness note: assignments are hard argmins over float distances
+    whose summation order differs between engines; as with the LSH
+    variant's centroid means, only a margin within ~1e-12 of zero could
+    flip — the comparison key stays the e4-rounded centroid cosine."""
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    d2 = lambda a, b: (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    parts = [
+        f"""
+emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cvec
+  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_clusters})
+)"""
+    ]
+    for it in range(1, train_iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"""
+a{it} AS MATERIALIZED (
+  SELECT vec_id, v, m.cid AS cid FROM (
+    SELECT e.vec_id, any_value(e.v) AS v,
+           min(struct_pack(d2 := {d2('e.v', 'c.cvec')}, cid := c.cid)) AS m
+    FROM emb e CROSS JOIN {prev} c GROUP BY e.vec_id
+  )
+),
+s{it} AS MATERIALIZED (
+  SELECT cid, list(mx ORDER BY dim) AS mvec FROM (
+    SELECT cid, dim, avg(x) AS mx FROM (
+      SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a{it}
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+),
+c{it} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(s.mvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN s{it} s USING (cid)
+)"""
+        )
+    final = f"c{train_iters}"
+    tail = f"""
+scored AS MATERIALIZED (
+  SELECT e.vec_id, any_value(e.v) AS embedding,
+         min(struct_pack(negc := -({cos('e.v', 'c.cvec')}), cid := c.cid)) AS m
+  FROM emb e CROSS JOIN {final} c GROUP BY e.vec_id
+),
+ranked AS MATERIALIZED (
+  SELECT vec_id, embedding, m.cid AS cid, {sql_e4('-(m.negc)')} AS cent_cos_e4
+  FROM scored
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.cent_cos_e4 AS ca, b.cent_cos_e4 AS cb,
+         a.embedding AS ea, b.embedding AS eb
+  FROM ranked a JOIN ranked b USING (cid)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT DISTINCT
+  CASE WHEN ca > cb THEN vec_a ELSE vec_b END AS vec_id,
+  CASE WHEN ca > cb THEN ca ELSE cb END AS cent_cos_e4
+FROM pairs
+WHERE {sql_e4(cos('ea', 'eb'))} >= {tau_e4}
+"""
+    return "WITH " + ",".join(parts) + "," + tail
 
 
 # --------------------------------------------- scalar-quantized (SQ8) ANN
@@ -1746,8 +1831,9 @@ def extra_queries():
         # arithmetic claim)
         "ann_sq8_topk_catalyst": ann_sq8_topk,
         "ann_pq_topk_arrow": ann_pq_topk_arrow,
-        # iterative k-means trainer => rows-only contract (the
-        # bpe_train/kmeans precedent); semantics in tests
+        # iterative k-means trainer — round 5 gave it a full oracle
+        # (the Lloyd loop replayed as generated CTEs, see
+        # dedup_semantic_kmeans_sql); semantics also in tests
         "dedup_semantic_kmeans": dedup_semantic_kmeans,
         "ann_batch_topk_arrow": ann_batch_topk_arrow,
     }
@@ -1764,4 +1850,5 @@ def extra_oracles():
         "ann_sq8_topk_catalyst": ann_sq8_sql(),
         "ann_pq_topk_arrow": ann_pq_sql(),
         "ann_batch_topk_arrow": ann_batch_sql(),
+        "dedup_semantic_kmeans": dedup_semantic_kmeans_sql(),
     }

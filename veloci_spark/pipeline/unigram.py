@@ -187,10 +187,10 @@ def unigram_train(
     times.  Output: the final (piece, cnt, cost) vocabulary table,
     unused multi-char seeds dropped.
 
-    The iterative trainer is replica-gated (sequential python replay in
-    tests/test_unigram.py — the kmeans/BPE-local precedent) rather than
-    SQL-oracled; the single-pass `unigram_segment` carries the
-    cross-engine DP oracle."""
+    Cross-engine oracle: :func:`unigram_train_sql` replays every EM
+    round as generated CTE chains (one unrolled DP per round — the
+    quality-classifier precedent); a sequential python replay in
+    tests/test_unigram.py additionally pins the loop semantics."""
     words = _word_freqs(spark, sf_dir).persist()
     try:
         vocab = _seed_vocab(words)
@@ -245,15 +245,13 @@ def _sql_ilog2(x: str) -> str:
     )
 
 
-def _segment_cte_prefix() -> str:
-    """The full CTE chain shared by unigram_segment_sql and
-    unigram_encode_sql — seed vocabulary, the UNI_MAX_WLEN-stage
-    unrolled DP, the backtrack chain, and the `pieces` union — WITHOUT
-    a final SELECT.  Both oracles append their own tail, so a cosmetic
-    change to one oracle's SELECT can no longer break the other (the
-    previous string-surgery via rindex was fragile)."""
+def _corpus_head() -> str:
+    """The corpus + seed-vocabulary CTE chain shared by every unigram
+    oracle: distinct words with frequencies, the substring table, the
+    seed vocabulary (vocab0 with counts, vocab with fixed-point costs).
+    Returned WITHOUT a trailing comma or final SELECT."""
     ws = sql_words("text")
-    head = f"""
+    return f"""
 WITH docs AS MATERIALIZED (
   SELECT unnest({ws}) AS word FROM documents WHERE text IS NOT NULL
 ),
@@ -281,22 +279,34 @@ vocab AS MATERIALIZED (
   SELECT v.piece,
          {_sql_ilog2('tot.t')} - {_sql_ilog2('v.cnt')} AS cost
   FROM vocab0 v CROSS JOIN tot
-),
-u0 AS MATERIALIZED (SELECT word, freq, 0 AS cost, -1 AS previ FROM words)"""
-    stages = []
+)"""
+
+
+def _dp_chain(vocab_cte: str, pfx: str = "") -> str:
+    """One full Viterbi chain — the UNI_MAX_WLEN-stage unrolled DP, the
+    backtrack chain, and the piece union — against the cost table
+    ``vocab_cte`` (columns piece, cost).  Every generated CTE name gets
+    prefix ``pfx`` so unigram_train_sql can instantiate one chain PER EM
+    ROUND next to the shared seed chain (pfx='').  Returned as CTE
+    definitions only (no leading WITH, no final SELECT); the chain's
+    output CTE is ``{pfx}pieces`` (word, pos, piece)."""
+    parts = [
+        f"""
+{pfx}u0 AS MATERIALIZED (SELECT word, freq, 0 AS cost, -1 AS previ FROM words)"""
+    ]
     for j in range(1, UNI_MAX_WLEN + 1):
         cands = []
         for i in range(max(0, j - UNI_MAX_PIECE), j):
             cands.append(
                 f"""
     SELECT b.word, b.freq, b.cost + v.cost AS c, {i} AS i
-    FROM u{i} b JOIN vocab v
+    FROM {pfx}u{i} b JOIN {vocab_cte} v
       ON v.piece = substr(b.word, {i} + 1, {j - i})
     WHERE len(b.word) >= {j}"""
             )
-        stages.append(
+        parts.append(
             f"""
-u{j} AS MATERIALIZED (
+{pfx}u{j} AS MATERIALIZED (
   SELECT word, freq, m.c AS cost, m.i AS previ FROM (
     SELECT word, freq, min(struct_pack(c := c, i := i)) AS m
     FROM ({' UNION ALL '.join(cands)}) GROUP BY word, freq
@@ -304,45 +314,46 @@ u{j} AS MATERIALIZED (
 )"""
         )
     dp_union = "\n  UNION ALL ".join(
-        f"SELECT word, {j} AS pos, previ FROM u{j}"
+        f"SELECT word, {j} AS pos, previ FROM {pfx}u{j}"
         for j in range(1, UNI_MAX_WLEN + 1)
     )
-    bt = [
+    parts.append(
         f"""
-dp AS MATERIALIZED (
+{pfx}dp AS MATERIALIZED (
   {dp_union}
 ),
-bt0 AS MATERIALIZED (
+{pfx}bt0 AS MATERIALIZED (
   SELECT word, freq, CAST(len(word) AS INT) AS pos FROM words
 )"""
-    ]
+    )
     for t in range(1, UNI_MAX_WLEN + 1):
-        bt.append(
+        parts.append(
             f"""
-bt{t} AS MATERIALIZED (
+{pfx}bt{t} AS MATERIALIZED (
   SELECT b.word, b.freq, CAST(d.previ AS INT) AS pos,
          substr(b.word, d.previ + 1, b.pos - d.previ) AS piece
-  FROM bt{t - 1} b JOIN dp d ON d.word = b.word AND d.pos = b.pos
+  FROM {pfx}bt{t - 1} b JOIN {pfx}dp d ON d.word = b.word AND d.pos = b.pos
   WHERE b.pos > 0
 )"""
         )
     piece_union = "\n  UNION ALL ".join(
-        f"SELECT word, pos, piece FROM bt{t}"
+        f"SELECT word, pos, piece FROM {pfx}bt{t}"
         for t in range(1, UNI_MAX_WLEN + 1)
     )
-    tail = f"""
-pieces AS (
+    parts.append(
+        f"""
+{pfx}pieces AS (
   {piece_union}
 )"""
-    return (
-        head
-        + ","
-        + ",".join(stages)
-        + ","
-        + ",".join(bt)
-        + ","
-        + tail
     )
+    return ",".join(parts)
+
+
+def _segment_cte_prefix() -> str:
+    """The CTE chain shared by unigram_segment_sql and
+    unigram_encode_sql — the corpus head plus ONE DP chain under the
+    seed costs; the output CTE is ``pieces``."""
+    return _corpus_head() + "," + _dp_chain("vocab", "")
 
 
 def unigram_segment_sql() -> str:
@@ -358,6 +369,57 @@ GROUP BY w.word, w.freq
     )
 
 
+def unigram_train_sql(rounds: int = UNI_ROUNDS) -> str:
+    """Cross-engine oracle for :func:`unigram_train` — the Viterbi
+    hard-EM loop REPLAYED as generated CTEs (the quality-classifier
+    precedent for oracling iterative trainers): one full unrolled DP
+    chain per EM round (``_dp_chain`` with a per-round prefix), each
+    followed by the freq-weighted piece recount and the
+    floor-singles/drop-dead-multis vocabulary update, ending in the
+    final fixed-point cost table.  All arithmetic is exact-integer
+    (``_sql_ilog2``), so the replay is bit-for-bit."""
+    parts = [_corpus_head()]
+    prev_vocab = "vocab0"   # counts of the current vocabulary
+    cost_cte = "vocab"      # costs of the current vocabulary (in head)
+    for r in range(1, rounds + 1):
+        pfx = f"r{r}_"
+        parts.append(_dp_chain(cost_cte, pfx))
+        parts.append(
+            f"""
+{pfx}counts AS MATERIALIZED (
+  SELECT p.piece, sum(w.freq) AS cnt
+  FROM {pfx}pieces p JOIN words w USING (word) GROUP BY p.piece
+),
+{pfx}vocab AS MATERIALIZED (
+  SELECT v.piece,
+         CASE WHEN len(v.piece) = 1 THEN greatest(COALESCE(c.cnt, 0), 1)
+              ELSE c.cnt END AS cnt
+  FROM {prev_vocab} v LEFT JOIN {pfx}counts c USING (piece)
+  WHERE len(v.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+),
+{pfx}tot AS MATERIALIZED (SELECT sum(cnt) AS t FROM {pfx}vocab)"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""
+{pfx}vocabc AS MATERIALIZED (
+  SELECT v.piece,
+         {_sql_ilog2(f'{pfx}tot.t')} - {_sql_ilog2('v.cnt')} AS cost
+  FROM {pfx}vocab v CROSS JOIN {pfx}tot
+)"""
+            )
+            cost_cte = f"{pfx}vocabc"
+        prev_vocab = f"{pfx}vocab"
+    last = f"r{rounds}_"
+    tail = f"""
+SELECT v.piece,
+       CAST(v.cnt AS BIGINT) AS cnt,
+       CAST({_sql_ilog2(f'{last}tot.t')} - {_sql_ilog2('v.cnt')} AS BIGINT) AS cost
+FROM {last}vocab v CROSS JOIN {last}tot
+"""
+    return ",".join(parts) + tail
+
+
 def extra_queries():
     return {
         "unigram_segment": unigram_segment,
@@ -367,11 +429,12 @@ def extra_queries():
 
 
 def extra_oracles():
-    # unigram_train is the iterative trainer: replica-gated
-    # (tests/test_unigram.py), rows-only in the gate — the single-pass
-    # unigram_segment carries the cross-engine DP oracle.
+    # round 5: unigram_train's EM loop is now fully oracled
+    # (unigram_train_sql replays every round as generated CTE chains);
+    # all three entries carry cross-engine DP oracles.
     return {
         "unigram_segment": unigram_segment_sql(),
+        "unigram_train": unigram_train_sql(),
         "unigram_encode": unigram_encode_sql(),
     }
 

@@ -515,15 +515,11 @@ def test_or_connect_same_search(jm_index):  # tests.rs:936-957
 # ------------------------------------------------------------ suggest
 
 def _suggest_texts(idx, term, fields, token_value=None):
-    """Run suggest and lowercase+dedup like this reference version's
-    output (keep best score per lowercased text, re-sort)."""
+    """Engine output order, verbatim — the lowercase+dedup+tie-order now
+    lives in suggest() itself (return_term_lowercase + same-text merge,
+    search_field.rs:175-216)."""
     rows = suggest(idx, term, fields=fields, top=10, token_value=token_value).collect()
-    best: dict[str, float] = {}
-    for r in rows:
-        t = r["text"].lower()
-        if t not in best or r["score"] > best[t]:
-            best[t] = r["score"]
-    return [t for t, _ in sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))]
+    return [r["text"] for r in rows]
 
 
 def test_real_suggest_with_score(jm_index):  # tests.rs:1088-1113
@@ -536,13 +532,14 @@ def test_real_suggest_with_score(jm_index):  # tests.rs:1088-1113
         "majestätischer anblick (m)",
         "majestätisches aussehen (n)",
     ]
-    assert set(got) == set(want)
-    # exact order except the equal-score tie (majestätisches /
-    # majestätischer, both distance 9): the reference breaks that tie by
-    # term id, we break it by term asc — deviation documented
-    assert got[:2] == want[:2]
-    assert set(got[2:4]) == set(want[2:4])
-    assert got[4:] == want[4:]
+    # FULL sequence equality, including the equal-score tie pair
+    # (majestätisches / majestätischer, both distance 9): the engine's
+    # (score desc, text desc) rule reproduces the reference fixture
+    # order exactly — the reference's final sort_unstable_by on score
+    # (search_field.rs:189) degenerates to a stable insertion sort on
+    # suggest-sized slices, preserving the dedup pass's text-DESC order
+    # (search_field.rs:176) for ties.
+    assert got == want
 
 
 def test_multi_real_suggest_with_score(jm_index):  # tests.rs:1116-1132

@@ -514,13 +514,16 @@ def _q_suggest(spark, sf_dir):
 _register(
     "ft_suggest",
     _q_suggest,
+    # suggestions are LOWERCASED and case-deduped keeping the best score
+    # (reference return_term_lowercase + same-text merge,
+    # search_field.rs:175-216); ties rank text-DESC (see suggest.py)
     _with_cte(
-        "m0 AS (SELECT term, 2.0 / (log2(CAST(levenshtein(lower(term), 's') AS DOUBLE) + 1.0) + 0.2) AS term_score "
+        "m0 AS (SELECT lower(term) AS text, 2.0 / (log2(CAST(levenshtein(lower(term), 's') AS DOUBLE) + 1.0) + 0.2) AS term_score "
         "FROM dict WHERE substr(lower(term), 1, 1) = 's')"
     )
-    + "\nSELECT term AS text, "
+    + "\nSELECT text, "
     + sql_score_e4("max(term_score)")
-    + " AS score_e4 FROM m0 GROUP BY term ORDER BY max(term_score) DESC, term ASC LIMIT 10",
+    + " AS score_e4 FROM m0 GROUP BY text ORDER BY max(term_score) DESC, text DESC LIMIT 10",
 )
 
 

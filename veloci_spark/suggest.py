@@ -44,21 +44,33 @@ def suggest(
     n = top + skip
     frames = []
     for f in fields:
-        # Per-field candidate cap, by the SAME order the merged result
-        # uses — (score desc, term asc) — so truncation is lossless: any
-        # term dropped from a field's top-n is dominated there by n terms
-        # whose merged (max-over-fields) score can only improve, hence it
-        # can never enter the final top-n. (The reference truncates by
-        # (score, id) — search_field.rs:292-331 — which is unsafe under
-        # its own merged (score, text) order; deviation documented.
-        # Exact tie ORDER is additionally unspecifiable: the reference's
-        # final ranking is sort_unstable_by on score alone
-        # (search_field.rs:189), so equal-score order is whatever the
-        # unstable sort leaves — not a defined semantics to match. We
-        # pin (score desc, term asc) instead; the jmdict replay asserts
-        # set-equality per score band against the reference fixtures.)
-        # orderBy+limit = TakeOrderedAndProject: bounded memory per field
-        # even on a huge dictionary scan.
+        # Candidates are LOWERCASED and case-deduped (max score per
+        # lowercased text) before ranking — the reference's suggest runs
+        # with return_term_lowercase=true (search_field.rs:212-216) and
+        # merges same-text entries keeping the best score
+        # (search_field.rs:175-187).
+        #
+        # Ranking: (score desc, text DESC).  The reference's final
+        # ranking is sort_unstable_by on score alone
+        # (search_field.rs:189) — but it runs on a vector the dedup pass
+        # just sorted by text DESCENDING (search_field.rs:176: b.0 cmp
+        # a.0), and for the short slices suggest produces the unstable
+        # pdqsort falls back to a stable insertion sort, so equal-score
+        # entries KEEP that text-descending order.  (score desc, text
+        # desc) is therefore the deterministic rule that reproduces the
+        # reference fixtures exactly (tests.rs:1088-1113: the
+        # equal-score pair majestätisches/majestätischer surfaces in
+        # text-desc order); the jmdict replay asserts full
+        # sequence-equality.
+        #
+        # The per-field cap uses the SAME order as the merged result, so
+        # truncation is lossless: a text dropped from a field's top-n is
+        # dominated there by n texts whose merged (max-over-fields)
+        # score can only improve, hence it can never enter the final
+        # top-n.  The case-dedup happens BEFORE the cap for the same
+        # reason (capping raw-case terms could collapse below n after
+        # merging).  orderBy+limit = TakeOrderedAndProject: bounded
+        # memory per field even on a huge dictionary scan.
         part = SearchPart(
             field=f,
             term=term,
@@ -66,22 +78,27 @@ def suggest(
             starts_with=True,
             token_value=token_value,
         )
-        cand = match_terms(index, part).select("term", "term_score")
+        cand = (
+            match_terms(index, part)
+            .select(F.lower("term").alias("text"), "term_score")
+            .groupBy("text")
+            .agg(F.max("term_score").alias("term_score"))
+        )
         frames.append(
-            cand.orderBy(F.desc("term_score"), F.asc("term")).limit(n)
+            cand.orderBy(F.desc("term_score"), F.desc("text")).limit(n)
         )
     u = frames[0]
     for fr in frames[1:]:
         u = u.unionAll(fr)
     merged = (
-        u.groupBy("term")
+        u.groupBy("text")
         .agg(F.max("term_score").alias("score"))
-        .orderBy(F.desc("score"), F.asc("term"))
+        .orderBy(F.desc("score"), F.desc("text"))
         .limit(top + skip)
     )
     if skip:
         merged = merged.offset(skip)
-    return merged.select(F.col("term").alias("text"), "score")
+    return merged.select("text", "score")
 
 
 def highlight_entry(

@@ -146,3 +146,95 @@ def test_wav_features_fixture_sane(spark):
         assert 0 <= r["peak"] <= 32768
         assert 0 <= r["n_zero_cross"] < r["n_samples"]
         assert r["energy_sum"] > 0
+
+
+# ------------------------------------------------------------------ PNG
+
+from veloci_spark.pipeline.multimodal import (  # noqa: E402
+    _PNG_SIG,
+    decode_png,
+    encode_png,
+    multimodal_png_meta,
+    synthesize_png_payloads,
+)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(1, 1), (1, 7), (7, 1), (5, 4), (11, 13)])
+def test_png_roundtrip_all_filters(filter_type, shape):
+    h, w = shape
+    rng = np.random.RandomState(filter_type * 100 + h * 10 + w)
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, filter_type)), px)
+
+
+def test_png_signature_and_chunk_layout():
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    b = encode_png(px)
+    assert b[:8] == _PNG_SIG
+    # first chunk is a 13-byte IHDR with big-endian dims
+    assert b[8:12] == (13).to_bytes(4, "big") and b[12:16] == b"IHDR"
+    assert int.from_bytes(b[16:20], "big") == 3  # width
+    assert int.from_bytes(b[20:24], "big") == 2  # height
+    assert b[24:27] == bytes([8, 2, 0])  # depth 8, truecolor, deflate
+    assert b.endswith(
+        (0).to_bytes(4, "big") + b"IEND"
+        + (__import__("zlib").crc32(b"IEND") & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def test_png_crc_corruption_detected():
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    b = bytearray(encode_png(px))
+    b[20] ^= 0xFF  # flip a height byte inside IHDR; its CRC now lies
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(b))
+
+
+def test_png_rejects_other_flavors():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + b"\x00" * 60)
+    # grayscale (color type 0) header — built with valid CRCs
+    import zlib as _z
+
+    def chunk(tag, body):
+        return (
+            len(body).to_bytes(4, "big") + tag + body
+            + (_z.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00\x00")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bad)
+
+
+def test_png_dispatch_routes_signature():
+    px = np.full((2, 2, 3), 7, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(px, 4)), px)
+
+
+def test_synthesized_png_is_real_file(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = synthesize_png_payloads(df).collect()
+    assert len(rows) == 5
+    for r in rows:
+        px = decode_png(bytes(r["payload"]))
+        assert np.array_equal(px, _digest_px(f"doc number {r['doc_id']} words"))
+
+
+def test_png_meta_matches_bmp_meta_dims(spark):
+    # same digest pixels through two REAL codecs → identical metadata
+    sf = "/root/testdata/sf0.001"
+    png = {
+        r["doc_id"]: (r["width"], r["height"], r["px_sum"], r["n_px"])
+        for r in multimodal_png_meta(spark, sf).collect()
+    }
+    bmp = {
+        r["doc_id"]: (r["width"], r["height"], r["px_sum"], r["n_px"])
+        for r in multimodal_bmp_meta(spark, sf).collect()
+    }
+    assert png == bmp

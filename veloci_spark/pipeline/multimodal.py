@@ -17,6 +17,7 @@ SQL-expressible).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -268,13 +269,14 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------- REAL codecs: BMP and WAV
 #
-# The container has no image/audio libraries, but two widely-used
+# The container has no image/audio libraries, but three widely-used
 # formats need none: 24-bit uncompressed BMP (BITMAPINFOHEADER, BI_RGB)
 # and PCM16 WAV are pure header-plus-raw-samples layouts that numpy
-# parses directly.  These are genuine encoders/decoders — the bytes
-# round-trip through any external viewer/player — so the multimodal
-# path exercises a REAL decode, with `decode_image_stub` remaining only
-# as the documented fallback for compressed codecs (JPEG/PNG/ffmpeg).
+# parses directly, and PNG (below) is chunks + stdlib zlib.  These are
+# genuine encoders/decoders — the bytes round-trip through any external
+# viewer/player — so the multimodal path exercises a REAL decode, with
+# `decode_image_stub` remaining only as the documented fallback for
+# codecs that genuinely need external libraries (JPEG/video).
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -319,13 +321,16 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatching decoder: REAL parse for BMP payloads; the
-    deterministic stub for anything else (compressed codecs need
-    external libraries this container lacks).  The length guard keeps
-    16-byte digest payloads that happen to start with 0x42 0x4D out of
-    the BMP path."""
+    """Dispatching decoder: REAL parse for BMP and PNG payloads; the
+    deterministic stub only for formats whose codecs genuinely need
+    external libraries this container lacks (JPEG/video).  The length
+    guard keeps 16-byte digest payloads that happen to start with
+    0x42 0x4D out of the BMP path; the 8-byte PNG signature cannot
+    collide with a digest payload shorter than a real file."""
     if len(payload) >= 54 and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
     return decode_image_stub(payload)
 
 
@@ -403,6 +408,249 @@ dims AS (
 )
 SELECT d.doc_id,
   CAST(54 + ((3 * d.width + 3) // 4) * 4 * d.height AS BIGINT) AS n_bytes,
+  CAST(d.width AS BIGINT) AS width,
+  CAST(d.height AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST((d.L // 16) * d.s16
+    + coalesce(sum(b.bv) FILTER (WHERE b.i < d.L % 16), 0) AS BIGINT) AS px_sum,
+  CAST(d.L AS BIGINT) AS n_px
+FROM dims d JOIN b USING (doc_id)
+GROUP BY d.doc_id, d.width, d.height, d.L, d.s16
+"""
+
+
+# ------------------------------------------------------------- PNG
+#
+# PNG needs no external library either: the container format is
+# chunks-with-CRC32 and the compression is zlib — both stdlib.  The
+# encoder emits 8-bit truecolor (color type 2) with a selectable row
+# filter; the decoder verifies CRCs, concatenates IDAT, inflates, and
+# un-applies ALL FIVE standard row filters (None/Sub/Up/Average/Paeth,
+# RFC 2083 §6), so it reads PNGs from real encoders, not just its own.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG,
+    applying ``filter_type`` (0..4) to every row — the parameter exists
+    so round-trip tests exercise each unfilter path, not because any
+    one filter is 'right'."""
+    h, w, c = px.shape
+    assert c == 3 and 0 <= filter_type <= 4
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    bpp = 3
+    raw = px.reshape(h, w * 3).astype(np.int32)
+    stream = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        row = raw[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.fromiter(
+                (
+                    _paeth(int(left[i]), int(prev[i]), int(upleft[i]))
+                    for i in range(w * 3)
+                ),
+                dtype=np.int32,
+                count=w * 3,
+            )
+            filt = row - pred
+        stream.append(filter_type)
+        stream.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor non-interlaced PNG into an (h, w, 3)
+    uint8 RGB array.  Verifies every chunk CRC; un-applies all five row
+    filters.  Raises ValueError on other PNG flavors (palette, alpha,
+    16-bit, interlaced) and corrupt files."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = body[8:13]
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth} color={ctype} "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or h is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    stream = zlib.decompress(bytes(idat))
+    stride = w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    bpp = 3
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = stream[y * (stride + 1)]
+        filt = np.frombuffer(
+            stream, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            row = filt
+        elif f == 2:
+            row = (filt + prev) % 256
+        elif f in (1, 3, 4):
+            # left-dependent filters are sequential per pixel lane
+            row = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:
+                    row[i] = (filt[i] + a) % 256
+                elif f == 3:
+                    row[i] = (filt[i] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    row[i] = (filt[i] + _paeth(a, b, c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = row
+        prev = row
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+def synthesize_png_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG files per doc (same digest-derived pixels
+    as the BMP/stub paths; filter varies by doc_id mod 5 so every
+    unfilter path runs on the fixture): (doc_id, payload)."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    int(doc_id),
+                    encode_png(_digest_px(text), filter_type=int(doc_id) % 5),
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _enc, schema="doc_id long, payload binary"
+    )
+
+
+def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG round trip: synthesize genuine PNGs (rotating row
+    filters), decode them back with the CRC-verifying decoder, report
+    exact-integer metadata.  n_bytes is NOT reported — a deflate stream
+    length is not SQL-reproducible; width/height/px_sum/n_px are the
+    same cyclic-digest arithmetic the stub/BMP oracles pin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_png(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(px.astype(np.int64).sum()),
+                        int(px.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "px_sum", "n_px",
+                ],
+            )
+
+    return synthesize_png_payloads(docs).mapInPandas(
+        _meta,
+        schema=(
+            "doc_id long, width long, height long, channels long, "
+            "px_sum long, n_px long"
+        ),
+    )
+
+
+MULTIMODAL_PNG_META_SQL = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS hx FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, i,
+    (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS bv
+  FROM m, range(16) t(i)
+),
+wh AS (
+  SELECT doc_id,
+    1 + max(CASE WHEN i = 0 THEN bv END) % 64 AS width,
+    1 + max(CASE WHEN i = 1 THEN bv END) % 64 AS height,
+    sum(bv) AS s16
+  FROM b GROUP BY doc_id
+),
+dims AS (
+  SELECT doc_id, width, height, width * height * 3 AS L, s16 FROM wh
+)
+SELECT d.doc_id,
   CAST(d.width AS BIGINT) AS width,
   CAST(d.height AS BIGINT) AS height,
   CAST(3 AS BIGINT) AS channels,
@@ -667,6 +915,7 @@ def oracles():
 def extra_queries():
     return {
         "multimodal_bmp_meta": multimodal_bmp_meta,
+        "multimodal_png_meta": multimodal_png_meta,
         "multimodal_wav_meta": multimodal_wav_meta,
         "multimodal_wav_features": multimodal_wav_features,
     }
@@ -675,6 +924,7 @@ def extra_queries():
 def extra_oracles():
     return {
         "multimodal_bmp_meta": MULTIMODAL_BMP_META_SQL,
+        "multimodal_png_meta": MULTIMODAL_PNG_META_SQL,
         "multimodal_wav_meta": MULTIMODAL_WAV_META_SQL,
         "multimodal_wav_features": MULTIMODAL_WAV_FEATURES_SQL,
     }

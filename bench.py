@@ -106,6 +106,7 @@ def headline_queries(spark, sf_dir: str):
         "ft_explain_components",
         "code_bm25_topk",
         "code_bm25_wand",
+        "code_bm25_auto",
         "code_bm25_phrase",
         "code_bm25_batch",
         "code_bm25f_wand",
@@ -158,6 +159,22 @@ BENCH_KEY_CHANGES = {
             # a regression reading the artifact could not arbitrate
             "index_build_sec": "cold best-of-2 (was single-shot); "
             "all run walls + per-stage lineage walls now in the record",
+        },
+        "added": [
+            # the SHIPPED planner-rule dispatch between exhaustive decode
+            # and block-max WAND (bm25_auto_topk); same oracle as the
+            # exhaustive top-k
+            "code_bm25_auto",
+        ],
+        "impl_changed": {
+            # certificate JUMP growth: the WAND loop now decodes exactly
+            # the certificate set after the probe iteration (2 decode
+            # jobs common case; was up to 4 with multiplicative growth)
+            "code_bm25_wand": "certificate-jump candidate growth",
+            "code_bm25f_wand": "certificate-jump candidate growth",
+            # suggestions now lowercased + case-deduped with the
+            # reference's tie order (sequence-exact vs jmdict fixtures)
+            "ft_suggest": "lowercase+dedup in the operator; tie text desc",
         },
     },
 }
@@ -744,7 +761,7 @@ def run_query_throughput_scaling(
     from veloci_spark.config import FieldConfig, IndexConfig
     from veloci_spark.entry_queries import _quantized_topk
     from veloci_spark.executor import search
-    from veloci_spark.request import OrNode, Request, SearchPart
+    from veloci_spark.request import FacetRequest, OrNode, Request, SearchPart
 
     d = _scaled_corpus(sf_dir, replicate)
     doc_out = f"/tmp/veloci_spark_qtput_k{replicate}"
@@ -779,6 +796,29 @@ def run_query_throughput_scaling(
             n += len(
                 _quantized_topk(search(idx, Request(search=node)).all_hits, 20).collect()
             )
+        # the full native shapes at volume (VERDICT r4 #7): a 3-term OR
+        # with a semi-join filter, and a scored facet aggregation
+        or3 = OrNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+                SearchPart(field="text", term="merge"),
+            )
+        )
+        n += len(
+            _quantized_topk(
+                search(
+                    idx,
+                    Request(search=or3, filter=SearchPart(field="lang", term="en")),
+                ).all_hits,
+                20,
+            ).collect()
+        )
+        res = search(
+            idx,
+            Request(search=or3, facets=(FacetRequest(field="lang", top=10),)),
+        )
+        n += len(res.facets["lang"].collect())
         for terms in [["spark", "join", "merge"], ["scan", "query", "filter"]]:
             n += len(bm25_topk(idx, "text", terms, 20).collect())
             n += len(bm25_and_topk(idx, "text", terms, 20).collect())
@@ -1637,7 +1677,8 @@ def main():
         with open("BENCH/BASELINE.md", "a") as f:
             f.write(
                 f"\n## Query-throughput scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
-                "Same warm decode-heavy query batch (3 native OR + 2 BM25-OR + "
+                "Same warm decode-heavy query batch (3 native OR + a 3-term "
+                "OR with lang-filter + a scored lang facet + 2 BM25-OR + "
                 "2 BM25-AND top-20s), same on-disk indexes, two parallelism "
                 "levels:\n\n"
                 f"| config | batch wall (s) |\n|---|---|\n"

@@ -398,6 +398,21 @@ def test_bm25f_wand_rank_identical(phrase_index):
         assert [tuple(r) for r in wand] == [tuple(r) for r in exact]
 
 
+def test_bm25f_auto_dispatch_both_arms(phrase_index):
+    from veloci_spark.bm25 import bm25f_auto_topk, bm25f_topk
+
+    terms = ["merge", "py"]
+    weights = {"body": 1, "path": 3}
+    exact = [tuple(r) for r in bm25f_topk(phrase_index, weights, terms, 5).collect()]
+    for forced, want in ((None, "exhaustive"), (0, "wand")):
+        stats: dict = {}
+        rows = bm25f_auto_topk(
+            phrase_index, weights, terms, 5, min_postings=forced, stats=stats
+        ).collect()
+        assert stats["dispatch"] == want
+        assert [tuple(r) for r in rows] == [tuple(r) for r in exact]
+
+
 def test_bm25_explain_provenance_sums_to_topk(spark, bm25_index):
     """Explain rows partition each top-k doc's score: per-term integer
     contributions sum exactly to score_e4, and the (doc, total) pairs

@@ -528,6 +528,38 @@ def bm25_auto_topk(
     return bm25_wand_topk(index, field, terms, k, stats=stats, _ids=ids)
 
 
+def bm25f_auto_topk(
+    index,
+    field_weights: dict[str, int],
+    terms: Sequence[str],
+    k: int,
+    min_postings: Optional[int] = None,
+    stats: Optional[dict] = None,
+) -> DataFrame:
+    """Planner-rule dispatch for the weighted multi-field path — same
+    rule as :func:`bm25_auto_topk` with the matched posting volume
+    summed ACROSS fields (each field's occurrence counts ride its own
+    bounded dictionary collect, so the decision still costs zero extra
+    jobs relative to either variant)."""
+    ids_by_field: dict[str, list[int]] = {}
+    total = 0
+    for fld in sorted(field_weights):
+        meta = _matched_term_meta(index, fld, terms)
+        ids_by_field[fld] = [tid for tid, _ in meta]
+        total += sum(occ for _, occ in meta)
+    if total < _wand_min_postings(min_postings):
+        if stats is not None:
+            stats["dispatch"] = "exhaustive"
+            stats["matched_postings"] = total
+        return bm25f_topk(index, field_weights, terms, k, _ids_by_field=ids_by_field)
+    if stats is not None:
+        stats["dispatch"] = "wand"
+        stats["matched_postings"] = total
+    return bm25f_wand_topk(
+        index, field_weights, terms, k, _ids_by_field=ids_by_field
+    )
+
+
 # --------------------------- phrase top-k -------------------------------
 
 def _term_id_map(index, field: str, terms: Sequence[str]) -> dict[str, int]:
@@ -661,7 +693,11 @@ def bm25_phrase_topk(index, field: str, terms: Sequence[str], k: int) -> DataFra
 # ------------------------- BM25F (multi-field) --------------------------
 
 def bm25f_topk(
-    index, field_weights: dict[str, int], terms: Sequence[str], k: int
+    index,
+    field_weights: dict[str, int],
+    terms: Sequence[str],
+    k: int,
+    _ids_by_field: Optional[dict] = None,
 ) -> DataFrame:
     """Weighted multi-field BM25 ("BM25F" in the simple per-field-sum
     form): score(d) = Σ_f w_f · Σ_t bm25_f(t, d), disjunctive over terms
@@ -680,7 +716,11 @@ def bm25f_topk(
     parts = []
     for fld in sorted(field_weights):
         w = int(field_weights[fld])
-        ids = _matched_term_ids(index, fld, terms)
+        ids = (
+            _ids_by_field[fld]
+            if _ids_by_field is not None
+            else _matched_term_ids(index, fld, terms)
+        )
         if not ids:
             continue
         blocks = index.bm25_blocks(fld).where(F.col("term_id").isin(ids))
@@ -703,6 +743,7 @@ def bm25f_wand_topk(
     k: int,
     start_blocks: int = 8,
     max_iters: int = 8,
+    _ids_by_field: Optional[dict] = None,
 ) -> DataFrame:
     """Block-max pruned BM25F, rank-identical to :func:`bm25f_topk`.
 
@@ -720,7 +761,11 @@ def bm25f_wand_topk(
     per_field: list[tuple[int, DataFrame]] = []
     for fld in sorted(field_weights):
         w = int(field_weights[fld])
-        ids = _matched_term_ids(index, fld, terms)
+        ids = (
+            _ids_by_field[fld]
+            if _ids_by_field is not None
+            else _matched_term_ids(index, fld, terms)
+        )
         if not ids:
             continue
         blk = index.bm25_blocks(fld).where(F.col("term_id").isin(ids)).persist()

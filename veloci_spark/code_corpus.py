@@ -724,8 +724,24 @@ ORDER BY score_e4 DESC, doc_id DESC"""
     )
 
 
-_EXTRA_QUERIES = {"code_bm25_page2": _q_bm25_page2}
-_EXTRA_ORACLES = {"code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K)}
+def _q_bm25f_auto(spark, sf_dir):
+    """Planner-dispatched BM25F (variant of the code_bm25_auto window
+    mechanism — extras per the rotation policy); same oracle as the
+    exhaustive weighted sum."""
+    from veloci_spark.bm25 import bm25f_auto_topk
+
+    idx = code_index(spark, sf_dir)
+    return bm25f_auto_topk(idx, _BM25F_WEIGHTS, _BM25F_TERMS, 20)
+
+
+_EXTRA_QUERIES = {
+    "code_bm25_page2": _q_bm25_page2,
+    "code_bm25f_auto": _q_bm25f_auto,
+}
+_EXTRA_ORACLES = {
+    "code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K),
+    "code_bm25f_auto": _bm25f_sql(_BM25F_TERMS, 20),
+}
 
 
 def code_queries():

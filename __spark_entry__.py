@@ -57,9 +57,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:      replica (tests/test_oracle_parity.py) at every scale the gate
 #:      runs.
 #:
-#: Round-5 rotation: code_bm25_auto (planner-rule dispatch — a NEW
-#: mechanism) enters; code_bm25_and_wand (AND∘WAND variant; both
-#: factors — code_bm25_and and code_bm25_wand — retain rows) demotes.
+#: Round-5 rotation (two applications of rule 2):
+#:   - code_bm25_auto (planner-rule dispatch — a NEW mechanism) enters;
+#:     code_bm25_and_wand (AND∘WAND variant; both factors —
+#:     code_bm25_and and code_bm25_wand — retain rows) demotes.
+#:   - ann_mmr_topk (MMR diversified selection — a NEW mechanism)
+#:     enters; ann_multiprobe_topk (probe-count variant of the LSH
+#:     bucket scan; bucketing and bucket-probed top-k keep rows via
+#:     ann_bucketed_pairs / ann_ivf_topk) demotes — both swaps applied
+#:     at their source registries (code_corpus.py / similarity.py).
 _DEMOTED = (
     "code_bm25_filtered_wand",  # WAND variant of code_bm25_filtered (4 other WAND rows)
     "code_bm25_and_wand",       # AND∘WAND; code_bm25_and + code_bm25_wand pin the factors

@@ -115,6 +115,7 @@ def headline_queries(spark, sf_dir: str):
         "ann_cosine_topk",
         "ann_bucketed_pairs",
         "ann_multiprobe_topk",
+        "ann_mmr_topk",
         "dedup_semantic",
         "ann_sq8_topk",
         "text_features",
@@ -165,6 +166,8 @@ BENCH_KEY_CHANGES = {
             # and block-max WAND (bm25_auto_topk); same oracle as the
             # exhaustive top-k
             "code_bm25_auto",
+            # MMR diversified top-k (bounded-pool greedy, unrolled oracle)
+            "ann_mmr_topk",
         ],
         "impl_changed": {
             # certificate JUMP growth: the WAND loop now decodes exactly

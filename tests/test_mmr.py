@@ -1,0 +1,87 @@
+"""MMR diversified top-k (pipeline/similarity.py ann_mmr_topk):
+exact-integer greedy semantics on crafted geometry, plus the operator's
+bounded-pool plumbing on the fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from veloci_spark.pipeline.similarity import (
+    MMR_DEN,
+    MMR_NUM,
+    _mmr_greedy,
+    ann_mmr_topk,
+)
+
+
+class _Row(dict):
+    def __getitem__(self, k):
+        return dict.__getitem__(self, k)
+
+
+def _rows(simq: dict[int, int]):
+    return [_Row({"vec_id": v, "sq": s}) for v, s in simq.items()]
+
+
+def test_greedy_first_pick_is_argmax_simq():
+    simq = {1: 9000, 2: 9500, 3: 8000}
+    pw = {(a, b): 0 for a in simq for b in simq}
+    out = _mmr_greedy(_rows(simq), pw, k=1)
+    assert out == [(1, 2, MMR_NUM * 9500)]
+
+
+def test_greedy_penalizes_near_duplicates():
+    # 1 and 2 are near-identical (sim 9990) and most query-similar; 3 is
+    # a bit less relevant but diverse.  Plain top-2 = {1, 2}; MMR must
+    # pick 3 second: score(1 | {2}) = 7*9400 - 3*9990 < score(3 | {2})
+    # = 7*9000 - 3*1000.
+    simq = {1: 9400, 2: 9500, 3: 9000}
+    pw = {(a, b): 9990 if {a, b} == {1, 2} else (10000 if a == b else 1000)
+          for a in simq for b in simq}
+    out = _mmr_greedy(_rows(simq), pw, k=2)
+    assert [v for _, v, _ in out] == [2, 3]
+    assert out[1][2] == MMR_NUM * 9000 - (MMR_DEN - MMR_NUM) * 1000
+
+
+def test_greedy_tie_breaks_low_vec_id():
+    simq = {5: 9000, 3: 9000, 7: 9000}
+    pw = {(a, b): 0 for a in simq for b in simq}
+    out = _mmr_greedy(_rows(simq), pw, k=3)
+    assert [v for _, v, _ in out] == [3, 5, 7]
+
+
+def test_greedy_stops_when_pool_exhausted():
+    simq = {1: 100, 2: 50}
+    pw = {(a, b): 0 for a in simq for b in simq}
+    out = _mmr_greedy(_rows(simq), pw, k=10)
+    assert len(out) == 2 and [r for r, _, _ in out] == [1, 2]
+
+
+def test_operator_ranks_are_selection_order(spark):
+    rows = ann_mmr_topk(spark, "/root/testdata/sf0.001", k=5).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(set(r["vec_id"] for r in rows)) == len(rows)
+    # first pick must equal the plain cosine argmax (penalty-free)
+    from veloci_spark.pipeline.similarity import ann_cosine_topk
+
+    top1 = ann_cosine_topk(spark, "/root/testdata/sf0.001", k=1).collect()
+    assert rows[0]["vec_id"] == top1[0]["vec_id"]
+    assert rows[0]["mmr_score"] == MMR_NUM * top1[0]["cos_e4"]
+
+
+def test_operator_diverges_from_plain_topk_on_fixture(spark):
+    # the fixture's embeddings are near-isotropic, so MMR and plain
+    # top-k MAY agree on membership — but scores must be internally
+    # consistent: each later pick's mmr_score <= 7*its simq (penalty
+    # only subtracts) and the sequence is the greedy's own order
+    rows = ann_mmr_topk(spark, "/root/testdata/sf0.001", k=6).collect()
+    from veloci_spark.pipeline.similarity import ann_cosine_topk
+
+    sq = {
+        r["vec_id"]: r["cos_e4"]
+        for r in ann_cosine_topk(spark, "/root/testdata/sf0.001", k=100).collect()
+    }
+    for r in rows[1:]:
+        assert r["mmr_score"] <= MMR_NUM * sq[r["vec_id"]]

@@ -133,6 +133,154 @@ ORDER BY cos_e4 DESC, vec_id DESC LIMIT 20
 """
 
 
+# ----------------------------------------------------- MMR diversified top-k
+
+# λ = MMR_NUM/MMR_DEN in EXACT integer weighting over e4-quantized
+# cosines, so the greedy argmax compares integers — engine, python
+# replay and the unrolled DuckDB oracle agree bit-for-bit.
+MMR_NUM = 7
+MMR_DEN = 10
+MMR_POOL = 64
+
+
+def _mmr_greedy(
+    pool_rows: list, pw: dict, k: int
+) -> list[tuple[int, int, int]]:
+    """Exact-integer MMR greedy over the bounded candidate pool:
+    score(d | S) = MMR_NUM·simq(d) − (MMR_DEN−MMR_NUM)·max_{s∈S} sim(d,s)
+    (penalty 0 while S is empty, so the first pick is argmax simq);
+    ties break (score desc, vec_id asc).  Returns
+    [(rank, vec_id, mmr_score), ...]."""
+    simq = {int(r["vec_id"]): int(r["sq"]) for r in pool_rows}
+    remaining = sorted(simq)
+    sel: list[int] = []
+    out: list[tuple[int, int, int]] = []
+    for rank in range(1, k + 1):
+        if not remaining:
+            break
+        best = None
+        for d in remaining:
+            pen = max((pw[(d, s)] for s in sel), default=0)
+            score = MMR_NUM * simq[d] - (MMR_DEN - MMR_NUM) * pen
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, score)
+        _, pick, score = best
+        sel.append(pick)
+        remaining.remove(pick)
+        out.append((rank, pick, score))
+    return out
+
+
+def ann_mmr_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    pool: int = MMR_POOL,
+    query_vec_id: int = 0,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the diversified-selection operator a curation
+    pipeline uses where plain cosine top-k returns k near-duplicates:
+    greedily pick the candidate maximizing λ·sim(q,d) −
+    (1−λ)·max_{s∈selected} sim(d,s).  Output (rank, vec_id, mmr_score),
+    rank = selection order.
+
+    Scale shape: the only corpus-scale work is ONE broadcast-query
+    top-``pool`` scan (TakeOrderedAndProject); the pool's pairwise
+    cosines are a bounded self-join (pool² ≤ 4096 rows) and the greedy
+    runs on the driver over those integers — the WAND/BPE bounded-loop
+    pattern.  All comparisons are integer (e4 cosines, λ = 7/10 as
+    integer weights), so the unrolled DuckDB oracle replays the greedy
+    bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    pool_df = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            e4(cosine_expr(F.col("embedding"), F.col("qvec"))).alias("sq"),
+        )
+        .orderBy(F.desc("sq"), F.desc("vec_id"))
+        .limit(pool)
+        .persist()
+    )
+    pool_rows = pool_df.select("vec_id", "sq").collect()
+    a = pool_df.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = pool_df.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pw_rows = (
+        a.crossJoin(b)
+        .select(
+            "va", "vb",
+            e4(cosine_expr(F.col("ea"), F.col("eb"))).alias("s"),
+        )
+        .collect()
+    )
+    pool_df.unpersist()
+    pw = {(int(r["va"]), int(r["vb"])): int(r["s"]) for r in pw_rows}
+    out = _mmr_greedy(pool_rows, pw, k)
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, mmr_score long"
+    )
+
+
+def ann_mmr_sql(
+    k: int = 8, pool: int = MMR_POOL, query_vec_id: int = 0
+) -> str:
+    """The MMR greedy UNROLLED: one pick CTE per selection step (the
+    iterative-trainer oracle pattern) over the same bounded pool and
+    integer arithmetic."""
+    cos = lambda a, b: (
+        _sql_dot(a, b)
+        + " / (sqrt(" + _sql_norm2(a) + ") * sqrt(" + _sql_norm2(b) + "))"
+    )
+    pen = MMR_DEN - MMR_NUM
+    parts = [
+        f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {query_vec_id}),
+pool AS MATERIALIZED (
+  SELECT vec_id, embedding, {sql_e4(cos('embedding', 'qvec'))} AS sq
+  FROM embeddings, q
+  ORDER BY sq DESC, vec_id DESC LIMIT {pool}
+),
+pw AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {sql_e4(cos('a.embedding', 'b.embedding'))} AS s
+  FROM pool a, pool b
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, 1 AS rank, {MMR_NUM} * sq AS mmr FROM pool
+  ORDER BY {MMR_NUM} * sq DESC, vec_id ASC LIMIT 1
+)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"""
+pen{t} AS MATERIALIZED (
+  SELECT pw.va AS vec_id, max(pw.s) AS pen
+  FROM pw JOIN sel{t - 1} s ON pw.vb = s.vec_id GROUP BY pw.va
+),
+pick{t} AS MATERIALIZED (
+  SELECT p.vec_id, {t} AS rank,
+         {MMR_NUM} * p.sq - {pen} * COALESCE(n.pen, 0) AS mmr
+  FROM pool p LEFT JOIN pen{t} n USING (vec_id)
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  ORDER BY mmr DESC, p.vec_id ASC LIMIT 1
+),
+sel{t} AS MATERIALIZED (
+  SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t}
+)"""
+        )
+    tail = f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(mmr AS BIGINT) AS mmr_score
+FROM sel{k}
+"""
+    return ",".join(parts) + tail
+
+
 # ------------------------------------------------------------ LSH bucketing
 
 def ann_lsh_buckets(
@@ -1796,7 +1944,11 @@ def queries():
         # diffs remain mechanical; the Catalyst variant keeps the same
         # oracle in extra_queries.
         "ann_sq8_topk": ann_sq8_topk_arrow,
-        "ann_multiprobe_topk": ann_multiprobe_topk,
+        # round-5 rotation: ann_mmr_topk (diversified selection — a NEW
+        # mechanism) enters; ann_multiprobe_topk demotes to extras (its
+        # factors keep rows: LSH bucketing via ann_bucketed_pairs'
+        # extras oracle + the bucket-probed scan via ann_ivf_topk)
+        "ann_mmr_topk": ann_mmr_topk,
         "ann_ivf_topk": ann_ivf_topk,
     }
 
@@ -1807,7 +1959,7 @@ def oracles():
         "dedup_embedding_cosine": dedup_embedding_sql(),
         "dedup_semantic": dedup_semantic_sql(),
         "ann_sq8_topk": ann_sq8_sql(),
-        "ann_multiprobe_topk": ann_multiprobe_sql(),
+        "ann_mmr_topk": ann_mmr_sql(),
         "ann_ivf_topk": ann_ivf_sql(),
     }
 
@@ -1826,6 +1978,7 @@ def extra_queries():
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "ann_batch_topk": ann_batch_topk,
+        "ann_multiprobe_topk": ann_multiprobe_topk,
         # the Catalyst expression variant must satisfy the SAME oracle as
         # the Arrow kernel now registered in the window (bit-identical
         # arithmetic claim)
@@ -1844,6 +1997,7 @@ def extra_oracles():
         "ann_lsh_buckets": ann_buckets_sql(),
         "ann_bucketed_pairs": ann_pairs_sql(),
         "ann_bucketed_pairs_b12": ann_pairs_sql(n_bits=12),
+        "ann_multiprobe_topk": ann_multiprobe_sql(),
         "ann_pq_topk": ann_pq_sql(),
         "ann_ivfpq_topk": ann_ivfpq_sql(),
         "ann_batch_topk": ann_batch_sql(),

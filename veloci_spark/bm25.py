@@ -43,7 +43,11 @@ from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from veloci_spark.wand import collect_block_ubs, wand_driver_loop
+from veloci_spark.wand import (
+    candidate_block_filter,
+    collect_block_ubs,
+    wand_driver_loop,
+)
 
 K1 = 1.2
 B = 0.75
@@ -371,7 +375,7 @@ def bm25_and_wand_topk(
         # even the full fallback only decodes metadata-surviving blocks —
         # a block missing a term can't contribute an intersection doc
         if cand_ids is not None:
-            sel = blocks.where(F.col("block_no").isin(cand_ids))
+            sel = candidate_block_filter(blocks, cand_ids, spark)
         else:
             sel = blocks.join(
                 F.broadcast(block_ub.select("block_no")), "block_no", "left_semi"
@@ -435,10 +439,7 @@ def bm25_wand_topk(
     block_ub = blocks.groupBy("block_no").agg(F.sum("max_score").alias("ub"))
 
     def _exact_topk(cand_ids: Optional[list]) -> list:
-        sel = blocks
-        if cand_ids is not None:
-            # literal IN-list on block_no reaches the Parquet scan stats
-            sel = sel.where(F.col("block_no").isin(cand_ids))
+        sel = candidate_block_filter(blocks, cand_ids, spark)
         flat = decode_blocks_df(sel)
         hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
         return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
@@ -786,7 +787,7 @@ def bm25f_wand_topk(
     def _exact(cand_ids: Optional[list]) -> list:
         flats = []
         for w, blk in per_field:
-            sel = blk if cand_ids is None else blk.where(F.col("block_no").isin(cand_ids))
+            sel = candidate_block_filter(blk, cand_ids, spark)
             flats.append(
                 decode_blocks_df(sel).select(
                     "doc_id", (F.col("score") * F.lit(w)).alias("ws")

@@ -40,6 +40,29 @@ from veloci_spark.scoring import py_score_e4, score_e4
 # decode of the (already term-filtered) blocks is the cheaper plan
 MAX_INLIST = 100_000
 
+# a literal block_no IN (...) reaches Parquet row-group stats and is the
+# right plan for a handful of blocks, but its cost grows with the list
+# (expression tree size, per-row-group stat checks against every
+# literal): the round-5 crossover ladder measured WAND's deficit
+# WIDENING with corpus size (2.0x -> 2.9x at 12.8M docs, 8330-literal
+# lists) purely from this.  Past this bound the candidate set ships as a
+# broadcast semi-join instead — a tiny hash table probed once per row.
+INLIST_SEMI_JOIN_CUTOVER = 512
+
+
+def candidate_block_filter(df, cand_ids: Optional[list], spark):
+    """Restrict a blocks frame to the candidate block_nos by whichever
+    plan is right for the candidate count (literal IN below the
+    cutover, broadcast semi-join above); None = no restriction."""
+    if cand_ids is None:
+        return df
+    if len(cand_ids) <= INLIST_SEMI_JOIN_CUTOVER:
+        return df.where(F.col("block_no").isin(cand_ids))
+    ids_df = spark.createDataFrame(
+        [(int(b),) for b in cand_ids], "block_no long"
+    )
+    return df.join(F.broadcast(ids_df), "block_no", "left_semi")
+
 
 def collect_block_ubs(
     block_ub: DataFrame, max_inlist: int = MAX_INLIST
@@ -207,11 +230,7 @@ def wand_or_topk(
         to the same e4 value."""
         hit_frames = []
         for field, terms, blocks in block_frames:
-            sel = blocks
-            if cand_ids is not None:
-                # literal IN-list: reaches the Parquet scan stats; bounded
-                # by MAX_INLIST before falling back to the full decode
-                sel = sel.where(F.col("block_no").isin(cand_ids))
+            sel = candidate_block_filter(blocks, cand_ids, spark)
             flat = decode_blocks_df(sel.select("term_id", "data"))
             joined = flat.join(
                 F.broadcast(terms.select("term_id", "term_score", "slot")), "term_id"

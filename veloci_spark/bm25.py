@@ -478,13 +478,19 @@ def bm25_wand_topk(
 # --------------------------- auto dispatch ------------------------------
 
 # Postings-volume threshold for the exhaustive↔WAND planner rule,
-# calibrated on the Zipf(1) crossover ladder (BENCH/BASELINE.md round 5:
-# exhaustive wins ≤800k-doc corpora where its single decode job beats
-# WAND's fixed 2-job latency; block-max pruning pays once the matched
-# posting volume is several million entries).  Overridable per call and
-# via the SPARK_GRAFT_WAND_MIN_POSTINGS env var for re-calibration on a
-# different cluster profile.
-WAND_MIN_POSTINGS = 3_000_000
+# calibrated on the round-5 Zipf(1) crossover ladder (BENCH/BASELINE.md):
+# at EVERY demonstrated scale (0.35M → 22.7M matched postings, 200k →
+# 12.8M docs) the exhaustive single-job decode beat block-max WAND —
+# pruning engaged (33-40% of blocks dropped) but its fixed costs (one
+# metadata collect + one extra decode job + the candidate restriction)
+# exceeded the decoded-volume savings.  The measured ratio NARROWS with
+# volume (2.05x → 1.97x → 1.76x per 4x growth after the semi-join fix),
+# extrapolating to a crossover near ~10^9 matched postings — the default
+# sits there, so the shipped plan is exhaustive everywhere measured and
+# WAND engages only at the scale the trend supports.  Corpora with
+# stronger pruning (genuinely rare conjunct terms, larger blocks) cross
+# earlier: override per call or via SPARK_GRAFT_WAND_MIN_POSTINGS.
+WAND_MIN_POSTINGS = 1_000_000_000
 
 
 def _wand_min_postings(override: Optional[int]) -> int:
@@ -509,9 +515,11 @@ def bm25_auto_topk(
     Block-max pruning (the reference's worst-score early termination,
     search_field.rs:292-331) only pays once the decode volume it avoids
     exceeds WAND's fixed overhead (one metadata collect + one extra decode
-    job); below that the exhaustive single-job plan is strictly faster —
-    measured 2-4x at every corpus ≤800k docs, crossing over in the
-    millions (BENCH/BASELINE.md).  The matched terms' total
+    job + the candidate restriction); below that the exhaustive
+    single-job plan is strictly faster — measured at every demonstrated
+    scale up to 22.7M matched postings, with the gap narrowing toward a
+    ~10^9-posting crossover (the default threshold; see WAND_MIN_POSTINGS
+    and the BENCH/BASELINE.md round-5 ladder).  The matched terms' total
     ``num_occurences`` (≥ posting count ≈ decode volume) arrives in the
     SAME bounded dictionary collect that builds the literal term_id
     IN-list, so the dispatch decision costs zero extra Spark jobs."""

@@ -46,10 +46,15 @@ def main() -> None:
     ap.add_argument("--wand", action="store_true", help="block-max pruned top-k path")
     ap.add_argument(
         "--bm25",
-        choices=["or", "and", "or-wand", "and-wand", "phrase", "explain", "batch"],
+        choices=[
+            "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
+            "explain", "batch",
+        ],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
-        "separated exact terms; 'and' = posting-list intersection; "
+        "separated exact terms; 'or' = planner-dispatched default, "
+        "'or-scan' forces the exhaustive plan; "
+        "'and' = posting-list intersection; "
         "'-wand' variants use block-max pruning; 'phrase' = exact "
         "adjacent-token phrase via pair-chain prune + positional verify; "
         "'explain' = per-term score provenance of the top-k; 'batch' = "
@@ -121,13 +126,21 @@ def main() -> None:
 
         terms = args.query.split()
         if args.bm25f_weights:
-            if args.bm25 not in ("or", "or-wand"):
-                ap.error("--bm25f-weights supports --bm25 or / or-wand only")
+            if args.bm25 not in ("or", "or-scan", "or-wand"):
+                ap.error(
+                    "--bm25f-weights supports --bm25 or / or-scan / or-wand only"
+                )
             weights = {}
             for part in args.bm25f_weights.split(","):
                 fld, _, w = part.partition("=")
                 weights[fld.strip()] = int(w or "1")
-            fn = bm25.bm25f_wand_topk if args.bm25 == "or-wand" else bm25.bm25f_topk
+            # "or" = the planner-dispatched default (same as the HTTP
+            # route); or-scan/or-wand force a plan
+            fn = {
+                "or": bm25.bm25f_auto_topk,
+                "or-scan": bm25.bm25f_topk,
+                "or-wand": bm25.bm25f_wand_topk,
+            }[args.bm25]
             rows = fn(idx, weights, terms, args.top + args.skip).collect()
         elif args.bm25 == "batch":
             if not args.fields or len(args.fields.split(",")) != 1:
@@ -164,7 +177,12 @@ def main() -> None:
                 ).collect()
             else:
                 fn = {
-                    "or": bm25.bm25_topk,
+                    # "or" dispatches through the planner rule
+                    # (exhaustive at every demonstrated scale, WAND past
+                    # the calibrated posting volume); or-scan forces the
+                    # exhaustive plan — mirrors the HTTP /bm25 modes
+                    "or": bm25.bm25_auto_topk,
+                    "or-scan": bm25.bm25_topk,
                     "and": bm25.bm25_and_topk,
                     "or-wand": bm25.bm25_wand_topk,
                     "and-wand": bm25.bm25_and_wand_topk,

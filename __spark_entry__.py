@@ -66,9 +66,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     bucket scan; bucketing and bucket-probed top-k keep rows via
 #:     ann_bucketed_pairs / ann_ivf_topk) demotes — both swaps applied
 #:     at their source registries (code_corpus.py / similarity.py).
+#:   - hybrid_rrf (reciprocal-rank fusion of the BM25 and cosine legs —
+#:     a NEW mechanism, pipeline/hybrid.py) enters; code_bm25f_wand
+#:     (WAND∘BM25F composition; both factors — code_bm25f_topk and
+#:     code_bm25_wand — retain rows) demotes.
 _DEMOTED = (
     "code_bm25_filtered_wand",  # WAND variant of code_bm25_filtered (4 other WAND rows)
     "code_bm25_and_wand",       # AND∘WAND; code_bm25_and + code_bm25_wand pin the factors
+    "code_bm25f_wand",          # WAND∘BM25F; code_bm25f_topk + code_bm25_wand pin the factors
     "ft_wand_topk",             # fulltext WAND; the code_* rows pin the same operator
     "ft_fuzzy_prefix",          # fuzzy ∘ prefix; both factors have their own rows
     "ft_topk_skip",             # pagination variant of the top-k every row exercises

@@ -6,6 +6,7 @@ from veloci_spark.pipeline import (
     code_quality,
     dedup,
     events,
+    hybrid,
     multimodal,
     shards,
     similarity,
@@ -18,6 +19,7 @@ def pipeline_queries():
     out = {}
     out.update(dedup.queries())
     out.update(similarity.queries())
+    out.update(hybrid.queries())
     out.update(text.queries())
     out.update(multimodal.queries())
     return out
@@ -27,6 +29,7 @@ def pipeline_oracles():
     out = {}
     out.update(dedup.oracles())
     out.update(similarity.oracles())
+    out.update(hybrid.oracles())
     out.update(text.oracles())
     out.update(multimodal.oracles())
     return out
@@ -36,6 +39,7 @@ def pipeline_extra_queries():
     out = {}
     out.update(dedup.extra_queries())
     out.update(similarity.extra_queries())
+    out.update(hybrid.extra_queries())
     out.update(text.extra_queries())
     out.update(events.extra_queries())
     out.update(code_quality.extra_queries())
@@ -49,6 +53,7 @@ def pipeline_extra_oracles():
     out = {}
     out.update(dedup.extra_oracles())
     out.update(similarity.extra_oracles())
+    out.update(hybrid.extra_oracles())
     out.update(text.extra_oracles())
     out.update(events.extra_oracles())
     out.update(code_quality.extra_oracles())

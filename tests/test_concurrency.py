@@ -1,0 +1,87 @@
+"""Concurrent query execution (veloci_spark/concurrency.py): thread-pool
+submission changes scheduling only — results are bit-identical to
+sequential execution, returned in request order, and exceptions
+propagate.  Reference analog: the rayon worker pool the reference
+serves per-request from (search_field.rs executes on pooled threads
+over shared mmap'd indices)."""
+
+import os
+
+import pytest
+
+import veloci_spark as vs
+from veloci_spark.concurrency import run_concurrent, search_concurrent
+from veloci_spark.request import OrNode, Request, SearchPart
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_root):
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = vs.IndexConfig(
+        fields=(vs.FieldConfig("text"), vs.FieldConfig("lang")), block_docs=128
+    )
+    return vs.build_index(
+        spark, corpus, cfg, os.path.join(tmp_root, "conc_idx"), resume=False
+    )
+
+
+def _requests():
+    return [
+        Request(search=SearchPart(field="text", term="spark"), top=10),
+        Request(
+            search=OrNode(
+                (
+                    SearchPart(field="text", term="join"),
+                    SearchPart(field="text", term="merge"),
+                )
+            ),
+            top=10,
+        ),
+        Request(
+            search=SearchPart(field="text", term="scan"),
+            filter=SearchPart(field="lang", term="en"),
+            top=10,
+        ),
+        Request(search=SearchPart(field="text", term="zzznotaword"), top=10),
+    ]
+
+
+def test_concurrent_matches_sequential(idx):
+    reqs = _requests()
+    sequential = [vs.search(idx, r).hits.collect() for r in reqs]
+    concurrent = search_concurrent(idx, reqs, max_workers=4)
+    assert len(concurrent) == len(sequential)
+    for s, c in zip(sequential, concurrent):
+        assert [tuple(r) for r in s] == [tuple(r) for r in c]
+
+
+def test_result_order_is_request_order(idx):
+    # distinguishable single-term requests; result i must answer request i
+    reqs = [
+        Request(search=SearchPart(field="text", term=t), top=5)
+        for t in ("spark", "join", "merge", "scan")
+    ]
+    concurrent = search_concurrent(idx, reqs, max_workers=4)
+    for req, rows in zip(reqs, concurrent):
+        expected = vs.search(idx, req).hits.collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in expected]
+
+
+def test_run_concurrent_plain_thunks():
+    out = run_concurrent([lambda i=i: i * i for i in range(10)], max_workers=4)
+    assert out == [i * i for i in range(10)]
+
+
+def test_run_concurrent_sequential_fallback():
+    calls = []
+    out = run_concurrent([lambda: calls.append(1) or "a"], max_workers=8)
+    assert out == ["a"] and calls == [1]
+    assert run_concurrent([], max_workers=4) == []
+
+
+def test_exception_propagates():
+    def boom():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        run_concurrent([lambda: 1, boom, lambda: 3], max_workers=3)

@@ -70,7 +70,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     a NEW mechanism, pipeline/hybrid.py) enters; code_bm25f_wand
 #:     (WAND∘BM25F composition; both factors — code_bm25f_topk and
 #:     code_bm25_wand — retain rows) demotes.
+#:   - code_bm25_collapse (field-collapsed top-k — a NEW result-shaping
+#:     mechanism: per-group cut on a partitioned window) enters;
+#:     decontam_shuffle (a PLAN variant of decontam_ngram — rule 1; the
+#:     fallback plan shape stays pinned in tests/test_plan_shapes.py)
+#:     demotes.
+#:   - code_bm25_mlt (more-like-this / query-by-document — a NEW
+#:     term-selection mechanism) enters; code_bm25_filtered
+#:     (filter∘BM25 composition; its factors — code_bm25_topk and the
+#:     native semi-join filter ft_and_with_filter — retain rows)
+#:     demotes.
 _DEMOTED = (
+    "decontam_shuffle",         # plan variant of decontam_ngram (rule 1); shape pinned in tests
+    "code_bm25_filtered",       # filter∘BM25; code_bm25_topk + ft_and_with_filter pin the factors
     "code_bm25_filtered_wand",  # WAND variant of code_bm25_filtered (4 other WAND rows)
     "code_bm25_and_wand",       # AND∘WAND; code_bm25_and + code_bm25_wand pin the factors
     "code_bm25f_wand",          # WAND∘BM25F; code_bm25f_topk + code_bm25_wand pin the factors
@@ -124,13 +136,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fulltext_extra_queries,
         fulltext_queries,
     )
-    from veloci_spark.pipeline.entry import pipeline_extra_queries
+    from veloci_spark.pipeline.entry import (
+        pipeline_extra_queries,
+        pipeline_queries,
+    )
 
     out = {}
     out.update(code_extra_queries())
     out.update(fulltext_extra_queries())
     out.update(pipeline_extra_queries())
-    full = {**code_queries(), **fulltext_queries()}
+    full = {**code_queries(), **fulltext_queries(), **pipeline_queries()}
     for k in _DEMOTED:
         out[k] = full[k]
     return out
@@ -142,13 +157,16 @@ def extra_oracle_sql() -> dict[str, str]:
         fulltext_extra_oracles,
         fulltext_oracles,
     )
-    from veloci_spark.pipeline.entry import pipeline_extra_oracles
+    from veloci_spark.pipeline.entry import (
+        pipeline_extra_oracles,
+        pipeline_oracles,
+    )
 
     out = {}
     out.update(code_extra_oracles())
     out.update(fulltext_extra_oracles())
     out.update(pipeline_extra_oracles())
-    full = {**code_oracles(), **fulltext_oracles()}
+    full = {**code_oracles(), **fulltext_oracles(), **pipeline_oracles()}
     for k in _DEMOTED:
         out[k] = full[k]
     return out

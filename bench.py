@@ -1900,7 +1900,9 @@ def main():
         return
     if "--scaling-queries-concurrent" in sys.argv:
         res = run_query_throughput_concurrent(
-            sf_dir, replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "160"))
+            sf_dir,
+            replicate=int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "160")),
+            clients=int(os.environ.get("SPARK_GRAFT_QCONC_CLIENTS", "8")),
         )
         print(json.dumps(res))
         os.makedirs("BENCH", exist_ok=True)

@@ -1,0 +1,112 @@
+"""Field-collapse and more-like-this semantics (bm25.py round-5
+operators).  Cross-engine value parity is the oracle-parity replica's
+job (code_bm25_collapse / code_bm25_mlt are window entries); these pin
+the semantics the oracle can't state directly: the per-group cap, the
+diversification-vs-plain-top-k difference, source-doc exclusion, and
+the rarest-first term selection."""
+
+from collections import Counter
+
+import pytest
+
+from veloci_spark.bm25 import bm25_collapse_topk, bm25_mlt_topk, bm25_topk
+from veloci_spark.code_corpus import code_index
+from veloci_spark.tokenize import py_tokenize
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["spark", "join", "merge"]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return code_index(spark, SF)
+
+
+def test_collapse_respects_per_group_cap(idx):
+    rows = bm25_collapse_topk(
+        idx, "content", TERMS, 50, group_col="repo", per_group=2
+    ).collect()
+    assert rows, "query must match"
+    per_repo = Counter(r["repo"] for r in rows)
+    assert max(per_repo.values()) <= 2
+    # grp_rank is within-cap and scores are the engine's total order
+    assert all(1 <= r["grp_rank"] <= 2 for r in rows)
+    scores = [(r["score_e4"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_collapse_scores_match_plain_topk(idx):
+    """Collapse never changes a doc's score — it only drops docs whose
+    group is saturated; every returned (doc_id, score) appears in the
+    unconstrained scored set with the same value."""
+    plain = {
+        r["doc_id"]: r["score_e4"]
+        for r in bm25_topk(idx, "content", TERMS, 10_000).collect()
+    }
+    for r in bm25_collapse_topk(
+        idx, "content", TERMS, 50, group_col="repo", per_group=2
+    ).collect():
+        assert plain[r["doc_id"]] == r["score_e4"]
+
+
+def test_collapse_actually_diversifies(idx):
+    """per_group=1 returns at most one doc per repo, and (on this
+    corpus, 13 repos) differs from the plain top-k head — the operator
+    is doing work, not just re-sorting."""
+    collapsed = bm25_collapse_topk(
+        idx, "content", TERMS, 13, group_col="repo", per_group=1
+    ).collect()
+    per_repo = Counter(r["repo"] for r in collapsed)
+    assert per_repo and max(per_repo.values()) == 1
+    plain_ids = [r["doc_id"] for r in bm25_topk(idx, "content", TERMS, 13).collect()]
+    assert [r["doc_id"] for r in collapsed] != plain_ids
+
+
+def test_collapse_missing_terms_empty(idx):
+    assert (
+        bm25_collapse_topk(idx, "content", ["zz_no_such_term"], 5).collect() == []
+    )
+
+
+def test_mlt_excludes_source_and_ranks(idx):
+    rows = bm25_mlt_topk(idx, "content", 42, 20).collect()
+    assert rows, "doc 42 must retrieve neighbours on this corpus"
+    assert all(r["doc_id"] != 42 for r in rows)
+    order = [(r["score_e4"], r["doc_id"]) for r in rows]
+    assert order == sorted(order, reverse=True)
+
+
+def test_mlt_term_selection_rarest_first(idx):
+    """Replay the documented selection rule independently: the doc's
+    distinct non-separator tokens with num_occurences >= min_occ,
+    rarest first, top n — and confirm the retrieval equals a plain
+    BM25 OR over exactly those terms minus the source doc."""
+    seps = tuple(idx.field_conf("content")["tokenize_on_chars"])
+    text = (
+        idx.docstore().where("doc_id = 42").select("content").collect()[0][0]
+    )
+    cands = sorted({run for run, is_sep in py_tokenize(text, seps) if not is_sep})
+    from pyspark.sql import functions as F
+
+    dict_rows = (
+        idx.dictionary("content").where(F.col("term").isin(cands)).collect()
+    )
+    chosen = sorted(
+        (r for r in dict_rows if r["num_occurences"] >= 3),
+        key=lambda r: (r["num_occurences"], r["term"]),
+    )[:8]
+    terms = [r["term"] for r in chosen]
+    expected = [
+        (r["score_e4"], r["doc_id"])
+        for r in bm25_topk(idx, "content", terms, 1000).collect()
+        if r["doc_id"] != 42
+    ][:20]
+    got = [
+        (r["score_e4"], r["doc_id"])
+        for r in bm25_mlt_topk(idx, "content", 42, 20).collect()
+    ]
+    assert got == expected
+
+
+def test_mlt_missing_doc_empty(idx):
+    assert bm25_mlt_topk(idx, "content", 10_000_000, 5).collect() == []

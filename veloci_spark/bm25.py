@@ -1057,3 +1057,133 @@ def bm25_topk_after(
             | ((F.col("score_e4") == s) & (F.col("doc_id") < d))
         )
     return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+def bm25_collapse_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    group_col: str = "repo",
+    per_group: int = 2,
+) -> DataFrame:
+    """Field-collapsed BM25 top-k: the global top-``k`` under the
+    constraint "at most ``per_group`` docs per ``group_col`` value" —
+    result diversification by a docstore field (Elasticsearch/Solr
+    "field collapsing"; the reference has no analogue, its users get
+    one list per query — request.rs).  Returns
+    (doc_id, <group_col>, score_e4, grp_rank), engine total order.
+
+    Scale shape: scores come from the standard pruned block decode
+    (literal ``term_id IN`` row-group pruning); the group column joins
+    in from the docstore on doc_id (matched-docs-sized probe side, AQE
+    picks the strategy); the per-group cut is a window PARTITIONED BY
+    the collapse key — a shuffle on exactly the key any engine needs to
+    group on, never a single-partition global window (the repo-wide
+    ban); the final cut is TakeOrderedAndProject over the ≤per_group
+    survivors."""
+    from pyspark.sql import Window
+
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    empty_schema = f"doc_id long, {group_col} string, score_e4 long, grp_rank long"
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return spark.createDataFrame([], empty_schema)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    scores = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+    groups = index.docstore().select("doc_id", group_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score_e4"), F.desc("doc_id")
+    )
+    return (
+        scores.join(groups, "doc_id")
+        .withColumn("grp_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("grp_rank") <= per_group)
+        .select(
+            F.col("doc_id").cast("long"),
+            group_col,
+            F.col("score_e4").cast("long"),
+            "grp_rank",
+        )
+        .orderBy(F.desc("score_e4"), F.desc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_mlt_topk(
+    index,
+    field: str,
+    src_doc_id: int,
+    k: int,
+    n_terms: int = 8,
+    min_occ: int = 3,
+) -> DataFrame:
+    """More-like-this: BM25 top-k for a QUERY DOCUMENT instead of query
+    terms (Lucene/Elasticsearch ``more_like_this``) — find the docs
+    most similar to ``src_doc_id`` under the index's own scoring.
+
+    Term selection (deterministic, cross-engine): the source doc's
+    distinct non-separator tokens, keeping only terms with corpus-wide
+    ``num_occurences >= min_occ`` (Lucene's min_*_freq guards — a term
+    unique to the source doc retrieves nothing once the source is
+    excluded), ranked rarest-first (num_occurences asc, term asc),
+    top ``n_terms``.  Rare shared terms are the ones that
+    CHARACTERIZE the doc — the same inverse-frequency heuristic as
+    Lucene's interesting-terms selection, computed from the
+    dictionary the index already has.
+
+    Scale shape: the source doc fetch is a pushed-down single-doc_id
+    docstore filter; tokenization of ONE text happens driver-side with
+    the build tokenizer (tokenize.py py_tokenize — the reference
+    iterator replica); the dictionary probe is a literal ``term IN``
+    over the doc's distinct tokens (doc-sized, not corpus-sized); the
+    retrieval is the standard exhaustive decode with the source doc
+    excluded before the top-k."""
+    from veloci_spark.index import decode_blocks_df
+    from veloci_spark.tokenize import py_tokenize
+
+    spark = index.spark
+    src = (
+        index.docstore()
+        .where(F.col("doc_id") == int(src_doc_id))
+        .select(field)
+        .collect()
+    )
+    if not src or src[0][0] is None:
+        return _empty_topk(spark)
+    text = src[0][0]
+    seps = tuple(index.field_conf(field).get("tokenize_on_chars") or ())
+    runs = list(py_tokenize(text, seps)) if seps else list(py_tokenize(text))
+    # the build emits tokens only for texts of >= 2 runs (build.py); a
+    # single-run text is dictionary-only and has no token candidates
+    cands = (
+        sorted({run for run, is_sep in runs if not is_sep})
+        if len(runs) >= 2
+        else []
+    )
+    if not cands:
+        return _empty_topk(spark)
+    sel = (
+        index.dictionary(field)
+        .where(F.col("term").isin(cands))
+        .where(F.col("num_occurences") >= int(min_occ))
+        .select("term_id", "term", "num_occurences")
+        .collect()  # bounded by the source doc's distinct tokens
+    )
+    chosen = sorted(sel, key=lambda r: (r["num_occurences"], r["term"]))[
+        : int(n_terms)
+    ]
+    ids = [r["term_id"] for r in chosen]
+    if not ids:
+        return _empty_topk(spark)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    hits = (
+        flat.where(F.col("doc_id") != int(src_doc_id))
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score_e4"))
+    )
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)

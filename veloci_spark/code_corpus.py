@@ -39,6 +39,8 @@ from veloci_spark.bm25 import (
     bm25_filtered_wand_topk,
     bm25_phrase_topk,
     bm25_auto_topk,
+    bm25_collapse_topk,
+    bm25_mlt_topk,
     bm25_topk,
     bm25_topk_after,
     bm25_wand_topk,
@@ -732,6 +734,105 @@ def _q_bm25f_auto(spark, sf_dir):
 
     idx = code_index(spark, sf_dir)
     return bm25f_auto_topk(idx, _BM25F_WEIGHTS, _BM25F_TERMS, 20)
+
+
+# ---- field collapse + more-like-this: the result-diversification and
+# ---- query-by-document mechanisms (round 5) ----
+
+_COLLAPSE_PER_GROUP = 2
+
+
+def _bm25_collapse_sql(terms: list[str], k: int, per_group: int) -> str:
+    in_list = ", ".join(_q(t) for t in terms)
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+scored AS (
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+),
+grp AS (
+  SELECT s.doc_id, c.repo, s.score_e4,
+         row_number() OVER (
+           PARTITION BY c.repo ORDER BY s.score_e4 DESC, s.doc_id DESC
+         ) AS grp_rank
+  FROM scored s JOIN code c USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, repo,
+       CAST(score_e4 AS BIGINT) AS score_e4,
+       CAST(grp_rank AS BIGINT) AS grp_rank
+FROM grp WHERE grp_rank <= {per_group}
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_collapse(spark, sf_dir):
+    """Field-collapsed top-k: global BM25 top-20 with at most 2 docs per
+    repo (bm25.bm25_collapse_topk) — result diversification by a
+    docstore field; the per-group cut is a window partitioned by the
+    collapse key (a shuffle on exactly that key, never a global
+    window)."""
+    idx = code_index(spark, sf_dir)
+    return bm25_collapse_topk(
+        idx, "content", _TOPK_TERMS, 20, group_col="repo",
+        per_group=_COLLAPSE_PER_GROUP,
+    )
+
+
+_QUERIES["code_bm25_collapse"] = _q_bm25_collapse
+_ORACLES["code_bm25_collapse"] = _bm25_collapse_sql(
+    _TOPK_TERMS, 20, _COLLAPSE_PER_GROUP
+)
+
+_MLT_DOC_ID = 42
+_MLT_N_TERMS = 8
+_MLT_MIN_OCC = 3
+
+
+def _bm25_mlt_sql(src_doc_id: int, k: int, n_terms: int, min_occ: int) -> str:
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+cand AS (
+  SELECT DISTINCT tok AS term FROM cnonsep WHERE doc_id = {src_doc_id}
+),
+sel AS (
+  SELECT d.term_id
+  FROM cdict d
+  JOIN cterm_counts t USING (term)
+  JOIN cand USING (term)
+  WHERE t.num_occurences >= {min_occ}
+  ORDER BY t.num_occurences ASC, d.term ASC LIMIT {n_terms}
+)
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+FROM cbm25 b JOIN sel USING (term_id)
+WHERE b.doc_id <> {src_doc_id}
+GROUP BY b.doc_id
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_mlt(spark, sf_dir):
+    """More-like-this: top-20 docs most similar to doc 42 under the
+    index's own BM25 — query-by-document (bm25.bm25_mlt_topk).  The
+    query terms are the source doc's rarest dictionary terms with
+    corpus support >= 3 occurrences (Lucene interesting-terms
+    heuristic), the source doc excluded from the result."""
+    idx = code_index(spark, sf_dir)
+    return bm25_mlt_topk(
+        idx, "content", _MLT_DOC_ID, 20,
+        n_terms=_MLT_N_TERMS, min_occ=_MLT_MIN_OCC,
+    )
+
+
+_QUERIES["code_bm25_mlt"] = _q_bm25_mlt
+_ORACLES["code_bm25_mlt"] = _bm25_mlt_sql(
+    _MLT_DOC_ID, 20, _MLT_N_TERMS, _MLT_MIN_OCC
+)
 
 
 _EXTRA_QUERIES = {

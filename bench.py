@@ -113,6 +113,8 @@ def headline_queries(spark, sf_dir: str):
         "code_bm25_phrase",
         "code_bm25_batch",
         "code_bm25f_wand",
+        "code_bm25_collapse",
+        "code_bm25_mlt",
         "hybrid_rrf",
         "dedup_minhash_lsh",
         "dedup_simhash",
@@ -174,6 +176,10 @@ BENCH_KEY_CHANGES = {
             "ann_mmr_topk",
             # hybrid BM25+cosine reciprocal-rank fusion (pipeline/hybrid.py)
             "hybrid_rrf",
+            # field-collapsed top-k (<= m per repo, partitioned-window cut)
+            "code_bm25_collapse",
+            # more-like-this: query-by-document via rarest-shared-terms
+            "code_bm25_mlt",
         ],
         "impl_changed": {
             # certificate JUMP growth: the WAND loop now decodes exactly

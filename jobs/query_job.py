@@ -48,7 +48,7 @@ def main() -> None:
         "--bm25",
         choices=[
             "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
-            "explain", "batch",
+            "explain", "batch", "collapse", "mlt",
         ],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
@@ -59,7 +59,21 @@ def main() -> None:
         "adjacent-token phrase via pair-chain prune + positional verify; "
         "'explain' = per-term score provenance of the top-k; 'batch' = "
         "a whole query set in ONE job, --query is a JSON object "
-        '{"qid": ["term", ...], ...})',
+        '{"qid": ["term", ...], ...}; '
+        "'collapse' = field-collapsed top-k (--collapse-group / "
+        "--collapse-per-group); 'mlt' = more-like-this, --query is the "
+        "source doc_id)",
+    )
+    ap.add_argument(
+        "--collapse-group",
+        default="repo",
+        help="docstore column to collapse on (--bm25 collapse)",
+    )
+    ap.add_argument(
+        "--collapse-per-group",
+        type=int,
+        default=2,
+        help="max docs kept per group value (--bm25 collapse)",
     )
     ap.add_argument(
         "--bm25f-weights",
@@ -159,6 +173,26 @@ def main() -> None:
             # (--skip already rejected, so rows[args.skip:] == rows)
             rows = bm25.bm25_batch_topk(
                 idx, args.fields, queries, args.top
+            ).collect()
+        elif args.bm25 == "collapse":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.collapse_per_group < 1:
+                ap.error("--collapse-per-group must be >= 1")
+            rows = bm25.bm25_collapse_topk(
+                idx, args.fields, terms, args.top + args.skip,
+                group_col=args.collapse_group,
+                per_group=args.collapse_per_group,
+            ).collect()
+        elif args.bm25 == "mlt":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            try:
+                src_doc = int(args.query)
+            except ValueError:
+                ap.error("--bm25 mlt --query must be the source doc_id")
+            rows = bm25.bm25_mlt_topk(
+                idx, args.fields, src_doc, args.top + args.skip
             ).collect()
         else:
             if not args.fields or len(args.fields.split(",")) != 1:

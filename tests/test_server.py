@@ -284,6 +284,7 @@ _routes = st.sampled_from(
         ("POST", "/docs/highlight"),
         ("POST", "/docs/bm25_batch"),
         ("POST", "/docs/bm25"),
+        ("POST", "/docs/mlt"),
     ]
 )
 
@@ -464,3 +465,88 @@ def test_bm25_route_cursor_excludes_filter_and_weights(app):
         "POST", "/docs/bm25", body={**base, "weights": {"text": 1}}
     )
     assert status == 400
+
+
+def test_bm25_route_collapse(app, spark, tmp_root):
+    """mode=collapse equals the direct bm25_collapse_topk call and
+    honors the per-group cap."""
+    from collections import Counter
+
+    from veloci_spark.bm25 import bm25_collapse_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {
+        "field": "text",
+        "terms": ["spark", "join"],
+        "top": 5,
+        "mode": "collapse",
+        "group_col": "lang",
+        "per_group": 1,
+    }
+    status, res = app.handle("POST", "/docs/bm25", body=body)
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), r["lang"], int(r["score_e4"]), int(r["grp_rank"])]
+        for r in bm25_collapse_topk(
+            idx, "text", body["terms"], 5, group_col="lang", per_group=1
+        ).collect()
+    ]
+    assert res == want and len(res) > 0
+    assert max(Counter(row[1] for row in res).values()) == 1
+
+
+def test_bm25_route_collapse_rejections(app):
+    base = {"field": "text", "terms": ["spark"], "mode": "collapse"}
+    # unknown group column
+    status, _ = app.handle(
+        "POST", "/docs/bm25", body={**base, "group_col": "no_such_col"}
+    )
+    assert status == 400
+    # per_group must be a positive non-bool int
+    for bad in (0, -1, True, "2"):
+        status, _ = app.handle(
+            "POST", "/docs/bm25", body={**base, "per_group": bad}
+        )
+        assert status == 400
+    # a cursor would be silently ignored — reject
+    status, _ = app.handle(
+        "POST", "/docs/bm25", body={**base, "after": [100, 5]}
+    )
+    assert status == 400
+
+
+def test_mlt_route(app, spark, tmp_root):
+    """POST /:db/mlt equals the direct bm25_mlt_topk call and never
+    returns the source doc."""
+    from veloci_spark.bm25 import bm25_mlt_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {"field": "text", "doc_id": 42, "top": 5}
+    status, res = app.handle("POST", "/docs/mlt", body=body)
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_mlt_topk(idx, "text", 42, 5).collect()
+    ]
+    assert res == want and len(res) > 0
+    assert all(row[0] != 42 for row in res)
+
+
+def test_mlt_route_rejections(app):
+    # doc_id must be a non-bool integer
+    for bad in (None, "42", True, 4.2):
+        status, _ = app.handle(
+            "POST", "/docs/mlt", body={"field": "text", "doc_id": bad}
+        )
+        assert status == 400
+    # n_terms / min_occ must be positive non-bool ints
+    for key in ("n_terms", "min_occ"):
+        for bad in (0, True, "3"):
+            status, _ = app.handle(
+                "POST",
+                "/docs/mlt",
+                body={"field": "text", "doc_id": 1, key: bad},
+            )
+            assert status == 400

@@ -17,10 +17,12 @@ driver-local port:
 - ``GET  /<db>/_id/<id>``               doc store row
 - ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
 - ``POST /<db>/bm25``                   north-rule extension: single-query
-  BM25 (modes or/and/or-wand/and-wand/phrase/explain, structured
-  metadata filter, BM25F weights, search_after cursor)
+  BM25 (modes or/and/or-wand/and-wand/phrase/explain/collapse,
+  structured metadata filter, BM25F weights, search_after cursor)
 - ``POST /<db>/bm25_batch``             north-rule extension: query set
   in one job
+- ``POST /<db>/mlt``                    north-rule extension:
+  more-like-this (query-by-document)
 
 Responses mirror SearchResultWithDoc / SuggestFieldResult
 (search_result_with_doc.rs:5-31, search_field.rs:158):
@@ -457,7 +459,8 @@ class VelociApp:
             # North-rule extension: the single-query BM25 surface the
             # CLI exposes (jobs/query_job.py --bm25), HTTP-shaped. Body:
             #   {"field": str, "terms": [str...], "top": k,
-            #    "mode": "or"|"and"|"or-wand"|"and-wand"|"phrase"|"explain",
+            #    "mode": "or"|"and"|"or-wand"|"and-wand"|"phrase"|"explain"
+            #            |"collapse" (+ "group_col", "per_group"),
             #    "filter": {col: value, ...}?,     (equality conjunction —
             #      structured, NOT raw SQL: columns validated against the
             #      doc store, values bound as literals)
@@ -521,6 +524,38 @@ class VelociApp:
                     else bm25.bm25_filtered_topk
                 )
                 rows = fn(idx, field, terms, top, pred).collect()
+            elif mode == "collapse":
+                # field-collapsed top-k: <= per_group docs per group_col
+                # value (bm25.bm25_collapse_topk); rows carry the group
+                # and the within-group rank
+                if after is not None:
+                    # silently ignoring the cursor would re-serve page 1
+                    raise HttpError(
+                        400, "after combines only with plain or-mode queries"
+                    )
+                group_col = body.get("group_col", "repo")
+                if group_col not in set(idx.docstore().columns):
+                    raise HttpError(400, f"unknown group_col {group_col!r}")
+                per_group = body.get("per_group", 2)
+                if (
+                    not isinstance(per_group, int)
+                    or isinstance(per_group, bool)
+                    or per_group < 1
+                ):
+                    raise HttpError(400, "per_group must be a positive int")
+                rows = bm25.bm25_collapse_topk(
+                    idx, field, terms, top,
+                    group_col=group_col, per_group=per_group,
+                ).collect()
+                return [
+                    [
+                        int(r["doc_id"]),
+                        r[group_col],
+                        int(r["score_e4"]),
+                        int(r["grp_rank"]),
+                    ]
+                    for r in rows
+                ]
             elif after is not None:
                 # cursor pagination (search_after): strictly after the
                 # [score_e4, doc_id] cursor; or-mode only
@@ -582,6 +617,27 @@ class VelociApp:
             for r in bm25_batch_topk(idx, field, queries, top).collect():
                 out[r["query_id"]].append([int(r["doc_id"]), int(r["score_e4"])])
             return out
+        if rest == "mlt" and method == "POST":
+            # more-like-this: query-by-document (bm25.bm25_mlt_topk).
+            # Body: {"field": str, "doc_id": int, "top": k,
+            #        "n_terms": int?, "min_occ": int?}
+            # → [[doc_id, score_e4], ...] best-first, source excluded.
+            from veloci_spark.bm25 import bm25_mlt_topk
+
+            field = body.get("field", "content")
+            src = body.get("doc_id")
+            if not isinstance(src, int) or isinstance(src, bool):
+                raise HttpError(400, "doc_id must be an integer")
+            top = _validated_top(body.get("top", 10))
+            n_terms = body.get("n_terms", 8)
+            min_occ = body.get("min_occ", 3)
+            for name, v in (("n_terms", n_terms), ("min_occ", min_occ)):
+                if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                    raise HttpError(400, f"{name} must be a positive int")
+            rows = bm25_mlt_topk(
+                idx, field, src, top, n_terms=n_terms, min_occ=min_occ
+            ).collect()
+            return [[int(r["doc_id"]), int(r["score_e4"])] for r in rows]
         m_id = re.match(r"^_id/(\d+)$", rest)
         if m_id and method == "GET":
             doc_id = int(m_id.group(1))

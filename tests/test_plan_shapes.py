@@ -256,3 +256,48 @@ def test_auto_dispatch_defaults_to_exhaustive_at_fixture_scale(spark):
     from veloci_spark.bm25 import WAND_MIN_POSTINGS
 
     assert WAND_MIN_POSTINGS >= 100_000_000
+
+
+# ------------------------------------------- collapse / MLT (round 5)
+
+def test_collapse_window_is_partitioned_and_group_limited(spark):
+    """The per-group cut must (a) PARTITION the window by the collapse
+    key — never a SinglePartition global window — and (b) keep
+    Catalyst's WindowGroupLimit rank pushdown, which applies the
+    per-group top-m map-side BEFORE the exchange so a skewed group
+    never materializes wholesale; (c) the block scan keeps the literal
+    term_id IN parquet pushdown."""
+    from veloci_spark.bm25 import bm25_collapse_topk
+    from veloci_spark.code_corpus import code_index
+
+    idx = code_index(spark, SF_DIR)
+    df = bm25_collapse_topk(idx, "content", ["spark", "join", "merge"], 20)
+    p = _plan(df)
+    assert "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
+    # the window's exchange hashes on the collapse key
+    assert "hashpartitioning(repo" in p
+    qe = df._jdf.queryExecution().toString()
+    assert "In(term_id" in qe
+
+
+def test_mlt_is_window_free_with_literal_in(spark):
+    """MLT is term selection + the standard exhaustive decode: no
+    window anywhere, and the selected term ids reach the parquet scan
+    as a literal IN (row-group pruning)."""
+    from veloci_spark.bm25 import bm25_mlt_topk
+    from veloci_spark.code_corpus import code_index
+
+    idx = code_index(spark, SF_DIR)
+    df = bm25_mlt_topk(idx, "content", 42, 20)
+    assert "Window" not in _plan(df)
+    assert "In(term_id" in df._jdf.queryExecution().toString()
+
+
+def test_hybrid_fusion_is_window_free(spark):
+    """Both legs rank via bounded sort_array+posexplode, the fusion is
+    a pool-sized full-outer join — no Window operator in the whole
+    plan."""
+    from veloci_spark.pipeline.hybrid import hybrid_rrf_topk
+
+    assert "Window" not in _plan(hybrid_rrf_topk(spark, SF_DIR))

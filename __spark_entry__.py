@@ -80,7 +80,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     (filter∘BM25 composition; its factors — code_bm25_topk and the
 #:     native semi-join filter ft_and_with_filter — retain rows)
 #:     demotes.
+#:   - ft_hits_histogram (scored numeric bucket aggregation over the
+#:     hit set — a NEW hit-consumption mechanism, aggs.py) enters;
+#:     ft_nested_facet (facets∘nested composition; ft_facet_lang and
+#:     ft_nested_search retain the factor rows) demotes.
 _DEMOTED = (
+    "ft_nested_facet",          # facets∘nested; ft_facet_lang + ft_nested_search pin the factors
     "decontam_shuffle",         # plan variant of decontam_ngram (rule 1); shape pinned in tests
     "code_bm25_filtered",       # filter∘BM25; code_bm25_topk + ft_and_with_filter pin the factors
     "code_bm25_filtered_wand",  # WAND variant of code_bm25_filtered (4 other WAND rows)

@@ -1,0 +1,81 @@
+"""Scored hit-set aggregations (aggs.py): histogram buckets partition
+the matched set exactly, score mass is conserved between histogram and
+stats, and buckets follow floor(value/width).  Cross-engine value
+parity is the oracle-parity replica's job (ft_hits_histogram window
+entry, ft_hits_stats extras)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.aggs import hits_histogram, hits_stats
+from veloci_spark.entry_queries import documents_index
+from veloci_spark.executor import search
+from veloci_spark.request import OrNode, Request, SearchPart
+
+SF = "/root/testdata/sf0.001"
+
+
+def _req():
+    return Request(
+        search=OrNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    return documents_index(spark, SF)
+
+
+def test_histogram_partitions_the_matched_set(idx):
+    n_matched = search(idx, _req()).all_hits.count()
+    rows = hits_histogram(idx, _req(), "n_chars", 100).collect()
+    assert rows and sum(r["n_docs"] for r in rows) == n_matched
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(buckets) and len(set(buckets)) == len(buckets)
+
+
+def test_histogram_buckets_are_floor_div(idx):
+    width = 100
+    hits = search(idx, _req()).all_hits.select("doc_id")
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in idx.docstore()
+        .join(hits, "doc_id", "left_semi")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    from collections import Counter
+
+    want = Counter(v // width for v in chars.values())
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in hits_histogram(idx, _req(), "n_chars", width).collect()
+    }
+    assert got == dict(want)
+
+
+def test_score_mass_conserved_between_histogram_and_stats(idx):
+    hist = hits_histogram(idx, _req(), "n_chars", 100).collect()
+    stats = hits_stats(idx, _req(), "n_chars").collect()[0]
+    assert sum(r["sum_score_e4"] for r in hist) == stats["sum_score_e4"]
+    assert sum(r["n_docs"] for r in hist) == stats["n_hits"]
+
+
+def test_stats_bounds(idx):
+    s = hits_stats(idx, _req(), "n_chars").collect()[0]
+    assert s["n_hits"] > 0
+    assert s["min_v"] <= s["max_v"]
+    assert s["min_v"] * s["n_hits"] <= s["sum_v"] <= s["max_v"] * s["n_hits"]
+
+
+def test_agg_plans_are_window_free(idx):
+    for df in (
+        hits_histogram(idx, _req(), "n_chars", 100),
+        hits_stats(idx, _req(), "n_chars"),
+    ):
+        assert "Window" not in df._jdf.queryExecution().executedPlan().toString()

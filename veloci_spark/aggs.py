@@ -1,0 +1,86 @@
+"""Scored numeric aggregations over a query's matched set.
+
+Search engines pair every query with aggregations over the HITS, not
+just the corpus (Elasticsearch metric/bucket aggs, Solr stats/facet
+ranges): "for the docs matching this query, how does doc length
+distribute, what are the extremes".  The reference ships term facets
+only (facet.rs — count per string value); these extend the same
+hit-set consumption to numeric docstore columns:
+
+- :func:`hits_histogram` — fixed-width bucket counts + score mass per
+  bucket (the histogram agg);
+- :func:`hits_stats` — one-row min/max/sum/count (the stats agg;
+  integer sums instead of avg so the result is hash-exact across
+  engines — a consumer divides).
+
+Cross-engine determinism: per-doc scores are quantized to e4 integers
+BEFORE any sum (the repo-wide convention), so bucket score masses are
+exact integer sums; bucket ids use floor(value / width) with double
+division (exact for the BIGINT magnitudes a docstore column holds).
+
+100-TB shape: the matched set joins the docstore's (doc_id, value)
+projection on doc_id — column-pruned at the scan, AQE-sized join —
+then ONE map-side-combined groupBy over a bounded bucket domain
+(histogram) or a global aggregate (stats).  No window, no collect, no
+corpus-sized shuffle: the only exchange carries (bucket, partial)
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from veloci_spark.executor import search
+from veloci_spark.index import Index
+from veloci_spark.request import Request
+from veloci_spark.scoring import score_e4
+
+
+def _scored_hits(index: Index, request: Request) -> DataFrame:
+    res = search(index, request)
+    return res.all_hits.select(
+        "doc_id", score_e4(F.col("score")).alias("score_e4")
+    )
+
+
+def hits_histogram(
+    index: Index,
+    request: Request,
+    value_col: str,
+    width: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over the request's matched
+    docs: (bucket, n_docs, sum_score_e4) ordered by bucket, where
+    bucket = floor(value / width).  ``sum_score_e4`` is the score mass
+    landing in the bucket — the "which lengths carry the relevance"
+    reading a plain count histogram can't give."""
+    hits = _scored_hits(index, request)
+    vals = index.docstore().select("doc_id", value_col)
+    return (
+        hits.join(vals, "doc_id")
+        .groupBy(
+            F.floor(F.col(value_col) / F.lit(float(width)))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("score_e4").cast("long").alias("sum_score_e4"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def hits_stats(index: Index, request: Request, value_col: str) -> DataFrame:
+    """One-row stats of ``value_col`` over the matched set: (n_hits,
+    min_v, max_v, sum_v, sum_score_e4) — all BIGINT (sum instead of avg
+    keeps the row hash-exact across engines)."""
+    hits = _scored_hits(index, request)
+    vals = index.docstore().select("doc_id", value_col)
+    return hits.join(vals, "doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.min(value_col).cast("long").alias("min_v"),
+        F.max(value_col).cast("long").alias("max_v"),
+        F.sum(value_col).cast("long").alias("sum_v"),
+        F.sum("score_e4").cast("long").alias("sum_score_e4"),
+    )

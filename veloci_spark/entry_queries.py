@@ -501,6 +501,73 @@ _register(
 )
 
 
+# ---- scored numeric aggregations over the hit set (round 5) ----------------
+
+_HIST_WIDTH = 100
+
+
+def _agg_request() -> "Request":
+    return Request(
+        search=OrNode(
+            (
+                SearchPart(field="text", term="spark"),
+                SearchPart(field="text", term="join"),
+            )
+        )
+    )
+
+
+def _q_hits_histogram(spark, sf_dir):
+    """Fixed-width histogram of n_chars over the OR query's matched set
+    (aggs.hits_histogram): (bucket, n_docs, sum_score_e4) — the
+    Elasticsearch histogram-agg shape, score mass per bucket."""
+    from veloci_spark.aggs import hits_histogram
+
+    idx = documents_index(spark, sf_dir)
+    return hits_histogram(idx, _agg_request(), "n_chars", _HIST_WIDTH)
+
+
+def _q_hits_stats(spark, sf_dir):
+    """One-row min/max/sum/count of n_chars + score mass over the same
+    matched set (aggs.hits_stats; integer sums, not avg, so the row is
+    hash-exact)."""
+    from veloci_spark.aggs import hits_stats
+
+    idx = documents_index(spark, sf_dir)
+    return hits_stats(idx, _agg_request(), "n_chars")
+
+
+_AGG_HITS_CTE = _with_cte(
+    leaf_hits_cte(SearchPart(field="text", term="spark"), "m0", "h0"),
+    leaf_hits_cte(SearchPart(field="text", term="join"), "m1", "h1"),
+    or_hits_cte([("h0", 1), ("h1", 0)], "hits"),
+)
+
+_register(
+    "ft_hits_histogram",
+    _q_hits_histogram,
+    _AGG_HITS_CTE
+    + f"\nSELECT CAST(floor(d.n_chars / {float(_HIST_WIDTH)!r}) AS BIGINT) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    f"CAST(sum({sql_score_e4('h.score')}) AS BIGINT) AS sum_score_e4 "
+    "FROM hits h JOIN documents d USING (doc_id) "
+    "GROUP BY bucket ORDER BY bucket",
+)
+
+_register(
+    "ft_hits_stats",
+    _q_hits_stats,
+    _AGG_HITS_CTE
+    + "\nSELECT CAST(count(*) AS BIGINT) AS n_hits, "
+    "CAST(min(d.n_chars) AS BIGINT) AS min_v, "
+    "CAST(max(d.n_chars) AS BIGINT) AS max_v, "
+    "CAST(sum(d.n_chars) AS BIGINT) AS sum_v, "
+    f"CAST(sum({sql_score_e4('h.score')}) AS BIGINT) AS sum_score_e4 "
+    "FROM hits h JOIN documents d USING (doc_id)",
+    extra=True,
+)
+
+
 # ---- suggest -----------------------------------------------------------------------
 
 def _q_suggest(spark, sf_dir):

@@ -107,6 +107,7 @@ def headline_queries(spark, sf_dir: str):
         "ft_nested_search",
         "ft_nested_boost_1n",
         "ft_explain_components",
+        "ft_hits_histogram",
         "code_bm25_topk",
         "code_bm25_wand",
         "code_bm25_auto",
@@ -180,6 +181,8 @@ BENCH_KEY_CHANGES = {
             "code_bm25_collapse",
             # more-like-this: query-by-document via rarest-shared-terms
             "code_bm25_mlt",
+            # scored numeric histogram over the hit set (aggs.py)
+            "ft_hits_histogram",
         ],
         "impl_changed": {
             # certificate JUMP growth: the WAND loop now decodes exactly

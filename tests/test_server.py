@@ -550,3 +550,38 @@ def test_mlt_route_rejections(app):
                 body={"field": "text", "doc_id": 1, key: bad},
             )
             assert status == 400
+
+
+def test_search_route_histograms(app, spark, tmp_root):
+    """POST /:db/search with histograms: buckets computed over the SAME
+    hit set as the ranked response (aggs.histogram_over)."""
+    body = {
+        "search_req": {"search": {"terms": ["spark"], "path": "text"}},
+        "top": 3,
+        "histograms": [{"field": "n_chars", "width": 100}],
+    }
+    status, res = app.handle("POST", "/docs/search", body=body)
+    assert status == 200
+    hist = res["histograms"]["n_chars"]
+    assert hist and all(len(row) == 3 for row in hist)
+    # bucket counts partition the full hit set, not the top-k page
+    assert sum(row[1] for row in hist) == res["num_hits"]
+    buckets = [row[0] for row in hist]
+    assert buckets == sorted(buckets)
+
+
+def test_search_route_histogram_rejections(app):
+    base = {
+        "search_req": {"search": {"terms": ["spark"], "path": "text"}},
+        "top": 3,
+    }
+    for bad in (
+        {"histograms": {"field": "n_chars", "width": 100}},  # not a list
+        {"histograms": [{"width": 100}]},                    # no field
+        {"histograms": [{"field": "text", "width": 100}]},   # non-numeric
+        {"histograms": [{"field": "no_col", "width": 100}]},  # unknown
+        {"histograms": [{"field": "n_chars", "width": 0}]},  # bad width
+        {"histograms": [{"field": "n_chars", "width": True}]},
+    ):
+        status, _ = app.handle("POST", "/docs/search", body={**base, **bad})
+        assert status == 400

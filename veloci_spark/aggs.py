@@ -43,19 +43,16 @@ def _scored_hits(index: Index, request: Request) -> DataFrame:
     )
 
 
-def hits_histogram(
-    index: Index,
-    request: Request,
-    value_col: str,
-    width: int,
+def histogram_over(
+    all_hits: DataFrame, docstore: DataFrame, value_col: str, width: int
 ) -> DataFrame:
-    """Fixed-width histogram of ``value_col`` over the request's matched
-    docs: (bucket, n_docs, sum_score_e4) ordered by bucket, where
-    bucket = floor(value / width).  ``sum_score_e4`` is the score mass
-    landing in the bucket — the "which lengths carry the relevance"
-    reading a plain count histogram can't give."""
-    hits = _scored_hits(index, request)
-    vals = index.docstore().select("doc_id", value_col)
+    """The histogram core over an ALREADY-COMPUTED hit set — lets the
+    HTTP search route attach histograms to a response without running
+    the search twice."""
+    hits = all_hits.select(
+        "doc_id", score_e4(F.col("score")).alias("score_e4")
+    )
+    vals = docstore.select("doc_id", value_col)
     return (
         hits.join(vals, "doc_id")
         .groupBy(
@@ -69,6 +66,21 @@ def hits_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def hits_histogram(
+    index: Index,
+    request: Request,
+    value_col: str,
+    width: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over the request's matched
+    docs: (bucket, n_docs, sum_score_e4) ordered by bucket, where
+    bucket = floor(value / width).  ``sum_score_e4`` is the score mass
+    landing in the bucket — the "which lengths carry the relevance"
+    reading a plain count histogram can't give."""
+    res = search(index, request)
+    return histogram_over(res.all_hits, index.docstore(), value_col, width)
 
 
 def hits_stats(index: Index, request: Request, value_col: str) -> DataFrame:

@@ -27,8 +27,11 @@ driver-local port:
 Responses mirror SearchResultWithDoc / SuggestFieldResult
 (search_result_with_doc.rs:5-31, search_field.rs:158):
 ``{"execution_time_ns", "num_hits", "data": [{"doc", "hit": {"id",
-"score"}, "why_found"?, "explain"?}], "facets"?}`` and
-``[[text, score, term_id], …]``.
+"score"}, "why_found"?, "explain"?}], "facets"?, "histograms"?}`` and
+``[[text, score, term_id], …]``.  ``histograms`` (north-rule
+extension) is requested via body key ``histograms: [{"field", "width"}]``
+on POST /search and returns ``{field: [[bucket, n_docs,
+sum_score_e4], …]}`` over the SAME hit set the response ranks.
 """
 
 from __future__ import annotations
@@ -307,7 +310,8 @@ def _row_to_doc(row: dict, meta_cols: set[str]) -> dict:
 
 
 def search_result_to_json(
-    index: Index, request: Request, t0_ns: int
+    index: Index, request: Request, t0_ns: int,
+    histograms: list | None = None,
 ) -> dict:
     res = search(index, request)
     hits = res.hits
@@ -357,6 +361,20 @@ def search_result_to_json(
         out["facets"] = {
             f: [[row["value"], row["count"]] for row in df.collect()]
             for f, df in res.facets.items()
+        }
+    if histograms:
+        # numeric bucket aggs over the SAME hit set the response ranks
+        # (aggs.histogram_over — the search is not re-run)
+        from veloci_spark.aggs import histogram_over
+
+        out["histograms"] = {
+            h["field"]: [
+                [int(r["bucket"]), int(r["n_docs"]), int(r["sum_score_e4"])]
+                for r in histogram_over(
+                    res.all_hits, index.docstore(), h["field"], h["width"]
+                ).collect()
+            ]
+            for h in histograms
         }
     return out
 
@@ -431,7 +449,34 @@ class VelociApp:
             req = request_from_json(body)
             if req.search is None:
                 raise HttpError(400, "no search tree in request body")
-            return search_result_to_json(idx, req, t0)
+            hists = body.get("histograms")
+            if hists is not None:
+                # [{"field": <numeric docstore column>, "width": int>0}]
+                if not isinstance(hists, list):
+                    raise HttpError(400, "histograms must be a list")
+                numeric = {
+                    f.name
+                    for f in idx.docstore().schema.fields
+                    if f.dataType.typeName()
+                    in ("long", "integer", "short", "double", "float")
+                }
+                for h in hists:
+                    if not isinstance(h, dict) or "field" not in h:
+                        raise HttpError(
+                            400, "each histogram needs {field, width}"
+                        )
+                    if h["field"] not in numeric:
+                        raise HttpError(
+                            400,
+                            f"histogram field {h.get('field')!r} is not a "
+                            "numeric docstore column",
+                        )
+                    w = h.get("width")
+                    if not isinstance(w, int) or isinstance(w, bool) or w < 1:
+                        raise HttpError(
+                            400, "histogram width must be a positive int"
+                        )
+            return search_result_to_json(idx, req, t0, histograms=hists)
         if rest == "search" and method == "GET":
             params = generator_params_from_query_params(query)
             return search_result_to_json(idx, generate_request(idx, params), t0)

@@ -84,7 +84,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     hit set — a NEW hit-consumption mechanism, aggs.py) enters;
 #:     ft_nested_facet (facets∘nested composition; ft_facet_lang and
 #:     ft_nested_search retain the factor rows) demotes.
+#:   - code_bm25_prf (pseudo-relevance-feedback query expansion — a NEW
+#:     term-selection mechanism: feedback-set mining + weighted
+#:     re-query, bm25.bm25_prf_topk) enters; code_bm25_explain demotes
+#:     by rule 1 (score-provenance attachment is ONE mechanism and
+#:     ft_explain_components keeps its row; code_bm25_topk pins the
+#:     underlying retrieval).
 _DEMOTED = (
+    "code_bm25_explain",        # provenance mechanism pinned by ft_explain_components
+
     "ft_nested_facet",          # facets∘nested; ft_facet_lang + ft_nested_search pin the factors
     "decontam_shuffle",         # plan variant of decontam_ngram (rule 1); shape pinned in tests
     "code_bm25_filtered",       # filter∘BM25; code_bm25_topk + ft_and_with_filter pin the factors

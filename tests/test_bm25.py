@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from veloci_spark.bm25 import (
+    bm25_prf_topk,
     B,
     K1,
     K1_PLUS_1,
@@ -674,3 +675,92 @@ class TestCursorPagination:
             ).count()
             == 0
         )
+
+
+# ---------------- pseudo-relevance feedback (Rocchio) ----------------
+
+def _naive_prf(terms, k, fb_docs, fb_terms, min_occ, orig_w, exp_w):
+    """Pure-python replica of bm25_prf_topk over CORPUS."""
+    uniq = sorted(set(terms))
+    naive, _, _ = _naive_bm25(uniq)
+    per_doc = {}
+    for (_, i), s in naive.items():
+        per_doc[i] = per_doc.get(i, 0) + s
+    fb = [d for d, _ in sorted(per_doc.items(), key=lambda kv: (-kv[1], -kv[0]))[:fb_docs]]
+
+    runs = {i: list(py_tokenize(txt)) for i, txt in CORPUS}
+    docs = {
+        i: [t for t, sep in rs if not sep] for i, rs in runs.items() if len(rs) >= 2
+    }
+    # dictionary num_occurences: token occurrences (>=2-run texts) plus
+    # whole-text entries for texts <= 64 bytes (build.py term counting)
+    num_occ = {}
+    for toks in docs.values():
+        for t in toks:
+            num_occ[t] = num_occ.get(t, 0) + 1
+    for _, txt in CORPUS:
+        if txt is not None and len(txt.encode()) <= 64:
+            num_occ[txt] = num_occ.get(txt, 0) + 1
+
+    fb_df = {}
+    for d in fb:
+        for t in set(docs.get(d, [])):
+            fb_df[t] = fb_df.get(t, 0) + 1
+    cands = [
+        t for t in fb_df
+        if t not in uniq and num_occ.get(t, 0) >= min_occ
+    ]
+    chosen = sorted(cands, key=lambda t: (-fb_df[t], num_occ[t], t))[:fb_terms]
+
+    full, _, _ = _naive_bm25(sorted(set(uniq) | set(chosen)))
+    final = {}
+    for (t, i), s in full.items():
+        w = orig_w if t in uniq else exp_w
+        final[i] = final.get(i, 0) + w * s
+    return (
+        sorted(final.items(), key=lambda kv: (-kv[1], -kv[0]))[:k],
+        chosen,
+    )
+
+
+def test_prf_matches_naive_replica(bm25_index):
+    want, chosen = _naive_prf(
+        ["alpha"], 5, fb_docs=3, fb_terms=2, min_occ=2, orig_w=2, exp_w=1
+    )
+    assert chosen  # the fixture corpus must actually exercise expansion
+    got = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_prf_topk(
+            bm25_index, "body", ["alpha"], 5,
+            fb_docs=3, fb_terms=2, min_occ=2, orig_w=2, exp_w=1,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_prf_expansion_excludes_query_terms(bm25_index):
+    _, chosen = _naive_prf(
+        ["alpha", "beta"], 5, fb_docs=4, fb_terms=3, min_occ=1, orig_w=2, exp_w=1
+    )
+    assert "alpha" not in chosen and "beta" not in chosen
+
+
+def test_prf_zero_expansion_is_weighted_plain_query(bm25_index):
+    plain = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_topk(bm25_index, "body", ["alpha", "gamma"], 4).collect()
+    ]
+    prf = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_prf_topk(
+            bm25_index, "body", ["alpha", "gamma"], 4,
+            fb_docs=3, fb_terms=0, orig_w=3, exp_w=1,
+        ).collect()
+    ]
+    assert prf == [(d, 3 * s) for d, s in plain]
+
+
+def test_prf_absent_terms_empty(bm25_index):
+    assert (
+        bm25_prf_topk(bm25_index, "body", ["zz_missing"], 5).collect() == []
+    )

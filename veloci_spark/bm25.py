@@ -1187,3 +1187,105 @@ def bm25_mlt_topk(
         .agg(F.sum("score").alias("score_e4"))
     )
     return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+def bm25_prf_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    fb_docs: int = 5,
+    fb_terms: int = 4,
+    min_occ: int = 3,
+    orig_w: int = 2,
+    exp_w: int = 1,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 (Rocchio-style query expansion,
+    Rocchio 1971 / Lucene's ``MoreLikeThis``-on-top-docs pattern): run
+    the plain OR query, treat its top ``fb_docs`` results as relevant,
+    mine them for expansion terms, and re-run the query expanded —
+    original terms at integer weight ``orig_w``, expansion terms at
+    ``exp_w`` (α=2, β=1 in classic Rocchio terms, kept integral so the
+    quantized score stays exact cross-engine).
+
+    Expansion-term selection (deterministic, cross-engine): the feedback
+    docs' distinct non-separator tokens, minus the original query terms,
+    keeping terms with corpus-wide ``num_occurences >= min_occ``, ranked
+    by (feedback doc-frequency DESC, corpus num_occurences ASC, term
+    ASC) — prefer terms shared across the feedback set, then the rarest
+    (most characterizing) — top ``fb_terms``.
+
+    Scale shape: stage 1 is the standard exhaustive decode (one job,
+    bounded ``fb_docs``-row collect — the same handshake as cursor
+    pagination); the feedback-doc fetch is a pushed-down ``doc_id IN``
+    docstore filter of ``fb_docs`` rows tokenized driver-side with the
+    build tokenizer (feedback-set-sized, not corpus-sized); the
+    dictionary probe is a literal ``term IN`` over the feedback docs'
+    distinct tokens; stage 2 is one decode over the expanded term set
+    with the per-term weight applied via a broadcast (term_id, w) map
+    before the top-k aggregation.  Two Spark jobs total, independent of
+    corpus size."""
+    from veloci_spark.index import decode_blocks_df
+    from veloci_spark.tokenize import py_tokenize
+
+    spark = index.spark
+    uniq = sorted(set(terms))
+    orig_ids = _matched_term_ids(index, field, uniq)
+    if not orig_ids:
+        return _empty_topk(spark)
+
+    # stage 1: plain OR top-fb_docs (bounded collect — the feedback set)
+    fb = bm25_topk(index, field, uniq, int(fb_docs), _ids=orig_ids).collect()
+    fb_ids = [int(r["doc_id"]) for r in fb]
+
+    sel_ids: list[int] = []
+    if fb_ids:
+        src = (
+            index.docstore()
+            .where(F.col("doc_id").isin(fb_ids))
+            .select("doc_id", field)
+            .collect()  # fb_docs rows
+        )
+        seps = tuple(index.field_conf(field).get("tokenize_on_chars") or ())
+        fb_df: dict[str, int] = {}
+        for row in src:
+            text = row[field]
+            if text is None:
+                continue
+            runs = (
+                list(py_tokenize(text, seps)) if seps else list(py_tokenize(text))
+            )
+            if len(runs) < 2:  # single-run texts emit no tokens at build
+                continue
+            for tok in {run for run, is_sep in runs if not is_sep}:
+                fb_df[tok] = fb_df.get(tok, 0) + 1
+        cands = sorted(set(fb_df) - set(uniq))
+        if cands:
+            rows = (
+                index.dictionary(field)
+                .where(F.col("term").isin(cands))
+                .where(F.col("num_occurences") >= int(min_occ))
+                .select("term_id", "term", "num_occurences")
+                .collect()  # bounded by the feedback docs' distinct tokens
+            )
+            chosen = sorted(
+                rows,
+                key=lambda r: (-fb_df[r["term"]], r["num_occurences"], r["term"]),
+            )[: int(fb_terms)]
+            sel_ids = [int(r["term_id"]) for r in chosen]
+
+    # stage 2: weighted OR over original + expansion terms
+    wmap = {tid: int(orig_w) for tid in orig_ids}
+    for tid in sel_ids:
+        wmap[tid] = int(exp_w)
+    weights = F.create_map(
+        *[F.lit(x) for pair in wmap.items() for x in pair]
+    )
+    blocks = index.bm25_blocks(field).where(
+        F.col("term_id").isin(list(wmap))
+    )
+    flat = decode_blocks_df(blocks)
+    hits = flat.groupBy("doc_id").agg(
+        F.sum(F.col("score") * weights[F.col("term_id")]).alias("score_e4")
+    )
+    return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)

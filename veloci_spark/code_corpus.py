@@ -41,6 +41,7 @@ from veloci_spark.bm25 import (
     bm25_auto_topk,
     bm25_collapse_topk,
     bm25_mlt_topk,
+    bm25_prf_topk,
     bm25_topk,
     bm25_topk_after,
     bm25_wand_topk,
@@ -832,6 +833,78 @@ def _q_bm25_mlt(spark, sf_dir):
 _QUERIES["code_bm25_mlt"] = _q_bm25_mlt
 _ORACLES["code_bm25_mlt"] = _bm25_mlt_sql(
     _MLT_DOC_ID, 20, _MLT_N_TERMS, _MLT_MIN_OCC
+)
+
+
+# ---- pseudo-relevance feedback (Rocchio expansion): round-5 window entry ----
+
+_PRF_FB_DOCS = 5
+_PRF_FB_TERMS = 4
+_PRF_MIN_OCC = 3
+_PRF_ORIG_W = 2
+_PRF_EXP_W = 1
+
+
+def _bm25_prf_sql(
+    terms: list[str], k: int, fb_docs: int, fb_terms: int,
+    min_occ: int, orig_w: int, exp_w: int,
+) -> str:
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+q1 AS (
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS s
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+  ORDER BY s DESC, doc_id DESC LIMIT {fb_docs}
+),
+fbtok AS (
+  SELECT DISTINCT n.doc_id, n.tok AS term
+  FROM cnonsep n JOIN q1 ON n.doc_id = q1.doc_id
+),
+cand AS (
+  SELECT term, count(*) AS fb_df FROM fbtok
+  WHERE term NOT IN ({in_list})
+  GROUP BY term
+),
+sel AS (
+  SELECT d.term_id
+  FROM cand c JOIN cdict d USING (term) JOIN cterm_counts t USING (term)
+  WHERE t.num_occurences >= {min_occ}
+  ORDER BY c.fb_df DESC, t.num_occurences ASC, c.term ASC LIMIT {fb_terms}
+),
+wmap AS (
+  SELECT term_id, {orig_w} AS w FROM cdict WHERE term IN ({in_list})
+  UNION ALL
+  SELECT term_id, {exp_w} AS w FROM sel
+)
+SELECT b.doc_id, CAST(sum(b.score * m.w) AS BIGINT) AS score_e4
+FROM cbm25 b JOIN wmap m USING (term_id)
+GROUP BY b.doc_id
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_prf(spark, sf_dir):
+    """Pseudo-relevance-feedback top-20: plain OR top-5 as the feedback
+    set, its 4 best expansion terms (shared-across-feedback first, then
+    rarest) added at weight 1 next to the original terms at weight 2,
+    one weighted re-decode (bm25.bm25_prf_topk)."""
+    idx = code_index(spark, sf_dir)
+    return bm25_prf_topk(
+        idx, "content", _TOPK_TERMS, 20,
+        fb_docs=_PRF_FB_DOCS, fb_terms=_PRF_FB_TERMS, min_occ=_PRF_MIN_OCC,
+        orig_w=_PRF_ORIG_W, exp_w=_PRF_EXP_W,
+    )
+
+
+_QUERIES["code_bm25_prf"] = _q_bm25_prf
+_ORACLES["code_bm25_prf"] = _bm25_prf_sql(
+    _TOPK_TERMS, 20, _PRF_FB_DOCS, _PRF_FB_TERMS,
+    _PRF_MIN_OCC, _PRF_ORIG_W, _PRF_EXP_W,
 )
 
 

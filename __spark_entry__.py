@@ -90,8 +90,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     by rule 1 (score-provenance attachment is ONE mechanism and
 #:     ft_explain_components keeps its row; code_bm25_topk pins the
 #:     underlying retrieval).
+#:   - code_regex_search (trigram-index-accelerated content regex — a
+#:     NEW pruning mechanism: regex → required-trigram query →
+#:     partition-pruned probe → rlike verify, trigram.py; distinct from
+#:     ft_regex, which matches the term DICTIONARY) enters;
+#:     dedup_embedding_cosine demotes (LSH-bounded cosine composition;
+#:     ann_cosine_topk pins cosine scoring, dedup_minhash_lsh /
+#:     dedup_semantic pin the bucketed-candidate mechanisms).
 _DEMOTED = (
     "code_bm25_explain",        # provenance mechanism pinned by ft_explain_components
+    "dedup_embedding_cosine",   # LSH∘cosine; ann_cosine_topk + dedup_minhash_lsh pin factors
 
     "ft_nested_facet",          # facets∘nested; ft_facet_lang + ft_nested_search pin the factors
     "decontam_shuffle",         # plan variant of decontam_ngram (rule 1); shape pinned in tests

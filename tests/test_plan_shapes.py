@@ -301,3 +301,36 @@ def test_hybrid_fusion_is_window_free(spark):
     from veloci_spark.pipeline.hybrid import hybrid_rrf_topk
 
     assert "Window" not in _plan(hybrid_rrf_topk(spark, SF_DIR))
+
+
+# ----------------------------------------------- trigram regex pruning
+
+def test_trigram_probe_is_partition_pruned_and_broadcast(spark):
+    """The candidate probe must (a) push the query trigrams' crc32
+    buckets into PartitionFilters — the posting scan reads only the
+    buckets the pattern needs — and (b) broadcast the pattern-sized
+    requirement table; the full posting table must never shuffle for a
+    lookup, and no Window appears anywhere in the operator."""
+    from veloci_spark.code_corpus import code_index
+    from veloci_spark.trigram import plan_regex, regex_candidates
+
+    idx = code_index(spark, SF_DIR)
+    plan = plan_regex(r"merge (sort|join)")
+    assert plan is not None
+    df = regex_candidates(idx, "content", plan)
+    p = _plan(df)
+    assert "PartitionFilters: [bucket" in p and "bucket#" in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_trigram_fallback_is_single_docstore_scan(spark):
+    """An unindexable pattern must not touch the trigram table at all —
+    one docstore scan with the rlike filter, nothing else."""
+    from veloci_spark.code_corpus import code_index
+    from veloci_spark.trigram import regex_search
+
+    idx = code_index(spark, SF_DIR)
+    p = _plan(regex_search(idx, "content", r"(spark|qq)"))
+    assert "trigram_content" not in p
+    assert "rlike" in p.lower() or "RLike" in p

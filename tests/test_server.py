@@ -285,6 +285,8 @@ _routes = st.sampled_from(
         ("POST", "/docs/bm25_batch"),
         ("POST", "/docs/bm25"),
         ("POST", "/docs/mlt"),
+        ("POST", "/docs/prf"),
+        ("POST", "/docs/regex"),
     ]
 )
 
@@ -585,3 +587,88 @@ def test_search_route_histogram_rejections(app):
     ):
         status, _ = app.handle("POST", "/docs/search", body={**base, **bad})
         assert status == 400
+
+
+def test_prf_route(app, spark, tmp_root):
+    """POST /:db/prf equals the direct bm25_prf_topk call."""
+    from veloci_spark.bm25 import bm25_prf_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {"field": "text", "terms": ["spark", "join"], "top": 5,
+            "fb_docs": 3, "fb_terms": 2, "min_occ": 2}
+    status, res = app.handle("POST", "/docs/prf", body=body)
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_prf_topk(
+            idx, "text", ["spark", "join"], 5,
+            fb_docs=3, fb_terms=2, min_occ=2,
+        ).collect()
+    ]
+    assert res == want and len(res) > 0
+
+
+def test_prf_route_rejections(app):
+    status, _ = app.handle("POST", "/docs/prf", body={"terms": "spark"})
+    assert status == 400
+    for key in ("fb_docs", "fb_terms", "min_occ"):
+        status, _ = app.handle(
+            "POST", "/docs/prf",
+            body={"field": "text", "terms": ["spark"], key: -1},
+        )
+        assert status == 400
+        status, _ = app.handle(
+            "POST", "/docs/prf",
+            body={"field": "text", "terms": ["spark"], key: True},
+        )
+        assert status == 400
+
+
+def test_regex_route(app, spark, tmp_root):
+    """POST /:db/regex: trigram-planned grep equals a direct rlike scan;
+    the docs index has no path column so hits are [doc_id] only."""
+    from pyspark.sql import functions as F
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    pattern = r"spark [a-z]+ join"
+    status, res = app.handle(
+        "POST", "/docs/regex", body={"field": "text", "pattern": pattern}
+    )
+    assert status == 200 and res["indexable"] is True
+    want = [
+        [int(r["doc_id"])]
+        for r in idx.docstore()
+        .where(F.col("text").rlike(pattern))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert res["hits"] == want and len(want) > 0
+    # top limits to the deterministic doc_id-ordered prefix
+    status, res2 = app.handle(
+        "POST", "/docs/regex",
+        body={"field": "text", "pattern": pattern, "top": 2},
+    )
+    assert status == 200 and res2["hits"] == want[:2]
+
+
+def test_regex_route_rejections(app):
+    for body in (
+        {"field": "text"},                           # no pattern
+        {"field": "text", "pattern": ""},            # empty
+        {"field": "text", "pattern": "("},           # parse error
+        {"field": "nope", "pattern": "abc"},         # unknown field
+        {"field": "text", "pattern": "abc", "top": 0},
+    ):
+        status, _ = app.handle("POST", "/docs/regex", body=body)
+        assert status == 400
+
+
+def test_regex_route_fallback_flagged(app):
+    status, res = app.handle(
+        "POST", "/docs/regex", body={"field": "text", "pattern": "(spark|qq)"}
+    )
+    assert status == 200 and res["indexable"] is False
+    assert len(res["hits"]) > 0

@@ -1,0 +1,165 @@
+"""Trigram-accelerated regex search: planner soundness, candidate
+pruning vs ground truth, fallback arm, degenerate inputs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from veloci_spark.build import build_index
+from veloci_spark.config import FieldConfig, IndexConfig
+from veloci_spark.trigram import (
+    explain_plan,
+    plan_regex,
+    regex_search,
+    trigram_postings,
+)
+
+# ----------------------------- planner -----------------------------
+
+def test_plan_single_literal():
+    assert plan_regex("abcde") == [
+        frozenset({"abc", "bcd", "cde"})
+    ]
+
+
+def test_plan_alternation_or_of_ands():
+    plan = plan_regex(r"merge (sort|join)")
+    assert len(plan) == 2
+    assert frozenset({"mer", "erg", "rge", "ge ", "sor", "ort"}) in plan
+    assert frozenset({"mer", "erg", "rge", "ge ", "joi", "oin"}) in plan
+
+
+def test_plan_gap_requires_both_sides():
+    assert plan_regex(r"spark.*join") == [
+        frozenset({"spa", "par", "ark", "joi", "oin"})
+    ]
+
+
+def test_plan_repeat_min_one_required_once():
+    assert plan_regex(r"(abc)+def") == [frozenset({"abc", "def"})]
+
+
+def test_plan_optional_tail_breaks_run():
+    # 'u?' splits the run: only 'colo' is required
+    assert plan_regex(r"colou?r") == [frozenset({"col", "olo"})]
+
+
+@pytest.mark.parametrize(
+    "pat",
+    [
+        r"ab",              # no literal of >= 3 chars
+        r"(foo|ba)",        # one alternative unprunable -> all unprunable
+        r"[0-9]{4}",        # class only
+        r"(?i)merge",       # inline ignore-case: trigrams are case-exact
+        r"a(bc)d",          # conservative run-splitting leaves < 3-char runs
+        r"(",               # parse error
+    ],
+)
+def test_plan_unindexable(pat):
+    assert plan_regex(pat) is None
+
+
+def test_plan_anchors_and_word_boundaries_ignored():
+    assert plan_regex(r"^\bmerge\b$") == [frozenset({"mer", "erg", "rge"})]
+
+
+def test_explain_plan_shape():
+    ex = explain_plan(r"merge (sort|join)")
+    assert ex["indexable"] and len(ex["alternatives"]) == 2
+    assert explain_plan(r"ab") == {"indexable": False, "alternatives": []}
+
+
+# ----------------------------- execution -----------------------------
+
+GREP_CORPUS = [
+    (0, "src/a.py", "merge sort beats bubble sort"),
+    (1, "src/b.py", "hash join then merge join fallback"),
+    (2, "src/c.rs", "no relevant words here"),
+    (3, "src/d.rs", "spark window join"),
+    (4, "src/e.go", "mergesort is one word"),
+    (5, "src/f.go", None),
+    (6, "src/g.py", "ab"),  # shorter than one trigram
+    (7, "src/h.py", "sort then merge sort again"),
+]
+
+
+@pytest.fixture(scope="module")
+def grep_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True, native_postings=False),),
+        block_docs=4,
+    )
+    df = spark.createDataFrame(GREP_CORPUS, "doc_id long, path string, body string")
+    out = os.path.join(tmp_root, "grep_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def _ground_truth(idx, pattern):
+    return [
+        (r["doc_id"], r["path"])
+        for r in idx.docstore()
+        .where(F.col("body").rlike(pattern))
+        .select("doc_id", "path")
+        .orderBy("doc_id")
+        .collect()
+    ]
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"merge (sort|join)",
+        r"merge sort",
+        r"spark.*join",
+        r"sort( again)?",
+        r"\bmerge\b",
+    ],
+)
+def test_indexed_regex_equals_full_scan(grep_index, pattern):
+    assert plan_regex(pattern) is not None
+    got = [
+        (r["doc_id"], r["path"])
+        for r in regex_search(grep_index, "body", pattern).collect()
+    ]
+    assert got == _ground_truth(grep_index, pattern)
+
+
+def test_fallback_regex_equals_full_scan(grep_index):
+    pattern = r"(spark|ab)"  # unindexable: 'ab' branch
+    assert plan_regex(pattern) is None
+    got = [
+        (r["doc_id"], r["path"])
+        for r in regex_search(grep_index, "body", pattern).collect()
+    ]
+    assert got == _ground_truth(grep_index, pattern)
+    assert (6, "src/g.py") in got  # the short doc only the fallback can find
+
+
+def test_no_match_is_empty_not_error(grep_index):
+    assert regex_search(grep_index, "body", r"zzz_nothing").collect() == []
+
+
+def test_limit_is_deterministic_prefix(grep_index):
+    full = regex_search(grep_index, "body", r"\bsort\b").collect()
+    lim = regex_search(grep_index, "body", r"\bsort\b", limit=2).collect()
+    assert lim == full[:2]
+
+
+def test_postings_are_distinct_and_bucketed(grep_index):
+    post = trigram_postings(grep_index, "body")
+    assert post.columns == ["doc_id", "tri", "bucket"] or set(
+        post.columns
+    ) == {"doc_id", "tri", "bucket"}
+    total = post.count()
+    assert post.select("tri", "doc_id").distinct().count() == total
+    # null/short bodies contribute no postings
+    assert post.where(F.col("doc_id").isin([5, 6])).count() == 0
+
+
+def test_word_boundary_verification_rejects_substring(grep_index):
+    # 'mergesort' (doc 4) shares the trigrams of 'merge sort' minus the
+    # space — candidate pruning may keep doc 0/7 but the verifier must
+    # reject doc 4 for the spaced pattern
+    got = [r["doc_id"] for r in regex_search(grep_index, "body", r"merge sort").collect()]
+    assert 4 not in got and 0 in got

@@ -908,13 +908,62 @@ _ORACLES["code_bm25_prf"] = _bm25_prf_sql(
 )
 
 
+# ---- trigram-accelerated regex search (grep at corpus scale) ----
+
+_REGEX_PATTERN = r"merge (sort|join)"
+#: every alternative of this one carries a branch with no >= 3-char
+#: literal ("qq" is 2 chars after the planner's run-splitting), so the
+#: planner refuses and the engine takes the full-scan fallback — same
+#: answer, honest cost (pytest extra pins the fallback's correctness)
+_REGEX_FULLSCAN_PATTERN = r"(spark|qq)"
+
+
+def _regex_sql(pattern: str) -> str:
+    return (
+        "WITH "
+        + CODE_BASE_CTE
+        + f"""
+SELECT doc_id, path FROM code
+WHERE regexp_matches(content, {_q(pattern)})
+ORDER BY doc_id"""
+    )
+
+
+def _q_regex_search(spark, sf_dir):
+    """Content grep: all docs whose content matches the regex, found by
+    trigram-index pruning (regex → required-trigram AND/OR query →
+    partition-pruned posting probe → rlike verify on the candidate
+    set only; trigram.regex_search — the Cox codesearch design)."""
+    from veloci_spark.trigram import regex_search
+
+    idx = code_index(spark, sf_dir)
+    return regex_search(idx, "content", _REGEX_PATTERN)
+
+
+_QUERIES["code_regex_search"] = _q_regex_search
+_ORACLES["code_regex_search"] = _regex_sql(_REGEX_PATTERN)
+
+
+def _q_regex_full_scan(spark, sf_dir):
+    """Unindexable pattern (an alternative with no >= 3-char literal):
+    the planner returns None and regex_search full-scans — correctness
+    of the fallback arm."""
+    from veloci_spark.trigram import plan_regex, regex_search
+
+    assert plan_regex(_REGEX_FULLSCAN_PATTERN) is None
+    idx = code_index(spark, sf_dir)
+    return regex_search(idx, "content", _REGEX_FULLSCAN_PATTERN)
+
+
 _EXTRA_QUERIES = {
     "code_bm25_page2": _q_bm25_page2,
     "code_bm25f_auto": _q_bm25f_auto,
+    "code_regex_full_scan": _q_regex_full_scan,
 }
 _EXTRA_ORACLES = {
     "code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K),
     "code_bm25f_auto": _bm25f_sql(_BM25F_TERMS, 20),
+    "code_regex_full_scan": _regex_sql(_REGEX_FULLSCAN_PATTERN),
 }
 
 

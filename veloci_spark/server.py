@@ -683,6 +683,67 @@ class VelociApp:
                 idx, field, src, top, n_terms=n_terms, min_occ=min_occ
             ).collect()
             return [[int(r["doc_id"]), int(r["score_e4"])] for r in rows]
+        if rest == "prf" and method == "POST":
+            # pseudo-relevance feedback (bm25.bm25_prf_topk): plain query,
+            # expansion terms mined from its top fb_docs, weighted rerun.
+            # Body: {"field": str, "terms": [str...], "top": k,
+            #        "fb_docs": int?, "fb_terms": int?, "min_occ": int?}
+            from veloci_spark.bm25 import bm25_prf_topk
+
+            field = body.get("field", "content")
+            terms = body.get("terms")
+            if not isinstance(terms, list) or not all(
+                isinstance(t, str) for t in terms
+            ):
+                raise HttpError(400, "terms must be a list of strings")
+            top = _validated_top(body.get("top", 10))
+            fb_docs = body.get("fb_docs", 5)
+            fb_terms = body.get("fb_terms", 4)
+            min_occ = body.get("min_occ", 3)
+            for name, v in (
+                ("fb_docs", fb_docs), ("fb_terms", fb_terms), ("min_occ", min_occ)
+            ):
+                if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                    raise HttpError(400, f"{name} must be a non-negative int")
+            rows = bm25_prf_topk(
+                idx, field, terms, top,
+                fb_docs=fb_docs, fb_terms=fb_terms, min_occ=min_occ,
+            ).collect()
+            return [[int(r["doc_id"]), int(r["score_e4"])] for r in rows]
+        if rest == "regex" and method == "POST":
+            # content grep (trigram.regex_search): trigram-pruned when the
+            # pattern allows, full scan otherwise. Body: {"field": str,
+            # "pattern": str, "top": int?} → {"indexable": bool,
+            # "hits": [[doc_id, path], ...]} in doc_id order.
+            import re as _re
+
+            from veloci_spark.trigram import plan_regex, regex_search
+
+            field = body.get("field", "content")
+            pattern = body.get("pattern")
+            if not isinstance(pattern, str) or not pattern:
+                raise HttpError(400, "pattern must be a non-empty string")
+            try:
+                _re.compile(pattern)
+            except _re.error as exc:
+                raise HttpError(400, f"bad pattern: {exc}")
+            if field not in set(idx.docstore().columns):
+                raise HttpError(400, f"unknown field {field!r}")
+            top = body.get("top")
+            if top is not None:
+                top = _validated_top(top)
+            sel = (
+                ("doc_id", "path")
+                if "path" in idx.docstore().columns
+                else ("doc_id",)
+            )
+            rows = regex_search(
+                idx, field, pattern, select=sel, limit=top
+            ).collect()
+            return {
+                "indexable": plan_regex(pattern) is not None,
+                "hits": [[*r] for r in rows],
+            }
         m_id = re.match(r"^_id/(\d+)$", rest)
         if m_id and method == "GET":
             doc_id = int(m_id.group(1))

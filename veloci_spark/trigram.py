@@ -1,0 +1,274 @@
+"""Trigram-index-accelerated regex search over docstore content.
+
+Public-knowledge design — Google Code Search (Russ Cox, "Regular
+Expression Matching with a Trigram Index", swtch.com/~rsc/regexp/
+regexp4.html): a regex is compiled into a conservative boolean query
+over character trigrams (AND of the trigrams of every literal the
+pattern REQUIRES, OR across top-level alternatives).  The trigram
+posting list prunes the corpus to a candidate set, and the real regex
+runs only over the candidates.  The reference engine matches regexes
+against the TERM DICTIONARY (regex_to_term_ids — a vocabulary-sized
+scan); this operator is the content-level complement: grep over the
+raw bytes of a 10^12-file corpus, where a full scan is the thing you
+cannot afford.
+
+Scale shape:
+- the index is one distinct-(trigram, doc_id) projection, written
+  ONCE, partitioned by ``bucket = crc32(trigram) % n_buckets`` so a
+  query's trigram probe is a PARTITION-PRUNED scan (the plan pin
+  asserts PartitionFilters), never a full posting read;
+- query planning is driver-side string analysis of the PATTERN
+  (pattern-sized, not corpus-sized);
+- all alternatives are resolved in ONE job: a broadcast
+  (alt_id, trigram) requirement table joins the pruned postings, a
+  per-(alt, doc) count equality keeps docs matching EVERY required
+  trigram of SOME alternative;
+- verification is a semi-join of the candidate ids into the docstore
+  followed by a JVM-side ``rlike`` — whole-stage-codegen, no Python;
+- a pattern the planner cannot index (no required literal >= 3 chars
+  on some alternative, case-insensitive flags, unbounded alternation
+  fan-out) falls back LOUDLY to the full docstore scan — the same
+  answer, the honest cost.
+
+Regex dialect: planning parses the pattern with Python's stdlib sre
+parser; execution matches with Spark's JVM regex (``rlike``); the
+DuckDB oracles match with RE2 (``regexp_matches``).  All engines agree
+on the portable subset exercised here (literals, classes, bounded
+quantifiers, alternation, partial-match semantics); planning is purely
+a PRUNING step, so a dialect difference can only surface in the final
+verifier, never as a wrong candidate cut.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import zlib
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+try:  # Python >= 3.11 moved sre_parse under re._parser
+    from re import _parser as _sre
+except ImportError:  # pragma: no cover - older stdlib layout
+    import sre_parse as _sre  # type: ignore
+
+TRIGRAM_VERSION = "v1"
+N_BUCKETS = 64
+#: alternation fan-out cap: a pattern expanding to more alternatives
+#: than this is cheaper to full-scan than to plan
+MAX_ALTS = 64
+
+_build_lock = threading.Lock()
+
+
+# ------------------------------ index build ------------------------------
+
+def trigram_dir(index, field: str) -> str:
+    return os.path.join(index.path, f"trigram_{field}_{TRIGRAM_VERSION}")
+
+
+def _tri_expr(field: str):
+    """array of DISTINCT char trigrams of the column, [] when len < 3.
+
+    ``sequence(a, b)`` is DESCENDING for b < a in Spark, so the short
+    case must be guarded explicitly."""
+    return F.expr(
+        f"CASE WHEN length({field}) >= 3 THEN "
+        f"array_distinct(transform(sequence(1, length({field}) - 2), "
+        f"i -> substring({field}, i, 3))) ELSE array() END"
+    )
+
+
+def build_trigram_index(index, field: str, n_buckets: int = N_BUCKETS) -> str:
+    """Write the distinct (tri, doc_id) postings for ``field`` under the
+    index dir, partitioned by crc32 bucket; idempotent (resume: a
+    _SUCCESS-marked dir is reused)."""
+    out = trigram_dir(index, field)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    rows = (
+        index.docstore()
+        .select("doc_id", F.explode(_tri_expr(field)).alias("tri"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("tri").cast("binary")), F.lit(n_buckets)).cast(
+                "int"
+            ),
+        )
+    )
+    (
+        rows.repartition("bucket")
+        .sortWithinPartitions("tri", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    return out
+
+
+def trigram_postings(index, field: str) -> DataFrame:
+    """The (tri, doc_id, bucket) posting table, building it on first use."""
+    with _build_lock:
+        out = build_trigram_index(index, field)
+    return index.spark.read.parquet(out)
+
+
+def _bucket_of(tri: str, n_buckets: int = N_BUCKETS) -> int:
+    return zlib.crc32(tri.encode("utf-8")) % n_buckets
+
+
+# ------------------------------ query planning ------------------------------
+
+def _trigrams(lit: str) -> set[str]:
+    return {lit[i : i + 3] for i in range(len(lit) - 2)}
+
+
+def _merge_alts(left: list[tuple[str, ...]], right: list[tuple[str, ...]]):
+    """Cross-product concatenation of two OR-of-AND literal sets."""
+    out = [l + r for l in left for r in right]
+    if len(out) > MAX_ALTS:
+        raise _Unindexable()
+    return out
+
+
+class _Unindexable(Exception):
+    pass
+
+
+def _analyze_seq(seq) -> list[tuple[str, ...]]:
+    """OR-of-AND required-literal extraction for one sre op sequence.
+
+    Conservative: every returned alternative lists literal strings that
+    MUST all be present in any match taking that alternative.  Literal
+    runs are broken (never extended) across any non-literal op, so the
+    candidate set can only widen — soundness over selectivity."""
+    alts: list[tuple[str, ...]] = [()]
+    run = ""
+
+    def flush():
+        nonlocal alts, run
+        if run:
+            lit = run
+            alts = [a + (lit,) for a in alts]
+            run = ""
+
+    for op, av in seq:
+        name = str(op)
+        if name == "LITERAL":
+            run += chr(av)
+        elif name == "BRANCH":
+            flush()
+            branch_alts: list[tuple[str, ...]] = []
+            for branch in av[1]:
+                branch_alts.extend(_analyze_seq(branch))
+                if len(branch_alts) > MAX_ALTS:
+                    raise _Unindexable()
+            alts = _merge_alts(alts, branch_alts)
+        elif name == "SUBPATTERN":
+            flush()
+            alts = _merge_alts(alts, _analyze_seq(av[3]))
+        elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+            flush()
+            lo = av[0]
+            if lo and int(lo) >= 1:
+                # the body must occur at least once
+                alts = _merge_alts(alts, _analyze_seq(av[2]))
+        elif name in ("AT", "ASSERT", "ASSERT_NOT", "GROUPREF",
+                      "GROUPREF_EXISTS", "ATOMIC_GROUP"):
+            # position anchors / lookarounds / backrefs: add nothing,
+            # require nothing extra (sound: only widens the candidates)
+            flush()
+        elif name in ("ANY", "IN", "CATEGORY", "NOT_LITERAL", "RANGE"):
+            flush()
+        else:  # unknown op: refuse to plan rather than guess
+            raise _Unindexable()
+    flush()
+    return alts
+
+
+def plan_regex(pattern: str) -> Optional[list[frozenset[str]]]:
+    """Compile ``pattern`` into an OR-of-AND trigram query.
+
+    Returns a list of per-alternative REQUIRED trigram sets, or None
+    when the pattern cannot prune (some alternative carries no literal
+    of >= 3 chars, inline flags, fan-out beyond MAX_ALTS, parse
+    failure) — the caller must full-scan."""
+    try:
+        parsed = _sre.parse(pattern)
+    except Exception:
+        return None
+    if parsed.state.flags & (2 | 64):  # re.IGNORECASE | re.VERBOSE
+        return None
+    try:
+        alts = _analyze_seq(parsed)
+    except _Unindexable:
+        return None
+    out = []
+    for alt in alts:
+        tris: set[str] = set()
+        for lit in alt:
+            tris |= _trigrams(lit)
+        if not tris:
+            return None  # this alternative cannot be pruned → none can
+        out.append(frozenset(tris))
+    return out
+
+
+# ------------------------------ execution ------------------------------
+
+def regex_candidates(index, field: str, plan: list[frozenset[str]]) -> DataFrame:
+    """doc_ids matching EVERY required trigram of SOME alternative —
+    one partition-pruned probe + one aggregation for ALL alternatives."""
+    spark = index.spark
+    reqs = sorted({(i, t) for i, tris in enumerate(plan) for t in tris})
+    req_df = spark.createDataFrame(reqs, "alt_id int, tri string")
+    need = spark.createDataFrame(
+        [(i, len(tris)) for i, tris in enumerate(plan)], "alt_id int, n_req int"
+    )
+    buckets = sorted({_bucket_of(t) for _, t in reqs})
+    post = trigram_postings(index, field).where(F.col("bucket").isin(buckets))
+    got = (
+        post.join(F.broadcast(req_df), "tri")
+        .groupBy("alt_id", "doc_id")
+        .agg(F.count("*").alias("n"))  # postings are distinct per (tri, doc)
+        .join(F.broadcast(need), "alt_id")
+        .where(F.col("n") == F.col("n_req"))
+    )
+    return got.select("doc_id").distinct()
+
+
+def regex_search(
+    index,
+    field: str,
+    pattern: str,
+    select: Sequence[str] = ("doc_id", "path"),
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """grep over the docstore: rows whose ``field`` contains a match of
+    ``pattern`` (partial-match semantics, like rlike / RE2 search),
+    ordered by doc_id — trigram-pruned when the pattern allows, full
+    scan otherwise."""
+    plan = plan_regex(pattern)
+    docs = index.docstore()
+    if plan is not None:
+        cand = regex_candidates(index, field, plan)
+        docs = docs.join(cand, "doc_id", "leftsemi")
+    out = (
+        docs.where(F.col(field).rlike(pattern))
+        .select(*select)
+        .orderBy("doc_id")
+    )
+    return out.limit(int(limit)) if limit is not None else out
+
+
+def explain_plan(pattern: str) -> dict:
+    """Human-readable planning outcome (for the HTTP route / debugging)."""
+    plan = plan_regex(pattern)
+    if plan is None:
+        return {"indexable": False, "alternatives": []}
+    return {
+        "indexable": True,
+        "alternatives": [sorted(tris) for tris in plan],
+        "buckets": sorted({_bucket_of(t) for tris in plan for t in tris}),
+    }

@@ -974,32 +974,33 @@ def run_regex_bench(
         # warm both paths (file listing, codegen, python workers)
         regex_search(idx, "text", r"merge (sort|join)", select=("doc_id",)).collect()
         idx.docstore().where(F.col("text").rlike("zz_warm")).count()
+        from veloci_spark.trigram import explain_search
+
         for name, pat in patterns.items():
-            best_i = best_s = None
+            best = {}
             hits = 0
             for _ in range(2):
-                t0 = time.time()
-                hits = len(
-                    regex_search(idx, "text", pat, select=("doc_id",)).collect()
-                )
-                ti = time.time() - t0
-                t0 = time.time()
-                (
-                    idx.docstore()
-                    .where(F.col("text").rlike(pat))
-                    .select("doc_id")
-                    .orderBy("doc_id")
-                    .collect()
-                )
-                ts = time.time() - t0
-                best_i = ti if best_i is None or ti < best_i else best_i
-                best_s = ts if best_s is None or ts < best_s else best_s
+                for arm in ("always", "never", "auto"):
+                    t0 = time.time()
+                    hits = len(
+                        regex_search(
+                            idx, "text", pat, select=("doc_id",), prune=arm
+                        ).collect()
+                    )
+                    dt = time.time() - t0
+                    if arm not in best or dt < best[arm]:
+                        best[arm] = dt
             per[name] = {
                 "pattern": pat,
                 "hits": hits,
-                "indexed_sec": round(best_i, 3),
-                "scan_sec": round(best_s, 3),
-                "speedup_vs_scan": round(best_s / best_i, 2),
+                "indexed_sec": round(best["always"], 3),
+                "scan_sec": round(best["never"], 3),
+                "auto_sec": round(best["auto"], 3),
+                "auto_arm": explain_search(idx, "text", pat)["arm"],
+                "speedup_vs_scan": round(best["never"] / best["always"], 2),
+                "auto_vs_best": round(
+                    best["auto"] / min(best["always"], best["never"]), 2
+                ),
             }
     finally:
         spark.stop()
@@ -2036,12 +2037,13 @@ def main():
                 f"Trigram-pruned regex search vs the full rlike scan on "
                 f"{res['n_docs']} docs (trigram table built once in "
                 f"{res['trigram_build_sec']} s, crc32-bucket-partitioned):\n\n"
-                "| regime | pattern | hits | indexed (s) | full scan (s) | speedup |\n"
-                "|---|---|---|---|---|---|\n"
+                "| regime | pattern | hits | indexed (s) | full scan (s) | indexed/scan | auto (s) | auto arm | auto/best |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
                 + "".join(
                     f"| {name} | `{p['pattern']}` | {p['hits']} | "
                     f"{p['indexed_sec']} | {p['scan_sec']} | "
-                    f"{p['speedup_vs_scan']}x |\n"
+                    f"{p['speedup_vs_scan']}x | {p['auto_sec']} | "
+                    f"{p['auto_arm']} | {p['auto_vs_best']}x |\n"
                     for name, p in res["patterns"].items()
                 )
                 + f"\nIndexed-path batch at local[{res['low_cpus']}] "

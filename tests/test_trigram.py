@@ -163,3 +163,217 @@ def test_word_boundary_verification_rejects_substring(grep_index):
     # reject doc 4 for the spaced pattern
     got = [r["doc_id"] for r in regex_search(grep_index, "body", r"merge sort").collect()]
     assert 4 not in got and 0 in got
+
+
+# ------------------------- grep -n (line extraction) -------------------------
+
+LINES_CORPUS = [
+    (0, "a.py", "import os\nmerge sort here\nmerge join there\nend"),
+    (1, "b.py", "merge sort on line one\nnothing\nmerge sort again"),
+    (2, "c.py", "no hits at all\nstill none"),
+    (3, "d.py", None),
+]
+
+
+@pytest.fixture(scope="module")
+def lines_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True, native_postings=False),),
+        block_docs=4,
+    )
+    df = spark.createDataFrame(LINES_CORPUS, "doc_id long, path string, body string")
+    out = os.path.join(tmp_root, "lines_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def test_lines_grep_n_semantics(lines_index):
+    from veloci_spark.trigram import regex_search_lines
+
+    got = [
+        (r["doc_id"], r["path"], r["line_no"], r["line"])
+        for r in regex_search_lines(
+            lines_index, "body", r"merge (sort|join)"
+        ).collect()
+    ]
+    assert got == [
+        (0, "a.py", 2, "merge sort here"),
+        (0, "a.py", 3, "merge join there"),
+        (1, "b.py", 1, "merge sort on line one"),
+        (1, "b.py", 3, "merge sort again"),
+    ]
+
+
+def test_lines_limit_prefix(lines_index):
+    from veloci_spark.trigram import regex_search_lines
+
+    full = regex_search_lines(lines_index, "body", r"merge").collect()
+    lim = regex_search_lines(lines_index, "body", r"merge", limit=2).collect()
+    assert lim == full[:2]
+
+
+def test_lines_unindexable_pattern_full_scans(lines_index):
+    from veloci_spark.trigram import regex_search_lines
+
+    got = [
+        (r["doc_id"], r["line_no"])
+        for r in regex_search_lines(lines_index, "body", r"(sort|os)").collect()
+    ]
+    assert (0, 1) in got  # 'import os' only reachable via the fallback
+
+
+# ------------------------- grep -i (case-insensitive) -------------------------
+
+CI_CORPUS = [
+    (0, "a.py", "MERGE SORT SHOUTED"),
+    (1, "b.py", "merge sort quiet"),
+    (2, "c.py", "Merge Sort Mixed"),
+    (3, "d.py", "mergesort fused"),
+    (4, "e.py", "unrelated text"),
+]
+
+
+@pytest.fixture(scope="module")
+def ci_index(spark, tmp_root):
+    cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True, native_postings=False),),
+        block_docs=4,
+    )
+    df = spark.createDataFrame(CI_CORPUS, "doc_id long, path string, body string")
+    out = os.path.join(tmp_root, "ci_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def test_ci_search_matches_all_cases(ci_index):
+    from veloci_spark.trigram import plan_regex_ci, regex_search_ci
+
+    assert plan_regex_ci(r"Merge Sort") is not None
+    got = [r["doc_id"] for r in regex_search_ci(ci_index, "body", r"Merge Sort").collect()]
+    assert got == [0, 1, 2]
+
+
+def test_ci_equals_case_folded_full_scan(ci_index):
+    from veloci_spark.trigram import regex_search_ci
+
+    for pat in (r"merge sort", r"MERGE (SORT|JOIN)", r"mixed$"):
+        got = [r["doc_id"] for r in regex_search_ci(ci_index, "body", pat).collect()]
+        want = [
+            r["doc_id"]
+            for r in ci_index.docstore()
+            .where(F.col("body").rlike(f"(?i){pat}"))
+            .select("doc_id")
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert got == want
+
+
+def test_ci_case_sensitive_search_stays_exact(ci_index):
+    from veloci_spark.trigram import regex_search
+
+    got = [r["doc_id"] for r in regex_search(ci_index, "body", r"merge sort").collect()]
+    assert got == [1]
+
+
+def test_ci_postings_are_lowercased(ci_index):
+    from veloci_spark.trigram import trigram_postings
+
+    post = trigram_postings(ci_index, "body", ci=True)
+    tris = [r["tri"] for r in post.select("tri").distinct().collect()]
+    assert all(t == t.lower() for t in tris)
+
+
+# ------------------------- selectivity dispatch -------------------------
+
+def test_stats_df_matches_postings(grep_index):
+    from veloci_spark.trigram import trigram_df, trigram_postings
+
+    post = trigram_postings(grep_index, "body")
+    want = {
+        r["tri"]: r["cnt"]
+        for r in post.groupBy("tri").agg(F.count("*").alias("cnt")).collect()
+        if r["tri"] in ("mer", "sor", "zzz")
+    }
+    got = trigram_df(grep_index, "body", ["mer", "sor", "zzz"])
+    assert got["mer"] == want["mer"] and got["sor"] == want["sor"]
+    assert got["zzz"] == 0  # absent trigram → df 0
+
+
+def test_select_plan_keeps_rarest_and_bounds_estimate(grep_index):
+    from veloci_spark.trigram import (
+        TRIS_PER_ALT,
+        plan_regex,
+        select_plan,
+        trigram_df,
+    )
+
+    plan = plan_regex(r"merge (sort|join)")
+    pruned, est = select_plan(grep_index, "body", plan)
+    assert len(pruned) == 2  # both alternatives alive in the fixture
+    assert all(len(tris) <= TRIS_PER_ALT for tris in pruned)
+    assert all(sel <= full for sel, full in zip(map(len, pruned), map(len, plan)))
+    df = trigram_df(
+        grep_index, "body", sorted({t for tris in plan for t in tris})
+    )
+    assert est == sum(min(df[t] for t in tris) for tris in pruned)
+
+
+def test_select_plan_drops_dead_alternatives(grep_index):
+    from veloci_spark.trigram import plan_regex, select_plan
+
+    # 'merge sort' alternative is alive; 'qqq zzz' requires trigrams the
+    # corpus lacks and must be dropped without killing its sibling
+    plan = plan_regex(r"(merge sort|qqq zzz)")
+    pruned, est = select_plan(grep_index, "body", plan)
+    assert len(pruned) == 1 and est > 0
+
+
+def test_dead_plan_is_proven_empty_without_scanning(grep_index):
+    from veloci_spark.trigram import explain_search, regex_search
+
+    ex = explain_search(grep_index, "body", r"quantum entangle")
+    assert ex["arm"] == "empty" and ex["est_candidates"] == 0
+    df = regex_search(grep_index, "body", r"quantum entangle")
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan_str  # folded to an empty relation
+    assert "FileScan" not in plan_str    # neither docstore nor postings read
+    assert df.collect() == []
+
+
+def test_dispatch_arms_agree(grep_index):
+    from veloci_spark.trigram import regex_search
+
+    for pat in (r"merge (sort|join)", r"spark.*join"):
+        rows = {}
+        for prune in ("auto", "always", "never"):
+            rows[prune] = [
+                (r["doc_id"], r["path"])
+                for r in regex_search(grep_index, "body", pat, prune=prune).collect()
+            ]
+        assert rows["auto"] == rows["always"] == rows["never"]
+
+
+def test_explain_search_dispatch_decision(grep_index, monkeypatch):
+    from veloci_spark.trigram import explain_search
+
+    # a vocabulary-absent literal: proven empty from stats alone
+    ex = explain_search(grep_index, "body", r"quantum entangle")
+    assert ex["indexable"] and ex["arm"] == "empty"
+    assert ex["est_candidates"] == 0
+    # a common phrase on the tiny fixture exceeds any sane fraction
+    monkeypatch.setenv("VELOCI_SPARK_REGEX_SCAN_FRAC", "0.01")
+    ex2 = explain_search(grep_index, "body", r"merge (sort|join)")
+    assert ex2["indexable"] and ex2["arm"] == "scan"
+    # forcing the fraction to 1.0 keeps everything indexed
+    monkeypatch.setenv("VELOCI_SPARK_REGEX_SCAN_FRAC", "1.0")
+    ex3 = explain_search(grep_index, "body", r"merge (sort|join)")
+    assert ex3["arm"] == "indexed"
+    assert ex3["est_candidates"] <= ex3["n_docs"]
+
+
+def test_unindexable_explain_is_scan(grep_index):
+    from veloci_spark.trigram import explain_search
+
+    assert explain_search(grep_index, "body", r"(spark|ab)") == {
+        "indexable": False,
+        "arm": "scan",
+    }

@@ -28,6 +28,11 @@ from veloci_spark.generator import QueryGeneratorParameters, generate_request
 from veloci_spark.suggest import highlight_entry, suggest
 from veloci_spark.plan_render import render_plan
 from veloci_spark.token_values import add_token_values
+from veloci_spark.trigram import (
+    regex_search,
+    regex_search_ci,
+    regex_search_lines,
+)
 
 __all__ = [
     "FieldConfig",
@@ -48,6 +53,9 @@ __all__ = [
     "add_token_values",
     "QueryGeneratorParameters",
     "generate_request",
+    "regex_search",
+    "regex_search_ci",
+    "regex_search_lines",
 ]
 
 __version__ = "0.1.0"

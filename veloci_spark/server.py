@@ -740,8 +740,12 @@ class VelociApp:
             rows = regex_search(
                 idx, field, pattern, select=sel, limit=top
             ).collect()
+            from veloci_spark.trigram import explain_search
+
+            ex = explain_search(idx, field, pattern)
             return {
                 "indexable": plan_regex(pattern) is not None,
+                "arm": ex["arm"],
                 "hits": [[*r] for r in rows],
             }
         m_id = re.match(r"^_id/(\d+)$", rest)

@@ -41,6 +41,7 @@ verifier, never as a wrong candidate cut.
 
 from __future__ import annotations
 
+import json
 import os
 import threading
 import zlib
@@ -53,7 +54,7 @@ try:  # Python >= 3.11 moved sre_parse under re._parser
 except ImportError:  # pragma: no cover - older stdlib layout
     import sre_parse as _sre  # type: ignore
 
-TRIGRAM_VERSION = "v1"
+TRIGRAM_VERSION = "v2"
 N_BUCKETS = 64
 #: alternation fan-out cap: a pattern expanding to more alternatives
 #: than this is cheaper to full-scan than to plan
@@ -64,8 +65,9 @@ _build_lock = threading.Lock()
 
 # ------------------------------ index build ------------------------------
 
-def trigram_dir(index, field: str) -> str:
-    return os.path.join(index.path, f"trigram_{field}_{TRIGRAM_VERSION}")
+def trigram_dir(index, field: str, ci: bool = False) -> str:
+    tag = "trigram_ci" if ci else "trigram"
+    return os.path.join(index.path, f"{tag}_{field}_{TRIGRAM_VERSION}")
 
 
 def _tri_expr(field: str):
@@ -80,16 +82,27 @@ def _tri_expr(field: str):
     )
 
 
-def build_trigram_index(index, field: str, n_buckets: int = N_BUCKETS) -> str:
-    """Write the distinct (tri, doc_id) postings for ``field`` under the
-    index dir, partitioned by crc32 bucket; idempotent (resume: a
-    _SUCCESS-marked dir is reused)."""
-    out = trigram_dir(index, field)
+def build_trigram_index(
+    index, field: str, n_buckets: int = N_BUCKETS, ci: bool = False
+) -> str:
+    """Write the trigram artifact for ``field`` under the index dir:
+
+    - ``postings/`` — distinct (tri, doc_id), partitioned by
+      ``crc32(tri) % n_buckets`` (query probes are partition-pruned);
+    - ``stats/``    — (tri, df) document frequencies, one row per
+      distinct trigram (vocabulary-sized: <= |charset|^3), the planner's
+      selectivity source;
+    - ``meta.json`` — {n_docs, n_buckets}, the dispatch denominator.
+
+    ``ci=True`` builds the lowercased variant (grep -i).  Idempotent: a
+    _SUCCESS-marked dir is reused (the marker is written LAST)."""
+    out = trigram_dir(index, field, ci)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
+    src = f"lower({field})" if ci else field
     rows = (
         index.docstore()
-        .select("doc_id", F.explode(_tri_expr(field)).alias("tri"))
+        .select("doc_id", F.explode(_tri_expr(src)).alias("tri"))
         .withColumn(
             "bucket",
             F.pmod(F.crc32(F.col("tri").cast("binary")), F.lit(n_buckets)).cast(
@@ -102,16 +115,65 @@ def build_trigram_index(index, field: str, n_buckets: int = N_BUCKETS) -> str:
         .sortWithinPartitions("tri", "doc_id")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(out)
+        .parquet(os.path.join(out, "postings"))
     )
+    post = index.spark.read.parquet(os.path.join(out, "postings"))
+    (
+        post.groupBy("tri")
+        .agg(F.count("*").alias("df"))  # postings are distinct per (tri, doc)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "stats"))
+    )
+    n_docs = index.docstore().count()
+    with open(os.path.join(out, "meta.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "n_buckets": n_buckets}, f)
+    with open(os.path.join(out, "_SUCCESS"), "w") as f:
+        f.write("")
     return out
 
 
-def trigram_postings(index, field: str) -> DataFrame:
+def trigram_postings(index, field: str, ci: bool = False) -> DataFrame:
     """The (tri, doc_id, bucket) posting table, building it on first use."""
     with _build_lock:
-        out = build_trigram_index(index, field)
-    return index.spark.read.parquet(out)
+        out = build_trigram_index(index, field, ci=ci)
+    return index.spark.read.parquet(os.path.join(out, "postings"))
+
+
+def trigram_meta(index, field: str, ci: bool = False) -> dict:
+    with _build_lock:
+        out = build_trigram_index(index, field, ci=ci)
+    with open(os.path.join(out, "meta.json")) as f:
+        return json.load(f)
+
+
+#: driver-side df cache, keyed by the on-disk artifact dir: the stats
+#: table is VOCABULARY-sized (<= |charset|^3 distinct trigrams, never
+#: corpus-sized), so the whole map fits the driver and makes every
+#: warm query's dispatch decision job-free — the same hot-metadata
+#: pattern as the engine's LeafLru dictionary cache
+_stats_cache: dict[str, dict[str, int]] = {}
+
+
+def trigram_df(
+    index, field: str, tris: Sequence[str], ci: bool = False
+) -> dict[str, int]:
+    """Document frequencies for the query's trigrams (absent trigrams →
+    df 0: they match nothing).  First call per (index, field) loads the
+    vocabulary-sized stats table driver-side; later calls are dict
+    lookups — no Spark job."""
+    with _build_lock:
+        out = build_trigram_index(index, field, ci=ci)
+        stats = _stats_cache.get(out)
+        if stats is None:
+            stats = {
+                r["tri"]: int(r["df"])
+                for r in index.spark.read.parquet(
+                    os.path.join(out, "stats")
+                ).collect()  # vocabulary-sized, bounded by |charset|^3
+            }
+            _stats_cache[out] = stats
+    return {t: stats.get(t, 0) for t in set(tris)}
 
 
 def _bucket_of(tri: str, n_buckets: int = N_BUCKETS) -> int:
@@ -217,9 +279,12 @@ def plan_regex(pattern: str) -> Optional[list[frozenset[str]]]:
 
 # ------------------------------ execution ------------------------------
 
-def regex_candidates(index, field: str, plan: list[frozenset[str]]) -> DataFrame:
+def regex_candidates(
+    index, field: str, plan: list[frozenset[str]], ci: bool = False
+) -> DataFrame:
     """doc_ids matching EVERY required trigram of SOME alternative —
-    one partition-pruned probe + one aggregation for ALL alternatives."""
+    one partition-pruned probe + one aggregation for ALL alternatives.
+    ``ci=True`` probes the lowercased posting table instead."""
     spark = index.spark
     reqs = sorted({(i, t) for i, tris in enumerate(plan) for t in tris})
     req_df = spark.createDataFrame(reqs, "alt_id int, tri string")
@@ -227,7 +292,7 @@ def regex_candidates(index, field: str, plan: list[frozenset[str]]) -> DataFrame
         [(i, len(tris)) for i, tris in enumerate(plan)], "alt_id int, n_req int"
     )
     buckets = sorted({_bucket_of(t) for _, t in reqs})
-    post = trigram_postings(index, field).where(F.col("bucket").isin(buckets))
+    post = trigram_postings(index, field, ci=ci).where(F.col("bucket").isin(buckets))
     got = (
         post.join(F.broadcast(req_df), "tri")
         .groupBy("alt_id", "doc_id")
@@ -238,26 +303,192 @@ def regex_candidates(index, field: str, plan: list[frozenset[str]]) -> DataFrame
     return got.select("doc_id").distinct()
 
 
+def plan_regex_ci(pattern: str) -> Optional[list[frozenset[str]]]:
+    """Case-insensitive planning: required literals are LOWERCASED and
+    probed against the lowercased posting table.  Sound only for
+    patterns whose literals are case-stable under lower() (true for
+    ASCII); a literal whose lowercase expands (e.g. ß-adjacent forms)
+    would shift trigram boundaries, so it is refused."""
+    plan = plan_regex(pattern)
+    if plan is None:
+        return None
+    out = []
+    for tris in plan:
+        low = set()
+        for t in tris:
+            lt = t.lower()
+            if len(lt) != 3:  # lowercase expansion would shift trigrams
+                return None
+            low.add(lt)
+        out.append(frozenset(low))
+    return out
+
+
+# ------------------------- selectivity + dispatch -------------------------
+
+#: rarest trigrams kept per alternative: candidates stay a superset (a
+#: subset of AND conditions only widens the result) while the probe
+#: touches a bounded number of posting lists per alternative
+TRIS_PER_ALT = 3
+#: estimated-candidate fraction above which the planner dispatches to
+#: the plain rlike scan: when most docs survive pruning, the probe's
+#: aggregation costs more than the scan it would save (the same
+#: measured-crossover reasoning as the BM25 WAND dispatch)
+SCAN_FRAC = 0.10
+
+
+def _scan_frac() -> float:
+    return float(os.environ.get("VELOCI_SPARK_REGEX_SCAN_FRAC", SCAN_FRAC))
+
+
+def select_plan(
+    index, field: str, plan: list[frozenset[str]], ci: bool = False
+) -> tuple[list[frozenset[str]], int]:
+    """Keep the TRIS_PER_ALT rarest trigrams of each alternative (df from
+    the stats table — a pattern-sized lookup) and return the pruned plan
+    plus the candidate-count upper bound sum(min df per alternative).
+
+    An alternative whose rarest required trigram has df 0 is DEAD — no
+    document contains it — and is dropped here; a fully dead plan (empty
+    list, est 0) proves the whole query empty from the stats lookup
+    alone, the grep-miss fast path."""
+    all_tris = sorted({t for tris in plan for t in tris})
+    df = trigram_df(index, field, all_tris, ci=ci)
+    pruned = []
+    est = 0
+    for tris in plan:
+        sel = frozenset(sorted(tris, key=lambda t: (df[t], t))[:TRIS_PER_ALT])
+        lo = min(df[t] for t in sel)
+        if lo == 0:
+            continue  # a required trigram absent from the corpus
+        pruned.append(sel)
+        est += lo
+    return pruned, est
+
+
+def _pruned_docs(
+    index, field: str, pattern: str, ignore_case: bool, prune: str = "auto"
+) -> DataFrame:
+    """docstore narrowed to trigram candidates when the pattern allows
+    AND the selectivity estimate says pruning pays.
+
+    prune: "auto" (selectivity dispatch, the default), "always" (force
+    the indexed path whenever the pattern is plannable), "never" (force
+    the full scan)."""
+    docs = index.docstore()
+    if prune == "never":
+        return docs
+    plan = plan_regex_ci(pattern) if ignore_case else plan_regex(pattern)
+    if plan is None:
+        return docs
+    pruned, est = select_plan(index, field, plan, ci=ignore_case)
+    if not pruned:
+        # every alternative requires a trigram the corpus lacks: proven
+        # empty by the stats lookup alone — no probe, no scan
+        return docs.where(F.lit(False))
+    if prune == "auto":
+        n_docs = trigram_meta(index, field, ci=ignore_case)["n_docs"]
+        if est > _scan_frac() * n_docs:
+            return docs  # unselective pattern: the scan is the fast plan
+    return docs.join(
+        regex_candidates(index, field, pruned, ci=ignore_case),
+        "doc_id",
+        "leftsemi",
+    )
+
+
+def explain_search(index, field: str, pattern: str, ignore_case: bool = False) -> dict:
+    """The dispatch decision, rendered: planned trigrams, per-alt
+    selection, candidate estimate, and the chosen arm."""
+    plan = plan_regex_ci(pattern) if ignore_case else plan_regex(pattern)
+    if plan is None:
+        return {"indexable": False, "arm": "scan"}
+    pruned, est = select_plan(index, field, plan, ci=ignore_case)
+    n_docs = trigram_meta(index, field, ci=ignore_case)["n_docs"]
+    if not pruned:
+        arm = "empty"  # proven empty from the stats lookup alone
+    elif est <= _scan_frac() * n_docs:
+        arm = "indexed"
+    else:
+        arm = "scan"
+    return {
+        "indexable": True,
+        "arm": arm,
+        "est_candidates": est,
+        "n_docs": n_docs,
+        "selected": [sorted(t) for t in pruned],
+    }
+
+
+# ------------------------------ search entries ------------------------------
+
 def regex_search(
     index,
     field: str,
     pattern: str,
     select: Sequence[str] = ("doc_id", "path"),
     limit: Optional[int] = None,
+    prune: str = "auto",
 ) -> DataFrame:
     """grep over the docstore: rows whose ``field`` contains a match of
     ``pattern`` (partial-match semantics, like rlike / RE2 search),
-    ordered by doc_id — trigram-pruned when the pattern allows, full
-    scan otherwise."""
-    plan = plan_regex(pattern)
-    docs = index.docstore()
-    if plan is not None:
-        cand = regex_candidates(index, field, plan)
-        docs = docs.join(cand, "doc_id", "leftsemi")
+    ordered by doc_id — trigram-pruned when the pattern allows and the
+    selectivity estimate says pruning pays, full scan otherwise."""
+    docs = _pruned_docs(index, field, pattern, ignore_case=False, prune=prune)
     out = (
         docs.where(F.col(field).rlike(pattern))
         .select(*select)
         .orderBy("doc_id")
+    )
+    return out.limit(int(limit)) if limit is not None else out
+
+
+def regex_search_ci(
+    index,
+    field: str,
+    pattern: str,
+    select: Sequence[str] = ("doc_id", "path"),
+    limit: Optional[int] = None,
+    prune: str = "auto",
+) -> DataFrame:
+    """grep -i: case-insensitive regex search, pruned through the
+    lowercased trigram table when the pattern and selectivity allow."""
+    docs = _pruned_docs(index, field, pattern, ignore_case=True, prune=prune)
+    out = (
+        docs.where(F.col(field).rlike(f"(?i){pattern}"))
+        .select(*select)
+        .orderBy("doc_id")
+    )
+    return out.limit(int(limit)) if limit is not None else out
+
+
+def regex_search_lines(
+    index,
+    field: str,
+    pattern: str,
+    select: Sequence[str] = ("doc_id", "path"),
+    limit: Optional[int] = None,
+    ignore_case: bool = False,
+    prune: str = "auto",
+) -> DataFrame:
+    """grep -n: one row per MATCHING LINE — (select..., line_no, line),
+    ordered by (doc_id, line_no).
+
+    The line explosion happens AFTER candidate pruning and doc-level
+    verification, so at corpus scale only matching documents are split
+    into lines (output-bounded, like the highlight path), never the
+    whole corpus."""
+    docs = _pruned_docs(index, field, pattern, ignore_case, prune=prune)
+    rx = f"(?i){pattern}" if ignore_case else pattern
+    matched = docs.where(F.col(field).rlike(rx))
+    lines = matched.select(
+        *select,
+        F.posexplode(F.split(F.col(field), "\n")).alias("pos", "line"),
+    )
+    out = (
+        lines.where(F.col("line").rlike(rx))
+        .select(*select, (F.col("pos") + 1).alias("line_no"), "line")
+        .orderBy("doc_id", "line_no")
     )
     return out.limit(int(limit)) if limit is not None else out
 

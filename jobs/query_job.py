@@ -48,7 +48,7 @@ def main() -> None:
         "--bm25",
         choices=[
             "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
-            "explain", "batch", "collapse", "mlt",
+            "explain", "batch", "collapse", "mlt", "prf",
         ],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
@@ -62,7 +62,24 @@ def main() -> None:
         '{"qid": ["term", ...], ...}; '
         "'collapse' = field-collapsed top-k (--collapse-group / "
         "--collapse-per-group); 'mlt' = more-like-this, --query is the "
-        "source doc_id)",
+        "source doc_id; 'prf' = pseudo-relevance-feedback expansion of "
+        "the plain OR query)",
+    )
+    ap.add_argument(
+        "--regex",
+        action="store_true",
+        help="content grep (trigram-pruned when selective, scan "
+        "otherwise): --query is the pattern, --fields the one column",
+    )
+    ap.add_argument(
+        "--regex-lines",
+        action="store_true",
+        help="with --regex: grep -n output (one row per matching line)",
+    )
+    ap.add_argument(
+        "--ignore-case",
+        action="store_true",
+        help="with --regex: grep -i (lowercased trigram table)",
     )
     ap.add_argument(
         "--collapse-group",
@@ -131,6 +148,35 @@ def main() -> None:
             skip=args.skip,
         ).collect()
         for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        spark.stop()
+        return
+
+    if args.regex:
+        from veloci_spark import trigram
+
+        if not args.fields or len(args.fields.split(",")) != 1:
+            ap.error("--regex requires exactly one --fields entry")
+        sel = (
+            ("doc_id", "path")
+            if "path" in idx.docstore().columns
+            else ("doc_id",)
+        )
+        lim = args.top + args.skip if args.top else None
+        if args.regex_lines:
+            rows = trigram.regex_search_lines(
+                idx, args.fields, args.query, select=sel, limit=lim,
+                ignore_case=args.ignore_case,
+            ).collect()
+        elif args.ignore_case:
+            rows = trigram.regex_search_ci(
+                idx, args.fields, args.query, select=sel, limit=lim
+            ).collect()
+        else:
+            rows = trigram.regex_search(
+                idx, args.fields, args.query, select=sel, limit=lim
+            ).collect()
+        for r in rows[args.skip:]:
             print(json.dumps(r.asDict(), default=str))
         spark.stop()
         return
@@ -222,6 +268,7 @@ def main() -> None:
                     "and-wand": bm25.bm25_and_wand_topk,
                     "phrase": bm25.bm25_phrase_topk,
                     "explain": bm25.bm25_explain_topk,
+                    "prf": bm25.bm25_prf_topk,
                 }[args.bm25]
                 rows = fn(idx, args.fields, terms, args.top + args.skip).collect()
         for r in rows[args.skip:]:

@@ -90,6 +90,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     by rule 1 (score-provenance attachment is ONE mechanism and
 #:     ft_explain_components keeps its row; code_bm25_topk pins the
 #:     underlying retrieval).
+#:   - code_bm25_near (unordered span-near proximity — a NEW matching
+#:     mechanism: positional MIN-COVER window verify over intersection
+#:     candidates, bm25.bm25_near_topk; distinct from code_bm25_phrase's
+#:     ordered-adjacency pair chain) enters; code_bm25_term demotes —
+#:     the per-(term, doc) score TABLE is the factor every retrieval row
+#:     integer-sums (code_bm25_topk pins the aggregate end-to-end,
+#:     ft_explain_components pins per-component provenance, and the
+#:     BM25-side provenance row code_bm25_explain stays oracled in
+#:     extras).
+#:   - code_bm25_snippet (best-fragment snippet extraction — a NEW
+#:     result-decoration mechanism: leftmost maximal-occurrence token
+#:     window per hit, bm25.bm25_snippet_topk; distinct from
+#:     ft_highlight_texts, which resolves token hits to stored text ids)
+#:     enters; ft_exact_token demotes — single-term exact retrieval is
+#:     the factor chain contained in EVERY other ft row (both branches
+#:     of ft_or_two_terms are exact token matches over the same anchor
+#:     resolve; ft_dictionary pins the probe).
 #:   - code_regex_search (trigram-index-accelerated content regex — a
 #:     NEW pruning mechanism: regex → required-trigram query →
 #:     partition-pruned probe → rlike verify, trigram.py; distinct from
@@ -100,6 +117,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DEMOTED = (
     "code_bm25_explain",        # provenance mechanism pinned by ft_explain_components
     "dedup_embedding_cosine",   # LSH∘cosine; ann_cosine_topk + dedup_minhash_lsh pin factors
+    "code_bm25_term",           # per-entry score table; code_bm25_topk pins the sum, explain rows pin provenance
+    "ft_exact_token",           # single-term exact chain contained in every ft row; ft_dictionary pins the probe
 
     "ft_nested_facet",          # facets∘nested; ft_facet_lang + ft_nested_search pin the factors
     "decontam_shuffle",         # plan variant of decontam_ngram (rule 1); shape pinned in tests

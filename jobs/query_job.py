@@ -48,7 +48,7 @@ def main() -> None:
         "--bm25",
         choices=[
             "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
-            "explain", "batch", "collapse", "mlt", "prf",
+            "near", "snippet", "explain", "batch", "collapse", "mlt", "prf",
         ],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
@@ -63,7 +63,22 @@ def main() -> None:
         "'collapse' = field-collapsed top-k (--collapse-group / "
         "--collapse-per-group); 'mlt' = more-like-this, --query is the "
         "source doc_id; 'prf' = pseudo-relevance-feedback expansion of "
-        "the plain OR query)",
+        "the plain OR query; 'near' = unordered span-near proximity "
+        "(--near-slop); 'snippet' = or-mode top-k with a best-fragment "
+        "snippet per hit (--snippet-window))",
+    )
+    ap.add_argument(
+        "--near-slop",
+        type=int,
+        default=2,
+        help="proximity slack for --bm25 near: all terms within a "
+        "((n-1)+slop)-token window (0 = adjacent in some order)",
+    )
+    ap.add_argument(
+        "--snippet-window",
+        type=int,
+        default=8,
+        help="fragment width in tokens for --bm25 snippet",
     )
     ap.add_argument(
         "--regex",
@@ -229,6 +244,26 @@ def main() -> None:
                 idx, args.fields, terms, args.top + args.skip,
                 group_col=args.collapse_group,
                 per_group=args.collapse_per_group,
+            ).collect()
+        elif args.bm25 == "near":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.near_slop < 0:
+                ap.error("--near-slop must be >= 0")
+            if len(set(terms)) != len(terms) or len(terms) < 2:
+                ap.error("--bm25 near needs >= 2 distinct terms")
+            rows = bm25.bm25_near_topk(
+                idx, args.fields, terms, args.top + args.skip,
+                slop=args.near_slop,
+            ).collect()
+        elif args.bm25 == "snippet":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.snippet_window < 1:
+                ap.error("--snippet-window must be >= 1")
+            rows = bm25.bm25_snippet_topk(
+                idx, args.fields, terms, args.top + args.skip,
+                window=args.snippet_window,
             ).collect()
         elif args.bm25 == "mlt":
             if not args.fields or len(args.fields.split(",")) != 1:

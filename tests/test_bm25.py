@@ -764,3 +764,142 @@ def test_prf_absent_terms_empty(bm25_index):
     assert (
         bm25_prf_topk(bm25_index, "body", ["zz_missing"], 5).collect() == []
     )
+
+
+# ------------------- span-near (unordered proximity) -------------------
+
+from veloci_spark.bm25 import bm25_near_topk, bm25_snippet_topk  # noqa: E402
+
+
+def _naive_near_docs(terms, slop):
+    """Brute-force exists-a-combination semantics (itertools.product over
+    per-term position lists) — deliberately NOT the engine's two-pointer
+    min-cover, so the two implementations check each other."""
+    import itertools
+
+    width = (len(terms) - 1) + slop
+    runs = {i: list(py_tokenize(txt)) for i, txt in CORPUS}
+    docs = {
+        i: [t for t, sep in rs if not sep] for i, rs in runs.items() if len(rs) >= 2
+    }
+    keep = set()
+    for i, toks in docs.items():
+        pls = [[p for p, t in enumerate(toks) if t == q] for q in terms]
+        if any(not pl for pl in pls):
+            continue
+        best = min(max(c) - min(c) for c in itertools.product(*pls))
+        if best <= width:
+            keep.add(i)
+    return keep
+
+
+def _near_rows(bm25_index, terms, slop, k=10):
+    return [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_near_topk(bm25_index, "body", terms, k, slop=slop).collect()
+    ]
+
+
+def test_near_matches_bruteforce_replica(bm25_index):
+    for terms, slop in (
+        (["alpha", "gamma"], 0),
+        (["alpha", "gamma"], 2),
+        (["alpha", "beta", "gamma"], 0),
+        (["alpha", "beta", "gamma"], 1),
+        (["beta", "delta"], 3),
+    ):
+        want_docs = _naive_near_docs(terms, slop)
+        got = _near_rows(bm25_index, terms, slop)
+        assert {d for d, _ in got} == want_docs, (terms, slop)
+
+
+def test_near_slop_zero_is_unordered_adjacency(bm25_index):
+    # doc8 = "alpha gamma alpha gamma" is the only adjacent alpha/gamma pair
+    got = _near_rows(bm25_index, ["alpha", "gamma"], 0)
+    assert [d for d, _ in got] == [8]
+
+
+def test_near_monotone_in_slop(bm25_index):
+    prev = set()
+    for slop in (0, 1, 2, 4, 8):
+        cur = {d for d, _ in _near_rows(bm25_index, ["alpha", "gamma"], slop)}
+        assert prev <= cur
+        prev = cur
+    # wide enough slop degenerates to the AND result
+    and_docs = {
+        r["doc_id"]
+        for r in bm25_and_topk(bm25_index, "body", ["alpha", "gamma"], 10).collect()
+    }
+    assert prev == and_docs
+
+
+def test_near_scores_equal_and_scores(bm25_index):
+    # proximity is a match predicate: survivors keep their AND-sum score
+    and_rows = {
+        r["doc_id"]: r["score_e4"]
+        for r in bm25_and_topk(bm25_index, "body", ["alpha", "gamma"], 10).collect()
+    }
+    for d, s in _near_rows(bm25_index, ["alpha", "gamma"], 1):
+        assert s == and_rows[d]
+
+
+def test_near_validation_and_empties(bm25_index):
+    with pytest.raises(ValueError):
+        bm25_near_topk(bm25_index, "body", ["alpha", "alpha"], 5)
+    with pytest.raises(ValueError):
+        bm25_near_topk(bm25_index, "body", ["alpha"], 5)
+    assert (
+        bm25_near_topk(bm25_index, "body", ["alpha", "zz_missing"], 5).collect()
+        == []
+    )
+
+
+# ------------------- best-fragment snippet extraction -------------------
+
+def test_snippet_scores_and_order_equal_topk(bm25_index):
+    plain = [
+        (r["doc_id"], r["score_e4"])
+        for r in bm25_topk(bm25_index, "body", ["alpha", "gamma"], 5).collect()
+    ]
+    snip = bm25_snippet_topk(bm25_index, "body", ["alpha", "gamma"], 5).collect()
+    assert [(r["doc_id"], r["score_e4"]) for r in snip] == plain
+
+
+def test_snippet_leftmost_maximal_window(bm25_index):
+    # doc8 = "alpha gamma alpha gamma": every width-2 window holds 2
+    # matches; the tie must break to the LEFTMOST (start 0)
+    rows = {
+        r["doc_id"]: r
+        for r in bm25_snippet_topk(
+            bm25_index, "body", ["alpha", "gamma"], 10, window=2
+        ).collect()
+    }
+    assert rows[8]["snippet"] == "alpha gamma"
+    assert rows[8]["n_matched"] == 2
+    # doc0 = "alpha beta beta gamma": width-2 windows hold at most 1 match;
+    # leftmost maximal is the alpha at position 0
+    assert rows[0]["snippet"] == "alpha beta"
+    assert rows[0]["n_matched"] == 1
+
+
+def test_snippet_window_clips_at_doc_end(bm25_index):
+    rows = {
+        r["doc_id"]: r
+        for r in bm25_snippet_topk(
+            bm25_index, "body", ["epsilon"], 10, window=50
+        ).collect()
+    }
+    # doc3 = "delta epsilon": the window is larger than the doc — the
+    # snippet is anchored at the match and clips at the end
+    assert rows[3]["snippet"] == "epsilon"
+    assert rows[3]["n_matched"] == 1
+    # doc4 contains epsilon at the end; window clips, still 1 match
+    assert rows[4]["snippet"] == "epsilon"
+
+
+def test_snippet_absent_term_empty_schema(bm25_index):
+    df = bm25_snippet_topk(bm25_index, "body", ["zz_missing"], 5)
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "score_e4", "n_matched", "snippet",
+    ]

@@ -672,3 +672,44 @@ def test_regex_route_fallback_flagged(app):
     )
     assert status == 200 and res["indexable"] is False
     assert len(res["hits"]) > 0
+
+
+def test_bm25_route_near_and_snippet(app, spark, tmp_root):
+    """POST /:db/bm25 modes near/snippet equal the direct calls; junk
+    slop/window values are 400s (incl. the bool-as-int trap)."""
+    from veloci_spark.bm25 import bm25_near_topk, bm25_snippet_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {"field": "text", "terms": ["spark", "join"], "top": 5}
+    status, res = app.handle(
+        "POST", "/docs/bm25", body={**body, "mode": "near", "slop": 3}
+    )
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_near_topk(idx, "text", body["terms"], 5, slop=3).collect()
+    ]
+    assert res == want
+    status, res = app.handle(
+        "POST", "/docs/bm25", body={**body, "mode": "snippet", "window": 4}
+    )
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"]), int(r["n_matched"]), r["snippet"]]
+        for r in bm25_snippet_topk(
+            idx, "text", body["terms"], 5, window=4
+        ).collect()
+    ]
+    assert res == want and all(isinstance(r[3], str) for r in res)
+    # validation: negative slop, bool slop, dup/single terms, bad window
+    for bad in (
+        {**body, "mode": "near", "slop": -1},
+        {**body, "mode": "near", "slop": True},
+        {**body, "mode": "near", "terms": ["spark", "spark"]},
+        {**body, "mode": "near", "terms": ["spark"]},
+        {**body, "mode": "snippet", "window": 0},
+        {**body, "mode": "snippet", "window": False},
+    ):
+        status, _ = app.handle("POST", "/docs/bm25", body=bad)
+        assert status == 400, bad

@@ -1289,3 +1289,218 @@ def bm25_prf_topk(
         F.sum(F.col("score") * weights[F.col("term_id")]).alias("score_e4")
     )
     return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k)
+
+
+# ------------------- span-near (proximity) retrieval --------------------
+
+def bm25_near_topk(
+    index, field: str, terms: Sequence[str], k: int, slop: int = 2
+) -> DataFrame:
+    """Unordered proximity (span-near) BM25 top-k: docs where ALL of
+    ``terms`` occur with some choice of ONE position per term whose
+    span (max − min, in non-separator token ranks) is ≤ (n−1) + slop.
+    ``slop=0`` degenerates to "the n terms adjacent in some order" —
+    Lucene ``SpanNearQuery(inOrder=false)`` / ES ``match_phrase`` slop
+    semantics over distinct terms.  Proximity is a MATCH PREDICATE
+    exactly like :func:`bm25_phrase_topk`'s adjacency (the reference's
+    phrase pairs, /root/reference/src/create.rs:251-263, generalized
+    from ordered distance-1 to unordered distance-≤width); the score is
+    the integer BM25 sum over the query terms.
+
+    Stages (all bounded):
+
+    1. **posting intersection** — docs holding ALL terms, from the query
+       terms' decoded postings only (literal ``term_id IN`` → Parquet
+       row-group stats); the decoded frame is persisted and reused for
+       stage 3, so the blocks are decompressed ONCE;
+    2. **positional verify** over the candidates only — a docstore scan
+       pruned to a literal ``doc_id IN`` list, re-tokenized in one
+       Arrow-batched pass that computes the classic two-pointer
+       MIN-COVER window over the merged occurrence list (O(occurrences)
+       per doc, not O(positions^n)); a doc passes iff its minimal cover
+       span is ≤ width.  Candidates are intersection-bounded, so this
+       touches a vanishing fraction of the corpus (the phrase verify's
+       measured rationale — mapInPandas, NOT a JVM lambda Catalyst
+       would push below the semi-join);
+    3. **scoring** — the stage-1 decoded frame semi-joined to the
+       verified docs, integer-summed, top-k.
+    """
+    import pandas as pd
+
+    from veloci_spark.config import DEFAULT_SEPARATORS
+    from veloci_spark.index import decode_blocks_df
+    from veloci_spark.tokenize import py_tokenize
+
+    spark = index.spark
+    uniq = sorted(set(terms))
+    if len(uniq) != len(terms):
+        raise ValueError("span-near terms must be distinct")
+    n = len(uniq)
+    if n < 2:
+        raise ValueError("span-near needs at least two terms")
+    width = (n - 1) + int(slop)
+    ids = _matched_term_ids(index, field, uniq)
+    if len(ids) < n:  # some term absent from the corpus entirely
+        return _empty_topk(spark)
+
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks).persist()
+    try:
+        cand = (
+            flat.groupBy("doc_id")
+            .agg(F.count("*").alias("nt"))
+            .where(F.col("nt") == n)
+            .select("doc_id")
+        )
+
+        conf = index.field_conf(field)
+        seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
+        grouped = bool(conf.get("tokenizer_grouped", True))
+        MAX_INLIST = 100_000
+        cand_ids = [r["doc_id"] for r in cand.limit(MAX_INLIST + 1).collect()]
+        if not cand_ids:
+            return _empty_topk(spark)
+        if len(cand_ids) > MAX_INLIST:
+            # stop-word-grade conjunction: keep the prune as a semi-join
+            cand_rows = index.docstore().select("doc_id", field).join(
+                cand, "doc_id", "left_semi"
+            )
+        else:
+            cand_rows = index.docstore().select("doc_id", field).where(
+                F.col("doc_id").isin(cand_ids)
+            )
+
+        termset = frozenset(uniq)
+
+        def _verify(batches) -> "pd.DataFrame":
+            for pdf in batches:
+                keep = []
+                for doc_id, txt in zip(pdf["doc_id"], pdf[field]):
+                    if txt is None:
+                        continue
+                    runs = list(py_tokenize(txt, seps, grouped))
+                    if len(runs) < 2:  # single-run texts emit no tokens
+                        continue
+                    toks = [t for t, sep in runs if not sep]
+                    occ = [(i, t) for i, t in enumerate(toks) if t in termset]
+                    # two-pointer min-cover over the merged occurrence list
+                    have: dict = {}
+                    lo = 0
+                    best = None
+                    for hi in range(len(occ)):
+                        have[occ[hi][1]] = have.get(occ[hi][1], 0) + 1
+                        while len(have) == len(termset):
+                            span = occ[hi][0] - occ[lo][0]
+                            if best is None or span < best:
+                                best = span
+                            t0 = occ[lo][1]
+                            have[t0] -= 1
+                            if not have[t0]:
+                                del have[t0]
+                            lo += 1
+                    if best is not None and best <= width:
+                        keep.append(doc_id)
+                yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
+
+        verified = cand_rows.mapInPandas(_verify, "doc_id long")
+        hits = (
+            flat.join(verified, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score_e4"))
+        )
+        out_rows = (
+            hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+        )
+    finally:
+        flat.unpersist()
+    return spark.createDataFrame(out_rows, "doc_id long, score_e4 long")
+
+
+# -------------------- best-fragment snippet extraction -------------------
+
+def bm25_snippet_topk(
+    index, field: str, terms: Sequence[str], k: int, window: int = 8
+) -> DataFrame:
+    """OR-mode BM25 top-k with a best-fragment snippet per hit — the
+    Lucene highlighter's fragment scoring reduced to a deterministic
+    cross-engine rule: among windows of ``window`` consecutive
+    non-separator tokens, pick the one containing the most query-term
+    OCCURRENCES; ties break to the LEFTMOST window.  Windows are
+    anchored at match positions — a maximal-count window can always be
+    shifted right until it starts on its first match without losing a
+    match, so match-anchored enumeration is lossless and the leftmost
+    maximal anchor is unique.
+
+    Returns (doc_id, score_e4, n_matched, snippet); ``snippet`` is the
+    window's tokens joined by single spaces — a deterministic canonical
+    form shared byte-for-byte with the DuckDB oracle, not a UI
+    rendering (the native engine's why_found/highlight covers that,
+    highlight.py).
+
+    Scale shape: retrieval is the standard pruned-decode top-k;
+    fragment extraction touches exactly k docs (bounded collect →
+    literal ``doc_id IN`` docstore prune → one Arrow batch), so the
+    snippet stage costs O(k · doc_len) regardless of corpus size.
+    """
+    import pandas as pd
+
+    from veloci_spark.config import DEFAULT_SEPARATORS
+    from veloci_spark.tokenize import py_tokenize
+
+    spark = index.spark
+    W = int(window)
+    if W < 1:
+        raise ValueError("window must be >= 1")
+    schema = "doc_id long, score_e4 long, n_matched long, snippet string"
+    top_rows = bm25_topk(index, field, terms, k).collect()  # k-bounded
+    if not top_rows:
+        return spark.createDataFrame([], schema)
+    scores = {int(r["doc_id"]): int(r["score_e4"]) for r in top_rows}
+
+    conf = index.field_conf(field)
+    seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
+    grouped = bool(conf.get("tokenizer_grouped", True))
+    termset = frozenset(terms)
+
+    def _snip(batches) -> "pd.DataFrame":
+        from bisect import bisect_right
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_matched": [], "snippet": []}
+            for doc_id, txt in zip(pdf["doc_id"], pdf[field]):
+                if txt is None:
+                    continue
+                runs = list(py_tokenize(txt, seps, grouped))
+                if len(runs) < 2:
+                    continue
+                toks = [t for t, sep in runs if not sep]
+                matches = [i for i, t in enumerate(toks) if t in termset]
+                if not matches:  # unreachable for a scored hit; belt+braces
+                    continue
+                best_nm, best_start = 0, 0
+                for pos_idx, p in enumerate(matches):
+                    nm = bisect_right(matches, p + W - 1) - pos_idx
+                    if nm > best_nm:  # strict: leftmost wins ties
+                        best_nm, best_start = nm, p
+                out["doc_id"].append(int(doc_id))
+                out["n_matched"].append(best_nm)
+                out["snippet"].append(" ".join(toks[best_start : best_start + W]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_matched": pd.Series(out["n_matched"], dtype="int64"),
+                    "snippet": pd.Series(out["snippet"], dtype="object"),
+                }
+            )
+
+    cand_rows = index.docstore().select("doc_id", field).where(
+        F.col("doc_id").isin(list(scores))
+    )
+    frags = cand_rows.mapInPandas(_snip, "doc_id long, n_matched long, snippet string")
+    totals = spark.createDataFrame(
+        sorted(scores.items()), "doc_id long, score_e4 long"
+    )
+    out = frags.join(F.broadcast(totals), "doc_id").select(
+        "doc_id", "score_e4", "n_matched", "snippet"
+    )
+    return out.orderBy(F.desc("score_e4"), F.desc("doc_id"))

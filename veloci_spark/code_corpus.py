@@ -41,7 +41,9 @@ from veloci_spark.bm25 import (
     bm25_auto_topk,
     bm25_collapse_topk,
     bm25_mlt_topk,
+    bm25_near_topk,
     bm25_prf_topk,
+    bm25_snippet_topk,
     bm25_topk,
     bm25_topk_after,
     bm25_wand_topk,
@@ -905,6 +907,123 @@ _QUERIES["code_bm25_prf"] = _q_bm25_prf
 _ORACLES["code_bm25_prf"] = _bm25_prf_sql(
     _TOPK_TERMS, 20, _PRF_FB_DOCS, _PRF_FB_TERMS,
     _PRF_MIN_OCC, _PRF_ORIG_W, _PRF_EXP_W,
+)
+
+
+# ---- span-near (unordered proximity) retrieval ----
+
+_NEAR_TERMS = ["spark", "join", "merge"]
+_NEAR_SLOP = 2  # width = (n-1)+slop = 4; at sf0.01 keeps 29 of 269 AND docs
+
+
+def _bm25_near_sql(terms: list[str], k: int, slop: int) -> str:
+    """Exists-a-combination semantics made literal: one occurrence table
+    per term, joined per doc, kept when greatest(np..) - least(np..) <=
+    width — exactly the min-cover <= width predicate the engine's
+    two-pointer verify computes."""
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    width = (len(terms) - 1) + slop
+    occs = [
+        f"(SELECT doc_id, np FROM cnsp WHERE tok = {_q(t)}) a{i}"
+        for i, t in enumerate(terms)
+    ]
+    frm = occs[0] + "".join(f" JOIN {o} USING (doc_id)" for o in occs[1:])
+    nps = ", ".join(f"a{i}.np" for i in range(len(terms)))
+    return (
+        "WITH "
+        + CODE_CTE
+        + ","
+        + CONTENT_POS_CTE
+        + f""",
+near_docs AS (
+  SELECT DISTINCT a0.doc_id FROM {frm}
+  WHERE greatest({nps}) - least({nps}) <= {width}
+)
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+FROM cbm25 b JOIN cdict d USING (term_id)
+WHERE d.term IN ({in_list})
+  AND b.doc_id IN (SELECT doc_id FROM near_docs)
+GROUP BY b.doc_id
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_near(spark, sf_dir):
+    """Unordered span-near: all three terms within a 4-rank window
+    (slop 2); posting intersection prunes, an Arrow min-cover verify
+    decides, BM25 sums over the verified docs only."""
+    idx = code_index(spark, sf_dir)
+    return bm25_near_topk(idx, "content", _NEAR_TERMS, 20, slop=_NEAR_SLOP)
+
+
+_QUERIES["code_bm25_near"] = _q_bm25_near
+_ORACLES["code_bm25_near"] = _bm25_near_sql(_NEAR_TERMS, 20, _NEAR_SLOP)
+
+
+# ---- best-fragment snippet extraction over the top-k ----
+
+_SNIPPET_TERMS = ["spark", "join", "merge"]
+_SNIPPET_K = 15
+_SNIPPET_W = 8
+
+
+def _bm25_snippet_sql(terms: list[str], k: int, window: int) -> str:
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    w1 = window - 1
+    return (
+        "WITH "
+        + CODE_CTE
+        + ","
+        + CONTENT_POS_CTE
+        + f""",
+topk AS (
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+  ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}
+),
+m AS (
+  SELECT c.doc_id, c.np FROM cnsp c JOIN topk t USING (doc_id)
+  WHERE c.tok IN ({in_list})
+),
+wcnt AS (
+  SELECT s.doc_id, s.np AS st, count(*) AS nm
+  FROM m s JOIN m x ON x.doc_id = s.doc_id
+                   AND x.np >= s.np AND x.np <= s.np + {w1}
+  GROUP BY s.doc_id, s.np
+),
+best AS (
+  SELECT doc_id, st, nm,
+         row_number() OVER (PARTITION BY doc_id ORDER BY nm DESC, st ASC) AS rn
+  FROM wcnt
+),
+snip AS (
+  SELECT b.doc_id, b.nm,
+         string_agg(c.tok, ' ' ORDER BY c.np) AS snippet
+  FROM best b JOIN cnsp c ON c.doc_id = b.doc_id
+                         AND c.np >= b.st AND c.np <= b.st + {w1}
+  WHERE b.rn = 1 GROUP BY b.doc_id, b.nm
+)
+SELECT t.doc_id, t.score_e4, CAST(s.nm AS BIGINT) AS n_matched, s.snippet
+FROM topk t JOIN snip s USING (doc_id)
+ORDER BY score_e4 DESC, doc_id DESC"""
+    )
+
+
+def _q_bm25_snippet(spark, sf_dir):
+    """OR top-k + leftmost maximal-occurrence 8-token fragment per hit;
+    the fragment pass touches exactly k docs (literal IN docstore
+    prune + one Arrow batch)."""
+    idx = code_index(spark, sf_dir)
+    return bm25_snippet_topk(
+        idx, "content", _SNIPPET_TERMS, _SNIPPET_K, window=_SNIPPET_W
+    )
+
+
+_QUERIES["code_bm25_snippet"] = _q_bm25_snippet
+_ORACLES["code_bm25_snippet"] = _bm25_snippet_sql(
+    _SNIPPET_TERMS, _SNIPPET_K, _SNIPPET_W
 )
 
 

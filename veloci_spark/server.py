@@ -17,7 +17,7 @@ driver-local port:
 - ``GET  /<db>/_id/<id>``               doc store row
 - ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
 - ``POST /<db>/bm25``                   north-rule extension: single-query
-  BM25 (modes or/and/or-wand/and-wand/phrase/explain/collapse,
+  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/explain/collapse,
   structured metadata filter, BM25F weights, search_after cursor)
 - ``POST /<db>/bm25_batch``             north-rule extension: query set
   in one job
@@ -505,6 +505,7 @@ class VelociApp:
             # CLI exposes (jobs/query_job.py --bm25), HTTP-shaped. Body:
             #   {"field": str, "terms": [str...], "top": k,
             #    "mode": "or"|"and"|"or-wand"|"and-wand"|"phrase"|"explain"
+            #            |"near" (+ "slop") |"snippet" (+ "window")
             #            |"collapse" (+ "group_col", "per_group"),
             #    "filter": {col: value, ...}?,     (equality conjunction —
             #      structured, NOT raw SQL: columns validated against the
@@ -598,6 +599,41 @@ class VelociApp:
                         r[group_col],
                         int(r["score_e4"]),
                         int(r["grp_rank"]),
+                    ]
+                    for r in rows
+                ]
+            elif mode == "near":
+                # unordered span-near proximity (bm25.bm25_near_topk):
+                # all terms within a ((n-1)+slop)-rank window
+                slop = body.get("slop", 2)
+                if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
+                    raise HttpError(400, "slop must be a non-negative int")
+                if len(set(terms)) != len(terms) or len(terms) < 2:
+                    raise HttpError(
+                        400, "near needs >= 2 distinct terms"
+                    )
+                rows = bm25.bm25_near_topk(
+                    idx, field, terms, top, slop=slop
+                ).collect()
+            elif mode == "snippet":
+                # or-mode top-k decorated with the leftmost maximal
+                # query-term fragment per hit (bm25.bm25_snippet_topk)
+                window = body.get("window", 8)
+                if (
+                    not isinstance(window, int)
+                    or isinstance(window, bool)
+                    or window < 1
+                ):
+                    raise HttpError(400, "window must be a positive int")
+                rows = bm25.bm25_snippet_topk(
+                    idx, field, terms, top, window=window
+                ).collect()
+                return [
+                    [
+                        int(r["doc_id"]),
+                        int(r["score_e4"]),
+                        int(r["n_matched"]),
+                        r["snippet"],
                     ]
                     for r in rows
                 ]

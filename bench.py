@@ -117,6 +117,8 @@ def headline_queries(spark, sf_dir: str):
         "code_bm25_collapse",
         "code_bm25_mlt",
         "code_bm25_prf",
+        "code_bm25_near",
+        "code_bm25_snippet",
         "code_regex_search",
         "hybrid_rrf",
         "dedup_minhash_lsh",
@@ -185,6 +187,10 @@ BENCH_KEY_CHANGES = {
             "code_bm25_mlt",
             # scored numeric histogram over the hit set (aggs.py)
             "ft_hits_histogram",
+            # unordered span-near proximity (min-cover positional verify)
+            "code_bm25_near",
+            # best-fragment snippet per hit (O(k) fragment extraction)
+            "code_bm25_snippet",
         ],
         "impl_changed": {
             # certificate JUMP growth: the WAND loop now decodes exactly

@@ -538,6 +538,86 @@ def run_query_scaling(sf_dir: str) -> dict:
     return out
 
 
+def run_near_snippet_scaling(
+    sf_dir: str, low: int = 2, high: int = 8, replicate: int = 160
+) -> dict:
+    """The round-5 proximity + snippet operators at volume and at two
+    parallelism levels on the k-replicated corpus (800k docs at the
+    default k160):
+
+    - near (slop 2) vs its own AND upper bound — the price of the
+      positional verify over the intersection candidates (the candidate
+      set at k160 is ~43k docs, past the literal-IN cutover, so this
+      also exercises the semi-join arm);
+    - snippet vs the plain OR top-k — the decoration overhead, which
+      must stay O(k) (bounded collect + literal IN + one Arrow batch)
+      and therefore FLAT as the corpus grows."""
+    from veloci_spark.bm25 import (
+        bm25_and_topk,
+        bm25_near_topk,
+        bm25_snippet_topk,
+        bm25_topk,
+    )
+    from veloci_spark.build import build_index
+    from veloci_spark.code_corpus import CODE_CONFIG, code_corpus
+
+    d = _scaled_corpus(sf_dir, replicate)
+    idx_dir = f"/tmp/veloci_spark_nearscale_k{replicate}"
+    terms = ["spark", "join", "merge"]
+    results: dict = {}
+    counts: dict = {}
+    for cpus in (low, high, low, high):  # interleaved, keep min
+        spark = make_spark(cpus)
+        try:
+            idx = build_index(
+                spark, code_corpus(spark, d), CODE_CONFIG, idx_dir, resume=True
+            )
+            thunks = {
+                "and": lambda: bm25_and_topk(idx, "content", terms, 20).collect(),
+                "near": lambda: bm25_near_topk(
+                    idx, "content", terms, 20, slop=2
+                ).collect(),
+                "or": lambda: bm25_topk(idx, "content", terms, 20).collect(),
+                "snippet": lambda: bm25_snippet_topk(
+                    idx, "content", terms, 20, window=8
+                ).collect(),
+            }
+            for name, thunk in thunks.items():
+                rows = thunk()  # warm (and correctness sample)
+                counts[name] = len(rows)
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    thunk()
+                    dt = time.time() - t0
+                    best = dt if best is None or dt < best else best
+                key = f"{name}_{cpus}"
+                results[key] = min(results.get(key, best), best)
+        finally:
+            spark.stop()
+    out = {
+        "sf_dir": d,
+        "n_docs": replicate * 5000,
+        "low_cpus": low,
+        "high_cpus": high,
+        "rows": counts,
+    }
+    for name in ("and", "near", "or", "snippet"):
+        lo, hi = results[f"{name}_{low}"], results[f"{name}_{high}"]
+        out[name] = {
+            "low_sec": round(lo, 3),
+            "high_sec": round(hi, 3),
+            "scaling_efficiency": round((lo / hi) / (high / low), 3),
+        }
+    out["near_over_and"] = round(
+        out["near"]["high_sec"] / out["and"]["high_sec"], 2
+    )
+    out["snippet_over_or"] = round(
+        out["snippet"]["high_sec"] / out["or"]["high_sec"], 2
+    )
+    return out
+
+
 def _zipf_corpus(n_docs: int = 200_000, vocab: int = 20_000, doc_tokens: int = 60) -> str:
     """Deterministic Zipf-distributed corpus: token rank r is drawn
     log-uniformly (r = floor(V^u), u = hash-uniform in [0,1)), giving
@@ -1823,6 +1903,40 @@ def main():
                     f"| {label} | {r['low_sec']} | {r['high_sec']} | "
                     f"**{r['scaling_efficiency']}** |\n"
                 )
+        return
+    if "--scaling-near" in sys.argv:
+        res = run_near_snippet_scaling(
+            sf_dir,
+            replicate=int(os.environ.get("SPARK_GRAFT_NEAR_REPLICATE", "160")),
+        )
+        print(json.dumps(res))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "a") as f:
+            f.write(
+                f"\n## Span-near + snippet scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"Proximity and snippet operators on the {res['n_docs']}-doc "
+                f"replicated code corpus ({res['sf_dir']}), warm min of 2 "
+                "per config, interleaved:\n\n"
+                "| query | "
+                f"local[{res['low_cpus']}] (s) | local[{res['high_cpus']}] (s) | efficiency |\n"
+                "|---|---|---|---|\n"
+            )
+            for name, label in (
+                ("and", "AND top-k (the near upper bound)"),
+                ("near", "span-near slop 2 (intersection + min-cover verify)"),
+                ("or", "OR top-k (the snippet base)"),
+                ("snippet", "OR top-k + best-fragment snippets"),
+            ):
+                r = res[name]
+                f.write(
+                    f"| {label} | {r['low_sec']} | {r['high_sec']} | "
+                    f"**{r['scaling_efficiency']}** |\n"
+                )
+            f.write(
+                f"\nnear/AND = {res['near_over_and']}x (the verify price); "
+                f"snippet/OR = {res['snippet_over_or']}x (the O(k) "
+                "decoration price).\n"
+            )
         return
     if "--scaling-webq" in sys.argv:
         res = run_webq_scaling(

@@ -75,6 +75,12 @@ def main() -> None:
         "((n-1)+slop)-token window (0 = adjacent in some order)",
     )
     ap.add_argument(
+        "--near-ordered",
+        action="store_true",
+        help="with --bm25 near: require the terms in query order "
+        "(Lucene SpanNearQuery inOrder=true)",
+    )
+    ap.add_argument(
         "--snippet-window",
         type=int,
         default=8,
@@ -254,7 +260,7 @@ def main() -> None:
                 ap.error("--bm25 near needs >= 2 distinct terms")
             rows = bm25.bm25_near_topk(
                 idx, args.fields, terms, args.top + args.skip,
-                slop=args.near_slop,
+                slop=args.near_slop, in_order=args.near_ordered,
             ).collect()
         elif args.bm25 == "snippet":
             if not args.fields or len(args.fields.split(",")) != 1:

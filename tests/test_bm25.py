@@ -903,3 +903,79 @@ def test_snippet_absent_term_empty_schema(bm25_index):
     assert [f.name for f in df.schema.fields] == [
         "doc_id", "score_e4", "n_matched", "snippet",
     ]
+
+
+def _naive_near_ordered_docs(terms, slop):
+    import itertools
+
+    width = (len(terms) - 1) + slop
+    runs = {i: list(py_tokenize(txt)) for i, txt in CORPUS}
+    docs = {
+        i: [t for t, sep in rs if not sep] for i, rs in runs.items() if len(rs) >= 2
+    }
+    keep = set()
+    for i, toks in docs.items():
+        pls = [[p for p, t in enumerate(toks) if t == q] for q in terms]
+        if any(not pl for pl in pls):
+            continue
+        for combo in itertools.product(*pls):
+            if all(a < b for a, b in zip(combo, combo[1:])) and (
+                combo[-1] - combo[0] <= width
+            ):
+                keep.add(i)
+                break
+    return keep
+
+
+def test_near_ordered_matches_bruteforce_replica(bm25_index):
+    for terms, slop in (
+        (["alpha", "gamma"], 0),
+        (["gamma", "alpha"], 0),
+        (["beta", "alpha"], 4),
+        (["alpha", "beta", "gamma"], 1),
+        (["gamma", "beta", "alpha"], 4),
+    ):
+        want = _naive_near_ordered_docs(terms, slop)
+        got = {
+            r["doc_id"]
+            for r in bm25_near_topk(
+                bm25_index, "body", terms, 10, slop=slop, in_order=True
+            ).collect()
+        }
+        assert got == want, (terms, slop)
+
+
+def test_near_ordered_is_subset_of_unordered(bm25_index):
+    for slop in (0, 1, 3):
+        o = {
+            r["doc_id"]
+            for r in bm25_near_topk(
+                bm25_index, "body", ["alpha", "gamma"], 10,
+                slop=slop, in_order=True,
+            ).collect()
+        }
+        u = {
+            r["doc_id"]
+            for r in bm25_near_topk(
+                bm25_index, "body", ["alpha", "gamma"], 10, slop=slop
+            ).collect()
+        }
+        assert o <= u
+
+
+def test_near_ordered_direction_matters(bm25_index):
+    # doc0 = "alpha beta beta gamma": beta AFTER alpha exists, alpha
+    # AFTER beta does not — the unordered variant accepts both orders
+    fwd = {
+        r["doc_id"]
+        for r in bm25_near_topk(
+            bm25_index, "body", ["alpha", "beta"], 10, slop=0, in_order=True
+        ).collect()
+    }
+    rev = {
+        r["doc_id"]
+        for r in bm25_near_topk(
+            bm25_index, "body", ["beta", "alpha"], 10, slop=0, in_order=True
+        ).collect()
+    }
+    assert 0 in fwd and 0 not in rev

@@ -334,3 +334,18 @@ def test_trigram_fallback_is_single_docstore_scan(spark):
     p = _plan(regex_search(idx, "content", r"(spark|qq)"))
     assert "trigram_content" not in p
     assert "rlike" in p.lower() or "RLike" in p
+
+
+def test_snippet_fragment_stage_is_k_bounded(spark):
+    """The snippet decoration must stay O(k): the docstore scan is
+    pruned by a literal doc_id IN (the k result ids), the score
+    join-back is a hinted broadcast, and nothing introduces a Window."""
+    from veloci_spark.bm25 import bm25_snippet_topk
+    from veloci_spark.code_corpus import code_index
+
+    idx = code_index(spark, SF_DIR)
+    df = bm25_snippet_topk(idx, "content", ["spark", "join"], 10)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # F.broadcast(totals) is hinted
+    assert "In(doc_id" in df._jdf.queryExecution().toString()

@@ -1294,14 +1294,25 @@ def bm25_prf_topk(
 # ------------------- span-near (proximity) retrieval --------------------
 
 def bm25_near_topk(
-    index, field: str, terms: Sequence[str], k: int, slop: int = 2
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    slop: int = 2,
+    in_order: bool = False,
 ) -> DataFrame:
     """Unordered proximity (span-near) BM25 top-k: docs where ALL of
     ``terms`` occur with some choice of ONE position per term whose
     span (max − min, in non-separator token ranks) is ≤ (n−1) + slop.
     ``slop=0`` degenerates to "the n terms adjacent in some order" —
     Lucene ``SpanNearQuery(inOrder=false)`` / ES ``match_phrase`` slop
-    semantics over distinct terms.  Proximity is a MATCH PREDICATE
+    semantics over distinct terms.  ``in_order=True`` additionally
+    requires the chosen positions to be strictly increasing in query
+    order (Lucene ``inOrder=true``): the verify becomes a greedy
+    chain — for each occurrence of the first term, extend with the
+    smallest later occurrence of each next term (bisect per step);
+    greedy minimizes the chain end for the start, so "exists a chain
+    within width" is decided exactly.  Proximity is a MATCH PREDICATE
     exactly like :func:`bm25_phrase_topk`'s adjacency (the reference's
     phrase pairs, /root/reference/src/create.rs:251-263, generalized
     from ordered distance-1 to unordered distance-≤width); the score is
@@ -1356,12 +1367,18 @@ def bm25_near_topk(
         conf = index.field_conf(field)
         seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
         grouped = bool(conf.get("tokenizer_grouped", True))
-        MAX_INLIST = 100_000
+        # unlike the phrase verify (pair-chain candidates: rare by
+        # construction), an AND intersection of common terms keeps tens
+        # of thousands of docs — a literal IN that size plans in O(list)
+        # on the driver and its ids are spread across every row group,
+        # so stats pruning buys nothing; cut over to the semi-join early
+        # (AQE broadcasts the candidate side).  The WAND IN-list lesson
+        # (wand.candidate_block_filter), applied to doc ids.
+        MAX_INLIST = 4096
         cand_ids = [r["doc_id"] for r in cand.limit(MAX_INLIST + 1).collect()]
         if not cand_ids:
             return _empty_topk(spark)
         if len(cand_ids) > MAX_INLIST:
-            # stop-word-grade conjunction: keep the prune as a semi-join
             cand_rows = index.docstore().select("doc_id", field).join(
                 cand, "doc_id", "left_semi"
             )
@@ -1371,6 +1388,50 @@ def bm25_near_topk(
             )
 
         termset = frozenset(uniq)
+        ordered_terms = list(terms)  # query order (in_order only)
+
+        def _passes_unordered(toks) -> bool:
+            occ = [(i, t) for i, t in enumerate(toks) if t in termset]
+            # two-pointer min-cover over the merged occurrence list
+            have: dict = {}
+            lo = 0
+            best = None
+            for hi in range(len(occ)):
+                have[occ[hi][1]] = have.get(occ[hi][1], 0) + 1
+                while len(have) == len(termset):
+                    span = occ[hi][0] - occ[lo][0]
+                    if best is None or span < best:
+                        best = span
+                    t0 = occ[lo][1]
+                    have[t0] -= 1
+                    if not have[t0]:
+                        del have[t0]
+                    lo += 1
+            return best is not None and best <= width
+
+        def _passes_ordered(toks) -> bool:
+            from bisect import bisect_right
+
+            pls = []
+            for q in ordered_terms:
+                pl = [i for i, t in enumerate(toks) if t == q]
+                if not pl:
+                    return False
+                pls.append(pl)
+            for start in pls[0]:
+                cur = start
+                ok = True
+                for pl in pls[1:]:
+                    j = bisect_right(pl, cur)
+                    if j == len(pl):
+                        ok = False
+                        break
+                    cur = pl[j]
+                if ok and cur - start <= width:
+                    return True
+            return False
+
+        passes = _passes_ordered if in_order else _passes_unordered
 
         def _verify(batches) -> "pd.DataFrame":
             for pdf in batches:
@@ -1382,23 +1443,7 @@ def bm25_near_topk(
                     if len(runs) < 2:  # single-run texts emit no tokens
                         continue
                     toks = [t for t, sep in runs if not sep]
-                    occ = [(i, t) for i, t in enumerate(toks) if t in termset]
-                    # two-pointer min-cover over the merged occurrence list
-                    have: dict = {}
-                    lo = 0
-                    best = None
-                    for hi in range(len(occ)):
-                        have[occ[hi][1]] = have.get(occ[hi][1], 0) + 1
-                        while len(have) == len(termset):
-                            span = occ[hi][0] - occ[lo][0]
-                            if best is None or span < best:
-                                best = span
-                            t0 = occ[lo][1]
-                            have[t0] -= 1
-                            if not have[t0]:
-                                del have[t0]
-                            lo += 1
-                    if best is not None and best <= width:
+                    if passes(toks):
                         keep.append(doc_id)
                 yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
 

@@ -916,19 +916,29 @@ _NEAR_TERMS = ["spark", "join", "merge"]
 _NEAR_SLOP = 2  # width = (n-1)+slop = 4; at sf0.01 keeps 29 of 269 AND docs
 
 
-def _bm25_near_sql(terms: list[str], k: int, slop: int) -> str:
+def _bm25_near_sql(
+    terms: list[str], k: int, slop: int, in_order: bool = False
+) -> str:
     """Exists-a-combination semantics made literal: one occurrence table
     per term, joined per doc, kept when greatest(np..) - least(np..) <=
     width — exactly the min-cover <= width predicate the engine's
-    two-pointer verify computes."""
+    two-pointer verify computes.  With ``in_order`` the combination must
+    also be strictly increasing in query order (the engine's greedy
+    chain decides the same exists-a-chain predicate)."""
     in_list = ", ".join(_q(t) for t in sorted(set(terms)))
-    width = (len(terms) - 1) + slop
+    n = len(terms)
+    width = (n - 1) + slop
     occs = [
         f"(SELECT doc_id, np FROM cnsp WHERE tok = {_q(t)}) a{i}"
         for i, t in enumerate(terms)
     ]
     frm = occs[0] + "".join(f" JOIN {o} USING (doc_id)" for o in occs[1:])
-    nps = ", ".join(f"a{i}.np" for i in range(len(terms)))
+    nps = ", ".join(f"a{i}.np" for i in range(n))
+    if in_order:
+        chain = " AND ".join(f"a{i}.np < a{i + 1}.np" for i in range(n - 1))
+        cond = f"{chain} AND a{n - 1}.np - a0.np <= {width}"
+    else:
+        cond = f"greatest({nps}) - least({nps}) <= {width}"
     return (
         "WITH "
         + CODE_CTE
@@ -937,7 +947,7 @@ def _bm25_near_sql(terms: list[str], k: int, slop: int) -> str:
         + f""",
 near_docs AS (
   SELECT DISTINCT a0.doc_id FROM {frm}
-  WHERE greatest({nps}) - least({nps}) <= {width}
+  WHERE {cond}
 )
 SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
 FROM cbm25 b JOIN cdict d USING (term_id)
@@ -958,6 +968,19 @@ def _q_bm25_near(spark, sf_dir):
 
 _QUERIES["code_bm25_near"] = _q_bm25_near
 _ORACLES["code_bm25_near"] = _bm25_near_sql(_NEAR_TERMS, 20, _NEAR_SLOP)
+
+_NEAR_ORD_SLOP = 4  # ordered chains are rarer; at sf0.01: 13 docs
+
+
+def _q_bm25_near_ordered(spark, sf_dir):
+    """Ordered span-near (Lucene inOrder=true): the chosen positions
+    must be strictly increasing in query order — the verify greedily
+    extends each first-term occurrence with the smallest later
+    occurrence of every next term."""
+    idx = code_index(spark, sf_dir)
+    return bm25_near_topk(
+        idx, "content", _NEAR_TERMS, 20, slop=_NEAR_ORD_SLOP, in_order=True
+    )
 
 
 # ---- best-fragment snippet extraction over the top-k ----
@@ -1077,11 +1100,15 @@ def _q_regex_full_scan(spark, sf_dir):
 _EXTRA_QUERIES = {
     "code_bm25_page2": _q_bm25_page2,
     "code_bm25f_auto": _q_bm25f_auto,
+    "code_bm25_near_ordered": _q_bm25_near_ordered,
     "code_regex_full_scan": _q_regex_full_scan,
 }
 _EXTRA_ORACLES = {
     "code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K),
     "code_bm25f_auto": _bm25f_sql(_BM25F_TERMS, 20),
+    "code_bm25_near_ordered": _bm25_near_sql(
+        _NEAR_TERMS, 20, _NEAR_ORD_SLOP, in_order=True
+    ),
     "code_regex_full_scan": _regex_sql(_REGEX_FULLSCAN_PATTERN),
 }
 

@@ -608,12 +608,15 @@ class VelociApp:
                 slop = body.get("slop", 2)
                 if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
                     raise HttpError(400, "slop must be a non-negative int")
+                in_order = body.get("in_order", False)
+                if not isinstance(in_order, bool):
+                    raise HttpError(400, "in_order must be a bool")
                 if len(set(terms)) != len(terms) or len(terms) < 2:
                     raise HttpError(
                         400, "near needs >= 2 distinct terms"
                     )
                 rows = bm25.bm25_near_topk(
-                    idx, field, terms, top, slop=slop
+                    idx, field, terms, top, slop=slop, in_order=in_order
                 ).collect()
             elif mode == "snippet":
                 # or-mode top-k decorated with the leftmost maximal

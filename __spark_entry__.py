@@ -107,6 +107,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     the factor chain contained in EVERY other ft row (both branches
 #:     of ft_or_two_terms are exact token matches over the same anchor
 #:     resolve; ft_dictionary pins the probe).
+#:   - code_bm25_sigterms (significant terms — a NEW contrastive
+#:     term-mining mechanism: JLH foreground/background scoring of the
+#:     deterministic top-k_sample hit set against the corpus dictionary,
+#:     bm25.bm25_sigterms; distinct from code_bm25_mlt, which selects a
+#:     single doc's rarest terms with no contrast) enters;
+#:     ft_nested_boost_1n demotes — the 1:n boost diamond is the
+#:     boost∘nested composition: ft_nested_search pins the nested join
+#:     chain (ordkey instance keys included), ft_boost_log10 pins boost
+#:     application, ft_nested_locality keeps a third nested consumer in
+#:     the window.
 #:   - code_regex_search (trigram-index-accelerated content regex — a
 #:     NEW pruning mechanism: regex → required-trigram query →
 #:     partition-pruned probe → rlike verify, trigram.py; distinct from
@@ -119,6 +129,7 @@ _DEMOTED = (
     "dedup_embedding_cosine",   # LSH∘cosine; ann_cosine_topk + dedup_minhash_lsh pin factors
     "code_bm25_term",           # per-entry score table; code_bm25_topk pins the sum, explain rows pin provenance
     "ft_exact_token",           # single-term exact chain contained in every ft row; ft_dictionary pins the probe
+    "ft_nested_boost_1n",       # boost∘nested diamond; ft_nested_search + ft_boost_log10 pin the factors
 
     "ft_nested_facet",          # facets∘nested; ft_facet_lang + ft_nested_search pin the factors
     "decontam_shuffle",         # plan variant of decontam_ngram (rule 1); shape pinned in tests

@@ -119,6 +119,7 @@ def headline_queries(spark, sf_dir: str):
         "code_bm25_prf",
         "code_bm25_near",
         "code_bm25_snippet",
+        "code_bm25_sigterms",
         "code_regex_search",
         "hybrid_rrf",
         "dedup_minhash_lsh",
@@ -191,6 +192,8 @@ BENCH_KEY_CHANGES = {
             "code_bm25_near",
             # best-fragment snippet per hit (O(k) fragment extraction)
             "code_bm25_snippet",
+            # significant terms: JLH contrast of the hit sample vs corpus
+            "code_bm25_sigterms",
         ],
         "impl_changed": {
             # certificate JUMP growth: the WAND loop now decodes exactly

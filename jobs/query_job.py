@@ -48,7 +48,8 @@ def main() -> None:
         "--bm25",
         choices=[
             "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
-            "near", "snippet", "explain", "batch", "collapse", "mlt", "prf",
+            "near", "snippet", "sigterms", "explain", "batch",
+            "collapse", "mlt", "prf",
         ],
         default=None,
         help="BM25 top-k over the baked bm25 blocks (--query = space-"
@@ -79,6 +80,18 @@ def main() -> None:
         action="store_true",
         help="with --bm25 near: require the terms in query order "
         "(Lucene SpanNearQuery inOrder=true)",
+    )
+    ap.add_argument(
+        "--sig-sample",
+        type=int,
+        default=50,
+        help="hit-sample size for --bm25 sigterms",
+    )
+    ap.add_argument(
+        "--sig-min-fg",
+        type=int,
+        default=2,
+        help="minimum in-sample occurrences for --bm25 sigterms",
     )
     ap.add_argument(
         "--snippet-window",
@@ -270,6 +283,18 @@ def main() -> None:
             rows = bm25.bm25_snippet_topk(
                 idx, args.fields, terms, args.top + args.skip,
                 window=args.snippet_window,
+            ).collect()
+        elif args.bm25 == "sigterms":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.sig_sample < 1 or args.sig_min_fg < 1:
+                ap.error("--sig-sample / --sig-min-fg must be >= 1")
+            if args.skip:
+                ap.error("--bm25 sigterms returns ranked terms; --skip unsupported")
+            rows = bm25.bm25_sigterms(
+                idx, args.fields, terms,
+                k_sample=args.sig_sample, top_terms=args.top,
+                min_fg=args.sig_min_fg,
             ).collect()
         elif args.bm25 == "mlt":
             if not args.fields or len(args.fields.split(",")) != 1:

@@ -979,3 +979,91 @@ def test_near_ordered_direction_matters(bm25_index):
         ).collect()
     }
     assert 0 in fwd and 0 not in rev
+
+
+# ---------------------- significant terms (JLH) ----------------------
+
+from veloci_spark.bm25 import bm25_sigterms  # noqa: E402
+
+
+def _naive_sigterms(terms, k_sample, top_terms, min_fg):
+    import math
+
+    # deterministic sample = plain OR top-k_sample
+    full, n, avgdl = _naive_bm25(sorted(set(terms)))
+    totals = {}
+    for (t, i), s in full.items():
+        totals[i] = totals.get(i, 0) + s
+    sample = [
+        d for d, _ in sorted(totals.items(), key=lambda kv: (-kv[1], -kv[0]))
+    ][:k_sample]
+    runs = {i: list(py_tokenize(txt)) for i, txt in CORPUS}
+    docs = {
+        i: [t for t, sep in rs if not sep] for i, rs in runs.items() if len(rs) >= 2
+    }
+    fg = {}
+    for d in sample:
+        for t in docs.get(d, []):
+            fg[t] = fg.get(t, 0) + 1
+    fg_total = sum(fg.values())
+    # background = dictionary num_occurences: ALL token runs (separator
+    # runs included — the dictionary stores them) + whole short texts
+    bg = {}
+    for i, rs in runs.items():
+        if len(rs) < 2:
+            continue
+        for t, _sep in rs:
+            bg[t] = bg.get(t, 0) + 1
+    for _, txt in CORPUS:
+        if txt is not None and len(txt.encode()) <= 64:
+            bg[txt] = bg.get(txt, 0) + 1
+    bg_total = sum(bg.values())
+    out = []
+    for t, f in fg.items():
+        if t in terms or f < min_fg:
+            continue
+        fgr = float(f) / float(fg_total)
+        bgr = float(bg[t]) / float(bg_total)
+        jlh = (fgr - bgr) * (fgr / bgr)
+        out.append((t, f, bg[t], math.floor(jlh * 10000.0 + 0.5)))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:top_terms]
+
+
+def test_sigterms_matches_naive_replica(bm25_index):
+    want = _naive_sigterms(["alpha"], 3, 5, 1)
+    assert want  # fixture must exercise the scoring
+    got = [
+        (r["term"], r["fg"], r["bg"], r["jlh_e4"])
+        for r in bm25_sigterms(
+            bm25_index, "body", ["alpha"], k_sample=3, top_terms=5, min_fg=1
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_sigterms_excludes_query_terms_and_respects_min_fg(bm25_index):
+    rows = bm25_sigterms(
+        bm25_index, "body", ["alpha", "beta"], k_sample=5, top_terms=10, min_fg=2
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["term"] not in ("alpha", "beta")
+        assert r["fg"] >= 2
+
+
+def test_sigterms_overrepresentation_beats_common(bm25_index):
+    # gamma co-occurs with alpha more than its corpus rate: positive JLH
+    rows = {
+        r["term"]: r["jlh_e4"]
+        for r in bm25_sigterms(
+            bm25_index, "body", ["alpha"], k_sample=4, top_terms=10, min_fg=1
+        ).collect()
+    }
+    assert any(v > 0 for v in rows.values())
+
+
+def test_sigterms_absent_terms_empty_schema(bm25_index):
+    df = bm25_sigterms(bm25_index, "body", ["zz_missing"], 5)
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == ["term", "fg", "bg", "jlh_e4"]

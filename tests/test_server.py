@@ -713,3 +713,32 @@ def test_bm25_route_near_and_snippet(app, spark, tmp_root):
     ):
         status, _ = app.handle("POST", "/docs/bm25", body=bad)
         assert status == 400, bad
+
+
+def test_bm25_route_sigterms(app, spark, tmp_root):
+    """POST /:db/bm25 mode sigterms equals the direct call; junk
+    sample/min_fg values are 400s."""
+    from veloci_spark.bm25 import bm25_sigterms
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {
+        "field": "text", "terms": ["spark", "join"], "top": 5,
+        "mode": "sigterms", "sample": 20, "min_fg": 2,
+    }
+    status, res = app.handle("POST", "/docs/bm25", body=body)
+    assert status == 200
+    want = [
+        [r["term"], int(r["fg"]), int(r["bg"]), int(r["jlh_e4"])]
+        for r in bm25_sigterms(
+            idx, "text", body["terms"], k_sample=20, top_terms=5, min_fg=2
+        ).collect()
+    ]
+    assert res == want and res
+    for bad in (
+        {**body, "sample": 0},
+        {**body, "sample": True},
+        {**body, "min_fg": -1},
+    ):
+        status, _ = app.handle("POST", "/docs/bm25", body=bad)
+        assert status == 400, bad

@@ -1549,3 +1549,119 @@ def bm25_snippet_topk(
         "doc_id", "score_e4", "n_matched", "snippet"
     )
     return out.orderBy(F.desc("score_e4"), F.desc("doc_id"))
+
+
+# ---------------------- significant terms over hits ----------------------
+
+def bm25_sigterms(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k_sample: int = 50,
+    top_terms: int = 10,
+    min_fg: int = 2,
+) -> DataFrame:
+    """Significant terms over the hit set — Elasticsearch's
+    ``significant_terms`` aggregation in its recommended
+    sampler-wrapped form: take the top ``k_sample`` docs of the plain
+    OR query (deterministic (score desc, doc_id desc) sample), count
+    term occurrences inside the sample (foreground) and contrast them
+    with corpus-wide occurrence counts (background) via the JLH score
+
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    quantized to ``jlh_e4`` exactly like every other score in this
+    engine.  Query terms are excluded; terms must appear ``min_fg``
+    times in the sample.  Returns (term, fg, bg, jlh_e4), ranked
+    (jlh_e4 desc, term asc), ``top_terms`` rows.
+
+    This is CONTRASTIVE term mining — unlike more-like-this
+    (``bm25_mlt_topk``: rarest terms of ONE doc) it scores
+    overrepresentation of the sample against the whole corpus, which is
+    what surfaces "docs matching 'spark join' abnormally often say
+    'shuffle'".
+
+    Scale shape: the sample fetch is a bounded collect + literal
+    ``doc_id IN`` docstore prune (k_sample rows, one Arrow counting
+    pass); the background join scans the dictionary ONCE with the
+    sample-vocabulary-sized foreground side broadcast; totals are two
+    single-row aggregates.  Nothing scales with corpus size except the
+    dictionary scan, which is a map-side broadcast join with no
+    shuffle."""
+    import pandas as pd
+
+    from veloci_spark.config import DEFAULT_SEPARATORS
+    from veloci_spark.tokenize import py_tokenize
+
+    spark = index.spark
+    schema = "term string, fg long, bg long, jlh_e4 long"
+    sample = bm25_topk(index, field, terms, k_sample).collect()
+    if not sample:
+        return spark.createDataFrame([], schema)
+    ids = [int(r["doc_id"]) for r in sample]
+
+    conf = index.field_conf(field)
+    seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
+    grouped = bool(conf.get("tokenizer_grouped", True))
+
+    def _count(batches) -> "pd.DataFrame":
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for txt in pdf[field]:
+                if txt is None:
+                    continue
+                runs = list(py_tokenize(txt, seps, grouped))
+                if len(runs) < 2:  # single-run texts emit no tokens
+                    continue
+                c.update(t for t, sep in runs if not sep)
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(list(c.keys()), dtype="object"),
+                    "fg": pd.Series(list(c.values()), dtype="int64"),
+                }
+            )
+
+    sample_rows = (
+        index.docstore().where(F.col("doc_id").isin(ids)).select(field)
+    )
+    fg0 = (
+        sample_rows.mapInPandas(_count, "term string, fg long")
+        .groupBy("term")
+        .agg(F.sum("fg").alias("fg"))
+        .persist()
+    )
+    try:
+        fg_total = int(fg0.agg(F.sum("fg")).collect()[0][0] or 0)
+        if not fg_total:
+            return spark.createDataFrame([], schema)
+        # bg_total over the whole dictionary: a one-row aggregate the
+        # engine could bake at build time; computed here for honesty
+        bg_total = int(
+            index.dictionary(field).agg(F.sum("num_occurences")).collect()[0][0]
+        )
+        fg = fg0.where(
+            (~F.col("term").isin(list(terms))) & (F.col("fg") >= int(min_fg))
+        )
+        # dictionary scanned once, sample-vocabulary fg side broadcast
+        joined = index.dictionary(field).join(F.broadcast(fg), "term")
+        fgr = F.col("fg").cast("double") / F.lit(float(fg_total))
+        bgr = F.col("num_occurences").cast("double") / F.lit(float(bg_total))
+        jlh_e4 = F.floor(
+            (fgr - bgr) * (fgr / bgr) * F.lit(10000.0) + F.lit(0.5)
+        ).cast("long")
+        out_rows = (
+            joined.select(
+                "term",
+                F.col("fg").cast("long").alias("fg"),
+                F.col("num_occurences").cast("long").alias("bg"),
+                jlh_e4.alias("jlh_e4"),
+            )
+            .orderBy(F.desc("jlh_e4"), F.asc("term"))
+            .limit(top_terms)
+            .collect()
+        )
+    finally:
+        fg0.unpersist()
+    return spark.createDataFrame(out_rows, schema)

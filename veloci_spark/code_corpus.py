@@ -43,6 +43,7 @@ from veloci_spark.bm25 import (
     bm25_mlt_topk,
     bm25_near_topk,
     bm25_prf_topk,
+    bm25_sigterms,
     bm25_snippet_topk,
     bm25_topk,
     bm25_topk_after,
@@ -981,6 +982,79 @@ def _q_bm25_near_ordered(spark, sf_dir):
     return bm25_near_topk(
         idx, "content", _NEAR_TERMS, 20, slop=_NEAR_ORD_SLOP, in_order=True
     )
+
+
+# ---- significant terms over the hit sample (JLH) ----
+
+_SIG_TERMS = ["spark", "join"]
+_SIG_SAMPLE = 50
+_SIG_TOP = 10
+_SIG_MIN_FG = 2
+
+
+def _bm25_sigterms_sql(
+    terms: list[str], k_sample: int, top_terms: int, min_fg: int
+) -> str:
+    """fg = occurrence counts inside the deterministic top-k_sample hit
+    set; bg = corpus-wide num_occurences (the dictionary's counts,
+    whole-text entries included on BOTH sides); jlh quantized with the
+    engine's exact expression tree (explicit DOUBLE casts, *1e4+0.5
+    floor)."""
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+sample AS (
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+  ORDER BY score_e4 DESC, doc_id DESC LIMIT {k_sample}
+),
+fg0 AS (
+  SELECT n.tok AS term, count(*) AS fg
+  FROM cnonsep n JOIN sample s USING (doc_id)
+  GROUP BY n.tok
+),
+fgt AS (SELECT sum(fg) AS t FROM fg0),
+bgt AS (SELECT sum(num_occurences) AS t FROM cterm_counts),
+scored AS (
+  SELECT f.term,
+         CAST(f.fg AS BIGINT) AS fg,
+         CAST(c.num_occurences AS BIGINT) AS bg,
+         CAST(floor(
+           (CAST(f.fg AS DOUBLE) / CAST(fgt.t AS DOUBLE)
+            - CAST(c.num_occurences AS DOUBLE) / CAST(bgt.t AS DOUBLE))
+           * ((CAST(f.fg AS DOUBLE) / CAST(fgt.t AS DOUBLE))
+              / (CAST(c.num_occurences AS DOUBLE) / CAST(bgt.t AS DOUBLE)))
+           * 10000.0 + 0.5) AS BIGINT) AS jlh_e4
+  FROM fg0 f
+  JOIN cterm_counts c ON c.term = f.term
+  CROSS JOIN fgt CROSS JOIN bgt
+  WHERE f.term NOT IN ({in_list}) AND f.fg >= {min_fg}
+)
+SELECT term, fg, bg, jlh_e4 FROM scored
+ORDER BY jlh_e4 DESC, term ASC LIMIT {top_terms}"""
+    )
+
+
+def _q_bm25_sigterms(spark, sf_dir):
+    """Significant terms (ES significant_terms, sampler-wrapped): JLH
+    contrast of the top-50 hit sample's term occurrences against the
+    corpus dictionary; the dictionary is scanned once with the
+    sample-vocabulary foreground broadcast."""
+    idx = code_index(spark, sf_dir)
+    return bm25_sigterms(
+        idx, "content", _SIG_TERMS,
+        k_sample=_SIG_SAMPLE, top_terms=_SIG_TOP, min_fg=_SIG_MIN_FG,
+    )
+
+
+_QUERIES["code_bm25_sigterms"] = _q_bm25_sigterms
+_ORACLES["code_bm25_sigterms"] = _bm25_sigterms_sql(
+    _SIG_TERMS, _SIG_SAMPLE, _SIG_TOP, _SIG_MIN_FG
+)
 
 
 # ---- best-fragment snippet extraction over the top-k ----

@@ -17,7 +17,7 @@ driver-local port:
 - ``GET  /<db>/_id/<id>``               doc store row
 - ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
 - ``POST /<db>/bm25``                   north-rule extension: single-query
-  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/explain/collapse,
+  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/sigterms/explain/collapse,
   structured metadata filter, BM25F weights, search_after cursor)
 - ``POST /<db>/bm25_batch``             north-rule extension: query set
   in one job
@@ -505,7 +505,8 @@ class VelociApp:
             # CLI exposes (jobs/query_job.py --bm25), HTTP-shaped. Body:
             #   {"field": str, "terms": [str...], "top": k,
             #    "mode": "or"|"and"|"or-wand"|"and-wand"|"phrase"|"explain"
-            #            |"near" (+ "slop") |"snippet" (+ "window")
+            #            |"near" (+ "slop", "in_order") |"snippet" (+ "window")
+            #            |"sigterms" (+ "sample", "min_fg")
             #            |"collapse" (+ "group_col", "per_group"),
             #    "filter": {col: value, ...}?,     (equality conjunction —
             #      structured, NOT raw SQL: columns validated against the
@@ -638,6 +639,22 @@ class VelociApp:
                         int(r["n_matched"]),
                         r["snippet"],
                     ]
+                    for r in rows
+                ]
+            elif mode == "sigterms":
+                # significant terms over the hit sample (JLH contrast,
+                # bm25.bm25_sigterms); top = number of terms returned
+                sample = body.get("sample", 50)
+                min_fg = body.get("min_fg", 2)
+                for v, label in ((sample, "sample"), (min_fg, "min_fg")):
+                    if not isinstance(v, int) or isinstance(v, bool) or v < 1:
+                        raise HttpError(400, f"{label} must be a positive int")
+                rows = bm25.bm25_sigterms(
+                    idx, field, terms,
+                    k_sample=sample, top_terms=top, min_fg=min_fg,
+                ).collect()
+                return [
+                    [r["term"], int(r["fg"]), int(r["bg"]), int(r["jlh_e4"])]
                     for r in rows
                 ]
             elif after is not None:

@@ -558,6 +558,7 @@ def run_near_snippet_scaling(
     from veloci_spark.bm25 import (
         bm25_and_topk,
         bm25_near_topk,
+        bm25_sigterms,
         bm25_snippet_topk,
         bm25_topk,
     )
@@ -584,6 +585,9 @@ def run_near_snippet_scaling(
                 "snippet": lambda: bm25_snippet_topk(
                     idx, "content", terms, 20, window=8
                 ).collect(),
+                "sigterms": lambda: bm25_sigterms(
+                    idx, "content", terms, k_sample=50, top_terms=10
+                ).collect(),
             }
             for name, thunk in thunks.items():
                 rows = thunk()  # warm (and correctness sample)
@@ -605,7 +609,7 @@ def run_near_snippet_scaling(
         "high_cpus": high,
         "rows": counts,
     }
-    for name in ("and", "near", "or", "snippet"):
+    for name in ("and", "near", "or", "snippet", "sigterms"):
         lo, hi = results[f"{name}_{low}"], results[f"{name}_{high}"]
         out[name] = {
             "low_sec": round(lo, 3),
@@ -1929,6 +1933,7 @@ def main():
                 ("near", "span-near slop 2 (intersection + min-cover verify)"),
                 ("or", "OR top-k (the snippet base)"),
                 ("snippet", "OR top-k + best-fragment snippets"),
+                ("sigterms", "significant terms (top-50 sample JLH)"),
             ):
                 r = res[name]
                 f.write(

@@ -48,7 +48,7 @@ def main() -> None:
         "--bm25",
         choices=[
             "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
-            "near", "snippet", "sigterms", "explain", "batch",
+            "near", "snippet", "fuzzy", "sigterms", "explain", "batch",
             "collapse", "mlt", "prf",
         ],
         default=None,
@@ -80,6 +80,18 @@ def main() -> None:
         action="store_true",
         help="with --bm25 near: require the terms in query order "
         "(Lucene SpanNearQuery inOrder=true)",
+    )
+    ap.add_argument(
+        "--fuzzy-dist",
+        type=int,
+        default=1,
+        help="levenshtein budget for --bm25 fuzzy",
+    )
+    ap.add_argument(
+        "--fuzzy-prefix",
+        type=int,
+        default=0,
+        help="required shared prefix length for --bm25 fuzzy (ES prefix_length)",
     )
     ap.add_argument(
         "--sig-sample",
@@ -283,6 +295,15 @@ def main() -> None:
             rows = bm25.bm25_snippet_topk(
                 idx, args.fields, terms, args.top + args.skip,
                 window=args.snippet_window,
+            ).collect()
+        elif args.bm25 == "fuzzy":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.fuzzy_dist < 0 or args.fuzzy_prefix < 0:
+                ap.error("--fuzzy-dist / --fuzzy-prefix must be >= 0")
+            rows = bm25.bm25_fuzzy_topk(
+                idx, args.fields, terms, args.top + args.skip,
+                max_dist=args.fuzzy_dist, prefix_len=args.fuzzy_prefix,
             ).collect()
         elif args.bm25 == "sigterms":
             if not args.fields or len(args.fields.split(",")) != 1:

@@ -1067,3 +1067,54 @@ def test_sigterms_absent_terms_empty_schema(bm25_index):
     df = bm25_sigterms(bm25_index, "body", ["zz_missing"], 5)
     assert df.collect() == []
     assert [f.name for f in df.schema.fields] == ["term", "fg", "bg", "jlh_e4"]
+
+
+# ------------------------- fuzzy BM25 matching -------------------------
+
+from veloci_spark.bm25 import bm25_fuzzy_topk  # noqa: E402
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score_e4"]) for r in df.collect()]
+
+
+def test_fuzzy_d0_equals_plain(bm25_index):
+    assert _rows(
+        bm25_fuzzy_topk(bm25_index, "body", ["alpha", "gamma"], 6, max_dist=0)
+    ) == _rows(bm25_topk(bm25_index, "body", ["alpha", "gamma"], 6))
+
+
+def test_fuzzy_misspelling_resolves(bm25_index):
+    # "alpa" is levenshtein-1 from "alpha" and from nothing else in the
+    # fixture vocabulary
+    assert _rows(
+        bm25_fuzzy_topk(bm25_index, "body", ["alpa"], 6, max_dist=1)
+    ) == _rows(bm25_topk(bm25_index, "body", ["alpha"], 6))
+
+
+def test_fuzzy_union_counts_once(bm25_index):
+    # two misspellings of the same dictionary term: the id union dedups,
+    # so the result equals the single-term query (ES behavior)
+    assert _rows(
+        bm25_fuzzy_topk(bm25_index, "body", ["alpa", "allpha"], 6, max_dist=1)
+    ) == _rows(bm25_topk(bm25_index, "body", ["alpha"], 6))
+
+
+def test_fuzzy_prefix_len_restricts(bm25_index):
+    # "eta" at d=1 reaches beta/zeta/eta; prefix_len=1 keeps only terms
+    # starting with "e"
+    wide = _rows(bm25_fuzzy_topk(bm25_index, "body", ["eta"], 10, max_dist=1))
+    narrow = _rows(
+        bm25_fuzzy_topk(
+            bm25_index, "body", ["eta"], 10, max_dist=1, prefix_len=1
+        )
+    )
+    assert narrow == _rows(bm25_topk(bm25_index, "body", ["eta"], 10))
+    assert {d for d, _ in narrow} < {d for d, _ in wide}
+
+
+def test_fuzzy_no_match_empty(bm25_index):
+    assert (
+        bm25_fuzzy_topk(bm25_index, "body", ["qqqqqq"], 5, max_dist=1).collect()
+        == []
+    )

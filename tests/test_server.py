@@ -742,3 +742,31 @@ def test_bm25_route_sigterms(app, spark, tmp_root):
     ):
         status, _ = app.handle("POST", "/docs/bm25", body=bad)
         assert status == 400, bad
+
+
+def test_bm25_route_fuzzy(app, spark, tmp_root):
+    """POST /:db/bm25 mode fuzzy equals the direct call; junk params 400."""
+    from veloci_spark.bm25 import bm25_fuzzy_topk
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {
+        "field": "text", "terms": ["sprk", "join"], "top": 5,
+        "mode": "fuzzy", "max_dist": 1,
+    }
+    status, res = app.handle("POST", "/docs/bm25", body=body)
+    assert status == 200
+    want = [
+        [int(r["doc_id"]), int(r["score_e4"])]
+        for r in bm25_fuzzy_topk(
+            idx, "text", body["terms"], 5, max_dist=1
+        ).collect()
+    ]
+    assert res == want and res
+    for bad in (
+        {**body, "max_dist": -1},
+        {**body, "max_dist": True},
+        {**body, "prefix_len": -2},
+    ):
+        status, _ = app.handle("POST", "/docs/bm25", body=bad)
+        assert status == 400, bad

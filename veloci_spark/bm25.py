@@ -1665,3 +1665,60 @@ def bm25_sigterms(
     finally:
         fg0.unpersist()
     return spark.createDataFrame(out_rows, schema)
+
+
+# -------------------------- fuzzy BM25 matching --------------------------
+
+def bm25_fuzzy_topk(
+    index,
+    field: str,
+    terms: Sequence[str],
+    k: int,
+    max_dist: int = 1,
+    prefix_len: int = 0,
+) -> DataFrame:
+    """ES match-query ``fuzziness`` for the BM25 engine: each query term
+    expands to every dictionary term within levenshtein ``max_dist``
+    (optionally sharing the first ``prefix_len`` chars — ES
+    ``prefix_length``, which keeps the candidate space tight on big
+    vocabularies), and the UNION of matched term ids runs the standard
+    exhaustive OR decode.  A dictionary term matched by several query
+    terms counts once (set union, exactly ES's behavior); scoring is
+    the plain integer BM25 sum over matched entries — the fuzzy
+    expansion changes WHICH postings decode, not how they score.  The
+    native engine's fuzzy matcher is the reference analog
+    (/root/reference/src/search_field.rs:210-252, levenshtein over the
+    FST); here the dictionary scan stays JVM-side (`F.levenshtein`,
+    whole-stage codegen) with the same length prefilter.
+
+    Scale shape: one dictionary scan (length-band prefiltered) per
+    query — vocabulary-sized, not corpus-sized — collected as a bounded
+    term-id list; then the standard literal ``term_id IN`` pruned
+    decode."""
+    spark = index.spark
+    uniq = sorted(set(terms))
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("max_dist must be >= 0")
+    pred = None
+    for t in uniq:
+        clause = (
+            (F.length("term") >= F.lit(len(t) - d))
+            & (F.length("term") <= F.lit(len(t) + d))
+            & (F.levenshtein(F.col("term"), F.lit(t)) <= F.lit(d))
+        )
+        if prefix_len > 0:
+            clause = clause & (
+                F.col("term").startswith(t[: int(prefix_len)])
+            )
+        pred = clause if pred is None else (pred | clause)
+    rows = (
+        index.dictionary(field)
+        .where(pred)
+        .select("term_id")
+        .collect()  # vocabulary-bounded (and length-band pruned)
+    )
+    ids = sorted({int(r["term_id"]) for r in rows})
+    if not ids:
+        return _empty_topk(spark)
+    return bm25_topk(index, field, uniq, k, _ids=ids)

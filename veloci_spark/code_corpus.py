@@ -42,6 +42,7 @@ from veloci_spark.bm25 import (
     bm25_collapse_topk,
     bm25_mlt_topk,
     bm25_near_topk,
+    bm25_fuzzy_topk,
     bm25_prf_topk,
     bm25_sigterms,
     bm25_snippet_topk,
@@ -984,6 +985,40 @@ def _q_bm25_near_ordered(spark, sf_dir):
     )
 
 
+# ---- fuzzy BM25 (ES match fuzziness) ----
+
+_FUZZY_TERMS = ["spar", "joib"]  # misspellings of spark / join
+_FUZZY_D = 1
+
+
+def _bm25_fuzzy_sql(terms: list[str], k: int, max_dist: int) -> str:
+    conds = " OR ".join(
+        f"(length(d.term) BETWEEN {len(t) - max_dist} AND {len(t) + max_dist}"
+        f" AND levenshtein(d.term, {_q(t)}) <= {max_dist})"
+        for t in sorted(set(terms))
+    )
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+fuzzy_ids AS (
+  SELECT DISTINCT term_id FROM cdict d WHERE {conds}
+)
+SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+FROM cbm25 b JOIN fuzzy_ids USING (term_id)
+GROUP BY b.doc_id
+ORDER BY score_e4 DESC, doc_id DESC LIMIT {k}"""
+    )
+
+
+def _q_bm25_fuzzy(spark, sf_dir):
+    """ES match fuzziness: 'spar' and 'joib' expand through the
+    dictionary at levenshtein <= 1 (JVM codegen scan, length-band
+    prefiltered) and the matched-id union runs the plain OR decode."""
+    idx = code_index(spark, sf_dir)
+    return bm25_fuzzy_topk(idx, "content", _FUZZY_TERMS, 20, max_dist=_FUZZY_D)
+
+
 # ---- significant terms over the hit sample (JLH) ----
 
 _SIG_TERMS = ["spark", "join"]
@@ -1172,12 +1207,14 @@ def _q_regex_full_scan(spark, sf_dir):
 
 
 _EXTRA_QUERIES = {
+    "code_bm25_fuzzy": _q_bm25_fuzzy,
     "code_bm25_page2": _q_bm25_page2,
     "code_bm25f_auto": _q_bm25f_auto,
     "code_bm25_near_ordered": _q_bm25_near_ordered,
     "code_regex_full_scan": _q_regex_full_scan,
 }
 _EXTRA_ORACLES = {
+    "code_bm25_fuzzy": _bm25_fuzzy_sql(_FUZZY_TERMS, 20, _FUZZY_D),
     "code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K),
     "code_bm25f_auto": _bm25f_sql(_BM25F_TERMS, 20),
     "code_bm25_near_ordered": _bm25_near_sql(

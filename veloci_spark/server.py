@@ -17,7 +17,7 @@ driver-local port:
 - ``GET  /<db>/_id/<id>``               doc store row
 - ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
 - ``POST /<db>/bm25``                   north-rule extension: single-query
-  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/sigterms/explain/collapse,
+  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/fuzzy/sigterms/explain/collapse,
   structured metadata filter, BM25F weights, search_after cursor)
 - ``POST /<db>/bm25_batch``             north-rule extension: query set
   in one job
@@ -506,6 +506,7 @@ class VelociApp:
             #   {"field": str, "terms": [str...], "top": k,
             #    "mode": "or"|"and"|"or-wand"|"and-wand"|"phrase"|"explain"
             #            |"near" (+ "slop", "in_order") |"snippet" (+ "window")
+            #            |"fuzzy" (+ "max_dist", "prefix_len")
             #            |"sigterms" (+ "sample", "min_fg")
             #            |"collapse" (+ "group_col", "per_group"),
             #    "filter": {col: value, ...}?,     (equality conjunction —
@@ -641,6 +642,17 @@ class VelociApp:
                     ]
                     for r in rows
                 ]
+            elif mode == "fuzzy":
+                # ES match-query fuzziness (bm25.bm25_fuzzy_topk)
+                max_dist = body.get("max_dist", 1)
+                prefix_len = body.get("prefix_len", 0)
+                for v, label in ((max_dist, "max_dist"), (prefix_len, "prefix_len")):
+                    if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+                        raise HttpError(400, f"{label} must be a non-negative int")
+                rows = bm25.bm25_fuzzy_topk(
+                    idx, field, terms, top,
+                    max_dist=max_dist, prefix_len=prefix_len,
+                ).collect()
             elif mode == "sigterms":
                 # significant terms over the hit sample (JLH contrast,
                 # bm25.bm25_sigterms); top = number of terms returned

@@ -48,7 +48,8 @@ def main() -> None:
         "--bm25",
         choices=[
             "or", "or-scan", "and", "or-wand", "and-wand", "phrase",
-            "near", "snippet", "fuzzy", "sigterms", "explain", "batch",
+            "near", "snippet", "fuzzy", "sigterms", "facets", "explain",
+            "batch",
             "collapse", "mlt", "prf",
         ],
         default=None,
@@ -80,6 +81,11 @@ def main() -> None:
         action="store_true",
         help="with --bm25 near: require the terms in query order "
         "(Lucene SpanNearQuery inOrder=true)",
+    )
+    ap.add_argument(
+        "--facet-cols",
+        default="lang",
+        help="comma-separated docstore columns for --bm25 facets",
     )
     ap.add_argument(
         "--fuzzy-dist",
@@ -295,6 +301,16 @@ def main() -> None:
             rows = bm25.bm25_snippet_topk(
                 idx, args.fields, terms, args.top + args.skip,
                 window=args.snippet_window,
+            ).collect()
+        elif args.bm25 == "facets":
+            if not args.fields or len(args.fields.split(",")) != 1:
+                ap.error("--bm25 requires exactly one --fields entry")
+            if args.skip:
+                ap.error("--bm25 facets returns ranked values; --skip unsupported")
+            rows = bm25.bm25_facets(
+                idx, args.fields, terms,
+                [c.strip() for c in args.facet_cols.split(",") if c.strip()],
+                top_n=args.top,
             ).collect()
         elif args.bm25 == "fuzzy":
             if not args.fields or len(args.fields.split(",")) != 1:

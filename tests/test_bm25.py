@@ -1118,3 +1118,74 @@ def test_fuzzy_no_match_empty(bm25_index):
         bm25_fuzzy_topk(bm25_index, "body", ["qqqqqq"], 5, max_dist=1).collect()
         == []
     )
+
+
+# --------------------- facets over the hit set ---------------------
+
+from veloci_spark.bm25 import bm25_facets  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def faceted_index(spark, tmp_root):
+    rows = [
+        (i, txt, ("en" if i % 2 == 0 else "de"), f"g{i % 3}")
+        for i, txt in CORPUS
+    ]
+    cfg = IndexConfig(
+        fields=(FieldConfig("body", bm25=True),),
+        block_docs=4,
+    )
+    df = spark.createDataFrame(rows, "doc_id long, body string, lang string, grp string")
+    out = os.path.join(tmp_root, "bm25_facet_index")
+    return build_index(spark, df, cfg, out, resume=False)
+
+
+def test_facets_match_naive(faceted_index):
+    naive, _, _ = _naive_bm25(["alpha", "gamma"])
+    per_doc = {}
+    for (_, i), s in naive.items():
+        per_doc[i] = per_doc.get(i, 0) + s
+    langs = {i: ("en" if i % 2 == 0 else "de") for i, _ in CORPUS}
+    agg = {}
+    for i, s in per_doc.items():
+        v = langs[i]
+        n, m = agg.get(v, (0, 0))
+        agg[v] = (n + 1, m + s)
+    want = sorted(
+        (("lang", v, n, m, len(agg)) for v, (n, m) in agg.items()),
+        key=lambda r: (-r[2], r[1]),
+    )
+    got = [
+        (r["col"], r["value"], r["n_docs"], r["sum_score_e4"], r["n_values"])
+        for r in bm25_facets(
+            faceted_index, "body", ["alpha", "gamma"], ["lang"], top_n=10
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_facets_counts_cover_hit_set_and_top_n_cuts(faceted_index):
+    full = bm25_facets(
+        faceted_index, "body", ["alpha", "gamma"], ["grp"], top_n=10
+    ).collect()
+    n_hits = bm25_topk(
+        faceted_index, "body", ["alpha", "gamma"], 100
+    ).count()
+    assert sum(r["n_docs"] for r in full) == n_hits
+    cut = bm25_facets(
+        faceted_index, "body", ["alpha", "gamma"], ["grp"], top_n=1
+    ).collect()
+    assert len(cut) == 1
+    # the cardinality is the FULL distinct count even when top_n cuts
+    assert cut[0]["n_values"] == len({r["value"] for r in full})
+
+
+def test_facets_validation_and_empty(faceted_index):
+    with pytest.raises(ValueError):
+        bm25_facets(faceted_index, "body", ["alpha"], [])
+    with pytest.raises(ValueError):
+        bm25_facets(faceted_index, "body", ["alpha"], ["nope"])
+    assert (
+        bm25_facets(faceted_index, "body", ["zz_missing"], ["lang"]).collect()
+        == []
+    )

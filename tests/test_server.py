@@ -770,3 +770,29 @@ def test_bm25_route_fuzzy(app, spark, tmp_root):
     ):
         status, _ = app.handle("POST", "/docs/bm25", body=bad)
         assert status == 400, bad
+
+
+def test_bm25_route_facets(app, spark, tmp_root):
+    from veloci_spark.bm25 import bm25_facets
+    from veloci_spark.index import Index
+
+    idx = Index(spark, os.path.join(tmp_root, "server_idx"))
+    body = {
+        "field": "text", "terms": ["spark", "join"], "top": 3,
+        "mode": "facets", "group_cols": ["lang"],
+    }
+    status, res = app.handle("POST", "/docs/bm25", body=body)
+    assert status == 200
+    want = [
+        [r["col"], r["value"], int(r["n_docs"]), int(r["sum_score_e4"]),
+         int(r["n_values"])]
+        for r in bm25_facets(idx, "text", body["terms"], ["lang"], top_n=3).collect()
+    ]
+    assert res == want and res
+    for bad in (
+        {**body, "group_cols": []},
+        {**body, "group_cols": "lang"},
+        {**body, "group_cols": ["no_such"]},
+    ):
+        status, _ = app.handle("POST", "/docs/bm25", body=bad)
+        assert status == 400, bad

@@ -1722,3 +1722,79 @@ def bm25_fuzzy_topk(
     if not ids:
         return _empty_topk(spark)
     return bm25_topk(index, field, uniq, k, _ids=ids)
+
+
+# ----------------------- facets over the hit set ------------------------
+
+def bm25_facets(
+    index,
+    field: str,
+    terms: Sequence[str],
+    group_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """ES terms-aggregation over the FULL BM25 hit set: for each
+    requested docstore column, the ``top_n`` values by hit count with
+    their summed score mass, plus the column's exact distinct-value
+    cardinality over the hit set.  This is the categorical sibling of
+    ``aggs.py``'s numeric histogram, on the BM25 side — "my query
+    matches 48k files: which repos/languages?".
+
+    Returns (col, value, n_docs, sum_score_e4, n_values), the top_n
+    values per column ranked (n_docs desc, value asc); ``n_values`` is
+    the column's total distinct count over the hit set (what ES reports
+    next to ``sum_other_doc_count``), repeated on the column's rows.
+
+    Scale shape: the hit set is corpus-sized by design (facets
+    summarize ALL matches, not a page), so everything is
+    aggregation-shaped: one map-side-combined groupBy per column over
+    the hit-set join with a COLUMN-PRUNED docstore projection
+    (doc_id + the facet columns only), no window anywhere; the per-doc
+    score frame is computed once and persisted across the columns.
+    The per-column cardinality job and the top_n collect are
+    aggregate- and query-sized."""
+    from veloci_spark.index import decode_blocks_df
+
+    spark = index.spark
+    schema = (
+        "col string, value string, n_docs long, sum_score_e4 long, "
+        "n_values long"
+    )
+    cols = list(group_cols)
+    if not cols:
+        raise ValueError("group_cols must name at least one column")
+    missing = [c for c in cols if c not in index.docstore().columns]
+    if missing:
+        raise ValueError(f"unknown facet columns: {missing}")
+    ids = _matched_term_ids(index, field, terms)
+    if not ids:
+        return spark.createDataFrame([], schema)
+    blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+    flat = decode_blocks_df(blocks)
+    hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+    joined = hits.join(
+        index.docstore().select("doc_id", *cols), "doc_id"
+    ).persist()
+    out_rows = []
+    try:
+        for c in cols:
+            g = (
+                joined.groupBy(F.col(c).cast("string").alias("value"))
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("score_e4").alias("sum_score_e4"),
+                )
+            )
+            card = g.count()  # one bounded job per requested column
+            top = (
+                g.orderBy(F.desc("n_docs"), F.asc("value"))
+                .limit(int(top_n))
+                .collect()
+            )
+            out_rows.extend(
+                (c, r["value"], int(r["n_docs"]), int(r["sum_score_e4"]), card)
+                for r in top
+            )
+    finally:
+        joined.unpersist()
+    return spark.createDataFrame(out_rows, schema)

@@ -42,6 +42,7 @@ from veloci_spark.bm25 import (
     bm25_collapse_topk,
     bm25_mlt_topk,
     bm25_near_topk,
+    bm25_facets,
     bm25_fuzzy_topk,
     bm25_prf_topk,
     bm25_sigterms,
@@ -1019,6 +1020,54 @@ def _q_bm25_fuzzy(spark, sf_dir):
     return bm25_fuzzy_topk(idx, "content", _FUZZY_TERMS, 20, max_dist=_FUZZY_D)
 
 
+# ---- facets over the hit set (ES terms aggregation) ----
+
+_FACET_COLS = ["lang", "repo"]
+_FACET_TOP = 5
+
+
+def _bm25_facets_sql(terms: list[str], cols: list[str], top_n: int) -> str:
+    in_list = ", ".join(_q(t) for t in sorted(set(terms)))
+    subqs = []
+    for c in cols:
+        subqs.append(
+            f"""(
+  SELECT {_q(c)} AS col, CAST(k.{c} AS VARCHAR) AS value,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(h.score_e4) AS BIGINT) AS sum_score_e4,
+         (SELECT CAST(count(DISTINCT k2.{c}) AS BIGINT)
+          FROM hits h2 JOIN code k2 USING (doc_id)) AS n_values
+  FROM hits h JOIN code k USING (doc_id)
+  GROUP BY k.{c}
+  ORDER BY n_docs DESC, value ASC LIMIT {top_n}
+)"""
+        )
+    return (
+        "WITH "
+        + CODE_CTE
+        + f""",
+hits AS (
+  SELECT b.doc_id, CAST(sum(b.score) AS BIGINT) AS score_e4
+  FROM cbm25 b JOIN cdict d USING (term_id)
+  WHERE d.term IN ({in_list})
+  GROUP BY b.doc_id
+)
+"""
+        + "\nUNION ALL\n".join(subqs)
+    )
+
+
+def _q_bm25_facets(spark, sf_dir):
+    """ES terms aggregation over the FULL hit set: top values of
+    lang/repo by hit count with score mass and exact per-column
+    cardinality; one map-side-combined groupBy per column over a
+    column-pruned docstore join."""
+    idx = code_index(spark, sf_dir)
+    return bm25_facets(
+        idx, "content", _TOPK_TERMS, _FACET_COLS, top_n=_FACET_TOP
+    )
+
+
 # ---- significant terms over the hit sample (JLH) ----
 
 _SIG_TERMS = ["spark", "join"]
@@ -1207,6 +1256,7 @@ def _q_regex_full_scan(spark, sf_dir):
 
 
 _EXTRA_QUERIES = {
+    "code_bm25_facets": _q_bm25_facets,
     "code_bm25_fuzzy": _q_bm25_fuzzy,
     "code_bm25_page2": _q_bm25_page2,
     "code_bm25f_auto": _q_bm25f_auto,
@@ -1214,6 +1264,7 @@ _EXTRA_QUERIES = {
     "code_regex_full_scan": _q_regex_full_scan,
 }
 _EXTRA_ORACLES = {
+    "code_bm25_facets": _bm25_facets_sql(_TOPK_TERMS, _FACET_COLS, _FACET_TOP),
     "code_bm25_fuzzy": _bm25_fuzzy_sql(_FUZZY_TERMS, 20, _FUZZY_D),
     "code_bm25_page2": _bm25_page2_sql(_TOPK_TERMS, _PAGE_K),
     "code_bm25f_auto": _bm25f_sql(_BM25F_TERMS, 20),

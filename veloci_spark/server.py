@@ -17,7 +17,7 @@ driver-local port:
 - ``GET  /<db>/_id/<id>``               doc store row
 - ``GET  /<db>/inspect/<path>/<id>``    tree-edge parent values
 - ``POST /<db>/bm25``                   north-rule extension: single-query
-  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/fuzzy/sigterms/explain/collapse,
+  BM25 (modes or/and/or-wand/and-wand/phrase/near/snippet/fuzzy/sigterms/facets/explain/collapse,
   structured metadata filter, BM25F weights, search_after cursor)
 - ``POST /<db>/bm25_batch``             north-rule extension: query set
   in one job
@@ -508,6 +508,7 @@ class VelociApp:
             #            |"near" (+ "slop", "in_order") |"snippet" (+ "window")
             #            |"fuzzy" (+ "max_dist", "prefix_len")
             #            |"sigterms" (+ "sample", "min_fg")
+            #            |"facets" (+ "group_cols")
             #            |"collapse" (+ "group_col", "per_group"),
             #    "filter": {col: value, ...}?,     (equality conjunction —
             #      structured, NOT raw SQL: columns validated against the
@@ -639,6 +640,33 @@ class VelociApp:
                         int(r["score_e4"]),
                         int(r["n_matched"]),
                         r["snippet"],
+                    ]
+                    for r in rows
+                ]
+            elif mode == "facets":
+                # ES terms aggregation over the FULL hit set
+                # (bm25.bm25_facets); top = per-column value count
+                gcols = body.get("group_cols", ["lang"])
+                if not (
+                    isinstance(gcols, list)
+                    and gcols
+                    and all(isinstance(c, str) for c in gcols)
+                ):
+                    raise HttpError(400, "group_cols must be [column, ...]")
+                known = set(idx.docstore().columns)
+                bad = [c for c in gcols if c not in known]
+                if bad:
+                    raise HttpError(400, f"unknown facet columns: {bad}")
+                rows = bm25.bm25_facets(
+                    idx, field, terms, gcols, top_n=top
+                ).collect()
+                return [
+                    [
+                        r["col"],
+                        r["value"],
+                        int(r["n_docs"]),
+                        int(r["sum_score_e4"]),
+                        int(r["n_values"]),
                     ]
                     for r in rows
                 ]

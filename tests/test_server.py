@@ -796,3 +796,40 @@ def test_bm25_route_facets(app, spark, tmp_root):
     ):
         status, _ = app.handle("POST", "/docs/bm25", body=bad)
         assert status == 400, bad
+
+
+_bm25_modes = st.sampled_from(
+    ["or", "or-scan", "and", "or-wand", "and-wand", "phrase", "near",
+     "snippet", "fuzzy", "sigterms", "facets", "explain", "collapse",
+     "nope", ""]
+)
+_bm25_knob_values = st.one_of(
+    st.integers(min_value=-3, max_value=30),
+    st.booleans(),
+    st.text(max_size=6),
+    st.none(),
+    st.lists(st.integers(), max_size=3),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _bm25_modes,
+    st.lists(st.sampled_from(["spark", "join", "sprk", "a", ""]), max_size=3),
+    st.dictionaries(
+        st.sampled_from(
+            ["top", "slop", "in_order", "window", "max_dist", "prefix_len",
+             "sample", "min_fg", "group_cols", "group_col", "per_group",
+             "after", "filter", "weights"]
+        ),
+        _bm25_knob_values,
+        max_size=4,
+    ),
+)
+def test_bm25_route_fuzz_never_escapes(app, mode, terms, knobs):
+    """POST /:db/bm25 across every mode with junk knob values always
+    answers 200/400 — the per-mode validation (incl. the bool-as-int
+    traps) never leaks an exception through handle()."""
+    body = {"field": "text", "terms": terms, "mode": mode, **knobs}
+    status, _res = app.handle("POST", "/docs/bm25", body=body)
+    assert status in (200, 400), (mode, terms, knobs)

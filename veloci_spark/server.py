@@ -519,12 +519,18 @@ class VelociApp:
             from veloci_spark import bm25
 
             terms = body.get("terms")
-            if not isinstance(terms, list) or not all(
-                isinstance(t, str) for t in terms
+            if (
+                not isinstance(terms, list)
+                or not terms
+                or not all(isinstance(t, str) for t in terms)
             ):
-                raise HttpError(400, "terms must be a list of strings")
+                raise HttpError(400, "terms must be a non-empty list of strings")
             field = body.get("field", "content")
             mode = body.get("mode", "or")
+            if mode == "phrase" and len(terms) < 2:
+                # bm25_phrase_topk asserts >= 2 tokens; surface it as a
+                # client error, not a dropped connection
+                raise HttpError(400, "phrase needs >= 2 terms")
             top = _validated_top(body.get("top", 10))
             flt = body.get("filter")
             weights = body.get("weights")
@@ -788,10 +794,12 @@ class VelociApp:
 
             field = body.get("field", "content")
             terms = body.get("terms")
-            if not isinstance(terms, list) or not all(
-                isinstance(t, str) for t in terms
+            if (
+                not isinstance(terms, list)
+                or not terms
+                or not all(isinstance(t, str) for t in terms)
             ):
-                raise HttpError(400, "terms must be a list of strings")
+                raise HttpError(400, "terms must be a non-empty list of strings")
             top = _validated_top(body.get("top", 10))
             fb_docs = body.get("fb_docs", 5)
             fb_terms = body.get("fb_terms", 4)

@@ -120,6 +120,8 @@ def headline_queries(spark, sf_dir: str):
         "code_bm25_near",
         "code_bm25_snippet",
         "code_bm25_sigterms",
+        "code_bm25_facets",
+        "code_bm25_fuzzy",
         "code_regex_search",
         "hybrid_rrf",
         "dedup_minhash_lsh",
@@ -194,6 +196,10 @@ BENCH_KEY_CHANGES = {
             "code_bm25_snippet",
             # significant terms: JLH contrast of the hit sample vs corpus
             "code_bm25_sigterms",
+            # ES terms aggregation over the full hit set (extras oracle)
+            "code_bm25_facets",
+            # ES match fuzziness: dictionary-expansion OR (extras oracle)
+            "code_bm25_fuzzy",
         ],
         "impl_changed": {
             # certificate JUMP growth: the WAND loop now decodes exactly

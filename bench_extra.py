@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Round-6 optimization measurement harness (bench.py is FROZEN for
+grading; all optimization-round measurements cited in
+OPTIMIZATION_r06.md come from here).
+
+Methodology matches bench.py's headline protocol: same session config
+(make_spark), warm-up collect, two timed passes per query keeping the
+min, .collect() materialization (the graded metric).  Extra modes:
+
+  python bench_extra.py queries [sf_dir] [name ...]   # per-query walls
+  python bench_extra.py noop    [sf_dir] [name ...]   # noop-sink walls
+  python bench_extra.py plan    [sf_dir] [out_dir] [name ...]  # explain("formatted")
+  python bench_extra.py build   [sf_dir]              # cold builds, best-of-2
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from bench import make_spark, headline_queries
+
+
+def _queries(spark, sf_dir, names):
+    qs = headline_queries(spark, sf_dir)
+    if names:
+        qs = {n: qs[n] for n in names}
+    return qs
+
+
+def run_queries(sf_dir: str, cpus: int, names, sink: str = "collect") -> dict:
+    os.environ.setdefault("VELOCI_SPARK_INDEX_CACHE", "/tmp/veloci_spark_bench_cache")
+    spark = make_spark(cpus)
+    try:
+        qs = _queries(spark, sf_dir, names)
+        # warm-up: python workers / codegen / index handles
+        first = next(iter(qs))
+        try:
+            qs[first]().collect()
+        except Exception:
+            pass
+        per = {}
+        for _pass in range(2):
+            for name, thunk in _queries(spark, sf_dir, names).items():
+                spark.sparkContext.setJobDescription(f"r06 {name}")
+                t0 = time.time()
+                df = thunk()
+                if sink == "noop":
+                    df.write.format("noop").mode("overwrite").save()
+                elif name == "dedup_simhash":
+                    df.count()
+                else:
+                    df.collect()
+                dt = round(time.time() - t0, 3)
+                if name not in per or dt < per[name]:
+                    per[name] = dt
+                if hasattr(df, "_veloci_unpersist"):
+                    df._veloci_unpersist()
+        return per
+    finally:
+        spark.stop()
+
+
+def run_plans(sf_dir: str, cpus: int, out_dir: str, names) -> None:
+    os.environ.setdefault("VELOCI_SPARK_INDEX_CACHE", "/tmp/veloci_spark_bench_cache")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = make_spark(cpus)
+    try:
+        qs = _queries(spark, sf_dir, names)
+        for name, thunk in qs.items():
+            df = thunk()
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+                f.write(plan)
+            if hasattr(df, "_veloci_unpersist"):
+                df._veloci_unpersist()
+            print("plan:", name)
+    finally:
+        spark.stop()
+
+
+def run_builds(sf_dir: str, cpus: int) -> dict:
+    import hashlib
+    import shutil
+
+    from bench import build, _best_cold_build
+
+    os.environ["VELOCI_SPARK_INDEX_CACHE"] = "/tmp/veloci_spark_bench_cache"
+    spark = make_spark(cpus)
+    try:
+        tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        idx_dir = os.path.join("/tmp/veloci_spark_bench_cache", f"documents_v2_{tag}")
+        build_sec, build_runs, build_stages = _best_cold_build(
+            lambda: build(spark, sf_dir, idx_dir), idx_dir
+        )
+        from veloci_spark.entry_queries import nested_orders_index
+        import veloci_spark.entry_queries as eq
+
+        nested_dir = os.path.join(
+            "/tmp/veloci_spark_bench_cache", f"orders_nested_v2_{tag}"
+        )
+
+        def _nested_once() -> float:
+            eq._INDEX_CACHE.clear()
+            shutil.rmtree(nested_dir, ignore_errors=True)
+            t0 = time.time()
+            nested_orders_index(spark, sf_dir)
+            return time.time() - t0
+
+        nested_sec, nested_runs, nested_stages = _best_cold_build(
+            _nested_once, nested_dir
+        )
+        from veloci_spark.code_corpus import code_index, code_index_dir
+        import veloci_spark.code_corpus as cc
+
+        def _code_once() -> float:
+            cc._INDEX_CACHE.clear()
+            shutil.rmtree(code_index_dir(sf_dir), ignore_errors=True)
+            t0 = time.time()
+            code_index(spark, sf_dir)
+            return time.time() - t0
+
+        code_sec, code_runs, code_stages = _best_cold_build(
+            _code_once, code_index_dir(sf_dir)
+        )
+        return {
+            "documents": {"best": build_sec, "runs": build_runs, "stages": build_stages},
+            "orders_nested": {"best": nested_sec, "runs": nested_runs, "stages": nested_stages},
+            "code": {"best": code_sec, "runs": code_runs, "stages": code_stages},
+        }
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if mode == "plan":
+        out_dir = sys.argv[3] if len(sys.argv) > 3 else "plans/r06"
+        run_plans(sf_dir, cpus, out_dir, sys.argv[4:])
+    elif mode == "build":
+        print(json.dumps(run_builds(sf_dir, cpus)))
+    else:
+        names = sys.argv[3:]
+        sink = "noop" if mode == "noop" else "collect"
+        print(json.dumps(run_queries(sf_dir, cpus, names, sink=sink), indent=1))

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Build a proxy sf1.0 data dir for optimization measurement ONLY.
+
+The driver's round-end bench escalated to its own generated sf1.0
+(50,000 docs / ~20,000 embeddings — BENCH_r05.json `n_docs`).  That dir
+is not in the sandbox, so this script replicates the read-only sf0.1
+tables 10x with deterministic id offsets (+ a tiny deterministic
+embedding jitter so replicated vectors are near- but not exact-dups,
+keeping LSH bucket occupancy realistic).  Text gets a per-copy suffix
+token so the dictionary grows with the corpus the way a real larger
+corpus does.
+
+Never used by bench.py or any query path — measurement harness input
+only (OPTIMIZATION_r06.md).
+"""
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/proxydata/sf1.0"
+K = 10
+
+os.makedirs(DST, exist_ok=True)
+
+# small tables: straight copy (queries over them are cheap and their
+# scale doesn't drive any headline number)
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events"):
+    shutil.copy(os.path.join(SRC, f"{t}.parquet"), os.path.join(DST, f"{t}.parquet"))
+
+# documents: 10x, ids offset, per-copy marker token appended
+dt = pq.read_table(os.path.join(SRC, "documents.parquet"))
+n = dt.num_rows
+chunks = []
+for k in range(K):
+    doc_id = pa.array(np.asarray(dt["doc_id"]) + k * n, type=pa.int64())
+    if k == 0:
+        text = dt["text"].combine_chunks()
+    else:
+        # rotate the word sequence so copies share vocabulary but not
+        # shingles — otherwise every doc has 9 near-dup LSH partners and
+        # minhash verify blows up in a way the driver's organically
+        # generated sf1.0 corpus does not exhibit
+        txt = dt["text"].to_pylist()
+
+        rsk = np.random.RandomState(1000 + k)
+
+        def rot(s):
+            if s is None:
+                return None
+            w = s.split(" ")
+            rsk.shuffle(w)
+            return " ".join(w) + f" copyword{k}"
+
+        text = pa.array([rot(s) for s in txt])
+    chunks.append(pa.table({
+        "doc_id": doc_id,
+        "text": text,
+        "lang": dt["lang"].combine_chunks(),
+        "source": dt["source"].combine_chunks(),
+        "n_chars": dt["n_chars"].combine_chunks(),
+    }))
+docs = pa.concat_tables(chunks)
+pq.write_table(docs, os.path.join(DST, "documents.parquet"))
+
+# embeddings: 10x, ids offset, deterministic jitter per copy
+et = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+m = et.num_rows
+vecs = np.array(et["embedding"].to_pylist(), dtype=np.float32)
+labels = np.asarray(et["label"])
+vids = np.asarray(et["vec_id"])
+rs = np.random.RandomState(1234)
+parts = []
+for k in range(K):
+    v = vecs if k == 0 else (vecs + rs.standard_normal(vecs.shape).astype(np.float32) * 0.05)
+    parts.append(pa.table({
+        "vec_id": pa.array(vids + k * m, type=pa.int64()),
+        "embedding": pa.array(list(v), type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    }))
+emb = pa.concat_tables(parts)
+pq.write_table(emb, os.path.join(DST, "embeddings.parquet"))
+print("wrote", DST, "docs", docs.num_rows, "emb", emb.num_rows)

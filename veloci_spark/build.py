@@ -937,7 +937,14 @@ def build_index(
         if hasattr(corpus_ids, "_veloci_unpersist"):
             corpus_ids._veloci_unpersist()
         lineage.record("docstore", out_path=docstore_path, wall_s=time.time() - t0)
-    corpus_ids = spark.read.parquet(docstore_path)
+    # fan out the read-back: the docstore inherits the INPUT's partition
+    # count (a single-row-group fixture file → ONE file → every
+    # downstream tokenize/aggregate map task runs on one core).  A small
+    # docstore is repartitioned to the default parallelism; production
+    # sized docstores (> FAN_OUT_MAX_BYTES) keep their own layout.
+    from veloci_spark.pipeline.common import read_fanned
+
+    corpus_ids = read_fanned(spark, docstore_path)
 
     fields = config.indexed_fields()
     dict_path = os.path.join(out_dir, "dictionary")

@@ -59,6 +59,7 @@ from veloci_spark.config import DEFAULT_SEPARATORS, FieldConfig, IndexConfig
 from veloci_spark.index import Index
 from veloci_spark.oracle import _q
 from veloci_spark.tokenize import run_pattern, sep_class
+from veloci_spark.pipeline.common import read_fanned
 
 #: code-aware separator set: the default (reference) separators plus the
 #: operator/comment chars that appear in source text
@@ -106,7 +107,7 @@ def code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, repo, path, commit, lang, content) derived from
     sf_dir/documents.parquet — expression-for-expression identical to
     :data:`CODE_CTE`."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_fanned(spark, os.path.join(sf_dir, "documents.parquet"))
     lang = (
         F.when(F.col("doc_id") % 4 == 0, F.lit("py"))
         .when(F.col("doc_id") % 4 == 1, F.lit("rs"))

@@ -61,7 +61,7 @@ def documents_index(spark: SparkSession, sf_dir: str) -> Index:
         return _INDEX_CACHE[key]
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(INDEX_CACHE_ROOT, f"documents_v2_{tag}")
-    corpus = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = read_fanned(spark, os.path.join(sf_dir, "documents.parquet"))
     idx = build_index(spark, corpus, DOC_CONFIG, out, resume=True)
     _INDEX_CACHE[key] = idx
     return idx
@@ -677,6 +677,7 @@ _register(
 # ---------------------------------------------------------------------------
 
 from veloci_spark.oracle import nested_fulltext_cte
+from veloci_spark.pipeline.common import read_fanned
 
 NESTED_CONFIG = IndexConfig(
     fields=(FieldConfig("items[].comment"),),
@@ -690,11 +691,11 @@ def nested_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from veloci_spark.ids import assign_rank_ids
 
     orders = (
-        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        read_fanned(spark, os.path.join(sf_dir, "orders.parquet"))
         .where(F.col("o_orderkey") % _NESTED_ORDER_MOD == 0)
         .select("o_orderkey")
     )
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+    li = read_fanned(spark, os.path.join(sf_dir, "lineitem.parquet")).where(
         F.col("l_orderkey") % _NESTED_ORDER_MOD == 0
     )
     # the synthesized per-lineitem text — the same expression, character

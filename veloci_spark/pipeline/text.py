@@ -2909,11 +2909,18 @@ def mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
     )
-    total = per.agg(F.sum("tokens").alias("total_tokens"))
-    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    # total as an unpartitioned window over the ALREADY-AGGREGATED
+    # #langs-row frame (bounded, not a corpus window): the previous
+    # per.agg + crossJoin(per) referenced the `per` subtree twice and
+    # Catalyst recomputed the whole tokenize scan for each reference —
+    # two full corpus passes for one 5-row total (guide §2.4).  The
+    # integer sum is identical either way.
+    from pyspark.sql import Window
+
+    total = F.sum("tokens").over(Window.partitionBy())
+    share = F.col("tokens").cast("double") / total.cast("double")
     return (
-        per.crossJoin(F.broadcast(total))
-        .select("lang", "n_docs", "tokens", e4(share).alias("token_share_e4"))
+        per.select("lang", "n_docs", "tokens", e4(share).alias("token_share_e4"))
         .orderBy("lang")
     )
 

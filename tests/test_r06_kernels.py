@@ -1,0 +1,185 @@
+"""Round-6 optimization equivalence pins.
+
+Every optimization that replaced an operator's internals is pinned here
+against the ORIGINAL formulation on real fixture data, so a later edit
+cannot silently drift:
+
+- words_expr: translate(non-ASCII seps → '\t') + ASCII class must equal
+  the original full-class regexp_extract_all byte-for-byte;
+- shingles_expr: element_at construction must equal the original
+  array_join(slice(...)) construction element-for-element;
+- the numpy pair kernels (_bucket_pairs_kernel / _victims_kernel) must
+  reproduce the original Catalyst bucket self-join pair sets exactly
+  (same float arithmetic: cast-to-double, left-fold sum, e4).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("VELOCI_SPARK_PARITY_SF", "/root/testdata/sf0.001")
+
+TRICKY = [
+    (1, "a…b・c’d—e“f™g h\ti:j"),
+    (2, "…・’—“™"),
+    (3, ""),
+    (4, "   "),
+    (5, "plain words only"),
+    (6, "x—y—z…"),
+]
+
+
+def test_words_expr_translate_equals_full_pattern(spark):
+    from veloci_spark.pipeline.common import WORD_PATTERN, words_expr
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    tricky = spark.createDataFrame(TRICKY, "doc_id long, text string")
+    for d in (docs, tricky):
+        diff = d.select(
+            words_expr("text").alias("a"),
+            F.regexp_extract_all("text", F.lit(WORD_PATTERN), F.lit(0)).alias("b"),
+        ).where(F.col("a") != F.col("b"))
+        assert diff.count() == 0
+
+
+def test_shingles_expr_matches_original_construction(spark):
+    from veloci_spark.pipeline.common import shingles_expr, words_expr
+
+    def original(words, n):
+        return F.array_distinct(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .limit(300)
+        .select("doc_id", words_expr("text").alias("w"))
+    )
+    for n in (3, 5):
+        diff = docs.select(
+            shingles_expr(F.col("w"), n).alias("a"),
+            original(F.col("w"), n).alias("b"),
+        ).where(F.col("a") != F.col("b"))
+        assert diff.count() == 0
+        # the distinct=False variant must be the same multiset module
+        # dedup: distinct(new-nodistinct) == distinct(original)
+        diff2 = docs.select(
+            F.array_distinct(
+                shingles_expr(F.col("w"), n, distinct=False)
+            ).alias("a"),
+            original(F.col("w"), n).alias("b"),
+        ).where(F.col("a") != F.col("b"))
+        assert diff2.count() == 0
+
+
+def _catalyst_pairs(spark, sf_dir, n_bits, tau_e4):
+    """The ORIGINAL ann_bucketed_pairs formulation (pre-kernel)."""
+    from veloci_spark.pipeline.common import e4
+    from veloci_spark.pipeline.similarity import bucket_expr, cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    withb = emb.select(
+        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+    out = pairs.select(
+        "vec_a", "vec_b", e4(cosine_expr(F.col("ea"), F.col("eb"))).alias("cos_e4")
+    )
+    return out.where(F.col("cos_e4") >= F.lit(tau_e4))
+
+
+@pytest.mark.parametrize("n_bits,tau", [(8, 2500), (12, 2500), (8, -10000)])
+def test_pair_kernel_matches_catalyst_join(spark, n_bits, tau):
+    from veloci_spark.pipeline.similarity import ann_bucketed_pairs
+
+    got = sorted(
+        tuple(r) for r in ann_bucketed_pairs(
+            spark, SF_DIR, n_bits=n_bits, tau_e4=tau
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in _catalyst_pairs(spark, SF_DIR, n_bits, tau).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_victims_kernel_matches_catalyst_join(spark):
+    from veloci_spark.pipeline.common import e4
+    from veloci_spark.pipeline.similarity import (
+        bucket_expr,
+        cosine_expr,
+        dedup_semantic,
+    )
+
+    # original tail: self-join + victim CASE + distinct, replayed over
+    # the same `ranked` frame dedup_semantic builds internally
+    from veloci_spark.pipeline.similarity import _emb
+
+    spark_df = dedup_semantic(spark, SF_DIR)
+    got = sorted(tuple(r) for r in spark_df.collect())
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_bits, tau_e4 = 8, 2500
+    withb = emb.select(
+        "vec_id", "embedding",
+        bucket_expr(F.col("embedding"), n_bits).alias("bucket"),
+    )
+    cents = (
+        withb.select(
+            "bucket",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+        )
+        .groupBy("bucket", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("_s"))
+        .select("bucket", F.transform("_s", lambda s: s["cx"]).alias("cvec"))
+    )
+    ranked = withb.join(cents, "bucket").select(
+        "vec_id", "embedding", "bucket",
+        e4(cosine_expr(F.col("embedding"), F.col("cvec"))).alias("cent_cos_e4"),
+    ).persist()
+    a = ranked.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        "bucket", F.col("cent_cos_e4").alias("ca"),
+    )
+    b = ranked.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        "bucket", F.col("cent_cos_e4").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
+    )
+    want = sorted(
+        tuple(r)
+        for r in pairs.select(
+            F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("vec_id"),
+            F.when(F.col("ca") > F.col("cb"), F.col("ca"))
+            .otherwise(F.col("cb"))
+            .alias("cent_cos_e4"),
+        )
+        .distinct()
+        .collect()
+    )
+    ranked.unpersist()
+    assert got == want and len(got) > 0

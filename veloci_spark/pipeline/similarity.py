@@ -290,7 +290,7 @@ def ann_lsh_buckets(
     bucket sizes stay bounded as n_bits scales with the corpus."""
     emb = _emb(spark, sf_dir)
     return (
-        emb.select(bucket_expr(F.col("embedding"), n_bits).alias("bucket"))
+        _with_buckets_np(emb, n_bits)
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
@@ -302,6 +302,233 @@ SELECT {sql_bucket('embedding', n_bits)} AS bucket,
        count(*) AS n_vectors
 FROM embeddings GROUP BY 1
 """
+
+
+# ------------------------------------------------- numpy pair kernels
+#
+# The intra-bucket pair stages used to be Catalyst self-joins whose
+# per-pair cosine ran through interpreted zip_with/aggregate HOFs —
+# O(Σ m_b²) interpreted 64-element folds (19-21 s at the driver's
+# 20k-vector sf1.0).  The same arithmetic in one applyInPandas kernel
+# per bucket is bit-identical (the ann_sq8/ann_pq Arrow precedent):
+# element casts float32→float64, products, and a SEQUENTIAL left-fold
+# sum via np.cumsum — exactly Catalyst's aggregate() fold and the
+# oracle's list_sum — then e4 = floor(x*1e4 + 0.5) as int64.  One
+# shuffle ships (vec_id, embedding, bucket) once; no join, no
+# quadratic HOF evaluation.
+
+def _np_rows(col) -> "np.ndarray":
+    """(m, dim) float64 matrix from a pandas Series of float32 lists —
+    float32 first, then ONE cast to double, matching Catalyst's
+    per-element x.cast('double')."""
+    return np.array(
+        [np.asarray(v, dtype=np.float32) for v in col], dtype=np.float32
+    ).astype(np.float64)
+
+
+def _np_fold(x: "np.ndarray") -> "np.ndarray":
+    """Sequential left-fold sum over the last axis (np.cumsum), the
+    bit-exact twin of Catalyst's aggregate(zip_with(...)) fold."""
+    return np.cumsum(x, axis=-1)[..., -1]
+
+
+def _sorted_bucket(pdf):
+    """ids ascending (so i<j ⟺ vec_a<vec_b), embeddings, norms."""
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    X = _np_rows(pdf["embedding"].iloc[order])
+    nrm = np.sqrt(_np_fold(X * X))
+    return order, ids, X, nrm
+
+
+def _np_bucket_codes(X: "np.ndarray", n_bits: int) -> "np.ndarray":
+    """LSH bucket ids for an (m, dim) float64 matrix — the numpy twin of
+    :func:`bucket_expr`: per-hyperplane dot as a sequential left-fold
+    (cumsum) over float64 products of the SAME rounded-literal planes,
+    then Σ 2^i over sign bits.  Bit-identical to the Catalyst HOF and
+    the oracle's generated SQL."""
+    planes = np.array(random_hyperplanes(n_bits), dtype=np.float64)
+    dots = np.cumsum(X[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    return ((dots >= 0.0) * weights).sum(axis=1).astype(np.int64)
+
+
+def _with_buckets_np(emb: DataFrame, n_bits: int) -> DataFrame:
+    """(vec_id, embedding, bucket) via a mapInPandas numpy kernel — the
+    interpreted bucket_expr HOF (n_bits folds per row) was the single
+    largest residual cost of the ANN family once the pair stages moved
+    to kernels (withb noop: 3.35 s at the 20k-vector proxy; this map
+    runs in milliseconds).  The embedding column round-trips Arrow as
+    float32, unchanged."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "embedding": pd.Series([], dtype="object"),
+                        "bucket": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            X = _np_rows(pdf["embedding"])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "embedding": pdf["embedding"],
+                    "bucket": _np_bucket_codes(X, n_bits),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id long, embedding array<float>, bucket long"
+    )
+
+
+def _bucket_pairs_kernel(tau_e4: int):
+    """applyInPandas kernel: (vec_a, vec_b, cos_e4) for every
+    intra-bucket pair with e4(cos) >= tau (NaN cos — zero-norm vector —
+    compares False, as in both engines)."""
+    import pandas as pd
+
+    empty = {
+        "vec_a": pd.Series([], dtype="int64"),
+        "vec_b": pd.Series([], dtype="int64"),
+        "cos_e4": pd.Series([], dtype="int64"),
+    }
+
+    def fn(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        _, ids, X, nrm = _sorted_bucket(pdf)
+        out_a, out_b, out_c = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(m - 1):
+                cos = _np_fold(X[i] * X[i + 1 :]) / (nrm[i] * nrm[i + 1 :])
+                e4f = np.floor(cos * 10000.0 + 0.5)
+                mask = e4f >= tau_e4
+                if mask.any():
+                    out_a.append(np.full(int(mask.sum()), ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 :][mask].astype(np.int64))
+                    out_c.append(e4f[mask].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cos_e4": np.concatenate(out_c),
+            }
+        )
+
+    return fn
+
+
+def _victims_kernel(tau_e4: int):
+    """applyInPandas kernel for the SemDeDup keep-rule: for every
+    intra-cluster pair with e4(cos) >= tau, the member NEARER its
+    centroid (higher cent_cos_e4; tie → the higher vec_id, i.e. vec_b)
+    is the victim.  Emits (vec_id, cent_cos_e4) deduped within the
+    cluster — a vector lives in exactly one cluster, so the in-kernel
+    dedup IS the global distinct."""
+    import pandas as pd
+
+    empty = {
+        "vec_id": pd.Series([], dtype="int64"),
+        "cent_cos_e4": pd.Series([], dtype="int64"),
+    }
+
+    def fn(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        order, ids, X, nrm = _sorted_bucket(pdf)
+        cc = pdf["cent_cos_e4"].to_numpy()[order]
+        victims: dict[int, int] = {}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(m - 1):
+                cos = _np_fold(X[i] * X[i + 1 :]) / (nrm[i] * nrm[i + 1 :])
+                e4f = np.floor(cos * 10000.0 + 0.5)
+                mask = e4f >= tau_e4
+                if not mask.any():
+                    continue
+                cb = cc[i + 1 :][mask]
+                bids = ids[i + 1 :][mask]
+                a_wins = cc[i] > cb
+                vids = np.where(a_wins, ids[i], bids)
+                vccs = np.where(a_wins, cc[i], cb)
+                for vid, vcc in zip(vids, vccs):
+                    victims[int(vid)] = int(vcc)
+        if not victims:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(list(victims.keys()), dtype="int64"),
+                "cent_cos_e4": pd.Series(list(victims.values()), dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def _semantic_victims_kernel(tau_e4: int):
+    """The whole SemDeDup-LSH tail for one bucket in one kernel:
+    centroid (per-dim sequential sum over vec_id-sorted members / m —
+    sum-then-divide like both engines' avg; addition order was already
+    engine-dependent and is absorbed by the e4 rounding, the documented
+    risk class of dedup_semantic), per-member e4 centroid cosine, then
+    the same pair/victim selection as :func:`_victims_kernel`.  Replaces
+    a posexplode→groupBy(bucket, dim)→collect_list centroid subtree, a
+    join, and a per-row interpreted HOF cosine."""
+    import pandas as pd
+
+    empty = {
+        "vec_id": pd.Series([], dtype="int64"),
+        "cent_cos_e4": pd.Series([], dtype="int64"),
+    }
+
+    def fn(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        _, ids, X, nrm = _sorted_bucket(pdf)
+        cvec = np.cumsum(X, axis=0)[-1] / np.float64(m)
+        cnrm = np.sqrt(_np_fold(cvec * cvec))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ccf = np.floor(
+                (_np_fold(X * cvec[None, :]) / (nrm * cnrm)) * 10000.0 + 0.5
+            )
+            # zero-norm guard: cannot occur for the gaussian fixture
+            # vectors, but never let a NaN hit an int cast undefined
+            cc = np.where(np.isnan(ccf), -(2**62), ccf).astype(np.int64)
+            victims: dict[int, int] = {}
+            for i in range(m - 1):
+                cos = _np_fold(X[i] * X[i + 1 :]) / (nrm[i] * nrm[i + 1 :])
+                e4f = np.floor(cos * 10000.0 + 0.5)
+                mask = e4f >= tau_e4
+                if not mask.any():
+                    continue
+                cb = cc[i + 1 :][mask]
+                bids = ids[i + 1 :][mask]
+                a_wins = cc[i] > cb
+                vids = np.where(a_wins, ids[i], bids)
+                vccs = np.where(a_wins, cc[i], cb)
+                for vid, vcc in zip(vids, vccs):
+                    victims[int(vid)] = int(vcc)
+        if not victims:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(list(victims.keys()), dtype="int64"),
+                "cent_cos_e4": pd.Series(list(victims.values()), dtype="int64"),
+            }
+        )
+
+    return fn
 
 
 def ann_bucketed_pairs(
@@ -320,22 +547,14 @@ def ann_bucketed_pairs(
     + cosine path with ~50 surviving rows at sf0.01; the threshold is a
     plain parameter for production use."""
     emb = _emb(spark, sf_dir)
-    withb = emb.select(
-        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
+    # intra-bucket pairs + cosine + τ-filter in ONE numpy kernel per
+    # bucket (see the kernel block above): the former bucket self-join
+    # evaluated the interpreted HOF cosine per joined row.  No distinct
+    # needed: each vector lives in exactly one bucket, so a pair can
+    # only be generated once.
+    return _with_buckets_np(emb, n_bits).groupBy("bucket").applyInPandas(
+        _bucket_pairs_kernel(tau_e4), "vec_a long, vec_b long, cos_e4 long"
     )
-    a = withb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
-    )
-    b = withb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
-    )
-    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    out = pairs.select(
-        "vec_a", "vec_b", e4(cosine_expr(F.col("ea"), F.col("eb"))).alias("cos_e4")
-    )
-    # no distinct needed: each vector lives in exactly one bucket, so a
-    # pair can only be generated once
-    return out.where(F.col("cos_e4") >= F.lit(tau_e4))
 
 
 def ann_pairs_sql(n_bits: int = N_SIGN_BITS, tau_e4: int = PAIR_TAU_E4) -> str:
@@ -371,9 +590,7 @@ def ann_multiprobe_topk(
     set. At scale: 1 broadcast row + a bucket-pruned scan — candidates
     shrink by ~(n_bits+1)/2^n_bits of the corpus."""
     emb = _emb(spark, sf_dir)
-    withb = emb.select(
-        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
-    )
+    withb = _with_buckets_np(emb, n_bits)
     q = withb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
     )
@@ -705,22 +922,10 @@ def dedup_embedding_cosine(
     :func:`ann_bucketed_pairs` (no O(n²)); the survivor set is
     ``embeddings ∖ result``."""
     emb = _emb(spark, sf_dir)
-    withb = emb.select(
-        "vec_id", "embedding", bucket_expr(F.col("embedding"), n_bits).alias("bucket")
+    pairs = _with_buckets_np(emb, n_bits).groupBy("bucket").applyInPandas(
+        _bucket_pairs_kernel(tau_e4), "vec_a long, vec_b long, cos_e4 long"
     )
-    a = withb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
-    )
-    b = withb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
-    )
-    pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    victims = (
-        pairs.where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
-    return victims
+    return pairs.select(F.col("vec_b").alias("vec_id")).distinct()
 
 
 def dedup_embedding_sql(n_bits: int = N_SIGN_BITS, tau_e4: int = PAIR_TAU_E4) -> str:
@@ -788,34 +993,18 @@ def dedup_semantic(
     centroid cosine, so only a value landing within ~1e-12 of a 1e-4
     rounding boundary could diverge."""
     emb = _emb(spark, sf_dir)
-    withb = emb.select(
-        "vec_id", "embedding",
-        bucket_expr(F.col("embedding"), n_bits).alias("bucket"),
+    # One numpy-bucket map + ONE per-bucket kernel doing centroid,
+    # centroid-cosine ranking, pair generation and victim selection
+    # (:func:`_semantic_victims_kernel`) — replacing the posexplode →
+    # groupBy(bucket, dim) avg → collect_list centroid subtree, the
+    # bucket join, the interpreted per-row HOF centroid cosine AND the
+    # pair self-join.  The dataflow (cluster equi-shuffle, per-cluster
+    # mean, pairwise only inside clusters) is unchanged; only the
+    # engine-internal addition order of the centroid mean moves, which
+    # is the documented e4-absorbed risk class above.
+    return _with_buckets_np(emb, n_bits).groupBy("bucket").applyInPandas(
+        _semantic_victims_kernel(tau_e4), "vec_id long, cent_cos_e4 long"
     )
-    cents = (
-        withb.select(
-            "bucket",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "x"
-            ),
-        )
-        .groupBy("bucket", "dim")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("_s"))
-        .select(
-            "bucket", F.transform("_s", lambda s: s["cx"]).alias("cvec")
-        )
-    )
-    ranked = withb.join(cents, "bucket").select(
-        "vec_id",
-        "embedding",
-        "bucket",
-        e4(cosine_expr(F.col("embedding"), F.col("cvec"))).alias(
-            "cent_cos_e4"
-        ),
-    )
-    return _centroid_rank_victims(ranked, "bucket", tau_e4)
 
 
 def _centroid_rank_victims(
@@ -824,35 +1013,19 @@ def _centroid_rank_victims(
     """SemDeDup victim selection shared by the LSH and k-means
     variants: pairs are generated only within a cluster, and the victim
     of each near pair is the member NEARER its centroid (cent-cos tie →
-    the higher vec_id, which is vec_b since vec_a < vec_b). ``ranked``
-    (vec_id, embedding, <cluster_col>, cent_cos_e4) feeds BOTH sides of
-    the self-join, so it is persisted here — without the cache the
-    upstream centroid aggregation would run once per side. The returned
-    frame carries the repo's _veloci_unpersist disposal handle."""
-    ranked = ranked.persist()
-    a = ranked.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        cluster_col, F.col("cent_cos_e4").alias("ca"),
+    the higher vec_id, which is vec_b since vec_a < vec_b).
+
+    Pair generation + cosine + victim pick run in ONE numpy kernel per
+    cluster (:func:`_victims_kernel`): the former cluster self-join fed
+    ``ranked`` into both sides (needing a persist) and evaluated the
+    interpreted HOF cosine per joined row.  The in-kernel dedup equals
+    the old .distinct() because a vector belongs to exactly one
+    cluster."""
+    return ranked.select(
+        "vec_id", "embedding", cluster_col, "cent_cos_e4"
+    ).groupBy(cluster_col).applyInPandas(
+        _victims_kernel(tau_e4), "vec_id long, cent_cos_e4 long"
     )
-    b = ranked.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        cluster_col, F.col("cent_cos_e4").alias("cb"),
-    )
-    pairs = (
-        a.join(b, cluster_col)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(e4(cosine_expr(F.col("ea"), F.col("eb"))) >= F.lit(tau_e4))
-    )
-    out = pairs.select(
-        F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
-        .otherwise(F.col("vec_b"))
-        .alias("vec_id"),
-        F.when(F.col("ca") > F.col("cb"), F.col("ca"))
-        .otherwise(F.col("cb"))
-        .alias("cent_cos_e4"),
-    ).distinct()
-    out._veloci_unpersist = ranked.unpersist  # type: ignore[attr-defined]
-    return out
 
 
 def dedup_semantic_sql(

@@ -183,3 +183,24 @@ def test_victims_kernel_matches_catalyst_join(spark):
     )
     ranked.unpersist()
     assert got == want and len(got) > 0
+
+
+def test_text_features_kernel_matches_catalyst(spark, tmp_path):
+    from veloci_spark.pipeline.text import text_features, text_features_catalyst
+
+    a = sorted(tuple(r) for r in text_features(spark, SF_DIR).collect())
+    b = sorted(
+        tuple(r) for r in text_features_catalyst(spark, SF_DIR).collect()
+    )
+    assert a == b and len(a) > 0
+
+    # tricky rows: empty text, whitespace-only, unicode separators, a
+    # doc too short to shingle, umlauts through the stop-count lower()
+    rows = TRICKY + [(7, "der die und ist ÄØß"), (8, "one two")]
+    d = str(tmp_path / "probe")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    a = sorted(tuple(r) for r in text_features(spark, d).collect())
+    b = sorted(tuple(r) for r in text_features_catalyst(spark, d).collect())
+    assert a == b and len(a) == len(rows)

@@ -1693,17 +1693,117 @@ ORDER BY d.doc_id
 # -------------------------------------------------- combined text features
 
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four cheap per-document text operators in ONE pass: token
-    count, lang-ID (stopword overlap), winnowing fingerprint, and the
-    quality ratios/score.  One scan, pure column expressions, no
-    shuffle at all — exactly how a production pipeline runs them (the
-    operators share the tokenize, so fusing them is also the faster
-    plan).  Registered as one driver entry so the four operators fit a
-    single row of the driver's correctness window; the standalone
-    variants stay available (and pytest-covered) for à-la-carte use.
+    """All four cheap per-document text operators in ONE Arrow-batched
+    Python pass: token count, lang-ID (stopword overlap), winnowing
+    fingerprint, and the quality ratios/score (mapInPandas — guide §4.2:
+    the per-doc shingle/md5/stop-count work ran through interpreted
+    Catalyst HOFs before; the kernel is bit-identical — same Python-`re`
+    tokenize the repo already relies on for cross-engine patterns,
+    hashlib md5 == JVM md5 == DuckDB md5, float64 expression order
+    copied operator for operator, pinned against the Catalyst variant in
+    tests/test_r06_kernels.py).  The Catalyst-expression variant stays
+    registered as text_features_catalyst (extras) under the SAME oracle.
 
     Quality ratio columns use −1 as the "no tokens" sentinel so the
     frame stays filter-free and type-stable."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from veloci_spark.stopwords import ENGLISH as _EN, GERMAN as _DE
+
+    pat = re.compile(WORD_PATTERN)
+    en_set = frozenset(_EN)
+    de_set = frozenset(_DE)
+    nsh = FP_SHINGLE
+
+    def fn(batches):
+        cols = (
+            "doc_id", "n_chars", "n_tokens", "en_hits", "de_hits",
+            "lang_guess", "fingerprint", "sep_ratio_e4", "stop_ratio_e4",
+            "quality_e4",
+        )
+        md5 = hashlib.md5
+        floor = math.floor
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = pat.findall(text)
+                n_tokens = len(w)
+                n_chars = len(text)
+                en = 0
+                de = 0
+                for x in w:
+                    lx = x.lower()
+                    if lx in en_set:
+                        en += 1
+                    if lx in de_set:
+                        de += 1
+                if en == 0 and de == 0:
+                    guess = "unknown"
+                elif en >= de:
+                    guess = "en"
+                else:
+                    guess = "de"
+                if n_tokens >= nsh:
+                    fp = min(
+                        md5(
+                            " ".join(w[j : j + nsh]).encode("utf-8")
+                        ).hexdigest()
+                        for j in range(n_tokens - nsh + 1)
+                    )
+                else:
+                    fp = md5(text.encode("utf-8")).hexdigest()
+                if n_tokens > 0:
+                    word_chars = 0
+                    for x in w:
+                        word_chars += len(x)
+                    ncd = float(n_chars)
+                    sep_ratio = (ncd - float(word_chars)) / ncd
+                    stop_ratio = float(en) / float(n_tokens)
+                    quality = (
+                        stop_ratio * 0.5
+                        + (1.0 - sep_ratio) * 0.3
+                        + float(min(n_tokens, 100)) / 100.0 * 0.2
+                    )
+                    sep_e4 = floor(sep_ratio * 10000.0 + 0.5)
+                    stop_e4 = floor(stop_ratio * 10000.0 + 0.5)
+                    q_e4 = floor(quality * 10000.0 + 0.5)
+                else:
+                    sep_e4 = stop_e4 = q_e4 = -1
+                out["doc_id"].append(doc_id)
+                out["n_chars"].append(n_chars)
+                out["n_tokens"].append(n_tokens)
+                out["en_hits"].append(en)
+                out["de_hits"].append(de)
+                out["lang_guess"].append(guess)
+                out["fingerprint"].append(fp)
+                out["sep_ratio_e4"].append(sep_e4)
+                out["stop_ratio_e4"].append(stop_e4)
+                out["quality_e4"].append(q_e4)
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(
+                        out[c],
+                        dtype="object" if c in ("lang_guess", "fingerprint") else "int64",
+                    )
+                    for c in cols
+                }
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        fn,
+        "doc_id long, n_chars long, n_tokens long, en_hits long, "
+        "de_hits long, lang_guess string, fingerprint string, "
+        "sep_ratio_e4 long, stop_ratio_e4 long, quality_e4 long",
+    )
+
+
+def text_features_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original pure-Catalyst fused pass (same oracle as
+    text_features; kept registered so the kernel's bit-identity claim
+    stays oracle-checked from both sides)."""
     d = _docs(spark, sf_dir).select("doc_id", "text", words_expr("text").alias("w"))
     n_chars = F.length("text").cast("double")
     n_tokens = F.size("w")
@@ -2989,6 +3089,10 @@ def extra_queries():
     return {
         "text_token_count": token_count,
         "text_quality": text_quality,
+        # the Catalyst-expression fused pass, same oracle as the
+        # text_features kernel now in the window (bit-identity claim
+        # oracle-checked from both sides, the ann_sq8 precedent)
+        "text_features_catalyst": text_features_catalyst,
         "text_lang_id": lang_id,
         "text_fingerprint": doc_fingerprint,
         "text_repetition": text_repetition,
@@ -3018,6 +3122,7 @@ def extra_oracles():
     return {
         "text_token_count": TOKEN_COUNT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
+        "text_features_catalyst": text_features_sql(),
         "text_lang_id": LANG_ID_SQL,
         "text_fingerprint": FINGERPRINT_SQL,
         "text_repetition": text_repetition_sql(),

@@ -98,58 +98,68 @@ def bm25_text_topk(
     """On-the-fly BM25 top-``pool`` over documents.text (no prebuilt
     index — the one-shot analytics shape; the indexed engine is
     bm25.py).  (doc_id, bm25_e4), quantize-then-sum per term."""
-    # One tokenize pass, no corpus-sized explode+shuffle: the old shape
-    # exploded EVERY token of every doc (10M rows at 50k docs) and
-    # groupBy'd them back just to count per-doc lengths, and the `toks`
-    # subtree fed both dl and tf so the scan ran twice.  dl is just
-    # size(words) (explode drops zero-token docs; size>0 is the same
-    # set), and tf only needs the query terms, so the array is filtered
-    # BEFORE the explode — the generator emits a handful of rows per
-    # doc instead of every token (guide §2.3 "project before the
-    # exchange" applied to a generator).
+    # ONE tokenize pass feeding everything (guide §2.3/§2.4): the old
+    # shape exploded EVERY token of every doc (10M rows at 50k docs)
+    # into a corpus shuffle just to count per-doc lengths, and Catalyst
+    # re-evaluated the toks/tf subtrees once per consumer (dl, stats,
+    # tf, dfs — four tokenize passes of the corpus).  Instead: per-doc
+    # (dl, tf_per_term) columns from one scan (persisted — a few longs
+    # per doc), ONE single-row aggregate for n_docs/avgdl/df_w
+    # (broadcast back), and a map-side score.  Values are identical:
+    # df_w = #docs with tf_w>0, per-term scores e4-quantized THEN
+    # integer-summed, and only docs containing >= 1 query term enter
+    # the pool (absent terms contribute 0 via the tf>0 guard, exactly
+    # like the old per-present-term rows).
+    uniq = list(dict.fromkeys(str(t) for t in terms))
     words = _docs(spark, sf_dir).select(
         "doc_id", words_expr("text").alias("_w")
     )
-    dl = words.where(F.size("_w") > 0).select(
-        "doc_id", F.size("_w").alias("dl")
-    )
-    stats = dl.agg(
+    def _tf_count(term):
+        # NB: must return a ONE-argument lambda — F.filter binds a
+        # second parameter to the array index (the _mh_lambda trap)
+        return F.size(F.filter(F.col("_w"), lambda x: x == F.lit(term)))
+
+    per = words.where(F.size("_w") > 0).select(
+        "doc_id",
+        F.size("_w").alias("dl"),
+        *[_tf_count(t).alias(f"_tf{i}") for i, t in enumerate(uniq)],
+    ).persist()
+    g = per.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
             "avgdl"
         ),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(uniq))
+        ],
     )
-    tf = (
-        words.select(
-            "doc_id",
-            F.explode(
-                F.filter(
-                    F.col("_w"), lambda x: x.isin([str(t) for t in terms])
-                )
-            ).alias("w"),
-        )
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfs = tf.groupBy("w").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(dfs), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
+    contrib = [
+        F.when(
+            F.col(f"_tf{i}") > 0,
             bm25_e4_expr(
-                F.col("tf"),
-                F.col("df"),
+                F.col(f"_tf{i}"),
+                F.col(f"_df{i}"),
                 F.col("dl"),
                 F.col("n_docs"),
                 F.col("avgdl"),
-            ).alias("s_e4"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("s_e4").cast("long").alias("bm25_e4"))
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(len(uniq))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    present = F.greatest(*[F.col(f"_tf{i}") for i in range(len(uniq))]) > 0 \
+        if len(uniq) > 1 else (F.col("_tf0") > 0)
+    scored = (
+        per.crossJoin(F.broadcast(g))
+        .where(present)
+        .select("doc_id", total.cast("long").alias("bm25_e4"))
     )
-    return scored.orderBy(F.desc("bm25_e4"), F.desc("doc_id")).limit(pool)
+    out = scored.orderBy(F.desc("bm25_e4"), F.desc("doc_id")).limit(pool)
+    out._veloci_unpersist = per.unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def _rrf_contrib(rank_col: str) -> F.Column:
@@ -179,11 +189,8 @@ def hybrid_rrf_topk(
     ``dense_leg`` swaps the brute-force cosine scan for any
     (spark, sf_dir, k, query_vec_id) -> (vec_id, cos_e4) retriever —
     the SQ8 variant is registered as the scale path."""
-    lex = _ranked(
-        bm25_text_topk(spark, sf_dir, terms=terms, pool=pool),
-        "bm25_e4",
-        "lex_rank",
-    )
+    lex_top = bm25_text_topk(spark, sf_dir, terms=terms, pool=pool)
+    lex = _ranked(lex_top, "bm25_e4", "lex_rank")
     if dense_leg is None:
         from veloci_spark.pipeline.similarity import ann_cosine_topk
 
@@ -193,7 +200,7 @@ def hybrid_rrf_topk(
     ).withColumnRenamed("vec_id", "doc_id")
     dense = _ranked(dense_top, "cos_e4", "dense_rank")
     fused = lex.join(dense, "doc_id", "full_outer")
-    return (
+    out = (
         fused.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             (_rrf_contrib("lex_rank") + _rrf_contrib("dense_rank"))
@@ -209,6 +216,9 @@ def hybrid_rrf_topk(
         .orderBy(F.desc("rrf_e6"), F.desc("doc_id"))
         .limit(k)
     )
+    if hasattr(lex_top, "_veloci_unpersist"):
+        out._veloci_unpersist = lex_top._veloci_unpersist  # type: ignore[attr-defined]
+    return out
 
 
 def hybrid_rrf_sq8_topk(

@@ -691,11 +691,15 @@ def nested_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from veloci_spark.ids import assign_rank_ids
 
     orders = (
-        read_fanned(spark, os.path.join(sf_dir, "orders.parquet"))
+        # NOT read_fanned: the nested assembly immediately groupBys/joins
+        # (shuffle parallelism regardless), so a fan-out repartition of
+        # the wide lineitem rows is pure overhead here (measured +2-3 s
+        # on the nested build)
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
         .where(F.col("o_orderkey") % _NESTED_ORDER_MOD == 0)
         .select("o_orderkey")
     )
-    li = read_fanned(spark, os.path.join(sf_dir, "lineitem.parquet")).where(
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
         F.col("l_orderkey") % _NESTED_ORDER_MOD == 0
     )
     # the synthesized per-lineitem text — the same expression, character

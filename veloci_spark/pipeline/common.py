@@ -120,6 +120,32 @@ def _path_bytes(path: str) -> int:
     return total
 
 
+def _scan_units(path: str) -> int:
+    """Independently scannable units of a parquet path: Spark can split a
+    file into byte ranges, but a range only yields rows when a ROW GROUP
+    midpoint falls inside it — a 6 MB single-row-group file scans as ONE
+    task no matter the split config.  Footer-only reads; tiny inputs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        for root, _dirs, fs in os.walk(path):
+            files.extend(
+                os.path.join(root, f) for f in fs if f.endswith(".parquet")
+            )
+    units = 0
+    for f in files:
+        try:
+            units += max(1, pq.ParquetFile(f).metadata.num_row_groups)
+        except Exception:
+            units += 1
+    return units
+
+
 def read_fanned(spark, path: str):
     """spark.read.parquet(path), round-robin repartitioned to the default
     parallelism when the file is small enough that its scan would
@@ -129,11 +155,14 @@ def read_fanned(spark, path: str):
     for the per-row work downstream (guide §2.5/§6: scale-adaptive
     partitioning, never a constant tuned to one scale)."""
     df = spark.read.parquet(path)
+    n = spark.sparkContext.defaultParallelism
     try:
-        local = path.startswith("/") and _path_bytes(path) <= FAN_OUT_MAX_BYTES
+        small = path.startswith("/") and _path_bytes(path) <= FAN_OUT_MAX_BYTES
+        # a source that already carries enough row groups parallelizes by
+        # itself — repartitioning it is a pure extra shuffle
+        needs = small and _scan_units(path) < n
     except OSError:
-        local = False
-    if local:
-        n = spark.sparkContext.defaultParallelism
+        needs = False
+    if needs:
         return df.repartition(n)
     return df

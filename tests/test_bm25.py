@@ -179,8 +179,11 @@ def test_wand_prunes_on_skewed_blocks(bm25_index):
     # with k=1 the first decoded block's exact score strictly beats every
     # remaining block-max, so WAND must stop after ONE block of three
     stats: dict = {}
+    # small_postings=0 forces the pruning loop (the small-volume
+    # short-circuit would otherwise full-decode this tiny fixture)
     rows = bm25_wand_topk(
-        bm25_index, "body", ["alpha"], 1, start_blocks=1, stats=stats
+        bm25_index, "body", ["alpha"], 1, start_blocks=1, stats=stats,
+        small_postings=0,
     ).collect()
     exact = bm25_topk(bm25_index, "body", ["alpha"], 1).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in exact]

@@ -416,6 +416,7 @@ def bm25_wand_topk(
     max_iters: int = 8,
     stats: Optional[dict] = None,
     _ids: Optional[list] = None,
+    small_postings: Optional[int] = None,
 ) -> DataFrame:
     """Block-max WAND BM25 top-k, rank-identical to :func:`bm25_topk`.
 
@@ -432,9 +433,38 @@ def bm25_wand_topk(
     from veloci_spark.index import decode_blocks_df
 
     spark = index.spark
-    ids = _matched_term_ids(index, field, terms) if _ids is None else _ids
+    if _ids is None:
+        meta = _matched_term_meta(index, field, terms)
+        ids = [tid for tid, _ in meta]
+    else:
+        meta = None
+        ids = _ids
     if not ids:
         return _empty_topk(spark)
+
+    # Small-volume short-circuit on the SAME zero-extra-job dispatch
+    # signal bm25_auto_topk uses (dictionary occurrence counts riding
+    # the term-id collect): below the threshold the block-max machinery
+    # cannot pay for itself — the benched common-term queries showed the
+    # loop decoding a tiny probe, certificate-jumping to the WHOLE
+    # window, and then running the full-decode fallback anyway (three
+    # decode-side jobs where one suffices; rank-identical by the same
+    # fallback guarantee).  Production-scale posting lists exceed the
+    # threshold and take the pruning loop exactly as before.
+    small = _wand_small_postings() if small_postings is None else small_postings
+    if meta is not None and sum(occ for _, occ in meta) <= small:
+        blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids))
+        flat = decode_blocks_df(blocks)
+        hits = flat.groupBy("doc_id").agg(F.sum("score").alias("score_e4"))
+        result_rows = (
+            hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+        )
+        if stats is not None:
+            n_blocks = blocks.select("block_no").distinct().count()
+            stats["blocks_total"] = int(n_blocks)
+            stats["blocks_decoded"] = int(n_blocks)
+        return spark.createDataFrame(result_rows, "doc_id long, score_e4 long")
+
     blocks = index.bm25_blocks(field).where(F.col("term_id").isin(ids)).persist()
     block_ub = blocks.groupBy("block_no").agg(F.sum("max_score").alias("ub"))
 
@@ -491,6 +521,25 @@ def bm25_wand_topk(
 # stronger pruning (genuinely rare conjunct terms, larger blocks) cross
 # earlier: override per call or via SPARK_GRAFT_WAND_MIN_POSTINGS.
 WAND_MIN_POSTINGS = 1_000_000_000
+
+#: Below this total matched-postings volume the forced-WAND paths run
+#: ONE full decode directly instead of the probe/certificate loop whose
+#: fallback they would hit anyway (see bm25_wand_topk).  Calibration: a
+#: 1M-posting decode is a single sub-second job at any parallelism, and
+#: the round-5 crossover ladder measured the full decode beating the
+#: loop at EVERY rung it could reach (0.35M–22.7M matched postings,
+#: 1.76–2.05x), so below this bound the loop's extra jobs (metadata
+#: collect + probe decode + certificate re-decode) can never pay.
+#: Override via SPARK_GRAFT_WAND_SMALL_POSTINGS.
+WAND_SMALL_POSTINGS = 1_000_000
+
+
+def _wand_small_postings() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_WAND_SMALL_POSTINGS", WAND_SMALL_POSTINGS)
+    )
 
 
 def _wand_min_postings(override: Optional[int]) -> int:
@@ -768,19 +817,41 @@ def bm25f_wand_topk(
 
     spark = index.spark
     per_field: list[tuple[int, DataFrame]] = []
+    total_occ = 0
+    have_meta = _ids_by_field is None
     for fld in sorted(field_weights):
         w = int(field_weights[fld])
-        ids = (
-            _ids_by_field[fld]
-            if _ids_by_field is not None
-            else _matched_term_ids(index, fld, terms)
-        )
+        if _ids_by_field is not None:
+            ids = _ids_by_field[fld]
+        else:
+            meta = _matched_term_meta(index, fld, terms)
+            ids = [tid for tid, _ in meta]
+            total_occ += sum(occ for _, occ in meta)
         if not ids:
             continue
-        blk = index.bm25_blocks(fld).where(F.col("term_id").isin(ids)).persist()
+        blk = index.bm25_blocks(fld).where(F.col("term_id").isin(ids))
         per_field.append((w, blk))
     if not per_field:
         return _empty_topk(spark)
+
+    def _exact_full() -> list:
+        flats = [
+            decode_blocks_df(blk).select(
+                "doc_id", (F.col("score") * F.lit(w)).alias("ws")
+            )
+            for w, blk in per_field
+        ]
+        u = _reduce(DataFrame.unionByName, flats)
+        hits = u.groupBy("doc_id").agg(F.sum("ws").alias("score_e4"))
+        return hits.orderBy(F.desc("score_e4"), F.desc("doc_id")).limit(k).collect()
+
+    # same small-volume short-circuit as bm25_wand_topk: one full decode
+    # job, rank-identical via the fallback guarantee
+    if have_meta and total_occ <= _wand_small_postings():
+        return spark.createDataFrame(
+            _exact_full(), "doc_id long, score_e4 long"
+        )
+    per_field = [(w, blk.persist()) for w, blk in per_field]
 
     ub_parts = [
         blk.select("block_no", (F.col("max_score") * F.lit(w)).alias("wub"))

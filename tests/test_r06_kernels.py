@@ -204,3 +204,21 @@ def test_text_features_kernel_matches_catalyst(spark, tmp_path):
     a = sorted(tuple(r) for r in text_features(spark, d).collect())
     b = sorted(tuple(r) for r in text_features_catalyst(spark, d).collect())
     assert a == b and len(a) == len(rows)
+
+
+def test_batch_run_tokenizer_matches_py_tokenize(spark):
+    from veloci_spark.tokenize import batch_run_tokenizer, py_tokenize
+
+    find, sepset = batch_run_tokenizer()
+    docs = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .limit(300)
+        .collect()
+    ] + [t for _, t in TRICKY]
+    for txt in docs:
+        want = list(py_tokenize(txt))
+        got = find(txt)
+        assert got == [r for r, _ in want]
+        assert [(t[0] in sepset) for t in got] == [s for _, s in want]

@@ -699,11 +699,12 @@ def bm25_phrase_topk(index, field: str, terms: Sequence[str], k: int) -> DataFra
         import pandas as pd
 
         from veloci_spark.config import DEFAULT_SEPARATORS
-        from veloci_spark.tokenize import py_tokenize
+        from veloci_spark.tokenize import batch_run_tokenizer
 
         conf = index.field_conf(field)
         seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
         grouped = bool(conf.get("tokenizer_grouped", True))
+        _find, _sepset = batch_run_tokenizer(seps, grouped)
         MAX_INLIST = 100_000
         cand_ids = [r["doc_id"] for r in cand.limit(MAX_INLIST + 1).collect()]
         if len(cand_ids) > MAX_INLIST:
@@ -727,10 +728,10 @@ def bm25_phrase_topk(index, field: str, terms: Sequence[str], k: int) -> DataFra
                 for doc_id, txt in zip(pdf["doc_id"], pdf[field]):
                     if txt is None:
                         continue
-                    runs = list(py_tokenize(txt, seps, grouped))
+                    runs = _find(txt)
                     if len(runs) < 2:
                         continue
-                    toks = [t for t, sep in runs if not sep]
+                    toks = [t for t in runs if t[0] not in _sepset]
                     if any(
                         toks[j : j + n] == target
                         for j in range(len(toks) - n + 1)
@@ -1411,7 +1412,7 @@ def bm25_near_topk(
 
     from veloci_spark.config import DEFAULT_SEPARATORS
     from veloci_spark.index import decode_blocks_df
-    from veloci_spark.tokenize import py_tokenize
+    from veloci_spark.tokenize import batch_run_tokenizer
 
     spark = index.spark
     uniq = sorted(set(terms))
@@ -1438,6 +1439,7 @@ def bm25_near_topk(
         conf = index.field_conf(field)
         seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
         grouped = bool(conf.get("tokenizer_grouped", True))
+        _find, _sepset = batch_run_tokenizer(seps, grouped)
         # unlike the phrase verify (pair-chain candidates: rare by
         # construction), an AND intersection of common terms keeps tens
         # of thousands of docs — a literal IN that size plans in O(list)
@@ -1510,10 +1512,10 @@ def bm25_near_topk(
                 for doc_id, txt in zip(pdf["doc_id"], pdf[field]):
                     if txt is None:
                         continue
-                    runs = list(py_tokenize(txt, seps, grouped))
+                    runs = _find(txt)
                     if len(runs) < 2:  # single-run texts emit no tokens
                         continue
-                    toks = [t for t, sep in runs if not sep]
+                    toks = [t for t in runs if t[0] not in _sepset]
                     if passes(toks):
                         keep.append(doc_id)
                 yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
@@ -1561,7 +1563,7 @@ def bm25_snippet_topk(
     import pandas as pd
 
     from veloci_spark.config import DEFAULT_SEPARATORS
-    from veloci_spark.tokenize import py_tokenize
+    from veloci_spark.tokenize import batch_run_tokenizer
 
     spark = index.spark
     W = int(window)
@@ -1576,6 +1578,7 @@ def bm25_snippet_topk(
     conf = index.field_conf(field)
     seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
     grouped = bool(conf.get("tokenizer_grouped", True))
+    _find, _sepset = batch_run_tokenizer(seps, grouped)
     termset = frozenset(terms)
 
     def _snip(batches) -> "pd.DataFrame":
@@ -1586,10 +1589,10 @@ def bm25_snippet_topk(
             for doc_id, txt in zip(pdf["doc_id"], pdf[field]):
                 if txt is None:
                     continue
-                runs = list(py_tokenize(txt, seps, grouped))
+                runs = _find(txt)
                 if len(runs) < 2:
                     continue
-                toks = [t for t, sep in runs if not sep]
+                toks = [t for t in runs if t[0] not in _sepset]
                 matches = [i for i, t in enumerate(toks) if t in termset]
                 if not matches:  # unreachable for a scored hit; belt+braces
                     continue
@@ -1662,7 +1665,7 @@ def bm25_sigterms(
     import pandas as pd
 
     from veloci_spark.config import DEFAULT_SEPARATORS
-    from veloci_spark.tokenize import py_tokenize
+    from veloci_spark.tokenize import batch_run_tokenizer
 
     spark = index.spark
     schema = "term string, fg long, bg long, jlh_e4 long"
@@ -1674,6 +1677,7 @@ def bm25_sigterms(
     conf = index.field_conf(field)
     seps = tuple(conf.get("tokenize_on_chars") or ()) or DEFAULT_SEPARATORS
     grouped = bool(conf.get("tokenizer_grouped", True))
+    _find, _sepset = batch_run_tokenizer(seps, grouped)
 
     def _count(batches) -> "pd.DataFrame":
         from collections import Counter
@@ -1683,10 +1687,10 @@ def bm25_sigterms(
             for txt in pdf[field]:
                 if txt is None:
                     continue
-                runs = list(py_tokenize(txt, seps, grouped))
+                runs = _find(txt)
                 if len(runs) < 2:  # single-run texts emit no tokens
                     continue
-                c.update(t for t, sep in runs if not sep)
+                c.update(t for t in runs if t[0] not in _sepset)
             yield pd.DataFrame(
                 {
                     "term": pd.Series(list(c.keys()), dtype="object"),
@@ -1707,11 +1711,9 @@ def bm25_sigterms(
         fg_total = int(fg0.agg(F.sum("fg")).collect()[0][0] or 0)
         if not fg_total:
             return spark.createDataFrame([], schema)
-        # bg_total over the whole dictionary: a one-row aggregate the
-        # engine could bake at build time; computed here for honesty
-        bg_total = int(
-            index.dictionary(field).agg(F.sum("num_occurences")).collect()[0][0]
-        )
+        # bg_total over the whole dictionary: an index constant (the
+        # bm25_stats class of statistic), memoized on the handle
+        bg_total = index.dictionary_total_occ(field)
         fg = fg0.where(
             (~F.col("term").isin(list(terms))) & (F.col("fg") >= int(min_fg))
         )

@@ -117,6 +117,12 @@ class Index:
         # cross-request resolved-leaf cache (reference Persistence LRUs);
         # consulted by the executor for unfiltered leaf aggregates
         self.leaf_cache = LeafLru()
+        # per-field dictionary occurrence totals: an index CONSTANT (the
+        # same class of baked statistic as bm25_stats.json's
+        # n_docs/avgdl), memoized on the handle so per-query consumers
+        # (significant-terms' background total) don't re-aggregate the
+        # dictionary on every call
+        self._dict_total_occ: dict[str, int] = {}
 
     # ------------------------------------------------------------- tables
     def field_names(self) -> list[str]:
@@ -133,6 +139,20 @@ class Index:
 
     def dictionary(self, field: str) -> DataFrame:
         return self._field_slice("dictionary", field)
+
+    def dictionary_total_occ(self, field: str) -> int:
+        """Σ num_occurences over the field's dictionary — an index
+        constant, computed once per handle (memoized; see __init__)."""
+        if field not in self._dict_total_occ:
+            from pyspark.sql import functions as F
+
+            self._dict_total_occ[field] = int(
+                self.dictionary(field)
+                .agg(F.sum("num_occurences"))
+                .collect()[0][0]
+                or 0
+            )
+        return self._dict_total_occ[field]
 
     def postings_blocks(self, field: str) -> DataFrame:
         conf = self.field_conf(field)

@@ -118,6 +118,19 @@ def tokenize_pandas_udf(
 # Pure-Python reference implementation (tests / query-side single strings)
 # ---------------------------------------------------------------------------
 
+def batch_run_tokenizer(
+    separators: Sequence[str] = DEFAULT_SEPARATORS, grouped: bool = True
+):
+    """(findall, sep_set) pair for per-doc batch verify kernels: the
+    compiled run_pattern's findall segments text into exactly the runs
+    py_tokenize yields (same alternation the JVM tokenize_expr and the
+    DuckDB oracles compile), at C speed instead of the reference
+    char-loop; a run is a separator run iff its first char is in
+    sep_set.  Equivalence pinned in tests/test_r06_kernels.py."""
+    pat = re.compile(run_pattern(separators, grouped))
+    return pat.findall, frozenset(separators)
+
+
 def py_tokenize(
     text: str,
     separators: Iterable[str] = DEFAULT_SEPARATORS,

@@ -1850,7 +1850,25 @@ def bm25_facets(
     ).persist()
     out_rows = []
     try:
-        for c in cols:
+        # ALL columns' cardinalities in ONE aggregate (this job also
+        # materializes the persist): card must equal g.count() below —
+        # distinct values INCLUDING a null group — so it is
+        # countDistinct (null-excluding) + 1 iff any null occurs.
+        card_row = joined.agg(
+            *[
+                (
+                    F.countDistinct(F.col(c).cast("string"))
+                    + F.max(
+                        F.when(
+                            F.col(c).cast("string").isNull(), F.lit(1)
+                        ).otherwise(F.lit(0))
+                    )
+                ).alias(f"_card_{i}")
+                for i, c in enumerate(cols)
+            ]
+        ).collect()[0]
+        for i, c in enumerate(cols):
+            card = int(card_row[f"_card_{i}"] or 0)
             g = (
                 joined.groupBy(F.col(c).cast("string").alias("value"))
                 .agg(
@@ -1858,7 +1876,6 @@ def bm25_facets(
                     F.sum("score_e4").alias("sum_score_e4"),
                 )
             )
-            card = g.count()  # one bounded job per requested column
             top = (
                 g.orderBy(F.desc("n_docs"), F.asc("value"))
                 .limit(int(top_n))

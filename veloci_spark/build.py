@@ -554,6 +554,16 @@ def _token_value_agg(
     dict_for_tok = dictionary.select(
         "field", F.col("term").alias("tok"), "term_id", "num_occurences"
     )
+    # scale-guarded broadcast (guide §3.1): the dictionary side is
+    # vocabulary-sized; below the bound (one cheap count over the
+    # just-written parquet) the hint replaces a sort-merge shuffle of
+    # the much larger per-(value, token) stats frame.  Big vocabularies
+    # (10^9-term code dictionaries) keep the AQE-planned join.
+    try:
+        if dictionary.count() <= 4_000_000:
+            dict_for_tok = F.broadcast(dict_for_tok)
+    except Exception:
+        pass
     cols = [
         "field",
         "term_id",

@@ -1477,8 +1477,14 @@ def bm25_near_topk(
         # on the driver and its ids are spread across every row group,
         # so stats pruning buys nothing; cut over to the semi-join early
         # (AQE broadcasts the candidate side).  The WAND IN-list lesson
-        # (wand.candidate_block_filter), applied to doc ids.
-        MAX_INLIST = 4096
+        # (wand.candidate_block_filter), applied to doc ids — and at the
+        # SAME 512 cutover wand uses: the r5 ladder measured the literal
+        # list's planning/stat-check cost growing with list size, and a
+        # 2–4k-literal IN here showed up as ~0.5 s of driver planning at
+        # bench scale (r6).
+        from veloci_spark.wand import INLIST_SEMI_JOIN_CUTOVER
+
+        MAX_INLIST = INLIST_SEMI_JOIN_CUTOVER
         cand_ids = [r["doc_id"] for r in cand.limit(MAX_INLIST + 1).collect()]
         if not cand_ids:
             return _empty_topk(spark)

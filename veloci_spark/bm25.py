@@ -1607,7 +1607,10 @@ def bm25_snippet_topk(
     if W < 1:
         raise ValueError("window must be >= 1")
     schema = "doc_id long, score_e4 long, n_matched long, snippet string"
-    top_rows = bm25_topk(index, field, terms, k).collect()  # k-bounded
+    # retrieval through the calibrated exhaustive-vs-WAND dispatch
+    # (rank-identical per the dispatch guarantee; ADVICE r5) — snippet
+    # mode no longer forces the full decode on large postings volumes
+    top_rows = bm25_auto_topk(index, field, terms, k).collect()  # k-bounded
     if not top_rows:
         return spark.createDataFrame([], schema)
     scores = {int(r["doc_id"]): int(r["score_e4"]) for r in top_rows}

@@ -242,23 +242,23 @@ def _lsh_candidate_pairs(
     mega-bucket guard) independently of the verification fan-out."""
     rpb = n_minhash // n_bands
     mh = _minhash_cols(sh_docs, n_minhash).drop("sh")
-    bands = []
-    for b in range(n_bands):
-        bands.append(
-            mh.select(
-                "doc_id",
-                F.md5(
-                    F.concat(
-                        F.lit(f"band{b}:"),
-                        *[F.col(f"mh{rpb * b + r}") for r in range(rpb)],
-                    )
-                ).alias("band_key"),
+    # ONE projection + explode instead of an n_bands-way union: the
+    # union's branches each re-evaluated the minhash subtree (8 ×
+    # md5-over-shingles per doc, × n_bands on the cold materialization);
+    # the band-key array computes every mh column exactly once per row.
+    # Same (doc_id, band_key) multiset.
+    keys = [
+        F.md5(
+            F.concat(
+                F.lit(f"band{b}:"),
+                *[F.col(f"mh{rpb * b + r}") for r in range(rpb)],
             )
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionAll(x)
-    banded = banded.persist()
+        for b in range(n_bands)
+    ]
+    banded = mh.select(
+        "doc_id", F.explode(F.array(*keys)).alias("band_key")
+    ).persist()
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_key")
     b_ = banded.select(F.col("doc_id").alias("doc_b"), "band_key")
     out = (
@@ -384,24 +384,22 @@ def dedup_incremental(
     rpb = n_minhash // n_bands
 
     def _bands(sh_df: DataFrame) -> DataFrame:
+        # one projection + explode, not an n_bands-way union — the union
+        # branches re-evaluate the minhash subtree per band (see
+        # _lsh_candidate_pairs); same (doc_id, band_key) multiset
         mh = _minhash_cols(sh_df, n_minhash).drop("sh")
-        parts = []
-        for b in range(n_bands):
-            parts.append(
-                mh.select(
-                    "doc_id",
-                    F.md5(
-                        F.concat(
-                            F.lit(f"band{b}:"),
-                            *[F.col(f"mh{rpb * b + r}") for r in range(rpb)],
-                        )
-                    ).alias("band_key"),
+        keys = [
+            F.md5(
+                F.concat(
+                    F.lit(f"band{b}:"),
+                    *[F.col(f"mh{rpb * b + r}") for r in range(rpb)],
                 )
             )
-        out = parts[0]
-        for x in parts[1:]:
-            out = out.unionAll(x)
-        return out
+            for b in range(n_bands)
+        ]
+        return mh.select(
+            "doc_id", F.explode(F.array(*keys)).alias("band_key")
+        )
 
     cand = (
         _bands(new_sh)

@@ -222,3 +222,30 @@ def test_batch_run_tokenizer_matches_py_tokenize(spark):
         got = find(txt)
         assert got == [r for r, _ in want]
         assert [(t[0] in sepset) for t in got] == [s for _, s in want]
+
+
+def test_facets_cardinality_counts_null_group(spark, tmp_path):
+    # the r6 one-aggregate cardinality fold must keep g.count()'s
+    # null-group-inclusive semantics (a NULL facet value is a distinct
+    # value — the convention the driver's oracle pins)
+    import os
+
+    from veloci_spark.bm25 import bm25_facets
+    from veloci_spark.build import build_index
+    from veloci_spark.config import FieldConfig, IndexConfig
+
+    rows = [
+        (0, "alpha beta", "en"),
+        (1, "alpha gamma", None),
+        (2, "alpha delta", "de"),
+        (3, "alpha beta", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, lang string")
+    cfg = IndexConfig(fields=(FieldConfig("body", bm25=True),), block_docs=4)
+    idx = build_index(
+        spark, df, cfg, os.path.join(str(tmp_path), "nullfacet"), resume=False
+    )
+    out = bm25_facets(idx, "body", ["alpha"], ["lang"], top_n=10).collect()
+    # three distinct values over the hit set: en, de, NULL
+    assert out and all(r["n_values"] == 3 for r in out)
+    assert any(r["value"] is None for r in out)
